@@ -1,0 +1,79 @@
+"""Per-row array time-series analytics as native higher-order functions.
+
+The reference stores each alert's detection history as an embedded
+``list<struct>`` and analyzes it with pandas kernels (fink-filters
+``ztf/livestream/filter_kn_candidates/filter.py:186-265``,
+``filter_yso_spicy_candidates/filter.py:28-76``). Here the same semantics are
+Catalyst expressions over ArrayType columns: ``element_at``, ``aggregate``,
+``transform``, ``filter`` — zero Python in the execution path, which is what
+lets these run at 100 TB without an Arrow hop per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def hist_concat(prv_col: str, cur_col: str) -> Column:
+    """history ⧺ [current] — parity with fink-utils ``concat_col``
+    (call sites: reference ``ztf/filter_early_tde_candidates/prefilter.py:294-297``).
+    """
+    return F.concat(F.col(prv_col), F.array(F.col(cur_col)))
+
+
+def last_el(arr: Column | str, n: int = 1) -> Column:
+    """n-th element from the end (reference F1: ``cjd[-1]``)."""
+    return F.element_at(arr if isinstance(arr, Column) else F.col(arr), -n)
+
+
+def pair_gap(arr: Column | str, i: int, j: int) -> Column:
+    """arr[-i] - arr[-j] — gap predicates (reference F8, intra/inter-night)."""
+    a = arr if isinstance(arr, Column) else F.col(arr)
+    return F.element_at(a, -i) - F.element_at(a, -j)
+
+
+def rate_last2(val_arr: Column, t_arr: Column) -> Column:
+    """Two-point rate (v[-1]-v[-2]) / (t[-1]-t[-2]) — reference F2
+    (``filter_kn_candidates/filter.py:236-265``). Null-safe: null if <2 points
+    or zero time gap.
+    """
+    dv = F.element_at(val_arr, -1) - F.element_at(val_arr, -2)
+    dt = F.element_at(t_arr, -1) - F.element_at(t_arr, -2)
+    return F.when((F.size(t_arr) >= 2) & (dt != 0), dv / dt)
+
+
+def _sums(x: Column, y: Column):
+    """Exact Σ-statistics for a closed-form weighted/plain linear fit.
+
+    Inputs must be integer-valued arrays (parity convention, tables.py) so the
+    folds are order-deterministic exact integer math.
+    """
+    n = F.size(x).cast("long")
+    zero = F.lit(0).cast("long")
+    sx = F.aggregate(x, zero, lambda a, v: a + v)
+    sy = F.aggregate(y, zero, lambda a, v: a + v)
+    sxx = F.aggregate(x, zero, lambda a, v: a + v * v)
+    sxy = F.aggregate(F.zip_with(x, y, lambda a, b: a * b), zero, lambda a, v: a + v)
+    syy = F.aggregate(y, zero, lambda a, v: a + v * v)
+    return n, sx, sy, sxx, sxy, syy
+
+
+def linfit_slope(x: Column, y: Column) -> Column:
+    """Closed-form least-squares slope over integer arrays — reference F3
+    (``filter_rate_based_kn_candidates/filter.py:146-167``, there a scipy
+    ``curve_fit`` inside a pandas UDF; here pure Σ-statistics, native).
+    """
+    n, sx, sy, sxx, sxy, _ = _sums(x, y)
+    den = (n * sxx - sx * sx).cast("double")
+    num = (n * sxy - sx * sy).cast("double")
+    return F.when(den != 0, num / den)
+
+
+def linfit_r2(x: Column, y: Column) -> Column:
+    """r² of the least-squares fit — reference F5
+    (``filter_yso_spicy_candidates/filter.py:28-76``)."""
+    n, sx, sy, sxx, sxy, syy = _sums(x, y)
+    sxd = (n * sxx - sx * sx).cast("double")
+    syd = (n * syy - sy * sy).cast("double")
+    cov = (n * sxy - sx * sy).cast("double")
+    return F.when((sxd != 0) & (syd != 0), cov * cov / (sxd * syd))

@@ -1,0 +1,113 @@
+"""Text-analysis Column expressions (LLM-data-pipeline surface).
+
+All native Catalyst expressions — regexp/split/aggregate — so a 100 TB
+document sweep stays inside whole-stage codegen. The polynomial character
+hash doubles as the shingle hash for MinHash (operators/dedup.py) and as the
+document fingerprint; it is defined so the DuckDB oracle can reproduce it
+exactly (``list_reduce`` over ``ascii`` codes, mod 2^31-ish prime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Modulus keeps acc*31 + code < 2^63 (66571993087 * 31 + 255 << 9.2e18).
+FP_MOD = 66571993087  # prime
+FP_BASE = 31
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic so the heuristic is
+# SQL-expressible in both engines.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "es": ["el", "la", "de", "y", "un"],
+    "de": ["der", "die", "das", "und", "ein"],
+}
+
+PUNCT_RE = r"[^\w\s]"
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/punct tokenizer (GPT-2-style coarse classes).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text) -> Column:
+    """Whitespace token count."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), TOKEN_SPLIT_RE))
+    )
+
+
+def bpe_ish_count(text) -> Column:
+    """Token count under a BPE-ish regex (letters runs / digit runs / punct)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def punct_ratio(text) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    return F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text, stopwords: list[str]) -> Column:
+    """fraction of whitespace tokens that are in ``stopwords``."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def char_fingerprint(text) -> Column:
+    """Polynomial rolling hash over characters, mod FP_MOD (document
+    fingerprint; exact DuckDB mirror:
+    ``list_reduce(list_prepend(0, [ascii(c) for c in split(text,'')]),
+    (a, b) -> (a * 31 + b) % FP_MOD)``)."""
+    t = F.col(text) if isinstance(text, str) else text
+    chars = F.split(t, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+
+
+def word_shingles(text, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), lowercase, whitespace
+    tokenized — the unit set for Jaccard/MinHash dedup."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def shingles(text, n: int = 5) -> Column:
+    """Distinct character n-gram shingles (array<string>)."""
+    t = F.col(text) if isinstance(text, str) else text
+    k = F.length(t) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.substring(t, i, F.lit(n)),
+        )
+    )
+
+
+def shingle_hash(shingle_col: Column) -> Column:
+    """Polynomial hash of one shingle string (same scheme as
+    char_fingerprint) — array<string> -> array<long>."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        ),
+    )

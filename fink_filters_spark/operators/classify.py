@@ -1,0 +1,53 @@
+"""Multi-way classification as a native CASE chain.
+
+Reference: ``fink_filters/ztf/classification.py:47-211``
+(``extract_fink_classification_``) — start 'Unknown', compute per-class
+boolean flags, count overlapping non-override flags -> 'Ambiguous' if >1,
+let a catalog (SIMBAD) match override with its own type string, otherwise
+apply flags in precedence order. There it is a pandas UDF; here it is a pure
+``F.when`` chain + integer flag sum, fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def classify(
+    df: DataFrame,
+    flags: dict[str, Column],
+    override: Column | None = None,
+    out_col: str = "class",
+    ambiguous_label: str = "Ambiguous",
+    unknown_label: str = "Unknown",
+) -> DataFrame:
+    """Append ``out_col`` with precedence-ordered labels.
+
+    ``flags`` is an ordered {label: boolean Column}; ``override`` is a string
+    Column that, when non-null, wins over everything (the SIMBAD-type
+    override at ``classification.py:209``). >1 true flag -> ambiguous
+    (``classification.py:202-207``).
+    """
+    nflags = None
+    for c in flags.values():
+        term = c.cast("int")
+        nflags = term if nflags is None else nflags + term
+    expr = F.when(F.lit(False), F.lit(None))
+    if override is not None:
+        expr = F.when(override.isNotNull(), override)
+    expr = expr.when(nflags > 1, ambiguous_label)
+    for label, c in flags.items():
+        expr = expr.when(c, label)
+    return df.withColumn(out_col, expr.otherwise(unknown_label))
+
+
+def classify_events(ev: DataFrame) -> DataFrame:
+    """The synthetic-table instantiation used by the correctness harness:
+    same flag/override/ambiguity semantics over ``events``."""
+    flags = {
+        "HighValue": F.col("value") > 300.0,
+        "RoundUser": F.col("user_id") % 10 == 0,
+        "HighK": F.col("k") >= 80,
+    }
+    override = F.when(F.col("event_type").isin("signup", "purchase"), F.col("event_type"))
+    return classify(ev, flags, override=override)

@@ -1,0 +1,94 @@
+"""Spatial crossmatch (cone-search join) — the reference's only join family
+(SURVEY §2.D, D1-D7).
+
+The reference executes every crossmatch inside a pandas UDF with astropy
+(``ztf/livestream/filter_early_kn_candidates/filter.py:88-133`` search_around
+_sky; ``ztf/filter_known_tde/filter.py:65-90`` fixed-radius nearest;
+``ztf/livestream/filter_magnetic_cvs/filter.py:110-118`` per-row radius) and
+re-reads the catalog per batch. Spark-first design:
+
+1. bucket both sides on an integer sky grid (functions.astro.grid_cell);
+   the catalog side explodes the 3×3 neighborhood so the big side joins on a
+   SINGLE equality key — Catalyst plans a BroadcastHashJoin, no cartesian;
+2. refine with the exact haversine predicate (native trig, codegen'd);
+3. nearest-match semantics via ``row_number() over (partition by stream-row
+   order by separation)`` — the window only runs over matched pairs (tiny).
+
+At 100 TB this is shuffle-free on the stream side: the catalog (10²-10⁵ rows
+per SURVEY §1.1) broadcasts; grid-cell hashing bounds the candidate pairs per
+alert to the 9-cell neighborhood.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.astro import grid_cell, neighbor_cells, sky_sep
+
+
+def crossmatch(
+    df: DataFrame,
+    catalog: DataFrame,
+    df_id: str,
+    radius_deg: float | Column,
+    df_ra: str = "ra",
+    df_dec: str = "dec",
+    cat_ra: str = "cat_ra",
+    cat_dec: str = "cat_dec",
+    cell_deg: float | None = None,
+    max_radius_deg: float | None = None,
+    how: str = "nearest",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Cone-join ``df`` against a small ``catalog``.
+
+    ``radius_deg``: float (D2 fixed radius) or a catalog Column (D3/D4
+    per-row radius). ``cell_deg`` defaults to the max radius (the grid must
+    be at least as coarse as the search radius for the 3×3 neighborhood to
+    be complete). ``how``:
+
+    - ``nearest``: inner join, best match per stream row (+ ``sep_deg``);
+    - ``all``: every pair within radius;
+    - ``left``: all stream rows, match columns null when unmatched (D2
+      'Unknown' enrichment — coalesce downstream);
+    - ``anti``: stream rows with NO match (D6 'uncataloged').
+    """
+    if isinstance(radius_deg, (int, float)):
+        max_r = float(radius_deg)
+        radius_col = F.lit(float(radius_deg))
+    else:
+        if max_radius_deg is None:
+            raise ValueError("max_radius_deg is required with a per-row radius Column")
+        max_r = float(max_radius_deg)
+        radius_col = radius_deg
+    cell = cell_deg or max_r
+
+    cat = catalog.withColumn("__cells", neighbor_cells(cat_ra, cat_dec, cell, radius_deg=max_r))
+    cat = cat.withColumn("__cell", F.explode("__cells")).drop("__cells")
+    left = df.withColumn("__cell", grid_cell(df_ra, df_dec, cell))
+
+    sep = sky_sep(F.col(df_ra), F.col(df_dec), F.col(cat_ra), F.col(cat_dec))
+    pairs = (
+        left.join(F.broadcast(cat), on="__cell", how="inner")
+        .withColumn("sep_deg", sep)
+        .filter(F.col("sep_deg") < radius_col)
+        .drop("__cell")
+    )
+    if how == "all":
+        return pairs
+    if how == "anti":
+        matched = pairs.select(df_id).distinct()
+        return df.join(matched, on=df_id, how="left_anti")
+    if how == "left":
+        cat_cols = [c for c in catalog.columns if c != "__cell"]
+        best = _nearest(pairs, df_id, tiebreak).select(df_id, "sep_deg", *cat_cols)
+        return df.join(best, on=df_id, how="left")
+    return _nearest(pairs, df_id, tiebreak)
+
+
+def _nearest(pairs: DataFrame, df_id: str, tiebreak: str | None = None) -> DataFrame:
+    """Best match per stream row: smallest separation, deterministic ties via
+    ``tiebreak`` (typically the catalog key)."""
+    order = [F.asc("sep_deg")] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(df_id).orderBy(*order)
+    return pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -1,0 +1,36 @@
+"""Deterministic sampling operators.
+
+The reference's `uniform_sample` topic samples by key modulus
+(``rubin/livestream/filter_uniform_sample/filter.py:50``), which — unlike
+``df.sample`` — is reproducible across retries/restarts and stable per key.
+That property matters in a streaming broker (a re-delivered alert gets the
+same verdict) and at 100 TB (no RNG state, pure pushable predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def uniform_sample(df: DataFrame, key: str, modulus: int = 113, residue: int = 0) -> DataFrame:
+    """Keep rows where key % modulus == residue (≈ 1/modulus of the stream)."""
+    return df.filter(F.col(key) % modulus == residue)
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, seed: int = 42) -> DataFrame:
+    """Deterministic fraction sampling for non-integer keys: xxhash64-bucket
+    the key and keep the lowest ``fraction`` of buckets. Same
+    stable-per-key property, arbitrary key type."""
+    n_buckets = 1_000_000
+    threshold = int(fraction * n_buckets)
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(n_buckets))
+    return df.filter(bucket < threshold)
+
+
+def stratified_mod_sample(df: DataFrame, key: str, strata: Column, moduli: dict) -> DataFrame:
+    """Per-stratum modulus sampling (e.g. keep 1/10 of 'view' events but all
+    'error' events) — the streaming-safe version of sampleBy."""
+    cond = F.lit(False)
+    for stratum, modulus in moduli.items():
+        cond = cond | ((strata == stratum) & (F.col(key) % modulus == 0))
+    return df.filter(cond)

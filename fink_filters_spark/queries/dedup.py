@@ -1,0 +1,207 @@
+"""Deduplication queries over the ``documents`` / ``embeddings`` tables
+(LLM-data-pipeline surface; operators/dedup.py).
+
+The oracles reproduce each algorithm exactly — including the MinHash
+signatures and SimHash bit math — via DuckDB list lambdas over the same
+integer hash scheme, so hash-equality checks the full pipeline, not just
+the final filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import FP_BASE, FP_MOD
+from ..operators.dedup import (
+    MINHASH_AB,
+    MINHASH_BANDS,
+    MINHASH_ROWS,
+    dedup_exact,
+    embedding_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..tables import load_table
+from . import QuerySpec
+
+JACCARD_TAU = 0.5
+EMBED_TAU = 0.4
+SIMHASH_MAX_HAMMING = 3
+
+# ---- shared oracle fragments ------------------------------------------------
+
+TOKS_SQL = (
+    "SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents"
+)
+
+# word 3-gram distinct shingles
+SH3_SQL = f"""
+SELECT doc_id,
+       list_distinct(list_transform(
+         generate_series(1, greatest(0, len(toks) - 2)),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       )) AS sh
+FROM ({TOKS_SQL})
+"""
+
+# polynomial char hash of a string s (matches functions.text.shingle_hash)
+def _hash_sql(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {FP_BASE} + b) % {FP_MOD})"
+    )
+
+
+# ---- exact dedup ------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS survivor_id, count(*) AS n_dups
+FROM documents GROUP BY lower(trim(text))
+"""
+
+
+# ---- exact n-gram Jaccard ---------------------------------------------------
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH d AS ({SH3_SQL}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+FROM p
+WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+"""
+
+
+# ---- MinHash + LSH ----------------------------------------------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {FP_MOD})) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    bks = ", ".join(
+        "'" + str(j) + "_' || "
+        + " || '_' || ".join(
+            f"CAST(m{j * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        )
+        for j in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH d AS ({SH3_SQL}),
+h AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_hash_sql('s')}) AS hs
+  FROM d WHERE len(sh) > 0
+),
+sig AS (SELECT doc_id, sh, {mins} FROM h),
+bands AS (SELECT doc_id, unnest([{bks}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+FROM v
+WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+"""
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _simhash_sql() -> str:
+    from ..operators.dedup import SIMHASH_BITS
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * CAST(list_sum(list_transform(hs, x -> (x >> {j}) & 1)) AS BIGINT)"
+        f" > nw THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct(toks) AS words FROM ({TOKS_SQL})
+),
+h AS (
+  SELECT doc_id, list_transform(words, s -> {_hash_sql('s')}) AS hs,
+         CAST(len(words) AS BIGINT) AS nw
+  FROM w
+),
+s AS (SELECT doc_id, ({bit_terms}) AS sim FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---- embedding cosine -------------------------------------------------------
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return embedding_pairs(em, "vec_id", "embedding", tau=EMBED_TAU)
+
+
+QVEC_SQL = (
+    "SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv FROM embeddings"
+)
+
+DEDUP_EMBED_SQL = f"""
+WITH q AS ({QVEC_SQL}),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE) AS dot,
+         CAST(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS DOUBLE) AS na,
+         CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE) AS nb
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(dot / sqrt(na) / sqrt(nb), 6) AS cosine
+FROM p
+WHERE na > 0 AND nb > 0 AND dot / sqrt(na) / sqrt(nb) >= {EMBED_TAU}
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
+    QuerySpec("dedup_ngram_jaccard", q_dedup_jaccard, DEDUP_JACCARD_SQL,
+              "exact word-3gram Jaccard via inverted index"),
+    QuerySpec("dedup_minhash_lsh", q_dedup_minhash, _minhash_sql(),
+              "MinHash(16)+LSH(8x2) candidates, Jaccard-verified"),
+    QuerySpec("dedup_simhash", q_dedup_simhash, _simhash_sql(),
+              "SimHash-48 Hamming<=3 via lossless band join"),
+    QuerySpec("dedup_embedding_cosine", q_dedup_embedding, DEDUP_EMBED_SQL,
+              "embedding cosine near-dup pairs"),
+]

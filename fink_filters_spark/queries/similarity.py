@@ -1,0 +1,82 @@
+"""Similarity-search queries over the ``embeddings`` table
+(operators/similarity.py): exact brute-force top-k as the baseline, IVF
+coarse-quantizer assignment as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import ivf_assign, knn_bruteforce
+from ..tables import load_table
+from . import QuerySpec
+from .dedup import QVEC_SQL
+
+N_QUERIES = 20  # vec_id < 20 are the query set
+N_CENTROIDS = 8  # vec_id < 8 are the IVF seed centroids
+K = 5
+
+COS_SQL = (
+    "round(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)"
+    " / sqrt(CAST(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS DOUBLE))"
+    " / sqrt(CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE)), 6)"
+)
+
+_COS_RAW = (
+    "CAST(CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)"
+    " / sqrt(CAST(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS DOUBLE))"
+    " / sqrt(CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE))"
+)
+
+
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return knn_bruteforce(queries, em, k=K, q_id="q_id", q_vec="embedding")
+
+
+SIM_KNN_SQL = f"""
+WITH q AS ({QVEC_SQL}),
+p AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_COS_RAW} AS cosine
+  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id
+),
+r AS (
+  SELECT q_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM p
+)
+SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= {K}
+"""
+
+
+def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    centroids = em.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return ivf_assign(em, centroids, c_id="vec_id", c_vec="embedding",
+                      cent_id="centroid_id", cent_vec="centroid_vec")
+
+
+SIM_IVF_SQL = f"""
+WITH q AS ({QVEC_SQL}),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS centroid_id, {_COS_RAW} AS cosine
+  FROM q a JOIN q b ON b.vec_id < {N_CENTROIDS}
+),
+r AS (
+  SELECT vec_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM p
+)
+SELECT vec_id, centroid_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+"""
+
+
+SPECS = [
+    QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
+    QuerySpec("sim_ivf_assign", q_sim_ivf_assign, SIM_IVF_SQL, "IVF coarse-quantizer assignment"),
+]

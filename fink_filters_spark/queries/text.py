@@ -1,0 +1,170 @@
+"""Text-analysis + multimodal queries over ``documents``
+(functions/text.py, operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import (
+    FP_BASE,
+    FP_MOD,
+    LANG_STOPWORDS,
+    char_fingerprint,
+)
+from ..tables import load_table
+from . import QuerySpec
+
+TOKS = lambda: F.split(F.lower(F.trim(F.col("text"))), r"\s+")  # noqa: E731
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TOKS()
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            sum_len.cast("double") / F.size(toks).cast("double"), 6
+        ).alias("mean_word_len"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len
+FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic; deterministic precedence en>fr>es>de."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(TOKS())
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    pred = (
+        F.when(
+            (hits["en"] > 0)
+            & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]),
+            "en",
+        )
+        .when((hits["fr"] > 0) & (hits["fr"] >= hits["es"]) & (hits["fr"] >= hits["de"]), "fr")
+        .when((hits["es"] > 0) & (hits["es"] >= hits["de"]), "es")
+        .when(hits["de"] > 0, "de")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id", pred.alias("pred_lang"), (pred == F.col("lang")).alias("is_match")
+    )
+
+
+def _lang_sql() -> str:
+    hit = {
+        lang: f"len(list_intersect(words, {words!r}))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    return f"""
+SELECT doc_id,
+  CASE WHEN {hit['en']} > 0 AND {hit['en']} >= {hit['fr']} AND {hit['en']} >= {hit['es']} AND {hit['en']} >= {hit['de']} THEN 'en'
+       WHEN {hit['fr']} > 0 AND {hit['fr']} >= {hit['es']} AND {hit['fr']} >= {hit['de']} THEN 'fr'
+       WHEN {hit['es']} > 0 AND {hit['es']} >= {hit['de']} THEN 'es'
+       WHEN {hit['de']} > 0 THEN 'de'
+       ELSE 'und' END AS pred_lang,
+  (CASE WHEN {hit['en']} > 0 AND {hit['en']} >= {hit['fr']} AND {hit['en']} >= {hit['es']} AND {hit['en']} >= {hit['de']} THEN 'en'
+       WHEN {hit['fr']} > 0 AND {hit['fr']} >= {hit['es']} AND {hit['fr']} >= {hit['de']} THEN 'fr'
+       WHEN {hit['es']} > 0 AND {hit['es']} >= {hit['de']} THEN 'es'
+       WHEN {hit['de']} > 0 THEN 'de'
+       ELSE 'und' END) = lang AS is_match
+FROM (SELECT doc_id, lang, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS words FROM documents)
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (functions.text.char_fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", char_fingerprint("text").alias("fingerprint"))
+
+
+TEXT_FP_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: stopword ratio + punctuation penalty + length
+    credit (weights fixed; deterministic double tree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TOKS()
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
+    stop_ratio = stop_hits.cast("double") / n_tok.cast("double")
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    punct_ratio = n_punct.cast("double") / F.length("text").cast("double")
+    len_credit = F.least(F.lit(1.0), n_tok.cast("double") / 100.0)
+    quality = F.round(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + len_credit * 0.2, 6)
+    return docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        (quality >= 0.35).alias("is_good"),
+    )
+
+
+def _quality_sql() -> str:
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return f"""
+SELECT doc_id,
+       round(CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3
+             + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.2, 6) AS quality,
+       round(CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3
+             + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.2, 6) >= 0.35 AS is_good
+FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+"""
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text -> opaque binary column -> native byte-level
+    metadata (operators/multimodal.binary_meta; the reference's cutout
+    ``stampData: binary`` precedent)."""
+    from ..operators.multimodal import binary_meta
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return binary_meta(docs, "payload").select(
+        "doc_id", F.col("media_bytes").alias("n_bytes"), F.col("media_md5").alias("digest")
+    )
+
+
+MM_META_SQL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL, "token/length stats"),
+    QuerySpec("text_lang_id", q_text_lang_id, _lang_sql(), "stopword lang-ID heuristic"),
+    QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FP_SQL, "rolling-hash fingerprint"),
+    QuerySpec("text_quality", q_text_quality, _quality_sql(), "composite quality score"),
+    QuerySpec("mm_binary_meta", q_mm_binary_meta, MM_META_SQL, "binary column metadata"),
+]

@@ -1,0 +1,302 @@
+"""Per-key time-series analytics in BOTH encodings the engine supports
+(SURVEY §2.F):
+
+- **array encoding** — the reference's data model: each key's ordered history
+  packed into array columns, analyzed with native higher-order functions
+  (``ts_hist_array``). This is the streaming-friendly form: all temporal
+  context rides inside the row, no state store needed.
+- **long/relational encoding** — window functions over exploded rows
+  (``w_topn_per_user``, ``ts_rate_last2``) and grouped Σ-statistics
+  (``ts_linfit``), the idiomatic Spark dual.
+
+Parity: value -> milli-units bigint, ts -> microseconds bigint; linear-fit
+slope / r² via exact-integer Σ-statistics (functions/arrays.py); x axis =
+whole hours since the key's first event, so all folds are integer math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.arrays import linfit_r2, linfit_slope
+from ..tables import load_events
+from . import QuerySpec
+
+US_PER_HOUR = 3_600_000_000
+
+# events projected to exact-integer measure/time (oracle fragment).
+EVQ_SQL = (
+    "SELECT event_id, user_id, epoch_us(ts) AS t, "
+    "CAST(round(value*1000) AS BIGINT) AS v, value FROM events"
+)
+
+
+def _evq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        "value",
+    )
+
+
+def w_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 events per user by value (G1 dedup-then-top-k
+    building block, reference ``filter_anomaly_notification/filter.py:176-188``)."""
+    ev = _evq(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+W_TOPN_SQL = """
+SELECT user_id, event_id, value, rn
+FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INTEGER) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
+
+def ts_rate_last2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 two-point rate (reference ``filter_kn_candidates/filter.py:236-265``)
+    in the relational encoding: lag over an event-time window, last two
+    observations per key, rate in milli-units/hour."""
+    ev = _evq(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("t"), F.desc("event_id"))
+    last2 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    pivoted = last2.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("v2"),
+        F.max(F.when(F.col("rn") == 1, F.col("t"))).alias("t1"),
+        F.max(F.when(F.col("rn") == 2, F.col("t"))).alias("t2"),
+        F.count(F.lit(1)).alias("npts"),
+    )
+    return pivoted.filter(F.col("npts") == 2).select(
+        "user_id",
+        F.round(
+            (F.col("v1") - F.col("v2")).cast("double")
+            * F.lit(float(US_PER_HOUR))
+            / (F.col("t1") - F.col("t2")).cast("double"),
+            6,
+        ).alias("rate_per_hour"),
+    )
+
+
+TS_RATE_SQL = f"""
+WITH r AS (
+  SELECT user_id, t, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+  FROM ({EVQ_SQL})
+), p AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN v END) AS v1,
+         max(CASE WHEN rn = 2 THEN v END) AS v2,
+         max(CASE WHEN rn = 1 THEN t END) AS t1,
+         max(CASE WHEN rn = 2 THEN t END) AS t2,
+         count(*) AS npts
+  FROM r WHERE rn <= 2 GROUP BY user_id
+)
+SELECT user_id,
+       round(CAST(v1 - v2 AS DOUBLE) * {US_PER_HOUR}.0 / CAST(t1 - t2 AS DOUBLE), 6) AS rate_per_hour
+FROM p WHERE npts = 2
+"""
+
+
+def ts_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F5 closed-form least-squares per key (relational encoding): grouped
+    exact-integer Σ-statistics -> slope + r² (reference computes these with
+    scipy ``curve_fit`` / manual r² inside pandas UDFs —
+    ``filter_rate_based_kn_candidates/filter.py:146-167``,
+    ``filter_yso_spicy_candidates/filter.py:28-76``)."""
+    ev = _evq(spark, sf_dir)
+    t0 = ev.groupBy("user_id").agg(F.min("t").alias("t0"))
+    x = ev.join(F.broadcast(t0), "user_id").withColumn(
+        "xh", F.expr(f"(t - t0) div {US_PER_HOUR}")
+    )
+    s = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xh").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("xh") * F.col("xh")).alias("sxx"),
+        F.sum(F.col("xh") * F.col("v")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    den_x = s.n * s.sxx - s.sx * s.sx
+    den_y = s.n * s.syy - s.sy * s.sy
+    cov = s.n * s.sxy - s.sx * s.sy
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.when(den_x != 0, F.round(cov.cast("double") / den_x.cast("double"), 6)).alias("slope"),
+        F.when(
+            (den_x != 0) & (den_y != 0),
+            F.round(
+                cov.cast("double") * cov.cast("double")
+                / (den_x.cast("double") * den_y.cast("double")),
+                6,
+            ),
+        ).alias("r2"),
+    )
+
+
+TS_LINFIT_SQL = f"""
+WITH e AS ({EVQ_SQL}),
+m AS (SELECT user_id, min(t) AS t0 FROM e GROUP BY user_id),
+x AS (SELECT e.user_id, (t - t0) // {US_PER_HOUR} AS xh, v FROM e JOIN m USING (user_id)),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xh) AS BIGINT) AS sx,
+         CAST(sum(v) AS BIGINT) AS sy,
+         CAST(sum(xh*xh) AS BIGINT) AS sxx,
+         CAST(sum(xh*v) AS BIGINT) AS sxy,
+         CAST(sum(v*v) AS BIGINT) AS syy
+  FROM x GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN n*sxx - sx*sx != 0
+            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope,
+       CASE WHEN n*sxx - sx*sx != 0 AND n*syy - sy*sy != 0
+            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) END AS r2
+FROM s
+"""
+
+
+def ts_hist_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's embedded-history encoding (SURVEY §1.1, A3/F1/F2/F3):
+    pack each key's ordered history into array columns, then analyze with
+    native HOFs only — element_at for last/previous, zip_with+aggregate folds
+    for the fit. This is the row-carries-its-own-time-series model that lets
+    the streaming path stay stateless."""
+    ev = _evq(spark, sf_dir)
+    hist = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "v"))).alias("h")
+    )
+    ts = F.transform("h", lambda s: s.t)
+    vs = F.transform("h", lambda s: s.v)
+    t0 = F.element_at(ts, 1)
+    xh = F.transform(ts, lambda t: ((t - t0) / US_PER_HOUR).cast("long"))
+    return hist.select(
+        "user_id",
+        F.size("h").cast("long").alias("n"),
+        F.element_at(vs, -1).alias("last_v"),
+        F.element_at(vs, 1).alias("first_v"),
+        (F.element_at(ts, -1) - F.element_at(ts, -2)).alias("gap_last2_us"),
+        F.round(
+            (F.element_at(vs, -1) - F.element_at(vs, -2)).cast("double")
+            * F.lit(float(US_PER_HOUR))
+            / (F.element_at(ts, -1) - F.element_at(ts, -2)).cast("double"),
+            6,
+        ).alias("rate_per_hour"),
+        F.round(linfit_slope(xh, vs), 6).alias("slope"),
+        F.round(linfit_r2(xh, vs), 6).alias("r2"),
+    )
+
+
+# Same results derived relationally: integer Σ-statistics are associative, so
+# the array fold and the grouped aggregate are exactly equal.
+TS_HIST_SQL = f"""
+WITH e AS ({EVQ_SQL}),
+m AS (SELECT user_id, min(t) AS t0 FROM e GROUP BY user_id),
+x AS (SELECT e.user_id, t, v, (t - t0) // {US_PER_HOUR} AS xh FROM e JOIN m USING (user_id)),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xh) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy,
+         CAST(sum(xh*xh) AS BIGINT) AS sxx, CAST(sum(xh*v) AS BIGINT) AS sxy,
+         CAST(sum(v*v) AS BIGINT) AS syy,
+         arg_max(v, t) AS last_v, arg_min(v, t) AS first_v
+  FROM x GROUP BY user_id
+),
+r AS (
+  SELECT user_id, t, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY t DESC) AS rn
+  FROM e
+),
+l AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN t END) AS t1,
+         max(CASE WHEN rn = 2 THEN t END) AS t2,
+         max(CASE WHEN rn = 1 THEN v END) AS v1,
+         max(CASE WHEN rn = 2 THEN v END) AS v2
+  FROM r WHERE rn <= 2 GROUP BY user_id
+)
+SELECT s.user_id, n, last_v, first_v,
+       l.t1 - l.t2 AS gap_last2_us,
+       round(CAST(l.v1 - l.v2 AS DOUBLE) * {US_PER_HOUR}.0 / CAST(l.t1 - l.t2 AS DOUBLE), 6) AS rate_per_hour,
+       CASE WHEN n*sxx - sx*sx != 0
+            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope,
+       CASE WHEN n*sxx - sx*sx != 0 AND n*syy - sy*sy != 0
+            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) END AS r2
+FROM s JOIN l USING (user_id)
+"""
+
+
+def sess_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form of the streaming
+    windowed agg — SURVEY §2.J; the same expression runs under readStream
+    with a watermark, see streaming/)."""
+    ev = _evq(spark, sf_dir)
+    return (
+        ev.withColumn("hour_bucket", F.expr(f"t div {US_PER_HOUR}"))
+        .withColumn("user_mod", F.col("user_id") % 10)
+        .groupBy("hour_bucket", "user_mod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )
+
+
+SESS_HOURLY_SQL = f"""
+SELECT t // {US_PER_HOUR} AS hour_bucket,
+       user_id % 10 AS user_mod,
+       count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_v
+FROM ({EVQ_SQL})
+GROUP BY 1, 2
+"""
+
+
+def ev_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access (§2.I JSON): extract props.k, bucket by decile,
+    aggregate."""
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return (
+        ev.withColumn("k_bucket", F.expr("k div 10"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_v"),
+        )
+    )
+
+
+EV_JSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v
+FROM events
+GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("w_topn_per_user", w_topn_per_user, W_TOPN_SQL, "ranking window (§2.F/G)"),
+    QuerySpec("sess_hourly", sess_hourly, SESS_HOURLY_SQL, "tumbling-window agg (§2.J)"),
+    QuerySpec("ev_json_bucket", ev_json_bucket, EV_JSON_SQL, "JSON access + agg (§2.I)"),
+    QuerySpec("ts_rate_last2", ts_rate_last2, TS_RATE_SQL, "F2 two-point rate"),
+    QuerySpec("ts_linfit", ts_linfit, TS_LINFIT_SQL, "F3/F5 closed-form fit"),
+    QuerySpec("ts_hist_array", ts_hist_array, TS_HIST_SQL, "array-encoded history HOFs"),
+]

@@ -1,0 +1,172 @@
+"""Spatial crossmatch queries (SURVEY §2.D) on synthetic coordinates.
+
+The synthetic tables carry no sky positions, so both sides derive
+deterministic pseudo-coordinates with integer arithmetic (identical formulas
+in Spark and the oracle): events are the alert stream, suppliers are the
+reference catalog. The Spark side runs the grid-bucketed broadcast cone join
+(operators/crossmatch.py); the oracle is the naive cross join + haversine —
+different physical plan, must produce identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.astro import _D2R, _R2D
+from ..operators.crossmatch import crossmatch
+from ..tables import load_table
+from . import QuerySpec
+
+# Deterministic pseudo-coordinates (integer ops -> exact /100.0).
+PTS_SQL = (
+    "SELECT event_id, (event_id * 37 % 36000) / 100.0 AS ra, "
+    "((event_id * 73 % 16000) / 100.0) - 80.0 AS dec FROM events"
+)
+CAT_SQL = (
+    "SELECT s_suppkey, s_name, (s_suppkey * 359 % 36000) / 100.0 AS cra, "
+    "((s_suppkey * 191 % 16000) / 100.0) - 80.0 AS cdec, "
+    "(50 + (s_suppkey % 5) * 25) / 100.0 AS cradius FROM supplier"
+)
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 % 36000) / 100.0).alias("ra"),
+        (((F.col("event_id") * 73 % 16000) / 100.0) - 80.0).alias("dec"),
+    )
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        "s_name",
+        ((F.col("s_suppkey") * 359 % 36000) / 100.0).alias("cra"),
+        (((F.col("s_suppkey") * 191 % 16000) / 100.0) - 80.0).alias("cdec"),
+        ((50 + (F.col("s_suppkey") % 5) * 25) / 100.0).alias("cradius"),
+    )
+
+
+def _sep_sql(ra1: str, dec1: str, ra2: str, dec2: str) -> str:
+    """Haversine written EXACTLY as functions.astro.sky_sep evaluates it
+    (same literals, same association) for bit parity."""
+    d2r = repr(_D2R)
+    r2d = repr(_R2D)
+    r1, d1, r2, d2 = (f"({c}) * {d2r}" for c in (ra1, dec1, ra2, dec2))
+    sd = f"sin((({d2}) - ({d1})) / 2)"
+    sr = f"sin((({r2}) - ({r1})) / 2)"
+    h = f"{sd} * {sd} + cos({d1}) * cos({d2}) * {sr} * {sr}"
+    return f"2 * asin(least(1.0, sqrt({h}))) * {r2d}"
+
+
+_SEP = _sep_sql("ra", "dec", "cra", "cdec")
+
+
+def xmatch_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2: nearest catalog match within a fixed 2° cone
+    (reference ``ztf/filter_known_tde/filter.py:65-90``)."""
+    res = crossmatch(
+        _pts(spark, sf_dir), _cat(spark, sf_dir), df_id="event_id",
+        radius_deg=2.0, df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
+        tiebreak="s_suppkey",
+    )
+    return res.select("event_id", "s_name", F.round("sep_deg", 6).alias("sep_deg"))
+
+
+XMATCH_CONE_SQL = f"""
+WITH pts AS ({PTS_SQL}), cat AS ({CAT_SQL}),
+pairs AS (
+  SELECT event_id, s_suppkey, s_name, {_SEP} AS sep_deg
+  FROM pts CROSS JOIN cat
+),
+m AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY sep_deg, s_suppkey) AS rn
+  FROM pairs WHERE sep_deg < 2.0
+)
+SELECT event_id, s_name, round(sep_deg, 6) AS sep_deg FROM m WHERE rn = 1
+"""
+
+
+def xmatch_variable_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4: per-catalog-row match radius
+    (reference ``ztf/livestream/filter_magnetic_cvs/filter.py:110-118``)."""
+    res = crossmatch(
+        _pts(spark, sf_dir), _cat(spark, sf_dir), df_id="event_id",
+        radius_deg=F.col("cradius"), max_radius_deg=1.5,
+        df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
+        tiebreak="s_suppkey",
+    )
+    return res.select("event_id", "s_suppkey", F.round("sep_deg", 6).alias("sep_deg"))
+
+
+XMATCH_VAR_SQL = f"""
+WITH pts AS ({PTS_SQL}), cat AS ({CAT_SQL}),
+pairs AS (
+  SELECT event_id, s_suppkey, cradius, {_SEP} AS sep_deg
+  FROM pts CROSS JOIN cat
+),
+m AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY sep_deg, s_suppkey) AS rn
+  FROM pairs WHERE sep_deg < cradius
+)
+SELECT event_id, s_suppkey, round(sep_deg, 6) AS sep_deg FROM m WHERE rn = 1
+"""
+
+
+def xmatch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D7 enrichment semantics: left join + coalesce to 'Unknown'
+    (reference xmatch UDFs return matched name else 'Unknown',
+    ``ztf/filter_known_tde/filter.py:31-129``)."""
+    res = crossmatch(
+        _pts(spark, sf_dir), _cat(spark, sf_dir), df_id="event_id",
+        radius_deg=1.0, df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
+        how="left", tiebreak="s_suppkey",
+    )
+    return res.select(
+        "event_id", F.coalesce("s_name", F.lit("Unknown")).alias("matched_name")
+    )
+
+
+XMATCH_ENRICH_SQL = f"""
+WITH pts AS ({PTS_SQL}), cat AS ({CAT_SQL}),
+pairs AS (
+  SELECT event_id, s_suppkey, s_name, {_SEP} AS sep_deg
+  FROM pts CROSS JOIN cat
+),
+m AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY sep_deg, s_suppkey) AS rn
+  FROM pairs WHERE sep_deg < 1.0
+)
+SELECT p.event_id, coalesce(m.s_name, 'Unknown') AS matched_name
+FROM pts p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+"""
+
+
+def xmatch_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 'uncataloged' anti-join semantics
+    (reference ``ztf/livestream/filter_new_hostless/utils.py:74-84``)."""
+    res = crossmatch(
+        _pts(spark, sf_dir), _cat(spark, sf_dir), df_id="event_id",
+        radius_deg=1.0, df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
+        how="anti",
+    )
+    return res.select("event_id")
+
+
+XMATCH_ANTI_SQL = f"""
+WITH pts AS ({PTS_SQL}), cat AS ({CAT_SQL})
+SELECT event_id FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM cat WHERE {_SEP} < 1.0
+)
+"""
+
+
+SPECS = [
+    QuerySpec("xmatch_cone", xmatch_cone, XMATCH_CONE_SQL, "D1/D2 fixed-radius nearest"),
+    QuerySpec("xmatch_variable_radius", xmatch_variable_radius, XMATCH_VAR_SQL, "D3/D4 per-row radius"),
+    QuerySpec("xmatch_enrich", xmatch_enrich, XMATCH_ENRICH_SQL, "D2/D7 left+Unknown"),
+    QuerySpec("xmatch_anti", xmatch_anti, XMATCH_ANTI_SQL, "D6 anti-join"),
+]

@@ -1,0 +1,61 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The configs here are the ones that matter at 100 TB on a real cluster:
+AQE (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow for the few pandas-UDF kernels, and sane shuffle-partition counts.
+On local[N] test runs the same settings keep plans identical to what a
+1000-executor cluster would produce (modulo parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Dynamic (session-settable) confs applied even when we are handed an
+# existing SparkSession (e.g. by the verification driver).
+DYNAMIC_CONF = {
+    # /root/testdata parquet stores events.ts as TIMESTAMP(NANOS); Spark has
+    # no nanosecond timestamp type, so read it as a long (nanoseconds since
+    # epoch) and convert explicitly (see tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones, convert to broadcast joins when runtime stats allow.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the pandas-UDF kernels (science fits, image stats).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_dynamic_conf(spark: SparkSession) -> SparkSession:
+    """Apply session-settable confs to an externally provided session."""
+    for k, v in DYNAMIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Immutable in this deployment; builder-time config must cover it.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "fink_filters_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) or all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(max(2 * (cpus or 16), 32)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in DYNAMIC_CONF.items():
+        builder = builder.config(k, v)
+    return apply_dynamic_conf(builder.getOrCreate())

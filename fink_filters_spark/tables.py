@@ -1,0 +1,58 @@
+"""Loaders for the synthetic test tables (see TESTDATA.md).
+
+Numeric-parity conventions shared by every query and its DuckDB oracle —
+the point is that Spark and DuckDB must produce BIT-IDENTICAL values, so all
+order-sensitive float accumulation is replaced by exact integer arithmetic:
+
+- money/measure columns are quantized to integer units before aggregation
+  (``cents(col)`` = round(col*100) as bigint); integer sums are associative,
+  so partial aggregation order cannot change the result;
+- event timestamps: parquet TIMESTAMP(NANOS) -> long nanos (Spark) and the
+  oracle uses ``epoch_us(ts)``; we expose microseconds (``ts div 1000``);
+- final derived doubles are produced by a SINGLE deterministic expression
+  tree over exact integers (casts below 2^53 are exact, IEEE ops on equal
+  operands are bit-equal across engines), then defensively ``round(x, 6)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import apply_dynamic_conf
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_dynamic_conf(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (bigint microseconds since epoch) added.
+
+    Oracle equivalent of ``ts_us`` is ``epoch_us(ts)``.
+    """
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def cents(col):
+    """Exact integer cents for a 2-decimal money column (parity helper)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def milli(col):
+    """Exact integer milli-units (x1000) for a float measure column."""
+    return F.round(F.col(col) * 1000).cast("long")
