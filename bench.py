@@ -1,0 +1,63 @@
+"""Benchmark runner (driver contract).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], times each end-to-end
+(plan + execute + collect-to-count), and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    from fink_filters_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers + Python workers once so per-query
+    # numbers measure the queries, not session/interpreter startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
+
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+            continue
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -151,12 +151,10 @@ def _simhash_sql() -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"""
-WITH w AS (
-  SELECT doc_id, list_distinct(toks) AS words FROM ({TOKS_SQL})
-),
+WITH w AS ({SH3_SQL}),
 h AS (
-  SELECT doc_id, list_transform(words, s -> {_hash_sql('s')}) AS hs,
-         CAST(len(words) AS BIGINT) AS nw
+  SELECT doc_id, list_transform(sh, s -> {_hash_sql('s')}) AS hs,
+         CAST(len(sh) AS BIGINT) AS nw
   FROM w
 ),
 s AS (SELECT doc_id, ({bit_terms}) AS sim FROM h)
