@@ -80,24 +80,28 @@ def word_shingles(text, n: int = 3) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE)
     k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    # guard: sequence(1, 0) would DESCEND and feed slice() an invalid start
+    return F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(text, n: int = 5) -> Column:
     """Distinct character n-gram shingles (array<string>)."""
     t = F.col(text) if isinstance(text, str) else text
     k = F.length(t) - (n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-            lambda i: F.substring(t, i, F.lit(n)),
-        )
-    )
+    return F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(t, i, F.lit(n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_hash(shingle_col: Column) -> Column:

@@ -1,0 +1,112 @@
+"""Structured Streaming pipeline (SURVEY §2.J, §3.1).
+
+The reference's livestream architecture: stateless per-row predicates over a
+micro-batched stream; all temporal context embedded in the alert row (history
+arrays, ndethist, jdstarthist). Its Spark dual:
+
+    readStream -> enrich (crossmatch/classification/history concat)
+               -> named topic filter (registry expression)
+               -> foreachBatch notification sinks
+
+Statelessness is the load-bearing property: no state store, no watermark
+needed for topic parity, trivially rescalable. Stateful extensions (needed
+only for the NEW-scope ops, which have no reference precedent):
+- ``streaming_dedup``  — exact dedup over a key with an event-time watermark;
+- ``streaming_window_agg`` — tumbling-window aggregation with late-data bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..filters.registry import get_filter
+
+
+class StreamPipeline:
+    """Composable stream: enrich stages + topic filters + sinks.
+
+    >>> pipe = (StreamPipeline(stream_df)
+    ...         .enrich(extract_fink_classification)
+    ...         .topic("ztf.sn_candidates")
+    ...         .sink(NotificationSink(transport)))
+    >>> query = pipe.start(checkpoint="/tmp/ck")   # doctest: +SKIP
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self._sinks: list[Callable[[DataFrame, int], None]] = []
+
+    def enrich(self, stage: Callable[[DataFrame], DataFrame]) -> "StreamPipeline":
+        self.df = stage(self.df)
+        return self
+
+    def topic(self, name: str) -> "StreamPipeline":
+        """Apply a registered topic filter (A1 parity on streams)."""
+        self.df = self.df.filter(get_filter(name).builder(self.df))
+        return self
+
+    def filter(self, condition) -> "StreamPipeline":
+        self.df = self.df.filter(condition)
+        return self
+
+    def sink(self, writer: Callable[[DataFrame, int], None]) -> "StreamPipeline":
+        self._sinks.append(writer)
+        return self
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        for writer in self._sinks:
+            writer(batch_df, batch_id)
+
+    def start(
+        self,
+        checkpoint: str,
+        trigger_seconds: float | None = None,
+        once: bool = False,
+    ) -> StreamingQuery:
+        writer = self.df.writeStream.option("checkpointLocation", checkpoint)
+        if self._sinks:
+            writer = writer.foreachBatch(self.foreach_batch)
+        else:
+            writer = writer.format("noop")
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup: first occurrence per key wins; state for a key
+    is dropped once the watermark passes (bounded state — the property that
+    keeps this viable on an unbounded 100 TB stream)."""
+    # watermarks demand TIMESTAMP (not NTZ) event time
+    df = df.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    return df.withWatermark(event_time_col, watermark).dropDuplicates(
+        key_cols + [event_time_col]
+    )
+
+
+def streaming_window_agg(
+    df: DataFrame,
+    event_time_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a late-data bound — the
+    streaming form of queries/timeseries.sess_hourly."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    df = df.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    keys = [F.window(F.col(event_time_col), window)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return df.withWatermark(event_time_col, watermark).groupBy(*keys).agg(*aggs)

@@ -1,0 +1,273 @@
+"""Dual-path tests for the ZTF topic filters (reference test style, SURVEY
+§5: every filter verified by an independent pandas replica on the same
+fixture)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from fink_filters_spark.filters import apply_named_filter, filter_catalog, get_filter
+from fink_filters_spark.filters.ztf import (
+    BLAZAR_CLASSES,
+    EG_HOST_CLASSES,
+    GRAV_CLASSES,
+    RRLYR_CLASSES,
+    YSO_CLASSES,
+)
+
+ERF_5 = math.erf(5 / math.sqrt(2))
+EG = set(EG_HOST_CLASSES)
+
+
+def _quality(r):
+    return r.drb > 0.5 and r.classtar > 0.4
+
+
+REPLICAS = {
+    "ztf.example": lambda r: (
+        r.cdsxmatch not in ("Unknown", "Transient")
+        and not r.cdsxmatch.startswith("Fail")
+        and not r.cdsxmatch.startswith("Galaxy")
+        and r.magpsf > 20.5
+    ),
+    "ztf.sn_candidates": lambda r: (
+        (r.snn_snia_vs_nonia > 0.5 or r.snn_sn_vs_all > 0.5)
+        and r.cdsxmatch in EG
+        and (r.jd - r.jdstarthist) <= 90
+        and _quality(r)
+        and r.ndethist > 1
+        and r.roid != 3
+    ),
+    "ztf.early_sn_candidates": lambda r: (
+        (r.snn_snia_vs_nonia > 0.5 or r.snn_sn_vs_all > 0.5)
+        and r.rf_snia_vs_nonia > 0.5
+        and r.cdsxmatch in EG
+        and (r.jd - r.jdstarthist) <= 90
+        and _quality(r)
+        and r.ndethist <= 20
+        and r.roid != 3
+    ),
+    "ztf.kn_candidates": lambda r: (
+        r.rf_kn_vs_nonkn > 0.5
+        and _quality(r)
+        and (r.jd - r.jdstarthist) < 5
+        and r.ndethist < 20
+        and r.roid != 3
+        and r.cdsxmatch in EG
+    ),
+    "ztf.early_kn_candidates": lambda r: (
+        _quality(r)
+        and (r.jd - r.jdstarthist) < 0.25
+        and r.ndethist < 20
+        and r.roid != 3
+        and abs(r.gal_b) > 10
+        and abs(r.ecl_lat) > 10
+    ),
+    "ztf.tns_match": lambda r: r.tns != "" and (r.jd - r.jdstarthist) <= 30,
+    "ztf.magnetic_cvs": lambda r: r.isdiffpos in ("t", "1") and r.mcv_name != "Unknown",
+    "ztf.microlensing_candidates": lambda r: r.mulens > 0,
+    "ztf.simbad_grav_candidates": lambda r: r.cdsxmatch in set(GRAV_CLASSES),
+    "ztf.sso_ztf_candidates": lambda r: r.roid == 3,
+    "ztf.sso_fink_candidates": lambda r: r.roid == 2,
+    "ztf.blazar": lambda r: r.cdsxmatch in set(BLAZAR_CLASSES),
+    "ztf.vra": lambda r: (
+        r.cdsxmatch == "Unknown" and r.roid != 3 and r.magpsf > 19.5 and r.drb > 0.5
+    ),
+    "ztf.yso_candidates": lambda r: r.cdsxmatch in set(YSO_CLASSES),
+    "ztf.yso_spicy_candidates": lambda r: (
+        r.spicy_class != "Unknown"
+        and abs(r.linear_fit_slope) > 0.025
+        and r.linear_fit_r2 > 0.6
+    ),
+    "ztf.simbad_candidates": lambda r: (
+        r.cdsxmatch not in ("Unknown", "Transient")
+        and not r.cdsxmatch.startswith("Fail")
+    ),
+    "ztf.gaia_dr3_candidates": lambda r: r.DR3Name != "nan",
+    "ztf.quality_cuts": lambda r: r.rb >= 0.55 and r.nbad == 0,
+    "ztf.rrlyr": lambda r: r.cdsxmatch in set(RRLYR_CLASSES),
+    "ztf.snialike": lambda r: (
+        r.rf_snia_vs_nonia > 0
+        and r.cdsxmatch == "Unknown"
+        and (r.neargaia > 5 or r.neargaia < 0)
+        and (r.distpsnr1 > 5 or r.distpsnr1 < 0)
+    ),
+    "ztf.superluminous": lambda r: r.slsn_score >= r.slsn_threshold,
+    "ztf.tracklet_candidates": lambda r: r.tracklet.startswith("TRCK_"),
+    "ztf.vast_supernovae": lambda r: (
+        float(r.mangrove["lum_dist"]) < 200
+        and r.dec < -10
+        and r.tns not in ("", "Unknown")
+    ),
+    "ztf.vast_supernovae_candidates": lambda r: (
+        float(r.mangrove["lum_dist"]) < 200 and r.dec < -10 and r.snn_sn_vs_all > 0.5
+    ),
+    "ztf.transient_complete": lambda r: (
+        not r.faint
+        and r.positivesubtraction
+        and r.real
+        and not r.pointunderneath
+        and not r.brightstar
+        and not r.variablesource
+        and r.stationary
+        and r.roid == 0
+    ),
+    "ztf.blazar_low_state": lambda r: (
+        0 <= r.blazar_stats["m0"] < 1 and 0 <= r.blazar_stats["m1"] < 1
+    ),
+    "ztf.blazar_high_state": lambda r: (
+        r.blazar_stats["m0"] > 1 and r.blazar_stats["m1"] > 1
+    ),
+    "ztf.rate_based_kn_candidates": lambda r: (
+        r.drb > 0.9
+        and r.classtar > 0.4
+        and (r.jd - r.jdstarthist) < 5
+        and r.ndethist < 20
+        and r.isdiffpos in ("t", "1")
+        and (r.ssdistnr > 10 or r.ssdistnr < 0)
+        and abs(_py_gal_b(r.ra, r.dec)) > 10
+        and abs(r.mag_rate) > 0.3
+    ),
+    "ztf.new_hostless": lambda r: (
+        r.distnr > 1.5
+        and r.cdsxmatch in ("Unknown", "Transient", "Fail")
+        and r.DR3Name == "nan"
+        and r.roid != 3
+        and r.ndethist == 1
+        and r.kstest_science <= 0.5
+        and r.kstest_template <= 0.85
+    ),
+    "ztf.known_tde": lambda r: r.tde_name != "Unknown",
+    "ztf.dwarf_agn": lambda r: r.dwarf_agn_name != "Unknown",
+    "ztf.symbiotic_stars": lambda r: r.symbiotic_name != "Unknown",
+}
+
+
+def _py_gal_b(ra, dec):
+    d2r = math.pi / 180
+    ra_g, dec_g = 192.85948 * d2r, 27.12825 * d2r
+    r, d = ra * d2r, dec * d2r
+    sinb = math.sin(dec_g) * math.sin(d) + math.cos(dec_g) * math.cos(d) * math.cos(
+        r - ra_g
+    )
+    return math.degrees(math.asin(max(-1.0, min(1.0, sinb))))
+
+
+def test_all_registered_ztf_filters_match_pandas_replicas(ztf_df, ztf_pdf):
+    for name, replica in REPLICAS.items():
+        got = {r.candid for r in apply_named_filter(ztf_df, name).select("candid").collect()}
+        want = {r.candid for r in ztf_pdf.itertuples() if replica(r)}
+        assert got == want, f"{name}: spark={len(got)} pandas={len(want)}"
+
+
+def test_filters_select_nontrivially(ztf_df, ztf_pdf):
+    """Fixture sanity: most topics should select SOMETHING and not everything."""
+    nonempty = 0
+    for name in REPLICAS:
+        n = apply_named_filter(ztf_df, name).count()
+        assert n < len(ztf_pdf), f"{name} selected every row"
+        nonempty += n > 0
+    assert nonempty >= len(REPLICAS) * 0.6
+
+
+def test_intra_inter_night_hostless(ztf_df, ztf_pdf):
+    got2 = {
+        r.candid
+        for r in apply_named_filter(ztf_df, "ztf.intra_night_hostless")
+        .select("candid")
+        .collect()
+    }
+    got3 = {
+        r.candid
+        for r in apply_named_filter(ztf_df, "ztf.inter_night_hostless")
+        .select("candid")
+        .collect()
+    }
+
+    def base(r):
+        return (
+            r.distnr > 1.5
+            and r.cdsxmatch in ("Unknown", "Transient", "Fail")
+            and r.roid != 3
+            and r.kstest_science <= 0.5
+            and r.kstest_template <= 0.85
+        )
+
+    want2 = {
+        r.candid
+        for r in ztf_pdf.itertuples()
+        if base(r) and r.ndethist == 2 and (r.cjd[-1] - r.cjd[-2]) < 0.5
+    }
+    want3 = {
+        r.candid
+        for r in ztf_pdf.itertuples()
+        if base(r)
+        and r.ndethist == 3
+        and len(r.cjd) >= 3
+        and (r.cjd[-2] - r.cjd[-3]) > 0.5
+        and (r.cjd[-1] - r.cjd[-2]) < 0.5
+    }
+    assert got2 == want2
+    assert got3 == want3
+
+
+def test_orphan_grb(ztf_df, ztf_pdf):
+    got = {
+        r.candid
+        for r in apply_named_filter(ztf_df, "ztf.orphan_grb").select("candid").collect()
+    }
+
+    def replica(r):
+        mags = [m for m in r.cmagpsf if not np.isnan(m)]
+        if not (
+            (r.jd - r.jdstarthist) <= 30
+            and len(mags) == 3
+            and all(m > 18 for m in mags)
+            and (r.cjd[-1] - r.cjd[0]) < 10
+            and r.ssnamenr == "null"
+            and mags[-1] >= mags[0]
+        ):
+            return False
+        g = [m for m, f in zip(r.cmagpsf, r.cfid) if f == 1 and not np.isnan(m)]
+        rr = [m for m, f in zip(r.cmagpsf, r.cfid) if f == 2 and not np.isnan(m)]
+        if g and rr:
+            return (sum(g) / len(g)) - (sum(rr) / len(rr)) >= 0
+        return True
+
+    want = {r.candid for r in ztf_pdf.itertuples() if replica(r)}
+    assert got == want
+
+
+def test_mm_filters_with_classification(spark, ztf_df, ztf_pdf):
+    from fink_filters_spark.filters.classification import extract_fink_classification
+
+    enriched = extract_fink_classification(ztf_df)
+    bronze = apply_named_filter(enriched, "ztf.mm_grb_bronze")
+    silver = apply_named_filter(enriched, "ztf.mm_grb_silver")
+    gold = apply_named_filter(enriched, "ztf.mm_grb_gold")
+    nb, ns, ng = bronze.count(), silver.count(), gold.count()
+    assert nb >= ns >= ng  # strictly nested tiers
+    assert nb > 0
+    silver_ids = {r.candid for r in silver.select("candid").collect()}
+    bronze_ids = {r.candid for r in bronze.select("candid").collect()}
+    assert silver_ids <= bronze_ids
+
+
+def test_unknowns_uses_classification(ztf_df):
+    from fink_filters_spark.filters.classification import extract_fink_classification
+
+    enriched = extract_fink_classification(ztf_df)
+    unknown = apply_named_filter(enriched, "ztf.unknowns")
+    assert unknown.count() > 0
+    assert {r.fink_class for r in unknown.select("fink_class").collect()} == {"Unknown"}
+
+
+def test_catalog_metadata():
+    cat = filter_catalog()
+    names = {i.name for i in cat}
+    assert len(names) >= 45  # ZTF topics + Rubin topics
+    info = get_filter("ztf.sn_candidates")
+    assert info.reference.startswith("ztf/livestream/filter_sn_candidates")
+    assert info.description

@@ -1,0 +1,137 @@
+"""Unit tests for the native Column-expression library."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fink_filters_spark.functions import (
+    dc_mag,
+    ecl_lat,
+    flux2mag,
+    gal_b,
+    hist_concat,
+    linfit_r2,
+    linfit_slope,
+    mag2fluxcal,
+    rate_last2,
+    sky_sep,
+)
+
+
+def one(df, col):
+    return df.select(col.alias("x")).first()["x"]
+
+
+def test_sky_sep_known_values(spark):
+    df = spark.range(1)
+    # identical points
+    assert one(df, sky_sep(F.lit(10.0), F.lit(20.0), F.lit(10.0), F.lit(20.0))) == 0.0
+    # 90 degrees along the equator
+    assert abs(one(df, sky_sep(F.lit(0.0), F.lit(0.0), F.lit(90.0), F.lit(0.0))) - 90) < 1e-9
+    # pole to equator
+    assert abs(one(df, sky_sep(F.lit(0.0), F.lit(90.0), F.lit(123.0), F.lit(0.0))) - 90) < 1e-9
+    # small separation precision (1 arcsec in ra at the equator)
+    sep = one(df, sky_sep(F.lit(0.0), F.lit(0.0), F.lit(1 / 3600), F.lit(0.0)))
+    assert abs(sep - 1 / 3600) < 1e-12
+
+
+def test_gal_b_known_values(spark):
+    df = spark.range(1)
+    # north galactic pole
+    assert abs(one(df, gal_b(F.lit(192.85948), F.lit(27.12825))) - 90) < 1e-6
+    # galactic center (Sgr A*) is near b=0
+    assert abs(one(df, gal_b(F.lit(266.405), F.lit(-28.936)))) < 0.1
+
+
+def test_ecl_lat_known_values(spark):
+    df = spark.range(1)
+    # north ecliptic pole: ra=270, dec=90-23.439
+    assert abs(one(df, ecl_lat(F.lit(270.0), F.lit(90 - 23.4392911))) - 90) < 1e-6
+    # a point on the ecliptic: ra=0, dec=0
+    assert abs(one(df, ecl_lat(F.lit(0.0), F.lit(0.0)))) < 1e-9
+
+
+def test_flux_mag_roundtrip(spark):
+    df = spark.range(1)
+    # flux2mag: 1 nJy-ish with ZP 31.4
+    m = one(df, flux2mag(F.lit(1000.0)))
+    assert abs(m - (-2.5 * math.log10(1000.0) + 31.4)) < 1e-12
+    f = one(df, mag2fluxcal(F.lit(20.0)))
+    assert abs(f - 10 ** (-(20.0 - 25.0) / 2.5) * 1000) < 1e-9
+
+
+def test_dc_mag_sign_convention(spark):
+    df = spark.range(1)
+    args = (F.lit(19.0), F.lit(0.1), F.lit(18.0), F.lit(0.1))
+    pos = one(df, dc_mag(*args, F.lit("t")))
+    neg = one(df, dc_mag(*args, F.lit("f")))
+    # positive difference adds flux -> brighter (smaller mag) than reference
+    assert pos < 18.0
+    # negative difference subtracts flux -> fainter than reference
+    assert neg > 18.0
+
+
+def test_hist_concat_and_rate(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], 3.0, [20.0, 19.0], 18.0)],
+        "prv_jd array<double>, jd double, prv_mag array<double>, mag double",
+    )
+    out = df.select(
+        hist_concat("prv_jd", "jd").alias("cjd"),
+        hist_concat("prv_mag", "mag").alias("cmag"),
+    )
+    row = out.first()
+    assert row["cjd"] == [1.0, 2.0, 3.0]
+    assert row["cmag"] == [20.0, 19.0, 18.0]
+    rate = out.select(rate_last2(F.col("cmag"), F.col("cjd")).alias("r")).first()["r"]
+    assert abs(rate - (18.0 - 19.0) / (3.0 - 2.0)) < 1e-12
+
+
+def test_linfit_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1000, 40).tolist()
+    y = rng.integers(-500, 500, 40).tolist()
+    df = spark.createDataFrame([(x, y)], "x array<long>, y array<long>")
+    slope = df.select(linfit_slope(F.col("x"), F.col("y")).alias("s")).first()["s"]
+    r2 = df.select(linfit_r2(F.col("x"), F.col("y")).alias("r")).first()["r"]
+    np_slope, _ = np.polyfit(np.array(x, dtype=float), np.array(y, dtype=float), 1)
+    np_r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(slope - np_slope) < 1e-9
+    assert abs(r2 - np_r2) < 1e-9
+
+
+def test_text_functions(spark):
+    from fink_filters_spark.functions import char_fingerprint, token_count, word_shingles
+    from fink_filters_spark.functions.text import FP_BASE, FP_MOD
+
+    df = spark.createDataFrame([("hello world foo bar",), ("",)], "text string")
+    rows = df.select(
+        token_count("text").alias("n"), word_shingles("text", 2).alias("sh")
+    ).collect()
+    assert rows[0]["n"] == 4
+    assert rows[0]["sh"] == ["hello world", "world foo", "foo bar"]
+    assert rows[1]["n"] == 0
+
+    fp = df.select(char_fingerprint("text").alias("f")).first()["f"]
+    acc = 0
+    for ch in "hello world foo bar":
+        acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+    assert fp == acc
+
+
+def test_vector_functions(spark):
+    from fink_filters_spark.functions.vectors import cosine_sim_q, quantize_vec
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    out = df.select(
+        cosine_sim_q(quantize_vec("a"), quantize_vec("b")).alias("c")
+    ).collect()
+    assert abs(out[0]["c"] - 1.0) < 1e-9
+    assert abs(out[1]["c"]) < 1e-9
+    assert abs(out[2]["c"] - 1.0) < 1e-9

@@ -1,0 +1,199 @@
+"""Operator tests: crossmatch vs brute force (incl. polar regression),
+top-k, sampling, classification precedence, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fink_filters_spark.operators.crossmatch import crossmatch
+from fink_filters_spark.operators.sample import hash_sample, uniform_sample
+from fink_filters_spark.operators.topk import topk_by_key
+
+
+def _sep(ra1, dec1, ra2, dec2):
+    d2r = math.pi / 180
+    sd = math.sin((dec2 - dec1) * d2r / 2)
+    sr = math.sin((ra2 - ra1) * d2r / 2)
+    h = sd * sd + math.cos(dec1 * d2r) * math.cos(dec2 * d2r) * sr * sr
+    return 2 * math.asin(min(1.0, math.sqrt(h))) / d2r
+
+
+def _random_sky(rng, n, polar_frac=0.3):
+    """Random points with a deliberate polar cluster — regression for the
+    meridian-convergence bug (ra-cells must widen with 1/cos(dec))."""
+    ra = rng.uniform(0, 360, n)
+    dec = rng.uniform(-90, 90, n)
+    k = int(n * polar_frac)
+    dec[:k] = rng.uniform(75, 89.9, k) * rng.choice([-1, 1], k)
+    return ra, dec
+
+
+def test_crossmatch_matches_bruteforce_including_poles(spark):
+    rng = np.random.default_rng(11)
+    ra, dec = _random_sky(rng, 500)
+    cra, cdec = _random_sky(rng, 40)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(500, dtype=np.int64), "ra": ra, "dec": dec})
+    )
+    cat = spark.createDataFrame(
+        pd.DataFrame({"cid": np.arange(40, dtype=np.int64), "cra": cra, "cdec": cdec})
+    )
+    radius = 3.0
+    got = {
+        (r.pid, r.cid)
+        for r in crossmatch(
+            pts, cat, df_id="pid", radius_deg=radius,
+            cat_ra="cra", cat_dec="cdec", how="all",
+        ).select("pid", "cid").collect()
+    }
+    want = {
+        (p, c)
+        for p in range(500)
+        for c in range(40)
+        if _sep(ra[p], dec[p], cra[c], cdec[c]) < radius
+    }
+    assert got == want
+    assert len(want) > 20  # fixture sanity: polar matches exist
+
+
+def test_crossmatch_nearest_left_anti_consistency(spark):
+    rng = np.random.default_rng(12)
+    ra, dec = _random_sky(rng, 300)
+    cra, cdec = _random_sky(rng, 30)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(300, dtype=np.int64), "ra": ra, "dec": dec})
+    )
+    cat = spark.createDataFrame(
+        pd.DataFrame({"cid": np.arange(30, dtype=np.int64), "cra": cra, "cdec": cdec})
+    )
+    nearest = crossmatch(
+        pts, cat, df_id="pid", radius_deg=2.0, cat_ra="cra", cat_dec="cdec",
+        tiebreak="cid",
+    )
+    anti = crossmatch(
+        pts, cat, df_id="pid", radius_deg=2.0, cat_ra="cra", cat_dec="cdec", how="anti"
+    )
+    left = crossmatch(
+        pts, cat, df_id="pid", radius_deg=2.0, cat_ra="cra", cat_dec="cdec",
+        how="left", tiebreak="cid",
+    )
+    n_matched, n_anti, n_left = nearest.count(), anti.count(), left.count()
+    assert n_matched + n_anti == 300  # partition of the stream
+    assert n_left == 300  # left keeps everything
+    # nearest really is nearest
+    for r in nearest.collect():
+        seps = [_sep(r.ra, r.dec, cra[c], cdec[c]) for c in range(30)]
+        assert abs(min(seps) - r.sep_deg) < 1e-9
+
+
+def test_crossmatch_variable_radius(spark):
+    pts = spark.createDataFrame(
+        [(0, 10.0, 0.0), (1, 10.6, 0.0), (2, 14.0, 0.0)], "pid long, ra double, dec double"
+    )
+    cat = spark.createDataFrame(
+        [(0, 10.0, 0.5, 0.3), (1, 14.0, 0.0, 1.0)],
+        "cid long, cra double, cdec double, cradius double",
+    )
+    got = {
+        (r.pid, r.cid)
+        for r in crossmatch(
+            pts, cat, df_id="pid", radius_deg=F.col("cradius"), max_radius_deg=1.0,
+            cat_ra="cra", cat_dec="cdec", how="all",
+        ).select("pid", "cid").collect()
+    }
+    # pid0 within 0.5 deg of cat0 (radius .3? sep=0.5 -> no), pid2 exact on cat1
+    assert (2, 1) in got
+    assert (0, 0) not in got  # sep 0.5 > radius 0.3
+
+
+def test_topk_by_key(spark):
+    df = spark.createDataFrame(
+        [(k, i, float((k * 7 + i * 13) % 50)) for k in range(20) for i in range(10)],
+        "key long, item long, score double",
+    )
+    got = topk_by_key(df, "key", "score", k=5, tiebreak="item").collect()
+    assert len(got) == 5
+    pdf = df.toPandas()
+    best = pdf.sort_values(["score", "item"], ascending=[False, True]).groupby("key").first()
+    want = best.sort_values("score", ascending=False)["score"].head(5).tolist()
+    assert sorted([r.score for r in got], reverse=True) == want
+
+
+def test_sampling_determinism(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "key")
+    a = {r.key for r in uniform_sample(df, "key", 113).collect()}
+    b = {r.key for r in uniform_sample(df, "key", 113).collect()}
+    assert a == b
+    assert a == {k for k in range(10000) if k % 113 == 0}
+    h1 = {r.key for r in hash_sample(df, "key", 0.1).collect()}
+    h2 = {r.key for r in hash_sample(df, "key", 0.1).collect()}
+    assert h1 == h2
+    assert 0.05 < len(h1) / 10000 < 0.2
+
+
+def test_classify_precedence_and_ambiguity(spark):
+    from fink_filters_spark.operators.classify import classify
+
+    df = spark.createDataFrame(
+        [
+            (0, 10.0, "x"),   # no flags -> Unknown
+            (1, 150.0, "x"),  # flag A only
+            (2, 250.0, "x"),  # flags A+B -> Ambiguous
+            (3, 250.0, "s"),  # override wins over Ambiguous
+        ],
+        "id long, v double, tag string",
+    )
+    out = classify(
+        df,
+        {"A": F.col("v") > 100, "B": F.col("v") > 200},
+        override=F.when(F.col("tag") == "s", F.lit("Special")),
+    )
+    got = {r.id: r["class"] for r in out.collect()}
+    assert got == {0: "Unknown", 1: "A", 2: "Ambiguous", 3: "Special"}
+
+
+def test_multimodal_binary_meta_and_decode(spark):
+    from fink_filters_spark.operators.multimodal import binary_meta, decode_image_batch
+
+    png_magic = bytes.fromhex("89504e470d0a1a0a") + b"rest-of-payload"
+    df = spark.createDataFrame(
+        [(0, bytearray(png_magic)), (1, bytearray(b"plain bytes")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    meta = {r.doc_id: r for r in binary_meta(df, "payload").collect()}
+    assert meta[0].media_format == "png"
+    assert meta[1].media_format is None
+    assert meta[0].media_bytes == len(png_magic)
+
+    feats = {r.doc_id: r for r in decode_image_batch(df, "doc_id", "payload").collect()}
+    assert feats[0].status == "ok"
+    assert len(feats[0].feature) == 8
+    assert abs(sum(feats[0].feature) - 1.0) < 1e-9  # histogram normalized
+    assert feats[2].status == "null"
+
+
+def test_similarity_ivf_search_recall(spark):
+    from fink_filters_spark.operators.similarity import ivf_search, knn_bruteforce
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(200, 16)).astype(float)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": [v.tolist() for v in vecs]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    centroids = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    exact = knn_bruteforce(queries, corpus, k=3)
+    approx = ivf_search(queries, corpus, centroids, k=3, nprobe=8)
+    # with nprobe == n_centroids the probe covers everything -> exact equality
+    e = {(r.q_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    a = {(r.q_id, r.neighbor_id, r.rank) for r in approx.collect()}
+    assert e == a

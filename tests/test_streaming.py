@@ -1,0 +1,136 @@
+"""End-to-end Structured Streaming tests: file-source stream -> enrich ->
+topic filter -> foreachBatch notification sink (SURVEY §3.1 lifecycle),
+plus sink retry/idempotency and stateful streaming dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from fink_filters_spark.sinks import (
+    CollectingTransport,
+    FlakyTransport,
+    NotificationSink,
+    RetryPolicy,
+    TransportError,
+)
+from fink_filters_spark.streaming import StreamPipeline, streaming_dedup
+
+from conftest import make_ztf_pdf
+
+
+@pytest.fixture(scope="module")
+def alert_dir(tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("alerts")
+    pdf = make_ztf_pdf(150)
+    # file-source streams need stable, simple types; drop the map columns
+    pdf = pdf.drop(columns=["mangrove", "blazar_stats"])
+    pdf.iloc[:75].to_parquet(d / "batch0.parquet")
+    pdf.iloc[75:].to_parquet(d / "batch1.parquet")
+    return d, pdf
+
+
+def test_stream_topic_filter_to_sink(spark, alert_dir, tmp_path):
+    d, pdf = alert_dir
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(d))
+
+    transport = CollectingTransport()
+    sink = NotificationSink(
+        transport,
+        formatter=lambda row: {"objectId": row["objectId"], "mag": row["magpsf"]},
+        key_cols=("candid",),
+    )
+    pipe = StreamPipeline(stream).topic("ztf.quality_cuts").sink(sink)
+    q = pipe.start(checkpoint=str(tmp_path / "ck"), once=True)
+    q.awaitTermination(120)
+
+    want = {
+        r.objectId for r in pdf.itertuples() if r.rb >= 0.55 and r.nbad == 0
+    }
+    got = {p["objectId"] for p in transport.sent}
+    assert got == want
+    assert all("_batch_id" in p for p in transport.sent)
+
+
+def test_stream_filter_matches_batch(spark, alert_dir, tmp_path):
+    """Livestream/batch parity: the same registry expression yields identical
+    selections on the stream and on the batch frame (the reference's
+    dual-path doctests, SURVEY §5)."""
+    d, pdf = alert_dir
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    transport = CollectingTransport()
+    sink = NotificationSink(transport, key_cols=("candid",))
+    q = (
+        StreamPipeline(stream)
+        .topic("ztf.sn_candidates")
+        .sink(sink)
+        .start(checkpoint=str(tmp_path / "ck2"), once=True)
+    )
+    q.awaitTermination(120)
+
+    from fink_filters_spark.filters import apply_named_filter
+
+    batch = spark.read.parquet(str(d))
+    want = {r.candid for r in apply_named_filter(batch, "ztf.sn_candidates").collect()}
+    got = {p["candid"] for p in transport.sent}
+    assert got == want
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    import pandas as pd
+
+    d = tmp_path / "events"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "key": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:10:00"] * 2 + ["2024-01-01 00:20:00"]
+            ),
+        }
+    )
+    # micro-second timestamps: pandas' default nano parquet timestamps read
+    # back as longs under the engine's nanosAsLong conf
+    pdf.to_parquet(d / "part.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    deduped = streaming_dedup(stream, ["key"], "ts", watermark="1 hour")
+    out = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys = sorted(r.key for r in out)
+    assert keys == [1, 2, 3]
+
+
+def test_retry_policy_honors_retry_after():
+    waits = []
+    policy = RetryPolicy(max_attempts=3, base_delay=0.5, sleep=waits.append)
+    flaky = FlakyTransport(fail_times=2, retry_after=7.5)
+    assert policy.run(lambda: flaky.send({"x": 1}))
+    assert waits == [7.5, 7.5]  # server-provided backoff wins over exponential
+    assert flaky.sent == [{"x": 1}]
+
+
+def test_retry_policy_gives_up():
+    policy = RetryPolicy(max_attempts=2, base_delay=0.0, sleep=lambda s: None)
+    def always_fail():
+        raise TransportError("nope")
+    assert not policy.run(always_fail)
+
+
+def test_sink_idempotency(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "candid long, objectId string")
+    transport = CollectingTransport()
+    sink = NotificationSink(transport, key_cols=("candid",))
+    sink(df, batch_id=0)
+    sink(df, batch_id=0)  # retried batch: duplicates suppressed
+    assert len(transport.sent) == 2
