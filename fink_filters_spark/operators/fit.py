@@ -1,0 +1,92 @@
+"""Grouped model-fitting kernel via applyInPandas (SURVEY §2.L / F10).
+
+The reference's heavy per-object science (Rainbow fit + Monte-Carlo + XGBoost
+scoring, ``ztf/filter_early_tde_candidates/filter.py:87-218``) runs as a
+DRIVER loop over collected candidates — the single worst scaling decision in
+the repo. The Spark dual: ``groupBy(objectId).applyInPandas(kernel)`` — the
+fit runs where the data lives, one Arrow batch per object group, model
+artifacts broadcast.
+
+``linfit_per_key`` is the concrete instance used by the correctness harness:
+closed-form least squares with EXACT int64 Σ-statistics (numpy integer sums
+are associative), bit-identical to the native expression path
+(functions/arrays.py) and the SQL oracle. Swap the kernel body for scipy /
+XGBoost (import-gated) for the real science; the plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+LINFIT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("slope", DoubleType()),
+        StructField("r2", DoubleType()),
+    ]
+)
+
+
+def _round6(x: float) -> float:
+    """Half-away-from-zero rounding to 6 decimals — matches SQL round();
+    Python's round() is banker's (half-even) and would diverge at exact
+    boundaries."""
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _linfit_kernel(pdf):
+    import numpy as np
+    import pandas as pd
+
+    x = pdf["xh"].to_numpy(dtype=np.int64)
+    y = pdf["v"].to_numpy(dtype=np.int64)
+    n = np.int64(len(x))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = float(cov) / float(den_x) if den_x != 0 else None
+    r2 = (
+        float(cov) * float(cov) / (float(den_x) * float(den_y))
+        if den_x != 0 and den_y != 0
+        else None
+    )
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n": [int(n)],
+            "slope": [None if slope is None else _round6(slope)],
+            "r2": [None if r2 is None else _round6(r2)],
+        }
+    )
+
+
+def linfit_per_key(
+    df: DataFrame,
+    key: str = "user_id",
+    x_col: str = "xh",
+    y_col: str = "v",
+) -> DataFrame:
+    """Per-key closed-form least squares as a grouped pandas kernel."""
+    cols = df.select(key, x_col, y_col)
+    return cols.groupBy(key).applyInPandas(_linfit_kernel, LINFIT_SCHEMA)
+
+
+def fit_per_key(
+    df: DataFrame,
+    key: str,
+    kernel: Callable,
+    schema: StructType,
+) -> DataFrame:
+    """Generic grouped-fit plumbing: bring your own kernel (e.g. a light-curve
+    model fit scoring with a broadcast XGBoost model — import-gated, the
+    heavy science deps are not in this container)."""
+    return df.groupBy(key).applyInPandas(kernel, schema)

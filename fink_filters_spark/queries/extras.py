@@ -1,0 +1,174 @@
+"""Additional engine-surface queries: rollup/grouping sets (§2.E note), set
+operations (§2.H), per-row event-time window slice (F7), grouped
+applyInPandas fit (§2.L/F10), BPE-ish token counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load_events, load_table
+from . import QuerySpec
+from .timeseries import EVQ_SQL, US_PER_HOUR, _evq
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — hierarchical subtotals; the
+    grouping-id marks total rows (generic-engine agg surface, SURVEY §2.E:
+    'no grouping sets anywhere in the reference; Spark provides them
+    natively')."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("qty", F.col("l_quantity").cast("long"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.H set operations: (error users ∩ purchase users) ∪ high-k users
+    minus signup users — exercised as native INTERSECT/UNION/EXCEPT."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    high = ev.filter(F.col("k") >= 95).select("user_id")
+    signup_heavy = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 10)
+        .select("user_id")
+    )
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would only
+    # remove per-occurrence and leave duplicates of excluded users
+    return err.intersect(buy).union(high).distinct().subtract(signup_heavy)
+
+
+SETOPS_SQL = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT DISTINCT user_id FROM (
+  (SELECT user_id FROM e WHERE event_type = 'error'
+   INTERSECT
+   SELECT user_id FROM e WHERE event_type = 'purchase')
+  UNION ALL
+  SELECT user_id FROM e WHERE k >= 95
+)
+EXCEPT
+SELECT user_id FROM (
+  SELECT user_id FROM e WHERE event_type = 'signup'
+  GROUP BY user_id HAVING count(*) >= 10
+)
+"""
+
+
+def q_ts_window_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 per-row event-time window slice (reference TDE fit/history windows,
+    ``ztf/filter_early_tde_candidates/filter.py:107-135``): pack history into
+    arrays, then count detections and sum values inside the trailing window
+    vs the window before it — pure higher-order ``filter``/``size``."""
+    ev = _evq(spark, sf_dir)
+    hist = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "v"))).alias("h")
+    )
+    ts = F.transform("h", lambda s: s.t)
+    t_end = F.element_at(ts, -1)
+    window_us = 100 * US_PER_HOUR  # 100-hour trailing window
+    fit_lo = t_end - window_us
+    hist_lo = t_end - 2 * window_us
+
+    def _count_between(lo, hi):
+        return F.size(F.filter("h", lambda s: (s.t > lo) & (s.t <= hi)))
+
+    def _sum_between(lo, hi):
+        return F.aggregate(
+            F.filter("h", lambda s: (s.t > lo) & (s.t <= hi)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s.v,
+        )
+
+    return hist.select(
+        "user_id",
+        _count_between(fit_lo, t_end).cast("long").alias("n_fit"),
+        _sum_between(fit_lo, t_end).alias("sum_fit"),
+        _count_between(hist_lo, fit_lo).cast("long").alias("n_prev"),
+        _sum_between(hist_lo, fit_lo).alias("sum_prev"),
+    )
+
+
+TS_WINDOW_SQL = f"""
+WITH e AS ({EVQ_SQL}),
+m AS (SELECT user_id, max(t) AS t_end FROM e GROUP BY user_id)
+SELECT e.user_id,
+       CAST(count(*) FILTER (WHERE t > t_end - {100 * US_PER_HOUR} AND t <= t_end) AS BIGINT) AS n_fit,
+       CAST(coalesce(sum(v) FILTER (WHERE t > t_end - {100 * US_PER_HOUR} AND t <= t_end), 0) AS BIGINT) AS sum_fit,
+       CAST(count(*) FILTER (WHERE t > t_end - {200 * US_PER_HOUR} AND t <= t_end - {100 * US_PER_HOUR}) AS BIGINT) AS n_prev,
+       CAST(coalesce(sum(v) FILTER (WHERE t > t_end - {200 * US_PER_HOUR} AND t <= t_end - {100 * US_PER_HOUR}), 0) AS BIGINT) AS sum_prev
+FROM e JOIN m USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+def q_ts_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.L/F10: the same closed-form fit as ts_linfit but through the
+    grouped applyInPandas kernel (operators/fit.py) — the distributed
+    replacement for the reference's driver-side fit loops. Exact int64 sums
+    keep it bit-identical to the native path and the oracle."""
+    from ..operators.fit import linfit_per_key
+
+    ev = _evq(spark, sf_dir)
+    t0 = ev.groupBy("user_id").agg(F.min("t").alias("t0"))
+    x = ev.join(F.broadcast(t0), "user_id").withColumn(
+        "xh", F.expr(f"(t - t0) div {US_PER_HOUR}")
+    )
+    return linfit_per_key(x, key="user_id", x_col="xh", y_col="v")
+
+
+# same oracle as ts_linfit (identical semantics, different execution path)
+from .timeseries import TS_LINFIT_SQL  # noqa: E402
+
+
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letters runs / digit runs / punctuation) —
+    the coarse GPT-2-style pre-tokenizer classes."""
+    from ..functions.text import bpe_ish_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+TEXT_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("q_rollup", q_rollup, ROLLUP_SQL, "ROLLUP subtotals (§2.E)"),
+    QuerySpec("q_setops", q_setops, SETOPS_SQL, "INTERSECT/UNION/EXCEPT (§2.H)"),
+    QuerySpec("ts_window_slice", q_ts_window_slice, TS_WINDOW_SQL, "F7 per-row windows"),
+    QuerySpec("ts_fit_grouped", q_ts_fit_grouped, TS_LINFIT_SQL, "F10 applyInPandas fit"),
+    QuerySpec("text_bpe", q_text_bpe, TEXT_BPE_SQL, "BPE-ish token count"),
+]

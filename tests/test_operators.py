@@ -197,3 +197,35 @@ def test_similarity_ivf_search_recall(spark):
     e = {(r.q_id, r.neighbor_id, r.rank) for r in exact.collect()}
     a = {(r.q_id, r.neighbor_id, r.rank) for r in approx.collect()}
     assert e == a
+
+
+def test_linfit_per_key_matches_native(spark):
+    """applyInPandas fit kernel is bit-identical to the native Σ-expression."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from fink_filters_spark.functions.arrays import linfit_r2, linfit_slope
+    from fink_filters_spark.operators.fit import linfit_per_key
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.repeat(np.arange(10, dtype=np.int64), 30),
+            "xh": rng.integers(0, 5000, 300),
+            "v": rng.integers(-10000, 10000, 300),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    grouped = {r.user_id: (r.slope, r.r2) for r in linfit_per_key(df).collect()}
+    native = df.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("xh", "v"))).alias("h")
+    ).select(
+        "user_id",
+        F.round(
+            linfit_slope(F.transform("h", lambda s: s.xh), F.transform("h", lambda s: s.v)), 6
+        ).alias("slope"),
+        F.round(
+            linfit_r2(F.transform("h", lambda s: s.xh), F.transform("h", lambda s: s.v)), 6
+        ).alias("r2"),
+    )
+    for r in native.collect():
+        assert grouped[r.user_id] == (r.slope, r.r2)
