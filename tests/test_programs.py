@@ -1,0 +1,162 @@
+"""Tests for the offline programs (§3.2/§3.3), ML inference plumbing,
+cosmology join, and physical-plan audits (pushdown / broadcast)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_anomaly_notification_program(spark):
+    from fink_filters_spark.programs.anomaly import anomaly_notification
+    from fink_filters_spark.sinks import CollectingTransport, NotificationSink
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "objectId": [f"o{i % 40}" for i in range(400)],
+            "anomaly_score": rng.normal(size=400),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sel = anomaly_notification(df, threshold=10)
+    rows = sel.collect()
+    assert len(rows) == 10
+    ids = [r.objectId for r in rows]
+    assert len(set(ids)) == 10  # dedup by key held
+    # selection = the 10 lowest per-object minima
+    best = pdf.groupby("objectId")["anomaly_score"].min().sort_values()
+    assert sorted(r.anomaly_score for r in rows) == sorted(best.head(10).tolist())
+
+    transport = CollectingTransport()
+    sink = NotificationSink(transport, key_cols=("objectId",))
+    sink(sel, -1)
+    assert len(transport.sent) == 10
+
+
+def test_anomaly_notification_empty_guard(spark):
+    from fink_filters_spark.programs.anomaly import anomaly_notification
+
+    df = spark.createDataFrame([], "objectId string, anomaly_score double")
+    assert anomaly_notification(df, threshold=5).count() == 0
+
+
+@pytest.fixture(scope="module")
+def tde_alerts(spark):
+    rng = np.random.default_rng(23)
+    n = 120
+    nhist = rng.integers(4, 10, n)
+    pdf = pd.DataFrame(
+        {
+            "candid": np.arange(n, dtype=np.int64),
+            "roid": rng.choice([0, 3], n, p=[0.8, 0.2]),
+            "cdsxmatch": rng.choice(["Unknown", "AGN", "Star"], n),
+            "nalerthist": rng.integers(1, 12, n),
+            "ra": rng.uniform(0, 360, n),
+            "dec": rng.uniform(-90, 90, n),
+            "jd": np.full(n, 2460000.0),
+            "magpsf": rng.uniform(17, 21, n),
+            "fid": rng.integers(1, 3, n),
+            "isdiffpos": rng.choice(["t", "f"], n, p=[0.9, 0.1]),
+        }
+    )
+    pdf["prv_jd"] = [np.sort(2460000.0 - rng.uniform(0, 20, k)).tolist() for k in nhist]
+    pdf["prv_magpsf"] = [
+        np.linspace(20.5, 18.0, k) + rng.normal(0, 0.05, k) for k in nhist
+    ]
+    pdf["prv_magpsf"] = pdf["prv_magpsf"].apply(lambda a: a.tolist())
+    pdf["prv_fid"] = [rng.integers(1, 3, k).tolist() for k in nhist]
+    pdf["prv_isdiffpos"] = [rng.choice(["t", "f"], k, p=[0.95, 0.05]).tolist() for k in nhist]
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_tde_prefilter_native(tde_alerts):
+    from fink_filters_spark.programs.tde import prefilter_alerts
+
+    df, pdf = tde_alerts
+    out = prefilter_alerts(df)
+    rows = out.collect()
+    assert 0 < len(rows) < len(pdf)
+    for r in rows:
+        assert r.roid != 3
+        assert r.cdsxmatch in ("Unknown", "AGN")
+        assert r.nalerthist >= 5
+        assert r.nneg <= 1 and r.nfid_1 > 0 and r.nfid_2 > 0
+        assert len(r.cjd) == len(r.prv_jd) + 1
+
+
+def test_tde_pipeline_end_to_end(tde_alerts):
+    from fink_filters_spark.programs.tde import early_tde_candidates, prefilter_alerts, rising_rate
+
+    df, _ = tde_alerts
+    staged = rising_rate(prefilter_alerts(df))
+    assert "rise_rate" in staged.columns
+    out = early_tde_candidates(df, score_threshold=0.5)
+    rows = out.collect()
+    # fixture light curves brighten (mag 20.5 -> 18), so candidates exist
+    assert len(rows) > 0
+    assert all(0.0 <= r.tde_score <= 1.0 for r in rows)
+    assert all(r.rise_rate < 0 for r in rows)
+
+
+def test_ml_predict_proba_broadcast_stub(spark):
+    from fink_filters_spark.operators.ml import LinearStubModel, predict_proba
+
+    df = spark.createDataFrame(
+        [(0, 10.0, -10.0), (1, 100.0, 100.0)], "id long, f1 double, f2 double"
+    )
+    out = predict_proba(df, ["f1", "f2"], LinearStubModel([0.5, 0.5]))
+    got = {r.id: r.score for r in out.collect()}
+    assert abs(got[0] - 0.5) < 1e-9  # features cancel -> sigmoid(0)
+    assert got[1] > 0.99
+
+
+def test_cosmology_distance_modulus(spark):
+    from fink_filters_spark.operators.cosmology import with_absolute_magnitude
+
+    df = spark.createDataFrame(
+        [(0, 20.0, 0.1), (1, 20.0, 1.0)], "id long, mag double, z double"
+    )
+    out = {r.id: r.abs_mag for r in with_absolute_magnitude(df, "mag", "z").collect()}
+    # flat LCDM H0=70 Om0=0.3: mu(0.1)≈38.3, mu(1.0)≈44.1 (astropy values)
+    assert abs((20.0 - out[0]) - 38.31) < 0.05
+    assert abs((20.0 - out[1]) - 44.10) < 0.05
+
+
+def test_filter_pushdown_reaches_parquet(spark, tmp_path):
+    """Plan audit: registry predicates must appear in PushedFilters of the
+    parquet scan — the load-bearing advantage over the reference's UDFs."""
+    from fink_filters_spark.filters import get_filter
+
+    path = str(tmp_path / "alerts.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 10) / 10, float(i % 7) / 7, 0) for i in range(100)],
+        "candid long, rb double, classtar double, nbad int",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    filtered = df.filter(get_filter("ztf.quality_cuts").builder(df))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "rb" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_crossmatch_plan_uses_broadcast(spark):
+    from fink_filters_spark.operators.crossmatch import crossmatch
+
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 3.6 % 360).alias("ra"),
+        (F.col("id") % 120 - 60.0).alias("dec"),
+    )
+    cat = spark.range(10).select(
+        F.col("id").alias("cid"),
+        (F.col("id") * 36.0 % 360).alias("cra"),
+        (F.col("id") % 100 - 50.0).alias("cdec"),
+    )
+    res = crossmatch(pts, cat, df_id="pid", radius_deg=2.0, cat_ra="cra",
+                     cat_dec="cdec", how="all")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
