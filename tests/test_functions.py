@@ -135,3 +135,21 @@ def test_vector_functions(spark):
     assert abs(out[0]["c"] - 1.0) < 1e-9
     assert abs(out[1]["c"]) < 1e-9
     assert abs(out[2]["c"] - 1.0) < 1e-9
+
+
+def test_schemas_flatten(spark):
+    from fink_filters_spark.schemas import (
+        RUBIN_ALERT_SCHEMA,
+        ZTF_ALERT_SCHEMA,
+        flatten_rubin,
+        flatten_ztf,
+    )
+
+    ztf = spark.createDataFrame([], ZTF_ALERT_SCHEMA)
+    flat = flatten_ztf(ztf)
+    for c in ("magpsf", "drb", "jd", "cdsxmatch", "roid"):
+        assert c in flat.columns
+    rubin = spark.createDataFrame([], RUBIN_ALERT_SCHEMA)
+    rflat = flatten_rubin(rubin)
+    for c in ("psfFlux", "snr", "g_psfFluxMean", "xm_simbad_otype", "clf_snn_score", "is_sso"):
+        assert c in rflat.columns
