@@ -164,7 +164,57 @@ WHERE NOT EXISTS (
 """
 
 
+def astro_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I astronomy scalars as native trig: galactic latitude, ecliptic
+    latitude, and separation from a fixed point — the reference computes
+    these with astropy inside pandas UDFs (``prefilter.py:56-66``,
+    ``filter_early_kn_candidates/filter.py:325-357``)."""
+    from ..functions.astro import ecl_lat, gal_b, sky_sep
+
+    pts = _pts(spark, sf_dir)
+    return pts.select(
+        "event_id",
+        F.round(gal_b("ra", "dec"), 6).alias("gal_b"),
+        F.round(ecl_lat("ra", "dec"), 6).alias("ecl_lat"),
+        F.round(sky_sep(F.col("ra"), F.col("dec"), F.lit(180.0), F.lit(0.0)), 6).alias(
+            "sep_from_origin"
+        ),
+    )
+
+
+def _astro_sql() -> str:
+    import math
+
+    d2r = repr(math.pi / 180.0)
+    r2d = repr(180.0 / math.pi)
+    ra_g, dec_g = 192.85948, 27.12825
+    eps = 23.4392911
+    sin_dg = repr(math.sin(dec_g * math.pi / 180))
+    cos_dg = repr(math.cos(dec_g * math.pi / 180))
+    cos_e = repr(math.cos(eps * math.pi / 180))
+    sin_e = repr(math.sin(eps * math.pi / 180))
+    r, d = f"(ra) * {d2r}", f"(dec) * {d2r}"
+    galb = (
+        f"asin(greatest(-1.0, least(1.0, {sin_dg} * sin({d}) + {cos_dg} * cos({d})"
+        f" * cos({r} - ({ra_g!r}) * {d2r})))) * {r2d}"
+    )
+    ecl = (
+        f"asin(greatest(-1.0, least(1.0, sin({d}) * {cos_e} - cos({d}) * {sin_e}"
+        f" * sin({r})))) * {r2d}"
+    )
+    sep = _sep_sql("ra", "dec", "180.0", "0.0")
+    return f"""
+WITH pts AS ({PTS_SQL})
+SELECT event_id,
+       round({galb}, 6) AS gal_b,
+       round({ecl}, 6) AS ecl_lat,
+       round({sep}, 6) AS sep_from_origin
+FROM pts
+"""
+
+
 SPECS = [
+    QuerySpec("astro_coords", astro_coords, _astro_sql(), "§2.I native trig coords"),
     QuerySpec("xmatch_cone", xmatch_cone, XMATCH_CONE_SQL, "D1/D2 fixed-radius nearest"),
     QuerySpec("xmatch_variable_radius", xmatch_variable_radius, XMATCH_VAR_SQL, "D3/D4 per-row radius"),
     QuerySpec("xmatch_enrich", xmatch_enrich, XMATCH_ENRICH_SQL, "D2/D7 left+Unknown"),
