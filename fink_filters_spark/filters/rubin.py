@@ -136,6 +136,16 @@ def near_galaxy_candidate(df: DataFrame) -> Column:
 
 
 @register(
+    "rubin.sn_near_galaxy_candidate",
+    reference="rubin/livestream/filter_sn_near_galaxy_candidate/filter.py",
+)
+def sn_near_galaxy_candidate(df: DataFrame) -> Column:
+    """C37: the livestream topic name for the near-galaxy candidate block
+    composition."""
+    return near_galaxy_candidate(df)
+
+
+@register(
     "rubin.extragalactic_lt20mag",
     reference="rubin/livestream/filter_extragalactic_lt20mag_candidate/filter.py:86-110",
 )

@@ -104,6 +104,52 @@ def shingles(text, n: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+WORD_COMBINE_BASE = 37
+
+
+def word_hashes(text) -> Column:
+    """Per-token polynomial hashes: array<long>, one char-fold per word."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE)
+    return F.transform(
+        toks,
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        ),
+    )
+
+
+def combine_word_hashes(wh_col: Column | str, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles from a MATERIALIZED word-hash
+    array column:  h = ((h1*37 + h2) % P * 37 + h3) % P.
+
+    ``wh_col`` must be a column reference (not the word_hashes expression):
+    an embedded expression would be re-evaluated per shingle position,
+    turning the O(words) hash pass into O(words * shingles). Two-stage use:
+
+        df.select(word_hashes("text").alias("wh")) \\
+          .select(combine_word_hashes("wh", 3).alias("sh"))
+
+    ~7x fewer interpreted fold steps than hashing each shingle string.
+    Bounds: h < FP_MOD ~ 6.7e10; *37 + h -> 2.5e12 << 2^63.
+    """
+    wh = F.col(wh_col) if isinstance(wh_col, str) else wh_col
+    k = F.size(wh) - (n - 1)
+
+    def _combine(i):
+        h = F.element_at(wh, i)
+        for j in range(1, n):
+            h = (h * WORD_COMBINE_BASE + F.element_at(wh, i + j)) % FP_MOD
+        return h
+
+    return F.when(
+        k >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), k), _combine)),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def shingle_hash(shingle_col: Column) -> Column:
     """Polynomial hash of one shingle string (same scheme as
     char_fingerprint) — array<string> -> array<long>."""

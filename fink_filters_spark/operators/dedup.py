@@ -76,6 +76,30 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     ).filter(F.size("__sh") > 0)
 
 
+def _hashed_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __sh: array<long>) — distinct hashed word n-gram shingles via
+    the two-stage word-hash pipeline (functions.text.combine_word_hashes):
+    one char-fold per word, arithmetic combine per shingle. All downstream
+    set math (Jaccard, MinHash, SimHash) runs on longs instead of strings —
+    narrower shuffles, cheaper equality. Hash collisions (P ~ 6.7e10) are
+    part of the operator's defined semantics and are reproduced identically
+    by the oracle.
+    """
+    from ..functions.text import combine_word_hashes, word_hashes
+
+    # the cache() between the two selects is a hard optimizer barrier: the
+    # projection-collapse/pushdown rules otherwise inline the word_hashes
+    # expression into every element_at of the combine stage, re-hashing all
+    # words per shingle position (observed 56s instead of ~5s at sf0.1 —
+    # an exchange alone does NOT block it, projections push through
+    # exchanges). The cached stage is tiny (ids + word-hash arrays).
+    wh = _spread(df).select(F.col(id_col).alias("__id"), word_hashes(text_col).alias("__wh"))
+    wh = wh.cache()
+    return wh.select("__id", combine_word_hashes("__wh", n).alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, tau: float = 0.5
 ) -> DataFrame:
@@ -98,7 +122,7 @@ def jaccard_pairs(
     # array_intersect verification is far costlier than counting. On a
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
-    sh = _shingled(df, id_col, text_col, n).cache()
+    sh = _hashed_shingled(df, id_col, text_col, n).cache()
     postings = sh.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
     )
@@ -143,20 +167,18 @@ def minhash_lsh_pairs(
     miss sub-threshold-probability pairs); the exact operator is
     ``jaccard_pairs``.
     """
-    sh = _shingled(df, id_col, text_col, n).cache()
-    # Materialize the char-level shingle hashes ONCE: referencing the hash
-    # expression from all 16 permutations would re-fold every shingle string
-    # 16 times (HOFs are not CSE'd across expressions).
-    hashed = sh.select("__id", "__sh", shingle_hash(F.col("__sh")).alias("__hs"))
+    # shingles arrive pre-hashed (array<long>); the 16 permutations transform
+    # the materialized __sh column directly
+    sh = _hashed_shingled(df, id_col, text_col, n).cache()
 
     def _perm(a: int, b: int):
         return lambda h: (h * a + b) % FP_MOD
 
-    sig = hashed.select(
+    sig = sh.select(
         "__id",
         "__sh",
         *[
-            F.array_min(F.transform("__hs", _perm(a, b))).alias(f"m{i}")
+            F.array_min(F.transform("__sh", _perm(a, b))).alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
         ],
     )
@@ -234,12 +256,10 @@ def simhash_pairs(
     corpora: every doc's bit-majorities agree and all pairs collapse to
     Hamming 0). Candidates via 4 x 12-bit band equi-join (lossless for
     Hamming <= 3: 3 differing bits cannot touch all 4 bands), then exact
-    popcount verify. The shingle hashes are materialized as a column first —
+    popcount verify. The hashed shingles are materialized as a column first —
     the 48 bit-fold expressions would otherwise each re-hash every shingle.
     """
-    hashed = _spread(df).select(
-        F.col(id_col).alias("__id"), shingle_hash(word_shingles(text_col, n)).alias("__hs")
-    )
+    hashed = _hashed_shingled(df, id_col, text_col, n).withColumnRenamed("__sh", "__hs")
     sh = hashed.select("__id", simhash_from_hashes("__hs").alias("__sim"))
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     band_cols = [

@@ -35,16 +35,6 @@ TOKS_SQL = (
     "SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents"
 )
 
-# word 3-gram distinct shingles
-SH3_SQL = f"""
-SELECT doc_id,
-       list_distinct(list_transform(
-         generate_series(1, greatest(0, len(toks) - 2)),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-       )) AS sh
-FROM ({TOKS_SQL})
-"""
-
 # polynomial char hash of a string s (matches functions.text.shingle_hash)
 def _hash_sql(s: str) -> str:
     return (
@@ -52,6 +42,24 @@ def _hash_sql(s: str) -> str:
         f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
         f"(a, b) -> (a * {FP_BASE} + b) % {FP_MOD})"
     )
+
+
+# distinct HASHED word 3-gram shingles via the word-hash combine scheme
+# (mirrors functions.text.word_hashes + combine_word_hashes exactly)
+WB = 37  # functions.text.WORD_COMBINE_BASE
+SHH3_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(wh) - 2 >= 1 THEN
+         list_distinct(list_transform(
+           generate_series(1, len(wh) - 2),
+           i -> ((wh[i] * {WB} + wh[i+1]) % {FP_MOD} * {WB} + wh[i+2]) % {FP_MOD}
+         ))
+       ELSE CAST([] AS BIGINT[]) END AS sh
+FROM (
+  SELECT doc_id, list_transform(toks, s -> {_hash_sql('s')}) AS wh
+  FROM ({TOKS_SQL})
+)
+"""
 
 
 # ---- exact dedup ------------------------------------------------------------
@@ -75,7 +83,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH d AS ({SH3_SQL}),
+WITH d AS ({SHH3_SQL}),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
@@ -109,10 +117,8 @@ def _minhash_sql() -> str:
         for j in range(MINHASH_BANDS)
     )
     return f"""
-WITH d AS ({SH3_SQL}),
-h AS (
-  SELECT doc_id, sh, list_transform(sh, s -> {_hash_sql('s')}) AS hs
-  FROM d WHERE len(sh) > 0
+WITH h AS (
+  SELECT doc_id, sh, sh AS hs FROM ({SHH3_SQL}) WHERE len(sh) > 0
 ),
 sig AS (SELECT doc_id, sh, {mins} FROM h),
 bands AS (SELECT doc_id, unnest([{bks}]) AS bk FROM sig),
@@ -151,11 +157,9 @@ def _simhash_sql() -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"""
-WITH w AS ({SH3_SQL}),
-h AS (
-  SELECT doc_id, list_transform(sh, s -> {_hash_sql('s')}) AS hs,
-         CAST(len(sh) AS BIGINT) AS nw
-  FROM w
+WITH h AS (
+  SELECT doc_id, sh AS hs, CAST(len(sh) AS BIGINT) AS nw
+  FROM ({SHH3_SQL}) WHERE len(sh) > 0
 ),
 s AS (SELECT doc_id, ({bit_terms}) AS sim FROM h)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -1,0 +1,107 @@
+"""Dedup operator tests on a crafted corpus with planted near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(80)]
+    # planted near-dups: copy with one word changed / identical copy
+    texts.append(texts[0].replace("w0", "w39", 1))
+    texts.append(texts[1])  # exact duplicate of doc 1
+    toks = texts[2].split()
+    toks[10] = "w38"
+    toks[30] = "w37"
+    texts.append(" ".join(toks))
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    return spark.createDataFrame(pdf), pdf
+
+
+def _exact_jaccard(pdf, n=3):
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    out = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                out[(i, j)] = inter / (len(sets[i]) + len(sets[j]) - inter)
+    return out
+
+
+def test_dedup_exact(corpus):
+    from fink_filters_spark.operators.dedup import dedup_exact
+
+    df, pdf = corpus
+    survivors = dedup_exact(df, "text", "doc_id").collect()
+    assert len(survivors) == len(pdf) - 1  # one exact duplicate collapses
+    dup_group = [r for r in survivors if r.n_dups == 2]
+    assert len(dup_group) == 1 and dup_group[0].survivor_id == 1
+
+
+def test_jaccard_pairs_finds_planted_dups(corpus):
+    from fink_filters_spark.operators.dedup import jaccard_pairs
+
+    df, pdf = corpus
+    got = {(r.id_a, r.id_b) for r in jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()}
+    truth = {p for p, j in _exact_jaccard(pdf).items() if j >= 0.5}
+    # hashed-shingle jaccard == string jaccard unless a hash collision hits
+    # this tiny corpus (it doesn't)
+    assert got == truth
+    assert {(0, 80), (1, 81), (2, 82)} <= got  # the planted pairs
+
+
+def test_minhash_lsh_high_recall_on_near_dups(corpus):
+    from fink_filters_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    df, _ = corpus
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, "doc_id", "text", 3, 0.5).collect()}
+    assert lsh <= exact  # verification step guarantees no false positives
+    # planted pairs have jaccard ~0.9+ -> detection probability ~1
+    assert {(0, 80), (1, 81), (2, 82)} <= lsh
+
+
+def test_simhash_pairs_planted_dups(corpus):
+    from fink_filters_spark.operators.dedup import simhash_pairs
+
+    df, _ = corpus
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    assert (1, 81) in got  # identical docs -> hamming 0
+    for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect():
+        assert r.hamming <= 3
+
+
+def test_embedding_pairs_matches_numpy(spark):
+    from fink_filters_spark.operators.dedup import embedding_pairs
+
+    rng = np.random.default_rng(19)
+    base = rng.normal(size=(30, 8))
+    vecs = np.vstack([base, base[0] + rng.normal(0, 0.01, 8)])  # near-dup of vec 0
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(31, dtype=np.int64), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {(r.id_a, r.id_b): r.cosine for r in embedding_pairs(df, "vec_id", "embedding", 0.95).collect()}
+    q = np.round(vecs * 1e6).astype(np.int64)
+    dots = (q @ q.T).astype(float)
+    norms = np.sqrt((q * q).sum(axis=1).astype(float))
+    cos = dots / norms[:, None] / norms[None, :]
+    want = {
+        (i, j)
+        for i in range(31)
+        for j in range(i + 1, 31)
+        if cos[i, j] >= 0.95
+    }
+    assert set(got) == want
+    assert (0, 30) in got and got[(0, 30)] > 0.99
