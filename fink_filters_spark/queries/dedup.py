@@ -196,8 +196,36 @@ WHERE na > 0 AND nb > 0 AND dot / sqrt(na) / sqrt(nb) >= {EMBED_TAU}
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied near-dup removal: drop every doc that appears as the HIGHER id
+    of a qualifying Jaccard pair (greedy keep-lowest-id rule) — the rewrite
+    step a training-data pipeline actually ships."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+DEDUP_APPLY_SQL = f"""
+WITH d AS ({SHH3_SQL}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (
+  SELECT DISTINCT id_b FROM p
+  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+)
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
+    QuerySpec("dedup_apply", q_dedup_apply, DEDUP_APPLY_SQL,
+              "applied near-dup removal (keep-lowest-id)"),
     QuerySpec("dedup_ngram_jaccard", q_dedup_jaccard, DEDUP_JACCARD_SQL,
               "exact word-3gram Jaccard via inverted index"),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash, _minhash_sql(),

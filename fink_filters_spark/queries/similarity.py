@@ -76,7 +76,68 @@ SELECT vec_id, centroid_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
 """
 
 
+NPROBE = 2
+
+
+def q_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: probe the NPROBE nearest centroid partitions per
+    query, exact top-k inside the probed subset — the sub-linear scale path
+    whose recall/speed trade-off is tuned by nprobe. The oracle replicates
+    the algorithm (assignment + probe + scoped top-k) exactly."""
+    from ..operators.similarity import ivf_search
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    centroids = em.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return ivf_search(queries, em, centroids, k=K, nprobe=NPROBE)
+
+
+SIM_IVF_SEARCH_SQL = f"""
+WITH q AS ({QVEC_SQL}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, b.vec_id AS centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS_RAW} DESC, b.vec_id ASC
+           ) AS rn
+    FROM q a JOIN q b ON b.vec_id < {N_CENTROIDS}
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, centroid_id FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS_RAW} DESC, b.vec_id ASC
+           ) AS rn
+    FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id < {N_CENTROIDS}
+  ) WHERE rn <= {NPROBE}
+),
+pairs AS (
+  SELECT p.q_id, c.vec_id AS neighbor_id,
+         (SELECT {_COS_RAW} FROM q a, q b
+          WHERE a.vec_id = p.q_id AND b.vec_id = c.vec_id) AS cosine
+  FROM probes p
+  JOIN assign ca ON ca.centroid_id = p.centroid_id
+  JOIN q c ON c.vec_id = ca.vec_id AND c.vec_id != p.q_id
+),
+r AS (
+  SELECT q_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= {K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
     QuerySpec("sim_ivf_assign", q_sim_ivf_assign, SIM_IVF_SQL, "IVF coarse-quantizer assignment"),
+    QuerySpec("sim_ivf_search", q_sim_ivf_search, SIM_IVF_SEARCH_SQL,
+              "IVF ANN search (nprobe=2)"),
 ]

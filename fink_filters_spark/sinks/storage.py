@@ -1,0 +1,87 @@
+"""Data sinks: partitioned / bucketed storage writers.
+
+The reference writes nothing itself (the broker owns storage), but a
+complete engine needs the storage layout story, because at 100 TB the write
+layout IS the read performance:
+
+- ``write_partitioned`` — nightly/hourly directory partitioning: partition
+  pruning turns "last night's alerts" into a targeted scan (SURVEY §4
+  'partition pruning' row). Also compacts to a bounded file count per
+  partition so a 1000-executor read isn't a small-file storm.
+- ``write_bucketed`` — pre-shuffled, co-located layout on a join/group key:
+  repeated equi-joins and aggregations on the bucket key skip their shuffle
+  entirely (SortMergeJoin without Exchange). The right call for tables
+  joined every night on the same key (objectId, orderkey, ...).
+- ``kafka_writer`` — streaming egress to the broker's downstream topics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by ``partition_cols``, compacted to at most
+    ``files_per_partition`` files per partition (repartition on the
+    partition key so each task writes whole partitions, not slivers)."""
+    (
+        df.repartition(files_per_partition, *[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Save as a bucketed (and optionally sorted) table (external when
+    ``path`` is given, else managed in the warehouse).
+
+    Readers joining/grouping on ``bucket_col`` with a co-bucketed table get
+    shuffle-free plans; sorting within buckets additionally removes the sort
+    of a SortMergeJoin.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def kafka_writer(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+):
+    """Streaming egress: selected alerts -> JSON -> Kafka topic (the broker's
+    per-topic output streams). Returns the started StreamingQuery.
+    Requires the spark-sql-kafka package at runtime (not in this container).
+    """
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    cols = [payload]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return (
+        df.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -134,3 +134,47 @@ def test_sink_idempotency(spark):
     sink(df, batch_id=0)
     sink(df, batch_id=0)  # retried batch: duplicates suppressed
     assert len(transport.sent) == 2
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    from fink_filters_spark.sinks.storage import write_partitioned
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "night": ["n1"] * 50 + ["n2"] * 50,
+            "candid": range(100),
+            "mag": [18.0 + i / 100 for i in range(100)],
+        }
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(spark.createDataFrame(pdf), path, ["night"], files_per_partition=2)
+    back = spark.read.parquet(path)
+    one_night = back.filter(back.night == "n1")
+    assert one_night.count() == 50
+    plan = one_night._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan carries a partition filter on `night`
+    assert "PartitionFilters: [isnotnull(night" in plan
+
+
+def test_write_bucketed_shuffle_free_join(spark, tmp_path):
+    from fink_filters_spark.sinks.storage import write_bucketed
+
+    df = spark.range(1000).selectExpr("id as k", "id * 2 as v")
+    write_bucketed(df, "t_bucketed_a", "k", n_buckets=4, sort_col="k",
+                   path=str(tmp_path / "ta"))
+    write_bucketed(df.selectExpr("k", "v * 10 as w"), "t_bucketed_b", "k",
+                   n_buckets=4, sort_col="k", path=str(tmp_path / "tb"))
+    a = spark.table("t_bucketed_a")
+    b = spark.table("t_bucketed_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 1000
+        # co-bucketed join: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
