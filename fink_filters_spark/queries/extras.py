@@ -165,7 +165,60 @@ FROM documents
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with the native ``session_window`` operator
+    (30-minute inactivity gap) — the batch form of the streaming session
+    aggregation (§2.J extension; runs identically under readStream with a
+    watermark). Output: sessions per user and events in the largest session.
+    """
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts_t", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+# Oracle: classic lag/gap/cumulative-sum sessionization — a new session
+# starts when the gap from the previous event is >= 30 minutes (Spark's
+# session_window closes a session at start + gap when no event lands
+# strictly inside the window).
+SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+g AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   >= 1800000000 OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM per GROUP BY user_id
+"""
+
+
 SPECS = [
+    QuerySpec("q_sessionize", q_sessionize, SESSIONIZE_SQL,
+              "gap-based session windows (§2.J)"),
     QuerySpec("q_rollup", q_rollup, ROLLUP_SQL, "ROLLUP subtotals (§2.E)"),
     QuerySpec("q_setops", q_setops, SETOPS_SQL, "INTERSECT/UNION/EXCEPT (§2.H)"),
     QuerySpec("ts_window_slice", q_ts_window_slice, TS_WINDOW_SQL, "F7 per-row windows"),
