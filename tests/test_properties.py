@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) — beyond the reference's doctest-golden
+style (SURVEY §5 notes it has no property tests).
+
+Each property pins an algebraic guarantee of an operator against an
+independent implementation on arbitrary inputs, with Spark invoked once per
+example set (batched via a single DataFrame for speed).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(
+    xs=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=3, max_size=50),
+    ys=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=3, max_size=50),
+)
+def test_linfit_slope_matches_numpy_property(spark, xs, ys):
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    if len(set(xs)) < 2:  # degenerate: vertical fit undefined
+        return
+    from fink_filters_spark.functions.arrays import linfit_slope
+
+    df = spark.createDataFrame([(xs, ys)], "x array<long>, y array<long>")
+    got = df.select(linfit_slope(F.col("x"), F.col("y")).alias("s")).first()["s"]
+    want = np.polyfit(np.array(xs, float), np.array(ys, float), 1)[0]
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@SLOW
+@given(
+    ra1=st.floats(0, 360, allow_nan=False),
+    dec1=st.floats(-90, 90, allow_nan=False),
+    ra2=st.floats(0, 360, allow_nan=False),
+    dec2=st.floats(-90, 90, allow_nan=False),
+)
+def test_sky_sep_metric_properties(spark, ra1, dec1, ra2, dec2):
+    """Symmetry, identity, and range of the separation function."""
+    from fink_filters_spark.functions.astro import sky_sep
+
+    df = spark.range(1)
+    ab = df.select(
+        sky_sep(F.lit(ra1), F.lit(dec1), F.lit(ra2), F.lit(dec2)).alias("ab"),
+        sky_sep(F.lit(ra2), F.lit(dec2), F.lit(ra1), F.lit(dec1)).alias("ba"),
+        sky_sep(F.lit(ra1), F.lit(dec1), F.lit(ra1), F.lit(dec1)).alias("aa"),
+    ).first()
+    assert ab["ab"] == pytest.approx(ab["ba"], abs=1e-9)  # symmetric
+    assert ab["aa"] == pytest.approx(0.0, abs=1e-9)  # identity
+    assert -1e-9 <= ab["ab"] <= 180.0 + 1e-9  # range
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=60), min_size=2, max_size=8
+    )
+)
+def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
+    """Jaccard output is within [tau, 1], ids ordered, and matches a python
+    replica of the hashed-shingle pipeline."""
+    from fink_filters_spark.functions.text import FP_BASE, FP_MOD, WORD_COMBINE_BASE
+    from fink_filters_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", n=2, tau=0.3).collect()
+    }
+
+    def hashes(t):
+        words = [w for w in t.lower().strip().split()] if t.strip() else []
+        wh = []
+        for w in words:
+            acc = 0
+            for ch in w:
+                acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+            wh.append(acc)
+        return {
+            (wh[i] * WORD_COMBINE_BASE + wh[i + 1]) % FP_MOD
+            for i in range(len(wh) - 1)
+        }
+
+    sets = {i: hashes(t) for i, t in enumerate(texts)}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+                if jac >= 0.3:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert k[0] < k[1]
+        assert 0.3 - 1e-9 <= v <= 1.0 + 1e-9
+        assert v == pytest.approx(round(want[k], 6), abs=2e-6)
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    modulus=st.integers(min_value=2, max_value=97),
+)
+def test_uniform_sample_partitions_stream(spark, n, modulus):
+    """Residue classes partition the keyspace: the union of all residues is
+    the full set and classes are disjoint."""
+    from fink_filters_spark.operators.sample import uniform_sample
+
+    df = spark.range(n).withColumnRenamed("id", "k")
+    got0 = {r.k for r in uniform_sample(df, "k", modulus, 0).collect()}
+    got1 = {r.k for r in uniform_sample(df, "k", modulus, 1 % modulus).collect()}
+    assert got0 == {k for k in range(n) if k % modulus == 0}
+    if modulus > 1:
+        assert got0.isdisjoint(got1)
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),  # key
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_topk_by_key_against_python(spark, vals, k):
+    from fink_filters_spark.operators.topk import topk_by_key
+
+    rows = [(key, i, float(v)) for i, (key, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key long, item long, score double")
+    got = [(r.key, r.item) for r in topk_by_key(df, "key", "score", k, tiebreak="item").collect()]
+    best = {}
+    for key, item, score in rows:
+        cur = best.get(key)
+        if cur is None or (score, -item) > (cur[1], -cur[0]):
+            best[key] = (item, score)
+    want = sorted(
+        ((key, item) for key, (item, score) in best.items()),
+        key=lambda ki: (-best[ki[0]][1], ki[0]),
+    )[:k]
+    assert sorted(got, key=lambda t: (-best[t[0]][1], t[0])) == want
