@@ -1,0 +1,62 @@
+"""Physical-plan lint across the whole declared query suite.
+
+Every declared query's executed plan is checked for scale anti-patterns:
+unintended cartesian products and nested-loop joins. The brute-force
+similarity/embedding queries are the only plans ALLOWED a nested-loop —
+that is their documented semantics (all-pairs baseline); everything else
+must plan as hash/broadcast joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# all-pairs by design (documented brute-force baselines)
+NESTED_LOOP_ALLOWED = {
+    "dedup_embedding_cosine",  # mapInPandas matmul (no join at all, but scans twice)
+    "sim_knn_bruteforce",  # query-set x corpus broadcast NLJ
+    "sim_ivf_assign",  # corpus x centroids broadcast NLJ
+    "sim_ivf_search",  # probe join includes a non-equi condition
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as entry
+
+    out = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_unintended_cartesian_or_nested_loop(plans):
+    bad = []
+    for name, plan in plans.items():
+        if name in NESTED_LOOP_ALLOWED:
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"nested-loop/cartesian plans in: {bad}"
+
+
+def test_every_query_plans_and_declares_oracle_or_is_listed(plans):
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    missing = [n for n in plans if n not in oracles]
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_parquet_scans_prune_columns(plans):
+    """Wide-table queries must not read every column: the q1 scan reads only
+    the 7 columns it needs of lineitem's 11."""
+    plan = plans["q1_pricing_summary"]
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    # the plan string truncates the struct, but the pruned keys would appear
+    # FIRST in schema order if they were read at all
+    assert "l_orderkey" not in read and "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read
