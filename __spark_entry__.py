@@ -7,11 +7,19 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fink_filters_spark.queries import oracle_dict, queries_dict
+# self-bootstrap: keep the package importable even when this module is
+# loaded by file path from a different working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from fink_filters_spark.queries import oracle_dict, queries_dict  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
