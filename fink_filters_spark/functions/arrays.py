@@ -17,8 +17,15 @@ from pyspark.sql import Column, functions as F
 def hist_concat(prv_col: str, cur_col: str) -> Column:
     """history ⧺ [current] — parity with fink-utils ``concat_col``
     (call sites: reference ``ztf/filter_early_tde_candidates/prefilter.py:294-297``).
+
+    Null-safe: an alert's FIRST detection carries a null/absent history
+    (``prv_candidates`` empty), and ``concat(null, x)`` would null out the
+    whole array — coalesce to empty first.
     """
-    return F.concat(F.col(prv_col), F.array(F.col(cur_col)))
+    prv = F.col(prv_col)
+    cur = F.array(F.col(cur_col))
+    # slice(cur, 1, 0) = typed empty array matching the element type
+    return F.concat(F.coalesce(prv, F.slice(cur, 1, 0)), cur)
 
 
 def last_el(arr: Column | str, n: int = 1) -> Column:

@@ -229,3 +229,47 @@ def test_linfit_per_key_matches_native(spark):
     )
     for r in native.collect():
         assert grouped[r.user_id] == (r.slope, r.r2)
+
+
+def test_salted_join_and_group_match_unsalted(spark):
+    from fink_filters_spark.operators.skew import salted_group_count, salted_join
+
+    # skewed big side: key 0 holds half the rows
+    big = spark.range(2000).selectExpr("if(id % 2 = 0, 0, id % 50) as k", "id as v")
+    small = spark.range(50).selectExpr("id as k", "id * 100 as w")
+    plain = big.join(small, "k").selectExpr("k", "v", "w")
+    salted = salted_join(big, small, "k", salt=8).selectExpr("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    counts = {r.k: r.n for r in salted_group_count(big, "k", salt=8).collect()}
+    want = {r.k: r["count"] for r in big.groupBy("k").count().collect()}
+    assert counts == want
+
+
+def test_hist_concat_null_history(spark):
+    from fink_filters_spark.functions.arrays import hist_concat
+
+    df = spark.createDataFrame(
+        [(None, 5.0), ([1.0, 2.0], 3.0)], "prv array<double>, cur double"
+    )
+    rows = df.select(hist_concat("prv", "cur").alias("h")).collect()
+    assert rows[0]["h"] == [5.0]  # first detection: null history -> [cur]
+    assert rows[1]["h"] == [1.0, 2.0, 3.0]
+
+
+def test_filters_tolerate_null_scores(spark):
+    """Null science scores must behave like the reference's NaN comparisons:
+    the row is simply not selected (no errors, no accidental selection)."""
+    from fink_filters_spark.filters import apply_named_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, None, None, "Unknown", None, None, 2460000.0, 2459990.0, 5, 0),
+            (2, 0.9, 0.9, "AGN", 0.9, 0.9, 2460000.0, 2459990.0, 5, 0),
+        ],
+        "candid long, snn_snia_vs_nonia double, snn_sn_vs_all double, "
+        "cdsxmatch string, drb double, classtar double, jd double, "
+        "jdstarthist double, ndethist int, roid int",
+    )
+    got = {r.candid for r in apply_named_filter(df, "ztf.sn_candidates").collect()}
+    assert got == {2}
