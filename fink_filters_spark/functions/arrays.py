@@ -76,6 +76,28 @@ def linfit_slope(x: Column, y: Column) -> Column:
     return F.when(den != 0, num / den)
 
 
+def latest_same_band(
+    prv: Column | str, band_field: str, time_field: str, band: Column
+) -> Column:
+    """Most recent history entry in the SAME band (reference F9:
+    ``rubin/livestream/filter_extragalactic_new_candidate/filter.py:55-75``
+    scans prvDiaSources for the max-MJD source matching the current band).
+
+    Native max_by over a filtered struct array: returns the matching struct
+    (null if the band never appeared before).
+    """
+    arr = F.col(prv) if isinstance(prv, str) else prv
+    same = F.filter(arr, lambda s: s[band_field] == band)
+    # F.get returns null on an empty array (element_at would throw under ANSI)
+    return F.aggregate(
+        same,
+        F.get(same, 0),
+        lambda acc, s: F.when(
+            acc.isNull() | (s[time_field] > acc[time_field]), s
+        ).otherwise(acc),
+    )
+
+
 def linfit_r2(x: Column, y: Column) -> Column:
     """r² of the least-squares fit — reference F5
     (``filter_yso_spicy_candidates/filter.py:28-76``)."""

@@ -106,6 +106,50 @@ def decode_image_batch(df: DataFrame, id_col: str, bin_col: str, feature_dim: in
     return df.select(id_col, bin_col).mapInPandas(kernel, DECODE_SCHEMA)
 
 
+KS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kstest", DoubleType()),
+    ]
+)
+
+
+def image_kstest(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Kolmogorov-Smirnov statistic of the payload's byte distribution vs
+    uniform — the engine-side analogue of the reference's ELEPHANT cutout
+    statistics (``ztf/livestream/filter_new_hostless/utils.py:87-142``, there
+    a KS test on sigma-clipped pixel values via fink-science).
+
+    The KS math (max |ECDF - CDF|) is computed exactly in the kernel with
+    numpy (scipy-free); on real image data the byte payload would first be
+    decoded to pixels — this operator supplies the ``kstest_*`` columns the
+    hostless topic filters consume.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, stats = [], []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                out_ids.append(i)
+                if payload is None or len(payload) == 0:
+                    stats.append(None)
+                    continue
+                arr = np.sort(np.frombuffer(payload, dtype=np.uint8).astype(np.float64))
+                n = len(arr)
+                # uniform CDF on [0, 255]; ECDF step just after each point
+                cdf = (arr + 1.0) / 256.0
+                ecdf_hi = np.arange(1, n + 1) / n
+                ecdf_lo = np.arange(0, n) / n
+                ks = float(np.max(np.maximum(np.abs(ecdf_hi - cdf), np.abs(ecdf_lo - cdf))))
+                stats.append(ks)
+            yield pd.DataFrame({"doc_id": out_ids, "kstest": stats})
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, KS_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, bin_col: str, every_n: int = 30) -> DataFrame:
     """Video frame-sampling stage — decoder unavailable, STUB.
 

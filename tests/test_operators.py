@@ -273,3 +273,38 @@ def test_filters_tolerate_null_scores(spark):
     )
     got = {r.candid for r in apply_named_filter(df, "ztf.sn_candidates").collect()}
     assert got == {2}
+
+
+def test_image_kstest_kernel(spark):
+    from fink_filters_spark.operators.multimodal import image_kstest
+
+    uniformish = bytes(range(256)) * 4  # near-uniform byte spread -> small KS
+    skewed = bytes([7] * 1024)  # constant -> KS ~ 1
+    df = spark.createDataFrame(
+        [(0, bytearray(uniformish)), (1, bytearray(skewed)), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.kstest for r in image_kstest(df, "doc_id", "payload").collect()}
+    assert got[0] < 0.01
+    assert got[1] > 0.9
+    assert got[2] is None
+    # hostless-style thresholding works downstream
+    assert (got[0] <= 0.5) and not (got[1] <= 0.5)
+
+
+def test_latest_same_band(spark):
+    from pyspark.sql import functions as F
+    from fink_filters_spark.functions.arrays import latest_same_band
+
+    df = spark.createDataFrame(
+        [
+            ("g", [("g", 1.0, 10.0), ("r", 2.0, 11.0), ("g", 3.0, 12.0)]),
+            ("r", [("g", 1.0, 10.0)]),
+        ],
+        "band string, prv array<struct<band:string, mjd:double, flux:double>>",
+    )
+    out = df.select(
+        latest_same_band("prv", "band", "mjd", F.col("band")).alias("m")
+    ).collect()
+    assert out[0]["m"]["mjd"] == 3.0 and out[0]["m"]["flux"] == 12.0
+    assert out[1]["m"] is None  # band never seen before

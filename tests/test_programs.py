@@ -160,3 +160,46 @@ def test_crossmatch_plan_uses_broadcast(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hostless_pipeline_cutouts_to_topic(spark):
+    """C9 composition: binary cutouts -> KS statistics (our multimodal
+    kernel) -> ztf.new_hostless topic filter — the full image path the
+    reference runs through fink-science's ELEPHANT inside a UDF."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from fink_filters_spark.filters import apply_named_filter
+    from fink_filters_spark.operators.multimodal import image_kstest
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for i in range(40):
+        hostless = i % 4 == 0
+        # hostless-looking stamp: uniform byte spread (low KS); hosted:
+        # concentrated bytes (high KS)
+        sci = bytes(rng.integers(0, 256, 512).astype(np.uint8)) if hostless else bytes([9] * 512)
+        rows.append(
+            (
+                i,
+                bytearray(sci),
+                bytearray(sci),
+                2.0,  # distnr > 1.5
+                "Unknown",
+                "nan",
+                0,
+                1,  # ndethist == 1
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "candid long, cutout_science binary, cutout_template binary, "
+        "distnr double, cdsxmatch string, DR3Name string, roid int, ndethist int",
+    )
+    ks_sci = image_kstest(df, "candid", "cutout_science").withColumnRenamed("kstest", "kstest_science")
+    ks_tmp = image_kstest(df, "candid", "cutout_template").withColumnRenamed("kstest", "kstest_template")
+    enriched = (
+        df.join(ks_sci.withColumnRenamed("doc_id", "candid"), "candid")
+        .join(ks_tmp.withColumnRenamed("doc_id", "candid"), "candid")
+    )
+    got = {r.candid for r in apply_named_filter(enriched, "ztf.new_hostless").collect()}
+    assert got == {i for i in range(40) if i % 4 == 0}
