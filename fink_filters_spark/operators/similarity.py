@@ -18,7 +18,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine_sim_q, quantize_vec
+from ..functions.vectors import dot_q, norm_sq_q, quantize_vec
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str, nsq_alias: str) -> DataFrame:
+    """(id, quantized vec, squared norm) — norms precomputed once per row so
+    the O(pairs) stage folds only the dot product (1 fold/pair, not 3)."""
+    q = df.select(F.col(id_col).alias(id_alias), quantize_vec(vec_col).alias(vec_alias))
+    return q.select(
+        id_alias, vec_alias, norm_sq_q(F.col(vec_alias)).cast("double").alias(nsq_alias)
+    )
+
+
+def _cos(av, bv, ansq, bnsq) -> "F.Column":
+    # same expression tree as cosine_sim_q: dot / sqrt(na) / sqrt(nb)
+    return dot_q(F.col(av), F.col(bv)).cast("double") / F.sqrt(F.col(ansq)) / F.sqrt(F.col(bnsq))
 
 
 def knn_bruteforce(
@@ -31,12 +45,12 @@ def knn_bruteforce(
     c_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excludes self-matches by id)."""
-    q = queries.select(F.col(q_id).alias("__qid"), quantize_vec(q_vec).alias("__qv"))
-    c = corpus.select(F.col(c_id).alias("__cid"), quantize_vec(c_vec).alias("__cv"))
+    q = _quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn")
+    c = _quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn")
     pairs = c.join(F.broadcast(q), F.col("__qid") != F.col("__cid")).select(
         F.col("__qid").alias("q_id"),
         F.col("__cid").alias("neighbor_id"),
-        cosine_sim_q(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        _cos("__qv", "__cv", "__qn", "__cn").alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -56,14 +70,12 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine,
     ties by centroid id). Output: (vec_id, centroid_id, cosine)."""
-    c = corpus.select(F.col(c_id).alias("vec_id"), quantize_vec(c_vec).alias("__cv"))
-    cents = centroids.select(
-        F.col(cent_id).alias("centroid_id"), quantize_vec(cent_vec).alias("__kv")
-    )
+    c = _quantized(corpus, c_id, c_vec, "vec_id", "__cv", "__cn")
+    cents = _quantized(centroids, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
     scored = c.join(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
-        cosine_sim_q(F.col("__cv"), F.col("__kv")).alias("cosine"),
+        _cos("__cv", "__kv", "__cn", "__kn").alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
     return (
@@ -96,21 +108,18 @@ def ivf_search(
                           cent_id=cent_id, cent_vec=cent_vec).select(
         F.col("vec_id").alias("__cid"), F.col("centroid_id").alias("__ccent")
     )
-    c = corpus.select(F.col(c_id).alias("__cid"), quantize_vec(c_vec).alias("__cv")).join(
-        assigned, "__cid"
-    )
-    q = queries.select(F.col(q_id).alias("__qid"), quantize_vec(q_vec).alias("__qv"))
-    cents = centroids.select(
-        F.col(cent_id).alias("__kcent"), quantize_vec(cent_vec).alias("__kv")
-    )
+    c = _quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn").join(assigned, "__cid")
+    q = _quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn")
+    cents = _quantized(centroids, cent_id, cent_vec, "__kcent", "__kv", "__kn")
     probe_scored = q.join(F.broadcast(cents)).select(
-        "__qid", "__qv", "__kcent", cosine_sim_q(F.col("__qv"), F.col("__kv")).alias("__pc")
+        "__qid", "__qv", "__qn", "__kcent",
+        _cos("__qv", "__kv", "__qn", "__kn").alias("__pc"),
     )
     wq = Window.partitionBy("__qid").orderBy(F.desc("__pc"), F.asc("__kcent"))
     probes = (
         probe_scored.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("__qid", "__qv", "__kcent")
+        .select("__qid", "__qv", "__qn", "__kcent")
     )
     pairs = c.join(
         F.broadcast(probes),
@@ -118,7 +127,7 @@ def ivf_search(
     ).select(
         F.col("__qid").alias("q_id"),
         F.col("__cid").alias("neighbor_id"),
-        cosine_sim_q(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        _cos("__qv", "__cv", "__qn", "__cn").alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
