@@ -61,10 +61,33 @@ def register(
 
 def get_filter(name: str) -> FilterInfo:
     if name not in _REGISTRY:
+        info = _resolve_dotted(name)
+        if info is not None:
+            return info
         raise KeyError(
             f"unknown filter {name!r}; known: {sorted(_REGISTRY)}"
         )
     return _REGISTRY[name]
+
+
+def _resolve_dotted(name: str) -> FilterInfo | None:
+    """A1/A2 dynamic parity: resolve 'pkg.mod.fn' to a user-supplied builder
+    (a plain ``df -> Column`` function), exactly the reference's
+    ``apply_user_defined_filter(df, "fink_filters....filter.foo")`` contract
+    for filters not shipped in this registry."""
+    import importlib
+
+    if "." not in name:
+        return None
+    mod_path, _, fn_name = name.rpartition(".")
+    try:
+        mod = importlib.import_module(mod_path)
+    except ImportError:
+        return None
+    fn = getattr(mod, fn_name, None)
+    if fn is None:
+        return None
+    return FilterInfo(name=name, builder=fn, description=f"dynamic: {name}")
 
 
 def apply_named_filter(df: DataFrame, name: str) -> DataFrame:

@@ -106,3 +106,59 @@ def linfit_r2(x: Column, y: Column) -> Column:
     syd = (n * syy - sy * sy).cast("double")
     cov = (n * sxy - sx * sy).cast("double")
     return F.when((sxd != 0) & (syd != 0), cov * cov / (sxd * syd))
+
+
+def weighted_linfit(x: Column, y: Column, sigma: Column) -> Column:
+    """Inverse-variance weighted least squares over double arrays: returns
+    struct(slope, slope_err) — the closed form of the reference's
+    ``curve_fit(a*x+b, jd, mag, sigma=err)`` (F3,
+    ``filter_rate_based_kn_candidates/filter.py:146-167``) and the
+    significance test of the rising kernel (F4, ``prefilter.py:69-149``,
+    there a weighted ``polyfit`` with a 3-sigma slope cut).
+
+    w = 1/sigma^2;  slope = (Sw*Swxy - Swx*Swy) / (Sw*Swxx - Swx^2);
+    slope_err = sqrt(Sw / (Sw*Swxx - Swx^2)).
+    """
+    w = F.transform(sigma, lambda s: F.lit(1.0) / (s * s))
+    zero = F.lit(0.0)
+    sw = F.aggregate(w, zero, lambda a, v: a + v)
+    swx = F.aggregate(F.zip_with(w, x, lambda wi, xi: wi * xi), zero, lambda a, v: a + v)
+    swy = F.aggregate(F.zip_with(w, y, lambda wi, yi: wi * yi), zero, lambda a, v: a + v)
+    swxx = F.aggregate(
+        F.zip_with(w, x, lambda wi, xi: wi * xi * xi), zero, lambda a, v: a + v
+    )
+    swxy = F.aggregate(
+        F.zip_with(F.zip_with(w, x, lambda wi, xi: wi * xi), y, lambda wx, yi: wx * yi),
+        zero,
+        lambda a, v: a + v,
+    )
+    den = sw * swxx - swx * swx
+    slope = (sw * swxy - swx * swy) / den
+    err = F.sqrt(sw / den)
+    return F.when(den != 0, F.struct(slope.alias("slope"), err.alias("slope_err")))
+
+
+def is_rising(
+    mag: Column, sigma: Column, jd: Column, n_sigma: float = 3.0
+) -> Column:
+    """F4 robust rising test (reference ``prefilter.py:69-149``): the source
+    brightens significantly — last magnitude below (brighter than) the
+    faintest by more than the combined errors, AND the weighted slope is
+    negative at ``n_sigma`` significance (mag decreases as it brightens)."""
+    last_m = F.element_at(mag, -1)
+    last_s = F.element_at(sigma, -1)
+    max_m = F.array_max(mag)
+    # index of the faintest point's sigma via max_by-style fold
+    faint_s = F.aggregate(
+        F.zip_with(mag, sigma, lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
+        F.lit(None).cast("struct<m:double,s:double>"),
+        lambda acc, p: F.when(acc.isNull() | (p["m"] > acc["m"]), p).otherwise(acc),
+    )["s"]
+    significant_rise = (max_m - last_m) > F.lit(n_sigma) * F.sqrt(
+        last_s * last_s + faint_s * faint_s
+    )
+    fit = weighted_linfit(jd, mag, sigma)
+    sig_slope = fit.isNotNull() & (
+        fit["slope"] < -F.lit(n_sigma) * fit["slope_err"]
+    )
+    return (F.size(mag) >= 2) & significant_rise & sig_slope

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from fink_filters_spark.functions import (
@@ -153,3 +154,60 @@ def test_schemas_flatten(spark):
     rflat = flatten_rubin(rubin)
     for c in ("psfFlux", "snr", "g_psfFluxMean", "xm_simbad_otype", "clf_snn_score", "is_sso"):
         assert c in rflat.columns
+
+
+def test_weighted_linfit_matches_numpy(spark):
+    from fink_filters_spark.functions.arrays import weighted_linfit
+
+    rng = np.random.default_rng(29)
+    x = rng.uniform(0, 10, 25).tolist()
+    y = rng.uniform(15, 21, 25).tolist()
+    s = rng.uniform(0.05, 0.3, 25).tolist()
+    df = spark.createDataFrame(
+        [(x, y, s)], "x array<double>, y array<double>, s array<double>"
+    )
+    fit = df.select(weighted_linfit(F.col("x"), F.col("y"), F.col("s")).alias("f")).first()["f"]
+    w = 1.0 / np.array(s) ** 2
+    (np_slope, _), cov = np.polyfit(x, y, 1, w=np.sqrt(w), cov="unscaled")
+    assert fit["slope"] == pytest.approx(np_slope, rel=1e-9)
+    assert fit["slope_err"] == pytest.approx(math.sqrt(cov[0, 0]), rel=1e-6)
+
+
+def test_is_rising_detects_brightening(spark):
+    from fink_filters_spark.functions.arrays import is_rising
+
+    jd = [float(i) for i in range(10)]
+    brightening = [20.0 - 0.3 * i for i in range(10)]  # mags decreasing
+    fading = [18.0 + 0.3 * i for i in range(10)]
+    flat = [19.0 + (0.001 if i % 2 else -0.001) for i in range(10)]
+    sig = [0.05] * 10
+    df = spark.createDataFrame(
+        [(brightening, sig, jd), (fading, sig, jd), (flat, sig, jd)],
+        "mag array<double>, sigma array<double>, jd array<double>",
+    )
+    got = [
+        r["r"]
+        for r in df.select(
+            is_rising(F.col("mag"), F.col("sigma"), F.col("jd")).alias("r")
+        ).collect()
+    ]
+    assert got == [True, False, False]
+
+
+def test_dynamic_dotted_filter_resolution(spark):
+    import sys
+    import types
+
+    from fink_filters_spark.filters import apply_named_filter
+
+    # a user-supplied filter module (the reference's A1/A2 contract: resolve
+    # a dotted path to a plain df -> Column builder)
+    mod = types.ModuleType("user_filters_dyn")
+    mod.high_drb = lambda df: F.col("drb") > 0.5
+    sys.modules["user_filters_dyn"] = mod
+    try:
+        df = spark.createDataFrame([(1, 0.9), (2, 0.1)], "candid long, drb double")
+        out = apply_named_filter(df, "user_filters_dyn.high_drb")
+        assert {r.candid for r in out.collect()} == {1}
+    finally:
+        del sys.modules["user_filters_dyn"]
