@@ -124,16 +124,26 @@ class RetryPolicy:
 @dataclass
 class NotificationSink:
     """foreachBatch writer: format each row, send via transport with retry,
-    dedupe on an idempotency key across retried batches."""
+    dedupe on an idempotency key across retried batches.
+
+    ``weekdays`` restricts delivery to the given ISO weekdays (1=Mon..7=Sun)
+    — the reference's Friday-only Slack gate
+    (``filter_kn_candidates/filter.py:340-345``) as sink POLICY rather than
+    logic buried in the filter UDF. Selection semantics are unaffected.
+    """
 
     transport: Transport
     formatter: Callable[[dict], dict] = lambda row: row
     key_cols: tuple[str, ...] = ()
     retry: RetryPolicy = field(default_factory=RetryPolicy)
     max_rows_per_batch: int = 1000
+    weekdays: tuple[int, ...] | None = None
+    clock: Callable[[], int] = lambda: __import__("datetime").date.today().isoweekday()
     _seen: set = field(default_factory=set)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.weekdays is not None and self.clock() not in self.weekdays:
+            return
         rows = batch_df.limit(self.max_rows_per_batch).collect()
         for row in rows:
             d = row.asDict(recursive=True)

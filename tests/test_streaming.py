@@ -178,3 +178,14 @@ def test_write_bucketed_shuffle_free_join(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_sink_weekday_gate(spark):
+    df = spark.createDataFrame([(1, "a")], "candid long, objectId string")
+    transport = CollectingTransport()
+    friday_only = NotificationSink(transport, weekdays=(5,), clock=lambda: 3)
+    friday_only(df, 0)
+    assert transport.sent == []  # Wednesday: gated
+    friday = NotificationSink(transport, weekdays=(5,), clock=lambda: 5)
+    friday(df, 0)
+    assert len(transport.sent) == 1
