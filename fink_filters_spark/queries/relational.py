@@ -208,6 +208,195 @@ FROM (SELECT user_id, value, CAST(round(value * 1000) AS BIGINT) AS v FROM event
 """
 
 
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side residual predicate,
+    per-key count (zeros preserved), then a second aggregation over the
+    counts. Exercises the outer-join + double-aggregation surface.
+
+    Scale: the outer join shuffles on custkey (both sides ~|customers| and
+    |orders|); the second agg is tiny (distinct counts ~ hundreds) and
+    collapses map-side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                        "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q4_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery == LEFT SEMI join
+    (orders that have at least one returned lineitem), grouped priority
+    counts. Catalyst plans the semi join; lineitem side is projected to the
+    join key only before the shuffle (column pruning at the scan)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) rewritten as aggregate + re-join — the standard decorrelation.
+    The comparison ``l_quantity < 0.2 * avg(qty)`` is kept exact in integers:
+    qty * n * 5 < sum_qty (no float average crosses the oracle boundary).
+
+    Scale: both the per-part agg and the join shuffle on l_partkey — AQE
+    coalesces and the exchange is reused between agg and join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pp_partkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_li"),
+        )
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
+        .filter(F.col("l_quantity").cast("long") * F.col("n_li") * F.lit(5) < F.col("sum_qty"))
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pp_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+       count(*) AS n_rows
+FROM lineitem JOIN per_part ON l_partkey = pp_partkey
+WHERE CAST(l_quantity AS BIGINT) * n_li * 5 < sum_qty
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional aggregation
+    (sum(CASE WHEN ...)), final ratio as one deterministic double expression
+    over exact integer sums (parity rules in tables.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rev_e4", rev)
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), F.col("rev_e4"))
+                  .otherwise(F.lit(0))).alias("promo_e4"),
+            F.sum("rev_e4").alias("total_e4"),
+        )
+    )
+    return agg.withColumn(
+        "promo_share",
+        F.round(F.col("promo_e4").cast("double") * 100.0 / F.col("total_e4").cast("double"), 6),
+    )
+
+
+Q14_SQL = """
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+       round(CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_e4 ELSE 0 END) AS BIGINT) AS DOUBLE) * 100.0
+             / CAST(CAST(sum(rev_e4) AS BIGINT) AS DOUBLE), 6) AS promo_share
+FROM (
+  SELECT p_type,
+         CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (average balance of in-credit
+    customers) + anti join (customers with no urgent orders), grouped totals.
+    The scalar aggregate is a 1-row broadcast (cross join); the threshold
+    ``c_acctbal > avg(...)`` stays exact: bal_cents * n_pos > sum_pos_cents.
+
+    Scale: the anti join shuffles customer vs orders key projections; the
+    scalar side is a 1-row broadcast nested loop — no driver collect."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_cents("c_acctbal")).alias("sum_pos_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    return (
+        cust.withColumn("bal_cents", _cents("c_acctbal"))
+        .join(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_pos_cents,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM (SELECT *, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer) c, pos
+WHERE bal_cents * n_pos > sum_pos_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "scan+agg engine surface (SURVEY §2.E)"),
@@ -219,4 +408,14 @@ SPECS = [
               "broadcast+shuffle join, top-k (SURVEY §2.G G1)"),
     QuerySpec("q5_nation_revenue", q5_nation_revenue, Q5_SQL,
               "multi-broadcast star join (SURVEY §2.D)"),
+    QuerySpec("q13_order_histogram", q13_order_histogram, Q13_SQL,
+              "left outer join + double aggregation"),
+    QuerySpec("q4_exists_semi", q4_exists_semi, Q4_SQL,
+              "EXISTS == left-semi join"),
+    QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL,
+              "correlated scalar subquery decorrelated to agg+join"),
+    QuerySpec("q14_promo_share", q14_promo_share, Q14_SQL,
+              "conditional aggregation over broadcast join"),
+    QuerySpec("q22_idle_customers", q22_idle_customers, Q22_SQL,
+              "global scalar subquery + anti join"),
 ]
