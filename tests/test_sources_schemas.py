@@ -1,0 +1,123 @@
+"""A7 flatteners + B2/B3 source builders + D5 snapshot-join composition.
+
+Reference parity targets: arg-name->nested-column binding (SURVEY §2.A A1/A7,
+``prefilter.py:299-351``), packaged catalog load-once (B2,
+``filter_early_kn_candidates/filter.py:70-77``), REST table snapshot replacing
+per-row lookups (B3/D5, ``filter_early_tde_candidates/lcs.py:56-99``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _ztf_nested(spark, n=3):
+    from fink_filters_spark.schemas import ZTF_ALERT_SCHEMA
+
+    cand_fields = ZTF_ALERT_SCHEMA["candidate"].dataType.fieldNames()
+    rows = []
+    for i in range(n):
+        cand = {f: None for f in cand_fields}
+        cand.update({"jd": 2460000.0 + i, "magpsf": 18.0 + i, "fid": 1 + i % 2,
+                     "isdiffpos": "t", "ra": 10.0 * i, "dec": -5.0 * i})
+        rows.append({
+            "objectId": f"ZTF{i:06d}",
+            "candid": i,
+            "candidate": cand,
+            "prv_candidates": [dict(cand, jd=cand["jd"] - 1.0)],
+            "cdsxmatch": "Unknown",
+        })
+    return spark.createDataFrame(rows, ZTF_ALERT_SCHEMA)
+
+
+def test_flatten_ztf_surfaces_candidate_leaves(spark):
+    from fink_filters_spark.schemas import flatten_ztf
+
+    flat = flatten_ztf(_ztf_nested(spark))
+    assert "candidate" not in flat.columns
+    assert {"jd", "magpsf", "fid", "objectId", "prv_candidates"} <= set(flat.columns)
+    got = {r["objectId"]: r["magpsf"] for r in flat.collect()}
+    assert got == {"ZTF000000": 18.0, "ZTF000001": 19.0, "ZTF000002": 20.0}
+    # history arrays stay intact for hist_concat downstream
+    assert flat.select(F.size("prv_candidates")).first()[0] == 1
+
+
+def test_flatten_rubin_prefixes_structs(spark):
+    from fink_filters_spark.schemas import RUBIN_ALERT_SCHEMA, flatten_rubin
+
+    src_fields = RUBIN_ALERT_SCHEMA["diaSource"].dataType.fieldNames()
+    obj_fields = RUBIN_ALERT_SCHEMA["diaObject"].dataType.fieldNames()
+    row = {
+        "diaSource": dict.fromkeys(src_fields) | {
+            "diaSourceId": 42, "band": "g", "psfFlux": 1000.0, "snr": 12.0},
+        "diaObject": dict.fromkeys(obj_fields) | {"nDiaSources": 5},
+        "prvDiaSources": [],
+        "prvDiaForcedSources": [],
+        "xm": {"simbad_otype": "Galaxy", "mangrove_name": None, "gaia_plx": None,
+               "gaia_e_plx": None, "vsx_type": None, "tns_fullname": "SN 2025a"},
+        "clf": {"snn_score": 0.9, "cats_class": 11, "cats_score": 0.95,
+                "snia_score": 0.1},
+        "pred": {"is_sso": False},
+    }
+    flat = flatten_rubin(spark.createDataFrame([row], RUBIN_ALERT_SCHEMA))
+    r = flat.first()
+    assert r["diaSourceId"] == 42 and r["band"] == "g"
+    assert r["xm_simbad_otype"] == "Galaxy" and r["xm_tns_fullname"] == "SN 2025a"
+    assert r["clf_cats_class"] == 11
+    assert r["is_sso"] is False
+    assert r["nDiaSources"] == 5
+
+
+def test_load_catalog_csv_broadcast(spark, tmp_path):
+    from fink_filters_spark.sources import load_catalog
+
+    p = tmp_path / "cat.csv"
+    p.write_text("name,cat_ra,cat_dec\nA,10.0,5.0\nB,200.0,-40.0\n")
+    cat = load_catalog(spark, str(p), fmt="csv")
+    assert cat.count() == 2
+    big = spark.range(1000).select(F.col("id"), (F.col("id") % 2).alias("k"))
+    joined = big.join(cat, big.k == F.length(cat.name) - 1)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rest_snapshot_crossmatch_d5(spark):
+    """D5: cached TNS snapshot (stub fetch, driver-side once) broadcast-joined
+    via the crossmatch operator — no per-row RPC anywhere."""
+    from fink_filters_spark.operators.crossmatch import crossmatch
+    from fink_filters_spark.sources import rest_snapshot
+
+    calls = {"n": 0}
+
+    def fetch():
+        calls["n"] += 1
+        return [
+            {"tns_name": "SN 2025aaa", "cat_ra": 10.0, "cat_dec": 5.0},
+            {"tns_name": "SN 2025bbb", "cat_ra": 200.0, "cat_dec": -40.0},
+        ]
+
+    schema = StructType([
+        StructField("tns_name", StringType()),
+        StructField("cat_ra", DoubleType()),
+        StructField("cat_dec", DoubleType()),
+    ])
+    snap = rest_snapshot(spark, fetch, schema)
+    assert calls["n"] == 1  # one driver-side fetch per refresh
+
+    alerts = spark.createDataFrame(
+        [(1, 10.0004, 5.0), (2, 200.0, -40.0003), (3, 99.0, 0.0)],
+        "id long, ra double, dec double",
+    )
+    out = crossmatch(alerts, snap, df_id="id", radius_deg=5.0 / 3600.0,
+                     how="left")
+    got = {r["id"]: r["tns_name"] for r in
+           out.select("id", F.coalesce("tns_name", F.lit("Unknown")).alias("tns_name")).collect()}
+    assert got == {1: "SN 2025aaa", 2: "SN 2025bbb", 3: "Unknown"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
