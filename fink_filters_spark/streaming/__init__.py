@@ -9,10 +9,14 @@ arrays, ndethist, jdstarthist). Its Spark dual:
                -> foreachBatch notification sinks
 
 Statelessness is the load-bearing property: no state store, no watermark
-needed for topic parity, trivially rescalable. Stateful extensions (needed
-only for the NEW-scope ops, which have no reference precedent):
+needed for topic parity, trivially rescalable. Stateful extensions:
 - ``streaming_dedup``  — exact dedup over a key with an event-time watermark;
-- ``streaming_window_agg`` — tumbling-window aggregation with late-data bound.
+- ``streaming_window_agg`` — tumbling-window aggregation with late-data bound;
+- ``streaming_object_stats`` — per-object per-band running statistics
+  (``applyInPandasWithState``): the streaming materialization of the
+  per-object state the reference assumes precomputed upstream (Rubin
+  ``diaObject.{band}_psfFluxMean/Max/Min``, ``rubin/utils.py:49-86``;
+  SURVEY §1.1 "per-object state").
 """
 
 from __future__ import annotations
@@ -91,6 +95,88 @@ def streaming_dedup(
     df = df.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
     return df.withWatermark(event_time_col, watermark).dropDuplicates(
         key_cols + [event_time_col]
+    )
+
+
+OBJECT_STATS_STATE = (
+    "bands array<string>, ns array<long>, sums array<double>, "
+    "mins array<double>, maxs array<double>"
+)
+OBJECT_STATS_OUT = (
+    "objectId string, band string, n_sources long, "
+    "flux_mean double, flux_min double, flux_max double"
+)
+
+
+def streaming_object_stats(
+    df: DataFrame,
+    key_col: str = "objectId",
+    band_col: str = "band",
+    flux_col: str = "psfFlux",
+) -> DataFrame:
+    """Per-object per-band running flux statistics over an unbounded stream.
+
+    The reference consumes these as upstream-materialized ``diaObject``
+    struct fields (``{band}_psfFluxMean/Max/Min``, ``nDiaSources`` —
+    ``rubin/utils.py:49-86,137-190``); this operator IS that upstream:
+    ``groupBy(objectId)`` with ``applyInPandasWithState``. Each micro-batch
+    updates the per-key state (count/sum/min/max per band — constant-size,
+    6 bands) and emits the refreshed rows for every band of each touched
+    object (output mode: update).
+
+    Scale: state is O(objects x 6 bands x 4 doubles) in the state store,
+    partitioned by key hash across executors; per-batch work is one Arrow
+    round-trip per updated key group. No timeout is set — astronomical
+    objects never expire; bound state by key-space instead (HEALPix shard
+    per job) if the store outgrows an executor.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        stats: dict[str, list] = {}
+        if state.exists:
+            bands, ns, sums, mins, maxs = state.get
+            stats = {
+                b: [n, s, lo, hi]
+                for b, n, s, lo, hi in zip(bands, ns, sums, mins, maxs)
+            }
+        for pdf in pdfs:
+            for band, flux in zip(pdf[band_col], pdf[flux_col]):
+                if flux is None or band is None:
+                    continue
+                f = float(flux)
+                cur = stats.setdefault(band, [0, 0.0, f, f])
+                cur[0] += 1
+                cur[1] += f
+                cur[2] = min(cur[2], f)
+                cur[3] = max(cur[3], f)
+        items = sorted(stats.items())
+        state.update((
+            [b for b, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+            [v[2] for _, v in items],
+            [v[3] for _, v in items],
+        ))
+        yield pd.DataFrame(
+            {
+                "objectId": [key[0]] * len(items),
+                "band": [b for b, _ in items],
+                "n_sources": [v[0] for _, v in items],
+                "flux_mean": [v[1] / v[0] for _, v in items],
+                "flux_min": [v[2] for _, v in items],
+                "flux_max": [v[3] for _, v in items],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=OBJECT_STATS_OUT,
+        stateStructType=OBJECT_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -111,6 +111,54 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert keys == [1, 2, 3]
 
 
+def test_streaming_object_stats_matches_batch(spark, tmp_path):
+    """Stateful per-object stats accumulate across micro-batches: after both
+    batches, the last emitted row per (object, band) equals the batch
+    groupBy aggregate — the diaObject contract (rubin/utils.py:49-86)."""
+    import pandas as pd
+
+    from fink_filters_spark.streaming import streaming_object_stats
+
+    d = tmp_path / "src"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "objectId": ["o1", "o1", "o2", "o1", "o2", "o2"],
+            "band": ["g", "r", "g", "g", "g", "r"],
+            "psfFlux": [100.0, 200.0, 50.0, 300.0, 70.0, 10.0],
+        }
+    )
+    pdf.iloc[:3].to_parquet(d / "b0.parquet")
+    pdf.iloc[3:].to_parquet(d / "b1.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(d))
+    )
+    out: list = []
+    q = (
+        streaming_object_stats(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_stats"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {}
+    for r in out:  # later batches overwrite: last emit per key wins
+        final[(r.objectId, r.band)] = (r.n_sources, r.flux_mean, r.flux_min, r.flux_max)
+    want = {
+        ("o1", "g"): (2, 200.0, 100.0, 300.0),
+        ("o1", "r"): (1, 200.0, 200.0, 200.0),
+        ("o2", "g"): (2, 60.0, 50.0, 70.0),
+        ("o2", "r"): (1, 10.0, 10.0, 10.0),
+    }
+    assert final == want
+    # cross-batch accumulation actually happened (o1/g seen in both batches)
+    assert final[("o1", "g")][0] == 2
+
+
 def test_retry_policy_honors_retry_after():
     waits = []
     policy = RetryPolicy(max_attempts=3, base_delay=0.5, sleep=waits.append)
