@@ -395,6 +395,101 @@ def simhash_pairs(
     return cand.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(node, component) over an undirected pair graph; component = min node
+    id in the connected set — the clustering step between near-dup pair
+    generation and survivor selection.
+
+    Adaptive execution (both paths produce identical labels):
+
+    - edge list <= ``driver_threshold``: collect + union-find on the driver.
+      The pair graph is the OUTPUT of near-dup detection — orders of
+      magnitude smaller than the corpus — so this is the common case even
+      at large scale, and it avoids paying ~1s of scheduler overhead per
+      propagation round on a graph that fits in memory.
+    - larger: distributed min-label propagation to a fixpoint
+      (Pregel-style), driver-coordinated: each round joins labels to the
+      undirected edge list, takes the min neighbor label, stops when no
+      label changed. Rounds = graph diameter; the convergence check makes
+      the result exact regardless of ``max_iter``. Each round is one
+      shuffle join + groupBy, caching each generation, unpersisting the
+      last.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if driver_threshold > 0:
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            rows = edges.collect()
+            for r in rows:
+                a, b = r["src"], r["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by min id keeps label = component min
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out = [(n, find(n)) for n in parent]
+            spark = pairs.sparkSession
+            if not out:
+                return spark.createDataFrame([], "node long, component long")
+            return spark.createDataFrame(out, "node long, component long")
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "nbr_node")
+        )
+        nxt = (
+            labels.join(nbr, labels.node == nbr.nbr_node, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            nxt.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def embedding_pairs(df: DataFrame, id_col: str, vec_col: str, tau: float) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine >= tau).
 

@@ -222,8 +222,57 @@ WHERE doc_id NOT IN (
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels: every document mapped to its connected
+    component (min doc_id in the Jaccard>=tau pair graph; docs with no
+    qualifying pair label themselves). The iterative-algorithm operator of
+    the dedup pipeline — pairs -> clusters -> keep one per cluster."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE d AS ({SHH3_SQL}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT doc_id,
+       coalesce((SELECT least(min(r.dst), d2.doc_id) FROM reach r
+                 WHERE r.src = d2.doc_id), doc_id) AS component
+FROM documents d2
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
+    QuerySpec("dedup_components", q_dedup_components, DEDUP_COMPONENTS_SQL,
+              "connected components over the near-dup pair graph"),
     QuerySpec("dedup_apply", q_dedup_apply, DEDUP_APPLY_SQL,
               "applied near-dup removal (keep-lowest-id)"),
     QuerySpec("dedup_ngram_jaccard", q_dedup_jaccard, DEDUP_JACCARD_SQL,

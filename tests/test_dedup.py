@@ -105,3 +105,22 @@ def test_embedding_pairs_matches_numpy(spark):
     }
     assert set(got) == want
     assert (0, 30) in got and got[(0, 30)] > 0.99
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and distributed label propagation produce identical
+    labels; chains require multi-round propagation (diameter > 1)."""
+    from fink_filters_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 40), (40, 6)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.node, r.component)
+            for r in connected_components(pairs).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(pairs, driver_threshold=0).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20), (5, 5), (40, 5), (6, 5)}
+    assert fast == want
+    assert dist == want
