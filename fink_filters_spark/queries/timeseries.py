@@ -292,6 +292,37 @@ GROUP BY 1
 """
 
 
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 in the relational encoding with the full analytic-window
+    surface: lag (previous value delta), lead (next event id), and an
+    explicit ROWS frame (trailing 3-row moving sum) per key, event-time
+    ordered. The exploded-format dual of the reference's per-row
+    ``element_at(arr, -1) - element_at(arr, -2)`` arithmetic
+    (``filter_kn_candidates/filter.py:230-265``)."""
+    ev = _evq(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "v",
+        (F.col("v") - F.lag("v").over(w)).alias("delta_v"),
+        F.sum("v").over(wf).alias("mov_sum3"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+W_LAG_SQL = f"""
+SELECT user_id, event_id, v,
+       v - lag(v) OVER w AS delta_v,
+       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum3,
+       lead(event_id) OVER w AS next_event_id
+FROM ({EVQ_SQL})
+WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+"""
+
+
 SPECS = [
     QuerySpec("w_topn_per_user", w_topn_per_user, W_TOPN_SQL, "ranking window (§2.F/G)"),
     QuerySpec("sess_hourly", sess_hourly, SESS_HOURLY_SQL, "tumbling-window agg (§2.J)"),
@@ -299,4 +330,6 @@ SPECS = [
     QuerySpec("ts_rate_last2", ts_rate_last2, TS_RATE_SQL, "F2 two-point rate"),
     QuerySpec("ts_linfit", ts_linfit, TS_LINFIT_SQL, "F3/F5 closed-form fit"),
     QuerySpec("ts_hist_array", ts_hist_array, TS_HIST_SQL, "array-encoded history HOFs"),
+    QuerySpec("w_lag_delta", w_lag_delta, W_LAG_SQL,
+              "lag/lead + ROWS-frame moving sum (§2.F)"),
 ]
