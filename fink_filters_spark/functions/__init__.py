@@ -21,6 +21,7 @@ from .astro import (  # noqa: F401
     grid_cell,
     mag2fluxcal,
     neighbor_cells,
+    register_sql_functions,
     sky_sep,
 )
 from .text import (  # noqa: F401

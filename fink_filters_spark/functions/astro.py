@@ -154,3 +154,63 @@ def neighbor_cells(ra, dec, cell_deg: float, radius_deg: float | None = None) ->
         jy = F.greatest(F.lit(0), F.least(F.lit(ny - 1), iy + dy))
         per_band.append(F.transform(F.sequence(-kx, kx), _ring(jy * nx)))
     return F.array_distinct(F.flatten(F.array(*per_band)))
+
+
+def register_sql_functions(spark) -> list[str]:
+    """Expose the astro function library on the ``spark.sql`` surface as
+    SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN <expr>``) — declarative
+    function bodies, so Catalyst inlines them into the calling plan exactly
+    like the Column-expression forms (still codegen, still foldable; NOT
+    Python UDFs). Returns the registered names.
+
+    The reference binds its functions by Python import path
+    (``apply_user_defined_filter``); this is the SQL dual: after
+    registration, ``spark.sql("SELECT sky_sep(ra, dec, 10.0, 5.0) ...")``
+    works anywhere, including views used by downstream SQL-only consumers.
+    """
+    d2r = repr(_D2R)
+    r2d = repr(_R2D)
+    defs = {
+        "sky_sep": (
+            "(ra1 DOUBLE, dec1 DOUBLE, ra2 DOUBLE, dec2 DOUBLE) RETURNS DOUBLE RETURN "
+            f"2.0 * asin(least(1.0, sqrt("
+            f"sin((dec2 * {d2r} - dec1 * {d2r}) / 2) * sin((dec2 * {d2r} - dec1 * {d2r}) / 2) + "
+            f"cos(dec1 * {d2r}) * cos(dec2 * {d2r}) * "
+            f"sin((ra2 * {d2r} - ra1 * {d2r}) / 2) * sin((ra2 * {d2r} - ra1 * {d2r}) / 2)"
+            f"))) * {r2d}"
+        ),
+        "gal_b": (
+            "(ra DOUBLE, dec DOUBLE) RETURNS DOUBLE RETURN "
+            f"asin(greatest(-1.0, least(1.0, "
+            f"{repr(math.sin(_DEC_NGP))} * sin(dec * {d2r}) + "
+            f"{repr(math.cos(_DEC_NGP))} * cos(dec * {d2r}) * "
+            f"cos(ra * {d2r} - {repr(_RA_NGP)})))) * {r2d}"
+        ),
+        "ecl_lat": (
+            "(ra DOUBLE, dec DOUBLE) RETURNS DOUBLE RETURN "
+            f"asin(greatest(-1.0, least(1.0, "
+            f"sin(dec * {d2r}) * {repr(math.cos(_ECL_OBL))} - "
+            f"cos(dec * {d2r}) * {repr(math.sin(_ECL_OBL))} * sin(ra * {d2r})))) * {r2d}"
+        ),
+        "mag2fluxcal": (
+            "(mag DOUBLE) RETURNS DOUBLE RETURN "
+            "pow(10.0, -(mag - 25.0) / 2.5) * 1000.0"
+        ),
+        "flux2mag": (
+            "(flux DOUBLE, zeropoint DOUBLE) RETURNS DOUBLE RETURN "
+            "-2.5 * log10(flux) + zeropoint"
+        ),
+        "dc_mag": (
+            "(magpsf DOUBLE, sigmapsf DOUBLE, magnr DOUBLE, sigmagnr DOUBLE, "
+            "isdiffpos STRING) RETURNS DOUBLE RETURN "
+            "CASE WHEN pow(10.0, -0.4 * magnr) + "
+            "(CASE WHEN isdiffpos IN ('t', '1') THEN 1.0 ELSE -1.0 END) * "
+            "pow(10.0, -0.4 * magpsf) > 0 THEN "
+            "-2.5 * log10(pow(10.0, -0.4 * magnr) + "
+            "(CASE WHEN isdiffpos IN ('t', '1') THEN 1.0 ELSE -1.0 END) * "
+            "pow(10.0, -0.4 * magpsf)) END"
+        ),
+    }
+    for name, body in defs.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    return list(defs)

@@ -211,3 +211,53 @@ def test_dynamic_dotted_filter_resolution(spark):
         assert {r.candid for r in out.collect()} == {1}
     finally:
         del sys.modules["user_filters_dyn"]
+
+
+def test_sql_function_registration_matches_column_exprs(spark):
+    """The SQL-UDF surface (CREATE FUNCTION ... RETURN expr) must agree
+    bit-for-bit with the Column-expression library on real coordinates."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.functions.astro import (
+        dc_mag,
+        ecl_lat,
+        flux2mag,
+        gal_b,
+        mag2fluxcal,
+        register_sql_functions,
+        sky_sep,
+    )
+
+    names = register_sql_functions(spark)
+    assert {"sky_sep", "gal_b", "ecl_lat", "mag2fluxcal", "flux2mag", "dc_mag"} <= set(names)
+
+    df = spark.createDataFrame(
+        [
+            (10.68, 41.27, 10.70, 41.26, 18.5, 0.1, 17.0, 0.05, "t"),
+            (266.40, -28.94, 266.41, -28.93, 20.1, 0.2, 19.5, 0.08, "f"),
+            (0.0, 89.9, 359.9, 89.85, 21.0, 0.3, 22.0, 0.1, "1"),
+        ],
+        "ra1 double, dec1 double, ra2 double, dec2 double, magpsf double, "
+        "sigmapsf double, magnr double, sigmagnr double, isdiffpos string",
+    )
+    df.createOrReplaceTempView("astro_probe")
+    via_sql = spark.sql(
+        """SELECT sky_sep(ra1, dec1, ra2, dec2) AS sep,
+                  gal_b(ra1, dec1) AS b,
+                  ecl_lat(ra1, dec1) AS beta,
+                  mag2fluxcal(magpsf) AS flux,
+                  flux2mag(mag2fluxcal(magpsf), 31.4) AS mag_rt,
+                  dc_mag(magpsf, sigmapsf, magnr, sigmagnr, isdiffpos) AS dcm
+           FROM astro_probe"""
+    ).collect()
+    via_col = df.select(
+        sky_sep("ra1", "dec1", "ra2", "dec2").alias("sep"),
+        gal_b("ra1", "dec1").alias("b"),
+        ecl_lat("ra1", "dec1").alias("beta"),
+        mag2fluxcal("magpsf").alias("flux"),
+        flux2mag(mag2fluxcal("magpsf"), 31.4).alias("mag_rt"),
+        dc_mag("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos").alias("dcm"),
+    ).collect()
+    for rs, rc in zip(via_sql, via_col):
+        for field in ("sep", "b", "beta", "flux", "mag_rt", "dcm"):
+            assert rs[field] == rc[field], (field, rs[field], rc[field])
