@@ -308,3 +308,27 @@ def test_latest_same_band(spark):
     ).collect()
     assert out[0]["m"]["mjd"] == 3.0 and out[0]["m"]["flux"] == 12.0
     assert out[1]["m"] is None  # band never seen before
+
+
+def test_linfit_fast_and_per_group_paths_agree(spark):
+    """The vectorized mapInPandas path and the per-group applyInPandas path
+    produce identical rows, including NULLs for degenerate fits (single
+    point, zero x-variance, zero y-variance)."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.fit import linfit_per_key
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 4, 4, 4, 4],
+            "xh": [0, 1, 2, 0, 0, 5, 0, 1, 2, 3],
+            "v": [10, 20, 30, 7, 9, 4, 5, 5, 5, 5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fast = {r.user_id: (r.n, r.slope, r.r2) for r in linfit_per_key(df).collect()}
+    slow = {r.user_id: (r.n, r.slope, r.r2)
+            for r in linfit_per_key(df, per_group=True).collect()}
+    assert fast == slow
+    assert fast[2] == (2, None, None)   # zero x-variance -> NULL fit
+    assert fast[4] == (4, 0.0, None)    # zero y-variance -> NULL r2
