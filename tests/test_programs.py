@@ -203,3 +203,41 @@ def test_hostless_pipeline_cutouts_to_topic(spark):
     )
     got = {r.candid for r in apply_named_filter(enriched, "ztf.new_hostless").collect()}
     assert got == {i for i in range(40) if i % 4 == 0}
+
+
+def test_deredden_raster_join(spark):
+    """Dust correction via broadcast raster join: plane sightlines get a
+    larger correction than pole sightlines; unknown bands pass through;
+    values match the closed-form raster function."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.functions.astro import gal_b
+    from fink_filters_spark.operators.cosmology import (
+        BAND_EXTINCTION,
+        deredden,
+        synthetic_ebv_raster,
+    )
+
+    raster = synthetic_ebv_raster(spark, cell_deg=1.0).cache()
+    # galactic plane (b~0): ra=266.4, dec=-28.94 ; pole-ish: ra=192.86, dec=27.13
+    df = spark.createDataFrame(
+        [
+            (1, 266.40, -28.94, 18.0, "g"),
+            (2, 192.86, 27.13, 18.0, "g"),
+            (3, 266.40, -28.94, 18.0, "q"),  # unknown band
+        ],
+        "id long, ra double, dec double, mag double, band string",
+    )
+    out = deredden(df, "mag", "band", raster)
+    got = {r.id: r.mag_dered for r in out.collect()}
+    # corrections: plane >> pole; unknown band untouched
+    assert got[3] == 18.0
+    corr1, corr2 = 18.0 - got[1], 18.0 - got[2]
+    assert corr1 > corr2 > 0
+    # plane sightline: |b| ~ 0 -> ebv ~ 0.33 -> corr ~ R_g * 0.33 (cell-center
+    # quantization tolerance)
+    assert abs(corr1 - BAND_EXTINCTION["g"] * 0.33) < 0.05
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
