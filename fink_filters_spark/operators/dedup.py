@@ -123,59 +123,104 @@ def _hashed_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     """
     from collections.abc import Iterator
 
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as _pd
+
+        for pdf in batches:
+            flat = _shingle_flat(pdf, n)
+            if flat is None:
+                yield _pd.DataFrame({"__id": _pd.Series([], dtype="int64"),
+                                     "__sh": _pd.Series([], dtype="object")})
+                continue
+            ids, dd, ss, bounds, ends = flat
+            out_ids = [ids[dd[s]] for s in bounds]
+            out_sh = [ss[s:e] for s, e in zip(bounds, ends)]
+            yield _pd.DataFrame({"__id": out_ids, "__sh": out_sh})
+
+    src = _spread(df).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    return src.mapInPandas(kernel, "__id long, __sh array<long>")
+
+
+def _shingle_flat(pdf, n: int):
+    """Shared kernel core: (ids, doc_index, shingle_hash, group_starts,
+    group_ends) flat arrays for one Arrow batch, or None if empty. Distinct
+    hashed word n-grams per doc, bit-identical to the native expressions
+    (see ``_hashed_shingled``)."""
     import re
+
+    import numpy as _np
 
     from ..functions.text import FP_MOD as P, WORD_COMBINE_BASE as WB
 
     ws_re = re.compile(r"\s+")
+    all_words: list[str] = []
+    doc_idx: list[int] = []
+    ids = pdf["__id"].to_numpy()
+    for i, t in enumerate(pdf["__t"]):
+        toks = ws_re.split(t.strip().lower()) if t is not None else [""]
+        if len(toks) < n:
+            continue
+        all_words.extend(toks)
+        doc_idx.extend([i] * len(toks))
+    if not all_words:
+        return None
+    uniq, inv = _np.unique(_np.array(all_words, dtype=object), return_inverse=True)
+    uh = _np.empty(len(uniq), dtype=_np.int64)
+    for k, w in enumerate(uniq):
+        h = 0
+        for c in w:
+            h = (h * 31 + ord(c)) % P
+        uh[k] = h
+    wh = uh[inv]
+    d = _np.asarray(doc_idx, dtype=_np.int64)
+    sh = wh[: -(n - 1)].copy()
+    for off in range(1, n):
+        tail = wh[off: len(wh) - (n - 1 - off)]
+        sh = (sh * WB + tail) % P
+    valid = d[: -(n - 1)] == d[n - 1:]
+    dd, ss = d[: -(n - 1)][valid], sh[valid]
+    order = _np.lexsort((ss, dd))
+    dd, ss = dd[order], ss[order]
+    keep = _np.ones(len(dd), dtype=bool)
+    keep[1:] = (dd[1:] != dd[:-1]) | (ss[1:] != ss[:-1])
+    dd, ss = dd[keep], ss[keep]
+    bounds = _np.flatnonzero(_np.r_[True, dd[1:] != dd[:-1]])
+    ends = _np.r_[bounds[1:], len(dd)]
+    return ids, dd, ss, bounds, ends
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(__id, __sim): SimHash fingerprints in ONE fused Arrow pass — the
+    shingle-hash kernel's flat arrays feed a vectorized bit-majority
+    (``(ss >> j) & 1`` summed per doc via ``np.add.reduceat``), so no
+    explode, no shuffle, no 48-buffer aggregate. Identical integer
+    semantics to ``simhash_agg`` (majority rule 2·bitsum > n_shingles) and
+    the DuckDB oracle."""
+    from collections.abc import Iterator
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as _np
         import pandas as _pd
 
+        jshift = _np.arange(bits, dtype=_np.int64)
+        weights = (_np.int64(1) << jshift)
         for pdf in batches:
-            out_ids, out_sh = [], []
-            all_words: list[str] = []
-            doc_idx: list[int] = []
-            ids = pdf["__id"].to_numpy()
-            for i, t in enumerate(pdf["__t"]):
-                toks = ws_re.split(t.strip().lower()) if t is not None else [""]
-                if len(toks) < n:
-                    continue
-                all_words.extend(toks)
-                doc_idx.extend([i] * len(toks))
-            if not all_words:
+            flat = _shingle_flat(pdf, n)
+            if flat is None:
                 yield _pd.DataFrame({"__id": _pd.Series([], dtype="int64"),
-                                     "__sh": _pd.Series([], dtype="object")})
+                                     "__sim": _pd.Series([], dtype="int64")})
                 continue
-            uniq, inv = _np.unique(_np.array(all_words, dtype=object), return_inverse=True)
-            uh = _np.empty(len(uniq), dtype=_np.int64)
-            for k, w in enumerate(uniq):
-                h = 0
-                for c in w:
-                    h = (h * 31 + ord(c)) % P
-                uh[k] = h
-            wh = uh[inv]
-            d = _np.asarray(doc_idx, dtype=_np.int64)
-            sh = wh[: -(n - 1)].copy()
-            for off in range(1, n):
-                tail = wh[off: len(wh) - (n - 1 - off)]
-                sh = (sh * WB + tail) % P
-            valid = d[: -(n - 1)] == d[n - 1:]
-            dd, ss = d[: -(n - 1)][valid], sh[valid]
-            order = _np.lexsort((ss, dd))
-            dd, ss = dd[order], ss[order]
-            keep = _np.ones(len(dd), dtype=bool)
-            keep[1:] = (dd[1:] != dd[:-1]) | (ss[1:] != ss[:-1])
-            dd, ss = dd[keep], ss[keep]
-            bounds = _np.flatnonzero(_np.r_[True, dd[1:] != dd[:-1]])
-            for s_start, s_end in zip(bounds, _np.r_[bounds[1:], len(dd)]):
-                out_ids.append(ids[dd[s_start]])
-                out_sh.append(ss[s_start:s_end])
-            yield _pd.DataFrame({"__id": out_ids, "__sh": out_sh})
+            ids, dd, ss, bounds, ends = flat
+            bitmat = (ss[:, None] >> jshift[None, :]) & 1
+            counts = _np.add.reduceat(bitmat, bounds, axis=0)
+            nsh = (ends - bounds)[:, None]
+            sim = ((counts * 2 > nsh) * weights[None, :]).sum(axis=1)
+            yield _pd.DataFrame({"__id": ids[dd[bounds]], "__sim": sim})
 
     src = _spread(df).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    return src.mapInPandas(kernel, "__id long, __sh array<long>")
+    return src.mapInPandas(kernel, "__id long, __sim long")
 
 
 def jaccard_pairs(
@@ -363,11 +408,11 @@ def simhash_pairs(
     corpora: every doc's bit-majorities agree and all pairs collapse to
     Hamming 0). Candidates via 4 x 12-bit band equi-join (lossless for
     Hamming <= 3: 3 differing bits cannot touch all 4 bands), then exact
-    popcount verify. Fingerprints come from the explode+aggregate kernel
-    (``simhash_agg``) — fully inside whole-stage codegen.
+    popcount verify. Fingerprints come from the fused Arrow kernel
+    (``simhash_fingerprints``); ``simhash_agg`` is the all-Catalyst
+    explode+aggregate alternative (equality-tested).
     """
-    hashed = _hashed_shingled(df, id_col, text_col, n).withColumnRenamed("__sh", "__hs")
-    sh = simhash_agg(hashed)
+    sh = simhash_fingerprints(df, id_col, text_col, n)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     band_cols = [
         F.concat_ws(

@@ -124,3 +124,20 @@ def test_connected_components_paths_agree(spark):
             (20, 20), (21, 20), (22, 20), (5, 5), (40, 5), (6, 5)}
     assert fast == want
     assert dist == want
+
+
+def test_simhash_fused_kernel_matches_catalyst_agg(spark):
+    """The fused Arrow fingerprint kernel and the explode+aggregate Catalyst
+    path produce identical 48-bit fingerprints."""
+    from fink_filters_spark.operators.dedup import (
+        _hashed_shingled,
+        simhash_agg,
+        simhash_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = {r["__id"]: r["__sim"]
+             for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    hashed = _hashed_shingled(docs, "doc_id", "text", 3).withColumnRenamed("__sh", "__hs")
+    agg = {r["__id"]: r["__sim"] for r in simhash_agg(hashed).collect()}
+    assert fused == agg and len(fused) > 0
