@@ -290,21 +290,12 @@ def minhash_lsh_pairs(
     miss sub-threshold-probability pairs); the exact operator is
     ``jaccard_pairs``.
     """
-    # shingles arrive pre-hashed (array<long>); the 16 permutations transform
-    # the materialized __sh column directly
-    sh = _hashed_shingled(df, id_col, text_col, n).cache()
-
-    def _perm(a: int, b: int):
-        return lambda h: (h * a + b) % FP_MOD
-
-    sig = sh.select(
-        "__id",
-        "__sh",
-        *[
-            F.array_min(F.transform("__sh", _perm(a, b))).alias(f"m{i}")
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ],
-    )
+    # fused Arrow kernel: shingles AND the 16 signature minima in one pass
+    # (vectorized (h*a+b) % P + np.minimum.reduceat — replaces 16 interpreted
+    # array_min(transform(...)) folds per row); bit-identical to
+    # ``minhash_signature`` over the native shingle path
+    sh = minhash_signatures(df, id_col, text_col, n).cache()
+    sig = sh
     band_cols = []
     for j in range(MINHASH_BANDS):
         parts = [F.col(f"m{j * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
@@ -331,6 +322,50 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= tau).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(__id, __sh, m0..m15): hashed shingles + MinHash signature in one
+    fused Arrow pass. Permutation math is exact int64 ((h·a+b) mod P with
+    h < 2^36, a < 2^26 — products < 2^62), identical to
+    ``minhash_signature`` and the DuckDB oracle."""
+    from collections.abc import Iterator
+
+    ab_a = [a for a, _ in MINHASH_AB]
+    ab_b = [b for _, b in MINHASH_AB]
+    ncols = len(MINHASH_AB)
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as _np
+        import pandas as _pd
+
+        va = _np.array(ab_a, dtype=_np.int64)[None, :]
+        vb = _np.array(ab_b, dtype=_np.int64)[None, :]
+        for pdf in batches:
+            flat = _shingle_flat(pdf, n)
+            if flat is None:
+                yield _pd.DataFrame(
+                    {"__id": _pd.Series([], dtype="int64"),
+                     "__sh": _pd.Series([], dtype="object"),
+                     **{f"m{i}": _pd.Series([], dtype="int64") for i in range(ncols)}}
+                )
+                continue
+            ids, dd, ss, bounds, ends = flat
+            perms = (ss[:, None] * va + vb) % FP_MOD
+            mins = _np.minimum.reduceat(perms, bounds, axis=0)
+            out = {"__id": ids[dd[bounds]],
+                   "__sh": [ss[s:e] for s, e in zip(bounds, ends)]}
+            for i in range(ncols):
+                out[f"m{i}"] = mins[:, i]
+            yield _pd.DataFrame(out)
+
+    src = _spread(df).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    schema = "__id long, __sh array<long>, " + ", ".join(
+        f"m{i} long" for i in range(ncols)
+    )
+    return src.mapInPandas(kernel, schema)
 
 
 def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:

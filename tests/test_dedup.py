@@ -141,3 +141,33 @@ def test_simhash_fused_kernel_matches_catalyst_agg(spark):
     hashed = _hashed_shingled(docs, "doc_id", "text", 3).withColumnRenamed("__sh", "__hs")
     agg = {r["__id"]: r["__sim"] for r in simhash_agg(hashed).collect()}
     assert fused == agg and len(fused) > 0
+
+
+def test_minhash_fused_kernel_matches_catalyst(spark):
+    """Fused Arrow MinHash signatures equal the native array_min(transform)
+    path over the native shingle pipeline."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.functions.text import FP_MOD
+    from fink_filters_spark.operators.dedup import (
+        MINHASH_AB,
+        _hashed_shingled_native,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = {r["__id"]: tuple(r[f"m{i}"] for i in range(16))
+             for r in minhash_signatures(docs, "doc_id", "text").collect()}
+
+    def _perm(a, b):
+        return lambda h: (h * a + b) % FP_MOD
+
+    nat = _hashed_shingled_native(docs, "doc_id", "text", 3).select(
+        "__id",
+        *[
+            F.array_min(F.transform("__sh", _perm(a, b))).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ],
+    )
+    native = {r["__id"]: tuple(r[f"m{i}"] for i in range(16)) for r in nat.collect()}
+    assert fused == native and len(fused) > 0
