@@ -85,8 +85,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp_ntz")
     )
+    # customer (post-filter, dimension-sized) is an explicit broadcast; the
+    # orders side keeps MOST of a fact table, so forcing a broadcast there
+    # would break at scale — AQE upgrades the lineitem⋈orders shuffle join
+    # to broadcast at runtime when the filtered side turns out small.
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("rev_e4", _cents("l_extendedprice") * (100 - _pct("l_discount")))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -128,10 +132,14 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("n_nationkey", "n_name")
     )
+    # only nation⋈region is a FIXED-size dimension (explicit broadcast);
+    # orders/customer/supplier all scale with SF, so they stay shuffle
+    # joins in the plan and AQE upgrades them to broadcast at runtime
+    # whenever the filtered side is actually small (true at sf0.1)
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sup),
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup,
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
