@@ -329,8 +329,10 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    # part scales with SF — no forced broadcast; AQE picks broadcast at
+    # runtime when the projected (p_partkey, p_type) side is actually small
     agg = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("rev_e4", rev)
         .agg(
             F.sum(F.when(F.col("p_type").startswith("PROMO"), F.col("rev_e4"))
