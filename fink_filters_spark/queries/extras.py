@@ -136,7 +136,7 @@ def q_ts_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _evq(spark, sf_dir)
     t0 = ev.groupBy("user_id").agg(F.min("t").alias("t0"))
-    x = ev.join(F.broadcast(t0), "user_id").withColumn(
+    x = ev.join(t0, "user_id").withColumn(
         "xh", F.expr(f"(t - t0) div {US_PER_HOUR}")
     )
     return linfit_per_key(x, key="user_id", x_col="xh", y_col="v")

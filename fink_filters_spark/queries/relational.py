@@ -85,12 +85,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp_ntz")
     )
-    # customer (post-filter, dimension-sized) is an explicit broadcast; the
-    # orders side keeps MOST of a fact table, so forcing a broadcast there
-    # would break at scale — AQE upgrades the lineitem⋈orders shuffle join
-    # to broadcast at runtime when the filtered side turns out small.
+    # every table here scales with SF, so no forced broadcasts: the plan
+    # declares shuffle joins on the natural keys and AQE upgrades a side to
+    # broadcast at runtime when its filtered size allows (all of them at
+    # sf0.1; none of the fact sides at 100 TB).
     return (
-        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("rev_e4", _cents("l_extendedprice") * (100 - _pct("l_discount")))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -285,8 +285,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The comparison ``l_quantity < 0.2 * avg(qty)`` is kept exact in integers:
     qty * n * 5 < sum_qty (no float average crosses the oracle boundary).
 
-    Scale: both the per-part agg and the join shuffle on l_partkey — AQE
-    coalesces and the exchange is reused between agg and join."""
+    Scale: lineitem is scanned twice (pruned to 2-3 columns each time); the
+    per-part aggregate (|parts| rows, far smaller than lineitem) becomes the
+    broadcast build side — at 100 TB, if |parts| outgrows the threshold,
+    AQE falls back to a shuffle join keyed on l_partkey."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = (
         li.groupBy(F.col("l_partkey").alias("pp_partkey"))

@@ -118,7 +118,10 @@ def ts_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``filter_yso_spicy_candidates/filter.py:28-76``)."""
     ev = _evq(spark, sf_dir)
     t0 = ev.groupBy("user_id").agg(F.min("t").alias("t0"))
-    x = ev.join(F.broadcast(t0), "user_id").withColumn(
+    # t0 is a per-key aggregate OF the same events table (scales with keys):
+    # no broadcast hint — both sides hash on user_id, so the aggregate's
+    # exchange is reused and AQE broadcasts only when genuinely small
+    x = ev.join(t0, "user_id").withColumn(
         "xh", F.expr(f"(t - t0) div {US_PER_HOUR}")
     )
     s = x.groupBy("user_id").agg(
