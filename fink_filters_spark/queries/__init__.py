@@ -24,10 +24,21 @@ class QuerySpec:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import dedup, extras, filters, relational, similarity, text, timeseries, xmatch
+    from . import (
+        dedup,
+        extras,
+        filters,
+        relational,
+        relational2,
+        similarity,
+        text,
+        timeseries,
+        xmatch,
+    )
 
     specs: list[QuerySpec] = []
-    for mod in (relational, filters, timeseries, xmatch, dedup, similarity, text, extras):
+    for mod in (relational, relational2, filters, timeseries, xmatch, dedup,
+                similarity, text, extras):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
