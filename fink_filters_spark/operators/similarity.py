@@ -9,6 +9,13 @@
   a query probes only ``nprobe`` nearest centroids' partitions. Centroids
   here are caller-provided (e.g. a fixed seed subset or k-means output), so
   assignment is deterministic and oracle-checkable.
+- ``lsh_search`` — sign-random-projection LSH scale path: every vector gets
+  a P-bit signature (sign of the dot product against P fixed ±1
+  hyperplanes), split into bands; candidates are pairs sharing any band
+  value (an equi join on ``(band, signature)``), then exact cosine within
+  candidates. Hyperplanes come from ``sign_planes`` (hash-derived, so both
+  engines see the same literals). Unlike IVF this needs no training step
+  and the bucket join needs no broadcast of corpus state.
 
 All cosine math uses the quantized-integer convention (functions/vectors.py)
 for cross-engine bit parity.
@@ -125,6 +132,157 @@ def ivf_search(
         F.broadcast(probes),
         (F.col("__ccent") == F.col("__kcent")) & (F.col("__qid") != F.col("__cid")),
     ).select(
+        F.col("__qid").alias("q_id"),
+        F.col("__cid").alias("neighbor_id"),
+        _cos("__qv", "__cv", "__qn", "__cn").alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def sign_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from SHA-256 parity — generated once in
+    Python and embedded as literals in both the Spark plan and any SQL
+    oracle, so every engine hashes identically."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
+            row.append(1 if h[-1] & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def _band_signatures(df: DataFrame, vec_col: str, planes: list[list[int]],
+                     band_bits: int) -> DataFrame:
+    """Add ``band`` / ``sig`` columns, one row per (input row, band).
+
+    All JVM-side: per-plane bit = sign of an exact integer dot product
+    (quantized vector × ±1 literal array), band signature = bit-packed sum.
+    The P dot products run inside whole-stage codegen over one row pass."""
+    n_bands = len(planes) // band_bits
+    bits = [
+        F.when(dot_q(F.col(vec_col), F.array(*[F.lit(s) for s in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    bands = F.array(*[
+        sum(bits[b * band_bits + j] * (1 << j) for j in range(band_bits))
+        for b in range(n_bands)
+    ])
+    return (
+        df.withColumn("__bands", bands)
+        .select("*", F.posexplode("__bands").alias("band", "sig"))
+        .drop("__bands")
+    )
+
+
+def _band_signatures_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[int]],
+    band_bits: int,
+    id_alias: str,
+    vec_alias: str,
+    nsq_alias: str,
+) -> DataFrame:
+    """Arrow fast path for quantize + norm + P-bit signatures: one NumPy
+    int64 matmul per batch replaces P interpreted ``aggregate`` folds per
+    row (~6x on this box; bit-identical — quantization uses the engine's
+    half-away-from-zero convention ``sign(x)*floor(|x|*scale + 0.5)``).
+    Output: one row per (input row, band) after a native posexplode."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..functions.vectors import VEC_SCALE
+    from .dedup import _spread
+
+    pmat = np.asarray(planes, dtype=np.int64)
+    n_bands = len(planes) // band_bits
+    weights = (np.int64(1) << np.arange(band_bits, dtype=np.int64))
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield _pd.DataFrame(
+                    {"__i": _pd.Series([], dtype="int64"), "__q": [],
+                     "__n": _pd.Series([], dtype="float64"), "__s": []}
+                )
+                continue
+            mat = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["__v"]])
+            q = (_np.sign(mat) * _np.floor(_np.abs(mat) * VEC_SCALE + 0.5)).astype(_np.int64)
+            bits = (q @ pmat.T >= 0).astype(_np.int64)
+            sigs = (bits.reshape(len(q), n_bands, band_bits) @ weights).astype(_np.int32)
+            yield _pd.DataFrame(
+                {
+                    "__i": pdf["__id"].to_numpy(),
+                    "__q": list(q),
+                    "__n": (q * q).sum(axis=1).astype("float64"),
+                    "__s": list(sigs),
+                }
+            )
+
+    src = _spread(df).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out = src.mapInPandas(kernel, "__i long, __q array<long>, __n double, __s array<int>")
+    return out.select(
+        F.col("__i").alias(id_alias),
+        F.col("__q").alias(vec_alias),
+        F.col("__n").alias(nsq_alias),
+        F.posexplode("__s").alias("band", "sig"),
+    )
+
+
+def lsh_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    planes: list[list[int]],
+    band_bits: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    arrow: bool = True,
+) -> DataFrame:
+    """Sign-projection LSH ANN: candidates share at least one band signature
+    with the query; exact cosine + top-k within candidates.
+
+    Scale: corpus signatures are one codegen pass; the candidate join is a
+    plain equi join on ``(band, sig)`` — shuffle-partitioned by bucket, no
+    all-pairs stage, and at rest the corpus can be stored bucketed by
+    ``(band, sig)`` so probes prune partitions. More planes per band →
+    fewer, more precise candidates; more bands → higher recall."""
+    assert len(planes) % band_bits == 0, "n_planes must be a multiple of band_bits"
+    if arrow:
+        q = _band_signatures_arrow(queries, q_id, q_vec, planes, band_bits,
+                                   "__qid", "__qv", "__qn")
+        c = _band_signatures_arrow(corpus, c_id, c_vec, planes, band_bits,
+                                   "__cid", "__cv", "__cn")
+    else:
+        q = _band_signatures(
+            _quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn"), "__qv", planes, band_bits
+        )
+        c = _band_signatures(
+            _quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn"), "__cv", planes, band_bits
+        )
+    cand = (
+        c.join(q, ["band", "sig"])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn")
+        .dropDuplicates(["__qid", "__cid"])
+    )
+    pairs = cand.select(
         F.col("__qid").alias("q_id"),
         F.col("__cid").alias("neighbor_id"),
         _cos("__qv", "__cv", "__qn", "__cn").alias("cosine"),

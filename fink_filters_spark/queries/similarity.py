@@ -135,9 +135,82 @@ SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 
 """
 
 
+N_PLANES = 16
+BAND_BITS = 8
+EMB_DIM = 64
+
+
+def q_sim_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-projection LSH ANN (operators/similarity.lsh_search): 16 ±1
+    hyperplanes → two 8-bit band signatures; candidate = shares a band with
+    the query; exact cosine top-k within candidates. The training-free
+    bucket-join scale path next to IVF."""
+    from ..operators.similarity import lsh_search, sign_planes
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    planes = sign_planes(N_PLANES, EMB_DIM, seed=0)
+    return lsh_search(queries, em, k=K, planes=planes, band_bits=BAND_BITS)
+
+
+def _lsh_oracle_sql() -> str:
+    """Oracle replicating the LSH algorithm with the SAME hyperplane
+    literals (sign_planes is pure Python, shared by both sides)."""
+    from ..operators.similarity import sign_planes
+
+    planes = sign_planes(N_PLANES, EMB_DIM, seed=0)
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, %d), i -> qv[i] * ([%s])[i])) >= 0 THEN 1 ELSE 0 END AS bit%d"
+        % (EMB_DIM, ",".join(str(s) for s in plane), p)
+        for p, plane in enumerate(planes)
+    )
+    n_bands = N_PLANES // BAND_BITS
+    sig_exprs = ", ".join(
+        " + ".join(f"{1 << j} * bit{b * BAND_BITS + j}" for j in range(BAND_BITS))
+        + f" AS sig{b}"
+        for b in range(n_bands)
+    )
+    banded = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, sig{b} AS sig FROM packed" for b in range(n_bands)
+    )
+    return f"""
+WITH q AS ({QVEC_SQL}),
+bits AS (
+  SELECT vec_id, qv,
+         {bit_exprs}
+  FROM q
+),
+packed AS (SELECT vec_id, {sig_exprs} FROM bits),
+banded AS (
+{banded}
+),
+cand AS (
+  SELECT DISTINCT ba.vec_id AS q_id, bb.vec_id AS neighbor_id
+  FROM banded ba JOIN banded bb ON ba.band = bb.band AND ba.sig = bb.sig
+  WHERE ba.vec_id < {N_QUERIES} AND bb.vec_id != ba.vec_id
+),
+pairs AS (
+  SELECT cand.q_id, cand.neighbor_id, {_COS_RAW} AS cosine
+  FROM cand
+  JOIN q a ON a.vec_id = cand.q_id
+  JOIN q b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT q_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= {K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
     QuerySpec("sim_ivf_assign", q_sim_ivf_assign, SIM_IVF_SQL, "IVF coarse-quantizer assignment"),
     QuerySpec("sim_ivf_search", q_sim_ivf_search, SIM_IVF_SEARCH_SQL,
               "IVF ANN search (nprobe=2)"),
+    QuerySpec("sim_lsh_search", q_sim_lsh_search, _lsh_oracle_sql(),
+              "sign-projection LSH ANN (2 bands x 8 bits)"),
 ]
