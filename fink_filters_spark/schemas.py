@@ -165,7 +165,14 @@ def flatten_rubin(df: DataFrame) -> DataFrame:
     registry's names (xm_* / clf_* prefixes)."""
     out = df
     cols = [c for c in df.columns if c not in ("diaSource", "diaObject", "xm", "clf", "pred")]
-    sel = [F.col(c) for c in cols]
+    # the real alert parquet duplicates some leaves at top level (e.g.
+    # diaSourceId next to diaSource.diaSourceId) — struct leaves win, the
+    # colliding top-level copies are dropped so references stay unambiguous
+    struct_leaves: set[str] = set()
+    for struct in ("diaSource", "diaObject"):
+        if struct in df.columns:
+            struct_leaves.update(df.schema[struct].dataType.fieldNames())
+    sel = [F.col(c) for c in cols if c not in struct_leaves]
     sel += [F.col("diaSource.*")]
     if "diaObject" in df.columns:
         sel += [F.col("diaObject.*")]

@@ -1,0 +1,185 @@
+"""Dual-path tests on the REFERENCE's real alert fixtures.
+
+The synthetic-frame tests (test_filters_ztf/rubin) pin predicate semantics;
+these pin schema compatibility: the registry filters must bind and select
+correctly on the reference's actual nested alert parquet
+(``/root/reference/datatest``, 55 top-level fields, 103-field candidate
+struct, struct-of-list histories) after ``schemas.flatten_ztf`` /
+``flatten_rubin``.
+
+Expected counts come from an INDEPENDENT pandas path that reads the same
+parquet with pyarrow and evaluates the reference's kernel semantics on the
+raw structs (``pdf['candidate'].apply(lambda x: x['rb'])`` style, as in the
+reference doctests, e.g. ``ztf/filter_quality_cuts/filter.py`` Examples).
+
+The reference's absolute doctest goldens (13 SN candidates, 329 quality
+cuts, ...) are NOT asserted here: this snapshot's ``datatest/regular``
+holds 133 alerts (3 of the original 5 part-files; the ``.crc`` sidecars for
+the two missing parts are still present), so full-dataset goldens are
+unreachable regardless of filter logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+REF = "/root/reference/datatest"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ztf_raw(spark):
+    return spark.read.parquet(f"{REF}/regular")
+
+
+@pytest.fixture(scope="module")
+def ztf_flat(ztf_raw):
+    from fink_filters_spark.schemas import flatten_ztf
+
+    return flatten_ztf(ztf_raw)
+
+
+@pytest.fixture(scope="module")
+def ztf_pdf():
+    return pd.read_parquet(f"{REF}/regular")
+
+
+def _cand(pdf: pd.DataFrame, field: str) -> pd.Series:
+    return pdf["candidate"].apply(lambda x: x[field])
+
+
+def test_flatten_ztf_on_real_alerts(ztf_raw, ztf_flat):
+    assert ztf_raw.count() == 133
+    cols = set(ztf_flat.columns)
+    # candidate leaves surfaced next to top-level science/xmatch columns
+    for c in ("magpsf", "drb", "classtar", "jd", "jdstarthist", "ndethist",
+              "rb", "nbad", "isdiffpos", "cdsxmatch", "DR3Name", "tns",
+              "roid", "mulens", "snn_snia_vs_nonia"):
+        assert c in cols, c
+    assert ztf_flat.count() == 133
+
+
+def test_ztf_filters_match_pandas_on_real_alerts(ztf_flat, ztf_pdf):
+    """Spark registry filters == independent pandas evaluation of the same
+    predicates over the raw nested structs, on real alert data."""
+    import fink_filters_spark.filters.ztf as zf
+    from fink_filters_spark.filters.registry import apply_named_filter
+
+    pdf = ztf_pdf
+    rb = _cand(pdf, "rb")
+    nbad = _cand(pdf, "nbad")
+    drb = _cand(pdf, "drb")
+    magpsf = _cand(pdf, "magpsf")
+    jd = _cand(pdf, "jd")
+    jdstarthist = _cand(pdf, "jdstarthist")
+    cds = pdf["cdsxmatch"]
+    expected = {
+        "ztf.quality_cuts": int(((rb >= 0.55) & (nbad == 0)).sum()),
+        "ztf.blazar": int(cds.isin(zf.BLAZAR_CLASSES).sum()),
+        "ztf.rrlyr": int(cds.isin(zf.RRLYR_CLASSES).sum()),
+        "ztf.simbad_grav_candidates": int(cds.isin(zf.GRAV_CLASSES).sum()),
+        "ztf.yso_candidates": int(cds.isin(zf.YSO_CLASSES).sum()),
+        "ztf.sso_ztf_candidates": int((pdf["roid"] == 3).sum()),
+        "ztf.sso_fink_candidates": int((pdf["roid"] == 2).sum()),
+        "ztf.microlensing_candidates": int((pdf["mulens"] > 0).sum()),
+        "ztf.gaia_dr3_candidates": int((pdf["DR3Name"].astype(str) != "nan").sum()),
+        "ztf.tracklet_candidates": int(
+            pdf["tracklet"].astype(str).str.startswith("TRCK_").sum()
+        ),
+        "ztf.vra": int(
+            ((cds == "Unknown") & (pdf["roid"] != 3) & (magpsf > 19.5) & (drb > 0.5)).sum()
+        ),
+        "ztf.tns_match": int(
+            (pdf["tns"].fillna("").ne("") & (jd - jdstarthist <= 30)).sum()
+        ),
+    }
+    for name, want in expected.items():
+        got = apply_named_filter(ztf_flat, name).count()
+        assert got == want, f"{name}: spark={got} pandas={want}"
+
+
+def test_ztf_sn_family_on_real_alerts(ztf_flat, ztf_pdf):
+    """SN-candidate family (C2/C3) vs the pandas replica of the reference
+    predicate (ztf/livestream/filter_sn_candidates/filter.py:86-104)."""
+    import fink_filters_spark.filters.ztf as zf
+    from fink_filters_spark.filters.registry import apply_named_filter
+
+    pdf = ztf_pdf
+    drb = _cand(pdf, "drb")
+    classtar = _cand(pdf, "classtar")
+    jd = _cand(pdf, "jd")
+    jdstarthist = _cand(pdf, "jdstarthist")
+    ndethist = _cand(pdf, "ndethist")
+    base = (
+        ((pdf["snn_snia_vs_nonia"] > 0.5) | (pdf["snn_sn_vs_all"] > 0.5))
+        & pdf["cdsxmatch"].isin(zf.EG_HOST_CLASSES)
+        & (jd - jdstarthist <= 90)
+        & (drb > 0.5)
+        & (classtar > 0.4)
+        & (ndethist > 1)
+        & (pdf["roid"] != 3)
+    )
+    early = base & (ndethist <= 20) & (pdf["rf_snia_vs_nonia"] > 0.5)
+    assert apply_named_filter(ztf_flat, "ztf.sn_candidates").count() == int(base.sum())
+    assert apply_named_filter(ztf_flat, "ztf.early_sn_candidates").count() == int(early.sum())
+
+
+def test_ztf_history_filters_run_on_real_alerts(ztf_flat):
+    """orphan_grb consumes prv_candidates histories -> hist_concat must
+    produce well-formed cjd/cmagpsf/cfid arrays from the real
+    list<struct> (A3, reference prefilter.py:294-297 call pattern)."""
+    from fink_filters_spark.filters.registry import apply_named_filter
+    from fink_filters_spark.functions.arrays import hist_concat
+
+    df = ztf_flat
+    for leaf in ("jd", "magpsf", "fid"):
+        df = df.withColumn(f"c{leaf}", hist_concat(f"prv_candidates.{leaf}", leaf))
+    n = apply_named_filter(df, "ztf.orphan_grb").count()
+    assert 0 <= n <= 133
+
+
+def test_ztf_classification_and_unknowns_on_real_alerts(ztf_flat, spark):
+    """K1 classification runs on the real frame; unknowns == rows whose
+    fink_class is 'Unknown' (reference filter_unknowns semantics)."""
+    from fink_filters_spark.filters.classification import extract_fink_classification
+    from fink_filters_spark.filters.registry import apply_named_filter
+
+    df = extract_fink_classification(ztf_flat)
+    tagged = {r["fink_class"]: r["n"] for r in
+              df.groupBy("fink_class").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(tagged.values()) == 133
+    n_unknown = tagged.get("Unknown", 0)
+    assert apply_named_filter(df, "ztf.unknowns").count() == n_unknown
+
+
+@pytest.fixture(scope="module")
+def rubin_flat(spark):
+    from fink_filters_spark.schemas import flatten_rubin
+
+    return flatten_rubin(spark.read.parquet(f"{REF}/rubin_test_data_10_0.parquet"))
+
+
+def test_rubin_filters_on_real_alerts(rubin_flat):
+    """Rubin topics bind on the real diaSource/diaObject/xm layout."""
+    from fink_filters_spark.filters.registry import apply_named_filter
+
+    rpdf = pd.read_parquet(f"{REF}/rubin_test_data_10_0.parquet")
+    n_rows = len(rpdf)
+    # the fixture predates the tns_fullname column; the reference doctest
+    # itself injects it (rubin/livestream/filter_in_tns/filter.py doctest
+    # does withColumn('tns_fullname', lit(None))) — bind it to the xm
+    # struct's tns_type so the count is data-driven
+    in_tns = int(rpdf["xm"].apply(lambda x: x["tns_type"] is not None).sum())
+    with_tns = rubin_flat.withColumn("tns_fullname", F.col("xm_tns_type"))
+    sample = int((rpdf["diaSourceId"] % 113 == 0).sum())
+    assert apply_named_filter(with_tns, "rubin.in_tns").count() == in_tns
+    assert apply_named_filter(rubin_flat, "rubin.uniform_sample").count() == sample
+    assert 0 < n_rows
