@@ -11,8 +11,6 @@ free when they adopt this package.
 Scale notes (100 TB): every query here keeps fact-table joins keyed on
 their natural keys (shuffle joins that AQE upgrades to broadcast when the
 filtered side allows), projects before the shuffle, and never collects.
-Self-joins of lineitem (q21 shape) reuse one shuffle exchange on
-l_orderkey for all three aliases.
 """
 
 from __future__ import annotations
@@ -270,9 +268,10 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier returned), planned as a semi join and an anti join over two
     aliases of lineitem.
 
-    Scale: all three lineitem aliases hash-partition on l_orderkey — one
-    exchange feeds the semi and anti joins (exchange reuse); supplier and
-    the final count are small."""
+    Scale: all three lineitem aliases hash-partition on l_orderkey, so the
+    semi and anti joins co-locate without re-keying; supplier and the
+    final count are small. (At tiny SF AQE turns every side into a
+    broadcast — see PLANS.md.)"""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
