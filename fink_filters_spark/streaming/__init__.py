@@ -42,9 +42,19 @@ class StreamPipeline:
     def __init__(self, df: DataFrame):
         self.df = df
         self._sinks: list[Callable[[DataFrame, int], None]] = []
+        self._batch_stages: list[Callable[[DataFrame], DataFrame]] = []
 
     def enrich(self, stage: Callable[[DataFrame], DataFrame]) -> "StreamPipeline":
         self.df = stage(self.df)
+        return self
+
+    def enrich_each_batch(self, stage: Callable[[DataFrame], DataFrame]) -> "StreamPipeline":
+        """Apply ``stage`` inside ``foreachBatch``, where the frame is a
+        plain batch DataFrame. For enrichments whose plan streaming forbids
+        (e.g. ``crossmatch(how='nearest'/'left')``'s best-match
+        ``row_number`` window) — the reference likewise crossmatches per
+        micro-batch (SURVEY D7/B2). Batch stages run before every sink."""
+        self._batch_stages.append(stage)
         return self
 
     def topic(self, name: str) -> "StreamPipeline":
@@ -61,6 +71,8 @@ class StreamPipeline:
         return self
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        for stage in self._batch_stages:
+            batch_df = stage(batch_df)
         for writer in self._sinks:
             writer(batch_df, batch_id)
 
@@ -71,7 +83,7 @@ class StreamPipeline:
         once: bool = False,
     ) -> StreamingQuery:
         writer = self.df.writeStream.option("checkpointLocation", checkpoint)
-        if self._sinks:
+        if self._sinks or self._batch_stages:
             writer = writer.foreachBatch(self.foreach_batch)
         else:
             writer = writer.format("noop")

@@ -237,3 +237,45 @@ def test_sink_weekday_gate(spark):
     friday = NotificationSink(transport, weekdays=(5,), clock=lambda: 5)
     friday(df, 0)
     assert len(transport.sent) == 1
+
+
+def test_stream_static_crossmatch_enrich(spark, alert_dir, tmp_path):
+    """The reference's livestream lifecycle enriches alerts with catalog
+    crossmatches upstream of the topic filters (SURVEY D7). In our engine
+    that is a stream-static broadcast cone join: the static catalog is
+    joined against every micro-batch, and the result must equal the batch
+    crossmatch of the same rows."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.crossmatch import crossmatch
+
+    d, pdf = alert_dir
+    cat = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cat_name": [f"SRC_{i}" for i in range(40)],
+                "cat_ra": (pdf["ra"].to_numpy()[:40] + 0.0005),
+                "cat_dec": pdf["dec"].to_numpy()[:40],
+            }
+        )
+    )
+
+    def enrich(df):
+        return crossmatch(df, cat, df_id="candid", radius_deg=0.01, how="left")
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(d))
+    seen = []
+    pipe = StreamPipeline(stream).enrich_each_batch(enrich).sink(
+        lambda df, bid: seen.extend(
+            (r["candid"], r["cat_name"]) for r in df.collect()
+        )
+    )
+    q = pipe.start(checkpoint=str(tmp_path / "ck_xm"), once=True)
+    q.awaitTermination(120)
+
+    batch = enrich(spark.read.parquet(str(d)))
+    want = {(r["candid"], r["cat_name"]) for r in batch.collect()}
+    assert set(seen) == want
+    matched = [n for _, n in seen if n is not None]
+    assert matched, "no crossmatch hits on the stream"
