@@ -21,6 +21,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -153,11 +154,181 @@ def image_kstest(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 def frame_sample_stub(df: DataFrame, bin_col: str, every_n: int = 30) -> DataFrame:
     """Video frame-sampling stage — decoder unavailable, STUB.
 
-    Raises at plan time so misuse is loud; the signature documents the
-    intended contract (binary video -> exploded rows of frame binaries).
+    Raises at plan time so misuse is loud; ``frame_sample`` below carries
+    the real Spark plumbing with an injectable decoder.
     """
     raise NotImplementedError(
         "video decode requires ffmpeg-class libraries not present in this "
-        "container; plumbing contract: mapInPandas(binary -> rows of "
-        "(doc_id, frame_idx, frame_binary))"
+        "container; use frame_sample(df, ..., decoder=...) with a real "
+        "decoder, or fake_frames for plumbing tests"
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def fake_frames(payload: bytes, frame_bytes: int = 64) -> list[bytes]:
+    """DETERMINISTIC FAKE video decoder: treats the payload as fixed-size
+    raw 'frames' (``frame_bytes`` each, tail dropped). Stands in for an
+    ffmpeg-class decoder so the exploding plumbing is testable."""
+    return [
+        payload[i : i + frame_bytes]
+        for i in range(0, len(payload) - frame_bytes + 1, frame_bytes)
+    ]
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    every_n: int = 30,
+    decoder=fake_frames,
+) -> DataFrame:
+    """Video frame-sampling: one input row -> one output row per kept frame
+    (every ``every_n``-th). The 1->N explosion happens INSIDE the Arrow
+    kernel, so a 2-hour video never materializes as a single task row list;
+    at scale, repartition upstream so one task holds few videos.
+
+    ``decoder: bytes -> list[bytes]`` is injectable; the default is the
+    clearly-marked deterministic fake (no media libs in this container).
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(pdf["__id"], pdf["__bin"]):
+                if payload is None:
+                    continue
+                all_frames = decoder(bytes(payload))
+                for j in range(0, len(all_frames), every_n):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(all_frames[j])
+            yield _pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(bin_col).alias("__bin"))
+    return src.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def fake_image(payload: bytes, width: int, height: int):
+    """DETERMINISTIC FAKE image decoder: bytes -> uint8 grid, truncated or
+    zero-padded to (height, width). Stands in for PIL-class decoding."""
+    import numpy as np
+
+    need = width * height
+    buf = np.frombuffer(payload[:need], dtype=np.uint8)
+    if len(buf) < need:
+        buf = np.concatenate([buf, np.zeros(need - len(buf), dtype=np.uint8)])
+    return buf.reshape(height, width)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def image_resize(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    out_w: int = 16,
+    out_h: int = 16,
+    src_w: int = 64,
+    src_h: int = 64,
+    decoder=fake_image,
+) -> DataFrame:
+    """Image resize stage: decode (injectable; fake here) then REAL
+    nearest-neighbor resampling with vectorized NumPy indexing. Output is
+    the resized raw grid as binary + dimensions (typed metadata)."""
+    import numpy as np
+
+    ys = (np.arange(out_h) * src_h) // out_h
+    xs = (np.arange(out_w) * src_w) // out_w
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, pix = [], []
+            for i, payload in zip(pdf["__id"], pdf["__bin"]):
+                if payload is None:
+                    continue
+                img = decoder(bytes(payload), src_w, src_h)
+                ids.append(i)
+                pix.append(img[np.ix_(ys, xs)].tobytes())
+            yield _pd.DataFrame(
+                {"doc_id": ids, "width": out_w, "height": out_h, "pixels": pix}
+            )
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(bin_col).alias("__bin"))
+    return src.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+def fake_pcm(payload: bytes):
+    """DETERMINISTIC FAKE audio decoder: bytes -> int16 PCM samples
+    (tail byte dropped). Stands in for a codec library."""
+    import numpy as np
+
+    n = (len(payload) // 2) * 2
+    return np.frombuffer(payload[:n], dtype="<i2").astype(np.float64)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+        StructField("centroid", DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    decoder=fake_pcm,
+) -> DataFrame:
+    """Audio feature extraction: decode (injectable; fake PCM here) then
+    REAL vectorized DSP — RMS energy, zero-crossing rate, FFT spectral
+    centroid — per row inside one Arrow batch."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["__id"], pdf["__bin"]):
+                if payload is None:
+                    continue
+                x = decoder(bytes(payload))
+                n = len(x)
+                if n == 0:
+                    rows.append((i, 0, 0.0, 0.0, 0.0))
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+                spec = np.abs(np.fft.rfft(x))
+                tot = float(spec.sum())
+                freqs = np.fft.rfftfreq(n)
+                centroid = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+                rows.append((i, n, rms, zcr, centroid))
+            yield _pd.DataFrame(rows, columns=["doc_id", "n_samples", "rms", "zcr", "centroid"])
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(bin_col).alias("__bin"))
+    return src.mapInPandas(kernel, AUDIO_SCHEMA)

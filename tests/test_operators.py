@@ -386,3 +386,42 @@ def test_lsh_arrow_and_native_paths_agree(spark):
     a = lsh_search(queries, corpus, k=10, planes=planes, band_bits=4, arrow=True)
     n = lsh_search(queries, corpus, k=10, planes=planes, band_bits=4, arrow=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_multimodal_frame_sample_resize_audio(spark):
+    """Plumbing for the video/image/audio stages: schemas, 1->N frame
+    explosion, resize grid math, and audio DSP — deterministic fakes
+    stand in for the decoders (none in this container), NumPy ground
+    truth computed independently per row."""
+    from fink_filters_spark.operators.multimodal import (
+        audio_features,
+        fake_pcm,
+        frame_sample,
+        image_resize,
+    )
+
+    rng = np.random.default_rng(13)
+    payloads = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+                for n in (64 * 7 + 3, 64 * 2, 10)]
+    pdf = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "media": payloads})
+    df = spark.createDataFrame(pdf)
+
+    frames = frame_sample(df, "doc_id", "media", every_n=3).collect()
+    # doc0: 7 frames -> kept idx 0,3,6; doc1: 2 frames -> idx 0; doc2: 0 frames
+    got = {(r.doc_id, r.frame_idx) for r in frames}
+    assert got == {(0, 0), (0, 3), (0, 6), (1, 0)}
+    for r in frames:
+        start = r.frame_idx * 64
+        assert bytes(r.frame) == payloads[r.doc_id][start:start + 64]
+
+    rs = image_resize(df, "doc_id", "media", out_w=4, out_h=4, src_w=8, src_h=8)
+    rows = {r.doc_id: r for r in rs.collect()}
+    assert rows[0].width == 4 and rows[0].height == 4 and len(bytes(rows[0].pixels)) == 16
+    img0 = np.frombuffer(payloads[0][:64], dtype=np.uint8).reshape(8, 8)
+    assert bytes(rows[0].pixels) == img0[::2, ::2].tobytes()
+
+    au = {r.doc_id: r for r in audio_features(df, "doc_id", "media").collect()}
+    x = fake_pcm(payloads[1])
+    assert au[1].n_samples == len(x)
+    assert abs(au[1].rms - float(np.sqrt(np.mean(x * x)))) < 1e-9
+    assert 0.0 <= au[1].zcr <= 1.0 and au[1].centroid > 0.0
