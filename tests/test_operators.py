@@ -425,3 +425,25 @@ def test_multimodal_frame_sample_resize_audio(spark):
     assert au[1].n_samples == len(x)
     assert abs(au[1].rms - float(np.sqrt(np.mean(x * x)))) < 1e-9
     assert 0.0 <= au[1].zcr <= 1.0 and au[1].centroid > 0.0
+
+
+def test_constellation_label_landmarks(spark):
+    """Nearest-center constellation labeling hits unambiguous landmarks
+    (Voronoi approximation of the IAU boundaries; SURVEY 2.I)."""
+    from fink_filters_spark.operators.constellation import (
+        CONSTELLATION_CENTERS,
+        constellation_label,
+    )
+
+    assert len(CONSTELLATION_CENTERS) == 88
+    assert len({n for n, _, _ in CONSTELLATION_CENTERS}) == 88
+    pts = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "ra": [83.0, 186.0, 230.0, 10.68],   # Orion belt, Crux, pole-ward, M31
+            "dec": [2.0, -60.0, 78.0, 41.27],
+        }
+    )
+    out = constellation_label(spark.createDataFrame(pts), id_col="id")
+    got = {r.id: r.constellation for r in out.collect()}
+    assert got == {1: "Orion", 2: "Crux", 3: "Ursa Minor", 4: "Andromeda"}
