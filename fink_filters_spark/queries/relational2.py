@@ -319,7 +319,58 @@ LIMIT 20
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supply revenue per order year —
+    conditional aggregation producing a PER-GROUP ratio (q14's ratio is
+    global). The share stays a single deterministic double expression over
+    exact integer sums.
+
+    Scale: lineitem⋈orders and lineitem⋈supplier shuffle on natural keys;
+    nation is a fixed broadcast; the per-year agg collapses map-side
+    (|years| groups)."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("rev_e4", _cents("l_extendedprice") * (100 - _pct("l_discount")))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_5", F.col("rev_e4"))
+                  .otherwise(F.lit(0))).alias("nation_e4"),
+            F.sum("rev_e4").alias("total_e4"),
+        )
+    )
+    return agg.withColumn(
+        "mkt_share",
+        F.round(F.col("nation_e4").cast("double") / F.col("total_e4").cast("double"), 6),
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+       round(CAST(CAST(sum(CASE WHEN n_name = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(rev_e4) AS BIGINT) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, n_name, {_REV_E4} AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+)
+GROUP BY o_year
+"""
+
+
 SPECS = [
+    QuerySpec("q8_market_share", q8_market_share, Q8_SQL,
+              "per-group ratio via conditional aggregation"),
     QuerySpec("q7_nation_volume", q7_nation_volume, Q7_SQL,
               "same-dim double-alias join (supp vs cust nation)"),
     QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL,
