@@ -25,7 +25,9 @@ HEADLINERS = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_knn_bruteforce",
+    "sim_lsh_search",
     "text_tfidf",
+    "q21_sole_returner",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
