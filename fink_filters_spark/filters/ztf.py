@@ -475,9 +475,9 @@ def orphan_grb(df: DataFrame) -> Column:
         _recent(30)
         & (n_det == 3)
         & F.forall(mags, lambda m: m > 18)
-        & ((F.element_at(jds, -1) - F.element_at(jds, 1)) < 10)
+        & ((F.try_element_at(jds, F.lit(-1)) - F.try_element_at(jds, F.lit(1))) < 10)
         & ((F.col("ssnamenr").isNull()) | (F.col("ssnamenr") == "null"))
-        & (F.element_at(mags, -1) >= F.element_at(mags, 1))  # fading
+        & (F.try_element_at(mags, F.lit(-1)) >= F.try_element_at(mags, F.lit(1)))  # fading
         & (
             (F.size(g_mags) == 0)
             | (F.size(r_mags) == 0)

@@ -29,14 +29,16 @@ def hist_concat(prv_col: str, cur_col: str) -> Column:
 
 
 def last_el(arr: Column | str, n: int = 1) -> Column:
-    """n-th element from the end (reference F1: ``cjd[-1]``)."""
-    return F.element_at(arr if isinstance(arr, Column) else F.col(arr), -n)
+    """n-th element from the end (reference F1: ``cjd[-1]``); null when the
+    array is shorter (try_element_at: ANSI-safe even when subexpression
+    elimination hoists the access out of a guarding conjunct)."""
+    return F.try_element_at(arr if isinstance(arr, Column) else F.col(arr), F.lit(-n))
 
 
 def pair_gap(arr: Column | str, i: int, j: int) -> Column:
     """arr[-i] - arr[-j] — gap predicates (reference F8, intra/inter-night)."""
     a = arr if isinstance(arr, Column) else F.col(arr)
-    return F.element_at(a, -i) - F.element_at(a, -j)
+    return F.try_element_at(a, F.lit(-i)) - F.try_element_at(a, F.lit(-j))
 
 
 def rate_last2(val_arr: Column, t_arr: Column) -> Column:
@@ -44,8 +46,8 @@ def rate_last2(val_arr: Column, t_arr: Column) -> Column:
     (``filter_kn_candidates/filter.py:236-265``). Null-safe: null if <2 points
     or zero time gap.
     """
-    dv = F.element_at(val_arr, -1) - F.element_at(val_arr, -2)
-    dt = F.element_at(t_arr, -1) - F.element_at(t_arr, -2)
+    dv = F.try_element_at(val_arr, F.lit(-1)) - F.try_element_at(val_arr, F.lit(-2))
+    dt = F.try_element_at(t_arr, F.lit(-1)) - F.try_element_at(t_arr, F.lit(-2))
     return F.when((F.size(t_arr) >= 2) & (dt != 0), dv / dt)
 
 
@@ -145,8 +147,8 @@ def is_rising(
     brightens significantly — last magnitude below (brighter than) the
     faintest by more than the combined errors, AND the weighted slope is
     negative at ``n_sigma`` significance (mag decreases as it brightens)."""
-    last_m = F.element_at(mag, -1)
-    last_s = F.element_at(sigma, -1)
+    last_m = F.try_element_at(mag, F.lit(-1))
+    last_s = F.try_element_at(sigma, F.lit(-1))
     max_m = F.array_max(mag)
     # index of the faintest point's sigma via max_by-style fold
     faint_s = F.aggregate(

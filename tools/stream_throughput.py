@@ -1,0 +1,128 @@
+"""Alert-stream throughput evidence: alerts/sec through the topic registry.
+
+The reference is a stream filter library, so the domain-relevant headline is
+filtering throughput. Two measurements over synthetic ZTF-shaped alerts
+(tests/conftest.make_ztf_pdf schema, amplified JVM-side):
+
+1. BATCH: every registered ZTF topic evaluated in ONE pass — a single
+   select computing one boolean flag column per topic plus a global sum
+   aggregation (forces every predicate). This is the broker's nightly
+   "apply all topics" shape; because every predicate is a native Column
+   expression the whole pass is one WholeStageCodegen over the scan.
+2. STREAMING: file-source micro-batches through StreamPipeline with a
+   representative topic (noop sink), availableNow trigger — end-to-end
+   Structured Streaming wall-clock including micro-batch scheduling.
+
+Writes THROUGHPUT.md. Run: python tools/stream_throughput.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+N_BASE = 100_000
+AMPLIFY = 10  # JVM-side replication -> 1M alerts
+
+
+def main() -> None:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from conftest import make_ztf_pdf
+    from fink_filters_spark.filters.registry import filter_catalog, get_filter
+    from fink_filters_spark.session import get_session
+    import fink_filters_spark.filters.ztf  # noqa: F401 (register topics)
+
+    from fink_filters_spark.filters.classification import extract_fink_classification
+
+    spark = get_session("throughput")
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="alerts_tp_")
+    pdf = make_ztf_pdf(N_BASE)
+    # write through Spark so map columns keep their MapType
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/alerts")
+
+    base = spark.read.parquet(f"{tmp}/alerts")
+    big = extract_fink_classification(
+        base.withColumn("__k", F.explode(F.sequence(F.lit(1), F.lit(AMPLIFY))))
+        .withColumn("candid", F.col("candid") * AMPLIFY + F.col("__k"))
+        .drop("__k")
+    )
+    n_alerts = big.count()  # materializes parquet read path once (warm)
+
+    ztf_topics = [i.name for i in filter_catalog() if i.survey == "ztf"]
+    flags, kept = [], []
+    for name in ztf_topics:
+        try:
+            c = get_filter(name).builder(big).cast("int").alias(name.replace(".", "_"))
+            big.select(c).schema  # force analysis per topic
+            flags.append(c)
+            kept.append(name)
+        except Exception:  # topics needing enrichments this frame lacks
+            print(f"# skipped {name}", file=sys.stderr)
+    agg = big.select(*flags).agg(
+        *[F.sum(n.replace(".", "_")).alias(n) for n in kept]
+    )
+
+    best = first = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        counts = agg.collect()[0]
+        dt = time.perf_counter() - t0
+        first = dt if i == 0 else first
+        best = dt if best is None else min(best, dt)
+    batch_rate = n_alerts / best
+
+    # streaming: 10 micro-batches via maxFilesPerTrigger (simple stable
+    # types only for the file stream -> drop the map columns)
+    big.drop("mangrove", "blazar_stats").repartition(10).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/stream_src")
+    from fink_filters_spark.streaming import StreamPipeline
+
+    schema = spark.read.parquet(f"{tmp}/stream_src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/stream_src")
+    )
+    pipe = StreamPipeline(stream).topic("ztf.sn_candidates")
+    t0 = time.perf_counter()
+    q = pipe.start(checkpoint=f"{tmp}/ck", once=True)
+    q.awaitTermination(600)
+    stream_dt = time.perf_counter() - t0
+    stream_rate = n_alerts / stream_dt
+
+    n_selected = sum(v for v in counts.asDict().values() if v is not None)
+    lines = [
+        "# THROUGHPUT — alerts/sec through the topic registry",
+        "",
+        f"{n_alerts:,} synthetic ZTF-shaped alerts, local[32], min-of-3 (batch).",
+        "",
+        "| mode | topics | wall | alerts/sec |",
+        "|---|---|---|---|",
+        f"| batch, all topics in one codegen pass | {len(flags)} | {best:.2f}s"
+        f" (cold {first:.2f}s) | {batch_rate:,.0f} |",
+        f"| Structured Streaming, 10 micro-batches | 1 | {stream_dt:.2f}s |"
+        f" {stream_rate:,.0f} |",
+        "",
+        f"The batch pass evaluates {len(flags)} topic predicates per alert"
+        f" ({len(flags) * n_alerts:,} predicate evaluations; {n_selected:,}"
+        " total selections) in one scan — native Column expressions keep"
+        " every topic inside WholeStageCodegen, so adding topics costs"
+        " almost nothing. The reference evaluates each topic as its own"
+        " pandas-UDF pass with an Arrow hop per batch.",
+    ]
+    with open("THROUGHPUT.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[4:]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
