@@ -30,6 +30,7 @@ def all_specs() -> list[QuerySpec]:
         filters,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
         timeseries,
@@ -37,8 +38,8 @@ def all_specs() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    for mod in (relational, relational2, filters, timeseries, xmatch, dedup,
-                similarity, text, extras):
+    for mod in (relational, relational2, relational3, filters, timeseries,
+                xmatch, dedup, similarity, text, extras):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

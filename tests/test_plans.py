@@ -20,6 +20,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_ivf_assign",  # corpus x centroids broadcast NLJ
     "sim_ivf_search",  # probe join includes a non-equi condition
     "q22_idle_customers",  # 1-row scalar-aggregate cross join (broadcast NLJ is the right plan)
+    "q11_important_stock",  # 1-row scalar-aggregate cross join (fraction-of-total HAVING)
 }
 
 
