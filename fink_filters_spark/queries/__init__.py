@@ -28,6 +28,7 @@ def all_specs() -> list[QuerySpec]:
         dedup,
         extras,
         filters,
+        pipeline,
         relational,
         relational2,
         relational3,
@@ -39,7 +40,7 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
-                xmatch, dedup, similarity, text, extras):
+                xmatch, dedup, similarity, text, extras, pipeline):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -1,0 +1,175 @@
+"""Training-data pipeline operators: the curation steps a 100 TB corpus run
+needs between raw ingest and tokenized shards — deterministic sampling,
+dataset profiling, train/test splitting, and sequence packing.
+
+These complement dedup.py / similarity.py / text.py: together they cover the
+standard curation DAG (profile -> clean -> dedup -> split -> pack).
+
+Determinism notes: all sampling/splitting here is modulus-on-key (the
+reference's own convention — ``diaSourceId % 113 == 0`` at
+``fink_filters/rubin/livestream/filter_uniform_sample/filter.py:50``), never
+``rand()``: re-runs, retries, and engine swaps (Spark vs DuckDB oracle)
+must select identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..tables import load_table
+from . import QuerySpec
+
+TOKS = lambda: F.split(F.lower(F.trim(F.col("text"))), r"\s+")  # noqa: E731
+
+
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: high-volume event types keep 1/20,
+    the rest 1/5 — per-stratum rates via modulus on the key (C38 semantics
+    generalized). At scale this is a pure narrow map: no shuffle until the
+    verification aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    rate = F.when(F.col("event_type").isin("click", "view"), F.lit(20)).otherwise(F.lit(5))
+    return (
+        ev.filter(F.col("event_id") % rate == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_value_milli"),
+        )
+    )
+
+
+SAMPLE_STRAT_SQL = """
+SELECT event_type, count(*) AS n_sampled,
+       CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+WHERE event_id % (CASE WHEN event_type IN ('click','view') THEN 20 ELSE 5 END) = 0
+GROUP BY event_type
+"""
+
+
+def pipe_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column null count + distinct cardinality over
+    the documents table, one output row per profiled column.
+
+    Scale: one pass per profile batch via a single multi-aggregate (Spark
+    computes all counts in one scan, then ``stack`` pivots to rows) — NOT
+    one job per column."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("null_lang"),
+        F.count_distinct("lang").alias("dist_lang"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0)).alias("null_source"),
+        F.count_distinct("source").alias("dist_source"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.count_distinct("text").alias("dist_text"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'lang', null_lang, dist_lang,"
+            " 'source', null_source, dist_source,"
+            " 'text', null_text, dist_text)"
+        ).alias("col_name", "n_nulls", "n_distinct")
+    )
+
+
+PROFILE_SQL = """
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+         count(DISTINCT lang) AS dist_lang,
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+         count(DISTINCT source) AS dist_source,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+         count(DISTINCT text) AS dist_text
+  FROM documents
+)
+SELECT 'lang' AS col_name, null_lang AS n_nulls, dist_lang AS n_distinct FROM a
+UNION ALL
+SELECT 'source', null_source, dist_source FROM a
+UNION ALL
+SELECT 'text', null_text, dist_text FROM a
+"""
+
+
+def pipe_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test split by key modulus, verified by
+    per-(split, lang) counts. Narrow map + small aggregate; the split
+    column would be the partition column of the written shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "split", F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test")
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SPLIT_SQL = """
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order,
+    per language) to fixed-budget token packs of 1024 — the greedy
+    exclusive-cumulative-sum packing used to build LLM training shards.
+
+    pack_id = floor(cumsum_of_previous_doc_tokens / 1024); output is one row
+    per (lang, pack) with its document count and token total.
+
+    Scale: a running sum over a whole partition key is inherently
+    sequential per key — at 100 TB the partition key must be composite
+    (lang × shard/day), giving bounded per-key state; 5 global language
+    partitions would skew. The window here demonstrates the per-shard
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn("n_tok", F.size(TOKS()).cast("long"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        toked.withColumn("prev_toks", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("pack_id", (F.col("prev_toks") / 1024).cast("long"))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+    )
+
+
+PACK_SQL = """
+SELECT lang, CAST(floor(prev_toks / 1024) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM (
+  SELECT lang, doc_id, n_tok,
+         COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev_toks
+  FROM (
+    SELECT lang, doc_id,
+           CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+)
+GROUP BY lang, CAST(floor(prev_toks / 1024) AS BIGINT)
+"""
+
+
+SPECS = [
+    QuerySpec("pipe_sample_stratified", pipe_sample_stratified, SAMPLE_STRAT_SQL,
+              "per-stratum deterministic modulus sampling"),
+    QuerySpec("pipe_profile_columns", pipe_profile_columns, PROFILE_SQL,
+              "one-scan multi-column null/distinct profile"),
+    QuerySpec("pipe_split_train_test", pipe_split_train_test, SPLIT_SQL,
+              "deterministic 80/20 split by key"),
+    QuerySpec("pipe_pack_sequences", pipe_pack_sequences, PACK_SQL,
+              "greedy token packing via exclusive cumsum window"),
+]
