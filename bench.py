@@ -29,7 +29,10 @@ def main() -> None:
 
     # warm the JVM + parquet footers + Python workers once so per-query
     # numbers measure the queries, not session/interpreter startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from fink_filters_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
     spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
     # single-run timings on this box vary +-40%; min-of-N is the standard

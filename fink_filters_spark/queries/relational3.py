@@ -179,8 +179,10 @@ GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value restricted to one nation's suppliers,
     kept only when it exceeds a fraction of the total — a HAVING clause
-    against a global scalar subquery. The fraction test stays exact:
-    value_e2 · 1000 > total_e2 (i.e. value > total/1000, no float ratio).
+    against a global scalar subquery. Unlike TPC-H's fixed fraction (whose
+    selectivity collapses as |parts| grows with SF), the threshold is
+    scale-invariant: keep parts above 2× the average per-part value. The
+    test stays exact: value_e2 · n_parts > 2 · total_e2 (no float ratio).
 
     Scale: the scalar total is a second aggregation of the same per-part
     aggregate (cheap); it joins in as a 1-row broadcast nested loop."""
@@ -196,10 +198,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("long")
                    * _cents("l_extendedprice")).alias("value_e2"))
     )
-    total = value.agg(F.sum("value_e2").alias("total_e2"))
+    total = value.agg(F.sum("value_e2").alias("total_e2"),
+                      F.count(F.lit(1)).alias("n_parts"))
     return (
         value.join(F.broadcast(total))
-        .filter(F.col("value_e2") * F.lit(1000) > F.col("total_e2"))
+        .filter(F.col("value_e2") * F.col("n_parts") > F.lit(2) * F.col("total_e2"))
         .select("l_partkey", "value_e2")
     )
 
@@ -215,8 +218,9 @@ WITH value AS (
   GROUP BY l_partkey
 )
 SELECT l_partkey, value_e2
-FROM value
-WHERE value_e2 * 1000 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM value)
+FROM value, (SELECT CAST(sum(value_e2) AS BIGINT) AS total_e2, count(*) AS n_parts
+             FROM value) t
+WHERE value_e2 * n_parts > 2 * total_e2
 """
 
 
