@@ -216,9 +216,48 @@ FROM per GROUP BY user_id
 """
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach to every click the value of the user's most recent
+    prior-or-simultaneous purchase (classic attribution). Exercises the
+    union+window as-of operator (``operators/asof.py``) — one shuffle on
+    (user, time), no pair explosion; the DuckDB oracle uses its native
+    ASOF LEFT JOIN, pinning the exact backward-inclusive semantics."""
+    from ..operators.asof import asof_join
+    from ..tables import milli
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max(milli("value")).alias("last_purchase_milli"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_time="ts_us", right_time="ts_us",
+        payload=["last_purchase_milli"],
+    )
+
+
+ASOF_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(max(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS last_purchase_milli
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts_us, p.last_purchase_milli
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
 SPECS = [
     QuerySpec("q_sessionize", q_sessionize, SESSIONIZE_SQL,
               "gap-based session windows (§2.J)"),
+    QuerySpec("q_asof_attribution", q_asof_attribution, ASOF_SQL,
+              "as-of join via union+window (custom operator)"),
     QuerySpec("q_rollup", q_rollup, ROLLUP_SQL, "ROLLUP subtotals (§2.E)"),
     QuerySpec("q_setops", q_setops, SETOPS_SQL, "INTERSECT/UNION/EXCEPT (§2.H)"),
     QuerySpec("ts_window_slice", q_ts_window_slice, TS_WINDOW_SQL, "F7 per-row windows"),

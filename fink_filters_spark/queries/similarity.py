@@ -206,8 +206,45 @@ SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 
 """
 
 
+def q_sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid training: per-label mean embedding — the k-means update step
+    of IVF index training, as pure relational ops (posexplode -> groupBy on
+    (label, pos)). Scale: the shuffle carries |labels|·dim partial sums, not
+    vectors; partial aggregation collapses each partition's contribution
+    map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("val").cast("double") * 1e6).cast("long")).alias("sum_e6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "centroid",
+            F.round(F.col("sum_e6").cast("double") / 1e6 / F.col("n"), 6),
+        )
+    )
+
+
+SIM_CENTROID_SQL = """
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST(sum(CAST(round(CAST(val AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS sum_e6,
+       count(*) AS n,
+       round(CAST(CAST(sum(CAST(round(CAST(val AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 / count(*), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+)
+GROUP BY label, CAST(pos AS INT)
+"""
+
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
+    QuerySpec("sim_centroid_train", q_sim_centroids, SIM_CENTROID_SQL,
+              "per-label mean embedding (IVF k-means update step)"),
     QuerySpec("sim_ivf_assign", q_sim_ivf_assign, SIM_IVF_SQL, "IVF coarse-quantizer assignment"),
     QuerySpec("sim_ivf_search", q_sim_ivf_search, SIM_IVF_SEARCH_SQL,
               "IVF ANN search (nprobe=2)"),

@@ -447,3 +447,21 @@ def test_constellation_label_landmarks(spark):
     out = constellation_label(spark.createDataFrame(pts), id_col="id")
     got = {r.id: r.constellation for r in out.collect()}
     assert got == {1: "Orion", 2: "Crux", 3: "Ursa Minor", 4: "Andromeda"}
+
+
+def test_asof_join_backward_inclusive(spark):
+    """asof_join semantics: greatest right_time <= left_time per key,
+    inclusive at equal timestamps, null when no predecessor exists."""
+    from fink_filters_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2], "t": [5, 2, 1, 9], "lid": [10, 11, 12, 13]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [2, 4, 100], "v": [100, 200, 300]})
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t", payload=["v"])
+    got = {r.lid: r.v for r in out.collect()}
+    # t=5 -> right t=4; t=2 -> right t=2 (inclusive); t=1 and k=2 t=9 -> none
+    assert got == {10: 200, 11: 100, 12: None, 13: None}
+    assert out.columns == ["k", "t", "lid", "v"]
