@@ -253,11 +253,63 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
 """
 
 
+def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks landing inside the 1-hour window after each
+    purchase by the same user, aggregated per purchase. Exercises the
+    cell-bucketed range-join operator (``operators/interval_join.py``) —
+    a hash join on (user, hour-cell) + exact BETWEEN residual, never a
+    nested loop; the oracle states the naive range join directly."""
+    from ..operators.interval_join import interval_join
+    from ..tables import milli
+
+    hour_us = 3_600_000_000
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", milli("value").alias("v_milli")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("start_us"),
+            (F.col("ts_us") + hour_us).alias("end_us"),
+        )
+    )
+    return (
+        interval_join(clicks, purchases, on="user_id", point_time="ts_us",
+                      start="start_us", end="end_us", cell_width=hour_us)
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("v_milli").alias("sum_click_milli"),
+        )
+    )
+
+
+INTERVAL_SQL = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, CAST(round(value*1000) AS BIGINT) AS v_milli
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + 3600000000 AS end_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id, p.user_id AS user_id, count(*) AS n_clicks,
+       CAST(sum(v_milli) AS BIGINT) AS sum_click_milli
+FROM p JOIN c ON p.user_id = c.user_id AND c.ts_us BETWEEN p.start_us AND p.end_us
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("q_sessionize", q_sessionize, SESSIONIZE_SQL,
               "gap-based session windows (§2.J)"),
     QuerySpec("q_asof_attribution", q_asof_attribution, ASOF_SQL,
               "as-of join via union+window (custom operator)"),
+    QuerySpec("q_interval_attribution", q_interval_attribution, INTERVAL_SQL,
+              "cell-bucketed interval join (custom operator)"),
     QuerySpec("q_rollup", q_rollup, ROLLUP_SQL, "ROLLUP subtotals (§2.E)"),
     QuerySpec("q_setops", q_setops, SETOPS_SQL, "INTERSECT/UNION/EXCEPT (§2.H)"),
     QuerySpec("ts_window_slice", q_ts_window_slice, TS_WINDOW_SQL, "F7 per-row windows"),

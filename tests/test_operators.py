@@ -465,3 +465,21 @@ def test_asof_join_backward_inclusive(spark):
     # t=5 -> right t=4; t=2 -> right t=2 (inclusive); t=1 and k=2 t=9 -> none
     assert got == {10: 200, 11: 100, 12: None, 13: None}
     assert out.columns == ["k", "t", "lid", "v"]
+
+
+def test_interval_join_inclusive_and_multicell(spark):
+    """interval_join: inclusive at both bounds, intervals spanning multiple
+    cells still match, non-overlapping points drop."""
+    from fink_filters_spark.operators.interval_join import interval_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 1], "t": [10, 25, 30, 31], "pid": [1, 2, 3, 4]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "s": [10, 28], "e": [30, 29], "iid": [100, 101]})
+    )
+    out = interval_join(pts, iv, on="k", point_time="t", start="s", end="e",
+                        cell_width=7)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # [10,30] spans cells 1..4 and matches t=10,25,30 inclusively; [28,29] none
+    assert got == [(1, 100), (2, 100), (3, 100)]
