@@ -28,6 +28,10 @@ HEADLINERS = [
     "sim_lsh_search",
     "text_tfidf",
     "q21_sole_returner",
+    "q9_product_profit",
+    "q_asof_attribution",
+    "q_interval_attribution",
+    "pipe_pack_sequences",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
