@@ -208,3 +208,44 @@ def streaming_window_agg(
         F.col(c) for c in (group_cols or [])
     ]
     return df.withWatermark(event_time_col, watermark).groupBy(*keys).agg(*aggs)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by a time-range condition:
+    match left rows to same-key right rows with
+    ``right_time <= left_time <= right_time + max_delay``.
+
+    Both sides carry watermarks AND the join condition bounds event-time
+    skew — the two requirements Structured Streaming imposes so each side's
+    join state is droppable once the watermark passes (bounded state on an
+    unbounded stream; without the range condition the right side would be
+    retained forever). ``left_time``/``right_time`` must be distinct names;
+    the key column ``on`` may be shared (right's copy is dropped).
+
+    Scale: state is hash-partitioned by join key across executors and
+    bounded by (watermark + max_delay) of per-key traffic; skewed keys
+    behave like any skewed shuffle join (salt upstream if one key dominates).
+    """
+    lw = left.withColumn(left_time, F.col(left_time).cast("timestamp")).withWatermark(
+        left_time, watermark
+    )
+    rkey = f"__r_{on}"
+    rw = (
+        right.withColumnRenamed(on, rkey)
+        .withColumn(right_time, F.col(right_time).cast("timestamp"))
+        .withWatermark(right_time, watermark)
+    )
+    cond = (
+        (F.col(on) == F.col(rkey))
+        & (F.col(left_time) >= F.col(right_time))
+        & (F.col(left_time) <= F.col(right_time) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rkey)

@@ -279,3 +279,49 @@ def test_stream_static_crossmatch_enrich(spark, alert_dir, tmp_path):
     assert set(seen) == want
     matched = [n for _, n in seen if n is not None]
     assert matched, "no crossmatch hits on the stream"
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream join: clicks matched to purchases within 1 hour on the
+    same key — identical pairs to the batch range join on the same data."""
+    import pandas as pd
+
+    from fink_filters_spark.streaming import streaming_interval_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    clicks = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3],
+            "ct": [base + pd.Timedelta(minutes=m) for m in (10, 90, 20, 30)],
+            "cid": [1, 2, 3, 4],
+        }
+    )
+    purchases = pd.DataFrame(
+        {
+            "k": [1, 2, 2],
+            "pt": [base + pd.Timedelta(minutes=m) for m in (5, 15, 100)],
+            "pid": [10, 11, 12],
+        }
+    )
+    cd, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cd.mkdir(), pdir.mkdir()
+    clicks.to_parquet(cd / "p.parquet", coerce_timestamps="us")
+    purchases.to_parquet(pdir / "p.parquet", coerce_timestamps="us")
+
+    cs = spark.readStream.schema(spark.read.parquet(str(cd)).schema).parquet(str(cd))
+    ps = spark.readStream.schema(spark.read.parquet(str(pdir)).schema).parquet(str(pdir))
+    joined = streaming_interval_join(cs, ps, on="k", left_time="ct",
+                                     right_time="pt", max_delay="1 hour")
+    out = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.cid, r.pid) for r in out)
+    # cid1 (t=10) <- pid10 (t=5); cid2 (t=90) is >1h after t=5: no match;
+    # cid3 (t=20) <- pid11 (t=15), pid12 (t=100) is after the click
+    assert got == [(1, 10), (3, 11)]
