@@ -25,6 +25,7 @@ class QuerySpec:
 
 def all_specs() -> list[QuerySpec]:
     from . import (
+        analytic,
         dedup,
         extras,
         filters,
@@ -40,7 +41,7 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
-                xmatch, dedup, similarity, text, extras, pipeline):
+                xmatch, dedup, similarity, text, extras, pipeline, analytic):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
