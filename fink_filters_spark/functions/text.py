@@ -121,9 +121,11 @@ def word_hashes(text) -> Column:
     )
 
 
-def combine_word_hashes(wh_col: Column | str, n: int = 3) -> Column:
-    """Distinct hashed word n-gram shingles from a MATERIALIZED word-hash
+def combine_word_hashes(wh_col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Hashed word n-gram shingles from a MATERIALIZED word-hash
     array column:  h = ((h1*37 + h2) % P * 37 + h3) % P.
+    ``distinct=False`` keeps positional duplicates (needed by repetition
+    scoring, where the duplicate fraction IS the signal).
 
     ``wh_col`` must be a column reference (not the word_hashes expression):
     an embedded expression would be re-evaluated per shingle position,
@@ -144,10 +146,31 @@ def combine_word_hashes(wh_col: Column | str, n: int = 3) -> Column:
             h = (h * WORD_COMBINE_BASE + F.element_at(wh, i + j)) % FP_MOD
         return h
 
-    return F.when(
-        k >= 1,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), k), _combine)),
-    ).otherwise(F.array().cast("array<long>"))
+    grams = F.transform(F.sequence(F.lit(1), k), _combine)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<long>"))
+
+
+# PII detection patterns — RE2/Java-compatible (no lookarounds), so the
+# Spark (java.util.regex) and DuckDB (RE2) engines agree on every match.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+    "digit_run": r"\d{6,}",
+}
+
+
+def pii_counts(text) -> dict[str, Column]:
+    """Per-kind PII match counts for a text column (training-data redaction
+    signal). Returns {kind: count Column}; all native regexp_extract_all,
+    so the scan stays inside codegen."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
 
 
 def shingle_hash(shingle_col: Column) -> Column:

@@ -270,6 +270,39 @@ def jaccard_pairs(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing at
+    least one word-``n``-gram with the evaluation set (the standard
+    pretraining-corpus hygiene step; exact n-gram overlap, the strictest
+    variant).
+
+    Scale: the eval side is a benchmark suite — thousands of documents
+    against a ~100 TB corpus — so its distinct shingles are broadcast and
+    the whole pass is one corpus scan + broadcast semi join + anti join on
+    the id; no shuffle of corpus text ever happens.
+    """
+    eval_sh = (
+        _hashed_shingled(eval_df, id_col, text_col, n)
+        .select(F.explode("__sh").alias("__s"))
+        .distinct()
+    )
+    train_sh = _hashed_shingled(df, id_col, text_col, n).select(
+        "__id", F.explode("__sh").alias("__s")
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(eval_sh), "__s", "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
 def minhash_signature(sh_col: Column) -> list[Column]:
     """16 minhash values over a hashed-shingle array column (integer math)."""
     hashes = shingle_hash(sh_col)

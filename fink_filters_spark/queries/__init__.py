@@ -26,6 +26,7 @@ class QuerySpec:
 def all_specs() -> list[QuerySpec]:
     from . import (
         analytic,
+        curation,
         dedup,
         extras,
         filters,
@@ -41,7 +42,8 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
-                xmatch, dedup, similarity, text, extras, pipeline, analytic):
+                xmatch, dedup, similarity, text, extras, pipeline, analytic,
+                curation):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

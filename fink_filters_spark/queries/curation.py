@@ -1,0 +1,161 @@
+"""Corpus-curation queries (LLM-data-pipeline surface, part 2):
+benchmark decontamination, repetition scoring, PII flagging, and
+deterministic global shuffle-sharding — the hygiene/ordering steps a
+pretraining pipeline runs after dedup and before tokenization.
+
+Oracle parity: the n-gram machinery mirrors queries/dedup.py's shared hash
+scheme (word char-fold mod FP_MOD, 37-base combine), so the DuckDB oracles
+reproduce the exact shingle sets. PII regexes are RE2/Java-compatible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import PII_PATTERNS, combine_word_hashes, pii_counts, word_hashes
+from ..operators.dedup import decontaminate
+from ..tables import load_table
+from . import QuerySpec
+from .dedup import SHH3_SQL
+
+EVAL_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
+
+
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: training docs (doc_id % 97 != 0) that share NO
+    word-3-gram with the deterministic eval slice (doc_id % 97 == 0).
+    Eval shingles broadcast; corpus is scanned once (operators/dedup.py
+    ``decontaminate``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return decontaminate(train, ev, "doc_id", "text", n=3).select("doc_id")
+
+
+DECONTAM_SQL = f"""
+WITH s AS ({SHH3_SQL}),
+ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} <> 0),
+bad AS (SELECT DISTINCT doc_id FROM tr WHERE g IN (SELECT g FROM ev))
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % {EVAL_MOD} <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word-3-grams
+    per document (1 - distinct/total). Two-stage select materializes the
+    word-hash array once (see combine_word_hashes docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.select("doc_id", word_hashes("text").alias("__wh")).filter(
+        F.size("__wh") >= 3
+    )
+    grams = wh.select(
+        "doc_id", combine_word_hashes("__wh", 3, distinct=False).alias("__g")
+    )
+    total = F.size("__g").cast("long")
+    uniq = F.size(F.array_distinct("__g")).cast("long")
+    return grams.select(
+        "doc_id",
+        total.alias("n_grams"),
+        uniq.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - uniq.cast("double") / total.cast("double"), 6
+        ).alias("rep_frac"),
+    )
+
+
+REPETITION_SQL = f"""
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE), 6)
+           AS rep_frac
+FROM (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(wh) - 2),
+           i -> ((wh[i] * 37 + wh[i+1]) % 66571993087 * 37 + wh[i+2]) % 66571993087
+         ) AS g
+  FROM (
+    SELECT doc_id,
+           list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+             s -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 66571993087)) AS wh
+    FROM documents
+  )
+  WHERE len(wh) >= 3
+)
+"""
+
+
+def text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII match counts per document (email / ipv4 / phone / long digit
+    run) — the redaction pre-pass. Native regexp_extract_all keeps the
+    whole scan inside codegen; on this synthetic corpus counts are mostly
+    zero, the unit tests pin the patterns on crafted strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    has = None
+    for c in counts.values():
+        has = c if has is None else has + c
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        (has > 0).alias("has_pii"),
+    )
+
+
+_pii_terms = " + ".join(
+    f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+)
+PII_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    + f", ({_pii_terms}) > 0 AS has_pii FROM documents"
+)
+
+
+def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: key = md5 of the
+    doc id, shard = 6 bits folded from the key's first two hex chars.
+    Shard assignment is per-row arithmetic — no sort, no shuffle, no
+    window — so it scales embarrassingly; a trainer reads shards in key
+    order to get a reproducible, uniformly mixed epoch."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1))
+    ) % 64
+    return docs.select(
+        "doc_id", key.alias("shuffle_key"), shard.cast("long").alias("shard")
+    )
+
+
+SHUFFLE_SQL = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+             + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 64 AS BIGINT)
+           AS shard
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("pipe_decontaminate", pipe_decontaminate, DECONTAM_SQL,
+              "benchmark n-gram decontamination (broadcast semi + anti join)"),
+    QuerySpec("text_repetition", text_repetition, REPETITION_SQL,
+              "duplicate-3-gram fraction (Gopher-style repetition signal)"),
+    QuerySpec("text_pii_flags", text_pii_flags, PII_SQL,
+              "PII match counts per document (regex, codegen-native)"),
+    QuerySpec("pipe_shuffle_shard", pipe_shuffle_shard, SHUFFLE_SQL,
+              "deterministic md5 shuffle-sharding (no sort, no shuffle)"),
+]

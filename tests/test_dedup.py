@@ -171,3 +171,59 @@ def test_minhash_fused_kernel_matches_catalyst(spark):
     )
     native = {r["__id"]: tuple(r[f"m{i}"] for i in range(16)) for r in nat.collect()}
     assert fused == native and len(fused) > 0
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    """A train doc sharing a 3-gram with the eval set is dropped; disjoint
+    docs survive."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta",  # contains eval 3-gram
+                    "one two three four five",  # disjoint
+                    "beta gamma delta epsilon",  # contains eval 3-gram
+                ],
+            }
+        )
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["zz beta gamma delta yy"]})
+    )
+    kept = sorted(
+        r.doc_id for r in decontaminate(train, ev, "doc_id", "text", n=3).collect()
+    )
+    assert kept == [2]
+
+
+def test_pii_counts_on_crafted_strings(spark):
+    import pandas as pd
+
+    from fink_filters_spark.functions.text import pii_counts
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "contact me at jane.doe+x@example.co.uk or bob@x.io",
+                    "server 192.168.0.1 and 10.0.0.255 up",
+                    "call +1 555 867 5309 now",
+                    "ticket 1234567 opened",
+                    "no pii here at all",
+                ]
+            }
+        )
+    )
+    counts = pii_counts("text")
+    rows = df.select(
+        *[c.alias(k) for k, c in counts.items()]
+    ).collect()
+    assert [r.email for r in rows] == [2, 0, 0, 0, 0]
+    assert [r.ipv4 for r in rows] == [0, 2, 0, 0, 0]
+    assert [r.phone for r in rows] == [0, 0, 1, 0, 0]
+    assert [r.digit_run for r in rows] == [0, 0, 0, 1, 0]
