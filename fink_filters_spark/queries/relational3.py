@@ -76,14 +76,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the supplier(s) achieving the minimum observed price. Decorrelated
     as: per-(part,supplier) min price → per-part min → equality re-join.
 
-    Scale: both aggregates shrink lineitem to |part×supplier| then |part|
-    rows; the final joins are dimension-sized and AQE broadcasts them."""
+    Scale: the part filter is pushed BELOW the lineitem aggregation as a
+    broadcast semi join (Catalyst won't infer a semi join through an
+    aggregate on its own) — only qualifying parts' lineitems are ever
+    grouped, shrinking the first shuffle by the part-filter selectivity.
+    The remaining aggregates are dimension-sized and AQE broadcasts them."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
     )
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     link = (
         li.groupBy(F.col("l_partkey").alias("ps_partkey"),
                    F.col("l_suppkey").alias("ps_suppkey"))
