@@ -62,6 +62,32 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster on ``cluster_col`` before writing: repartitionByRange
+    gives each output file a disjoint value range, and the within-file sort
+    tightens every parquet row-group's min/max stats — so a range predicate
+    on the cluster column (jd window, time slice, id range) skips whole
+    files and row groups at scan time instead of filtering rows.
+
+    This is the single-column form of data clustering (what Z-ordering
+    generalizes to multi-column); for the time-windowed reads this engine
+    serves (per-night slices, as-of lookups), one range key is the layout
+    that matters.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def kafka_writer(
     df: DataFrame,
     brokers: str,

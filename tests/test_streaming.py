@@ -325,3 +325,31 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     # cid1 (t=10) <- pid10 (t=5); cid2 (t=90) is >1h after t=5: no match;
     # cid3 (t=20) <- pid11 (t=15), pid12 (t=100) is after the click
     assert got == [(1, 10), (3, 11)]
+
+
+def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
+    """Range clustering must produce files with (near-)disjoint min/max
+    stats on the cluster column — that is what enables file/row-group
+    skipping for range predicates at scan time."""
+    import pyarrow.parquet as pq
+
+    from fink_filters_spark.sinks.storage import write_clustered
+
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 as v")
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, "id", n_files=4)
+
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {(lo_a, hi_a)} vs {(lo_b, hi_b)}"
