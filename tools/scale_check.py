@@ -32,6 +32,12 @@ HEADLINERS = [
     "q_asof_attribution",
     "q_interval_attribution",
     "pipe_pack_sequences",
+    "dedup_components",
+    "q2_min_cost_supplier",
+    "pipe_decontaminate",
+    "q_stat_moments",
+    "w_range_frame",
+    "skew_hot_users",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
