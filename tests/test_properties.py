@@ -158,3 +158,55 @@ def test_topk_by_key_against_python(spark, vals, k):
         key=lambda ki: (-best[ki[0]][1], ki[0]),
     )[:k]
     assert sorted(got, key=lambda t: (-best[t[0]][1], t[0])) == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_grams_bounds_property(spark, texts):
+    """Non-distinct 3-gram count == max(n_tokens-2, 0); distinct <= total;
+    rep_frac in [0,1] — for arbitrary whitespace-token strings."""
+    import pandas as pd
+
+    from fink_filters_spark.functions.text import combine_word_hashes, word_hashes
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    wh = df.select("doc_id", "text", word_hashes("text").alias("wh"))
+    out = wh.select(
+        "text",
+        F.size("wh").alias("n_tok"),
+        F.size(combine_word_hashes("wh", 3, distinct=False)).alias("total"),
+        F.size(F.array_distinct(combine_word_hashes("wh", 3, distinct=False))).alias("uniq"),
+    ).collect()
+    for r in out:
+        expect = max(r.n_tok - 2, 0)
+        assert r.total == expect, (r.text, r.total, expect)
+        assert 0 <= r.uniq <= max(r.total, 0)
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=30, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shuffle_shard_range_and_determinism(spark, ids):
+    """Shards are always in [0, 64) and a rerun maps every id identically."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")}))
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1))
+    ) % 64
+    a = {r.doc_id: r.shard for r in df.select("doc_id", shard.alias("shard")).collect()}
+    b = {r.doc_id: r.shard for r in df.select("doc_id", shard.alias("shard")).collect()}
+    assert a == b
+    assert all(0 <= s < 64 for s in a.values())
