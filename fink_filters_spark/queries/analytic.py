@@ -262,6 +262,90 @@ LIMIT 100
 """
 
 
+def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-function surface in one query: dense_rank,
+    percent_rank, cume_dist, and nth_value over a per-nation balance
+    ordering (deterministic: ties broken by key). Top-3 per nation keeps
+    the output small while every function still exercises ties."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("bal_cents"), F.asc("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "c_custkey",
+        "bal_cents",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("bal_cents", 2).over(wf).alias("second_bal_cents"),
+    )
+    return ranked.filter(F.col("rn") <= 3).drop("rn")
+
+
+RANKF_SQL = """
+SELECT nationkey, c_custkey, bal_cents, drank, prank, cdist, second_bal_cents
+FROM (
+  SELECT c_nationkey AS nationkey, c_custkey, bal_cents,
+         row_number() OVER w AS rn,
+         dense_rank() OVER w AS drank,
+         round(percent_rank() OVER w, 6) AS prank,
+         round(cume_dist() OVER w, 6) AS cdist,
+         nth_value(bal_cents, 2) OVER (PARTITION BY c_nationkey
+             ORDER BY bal_cents DESC, c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_bal_cents
+  FROM (SELECT c_nationkey, c_custkey,
+               CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+        FROM customer)
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents DESC, c_custkey ASC)
+)
+WHERE rn <= 3
+"""
+
+
+def w_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active DAYS per user.
+    island id = day - dense_rank(day) (constant within a consecutive run),
+    then max run length per user. The classic streak/sessionation shape that
+    needs two window passes and a double aggregation."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        ev.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+runs AS (
+  SELECT user_id, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+per_run AS (
+  SELECT user_id, island, count(*) AS run_len FROM runs GROUP BY user_id, island
+)
+SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM per_run GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("w_ntile_deciles", w_ntile_deciles, NTILE_SQL,
               "NTILE decile bucketing over a deterministic total order"),
@@ -277,4 +361,8 @@ SPECS = [
               "RANGE event-time frame: trailing 30-day moving aggregate"),
     QuerySpec("skew_hot_users", skew_hot_users, SKEW_SQL,
               "salted two-phase aggregation == plain GROUP BY (skew surface)"),
+    QuerySpec("w_rank_functions", w_rank_functions, RANKF_SQL,
+              "dense_rank/percent_rank/cume_dist/nth_value surface"),
+    QuerySpec("w_streaks", w_streaks, STREAKS_SQL,
+              "gaps-and-islands longest consecutive-day streaks"),
 ]
