@@ -1,8 +1,9 @@
 """Corpus curation end-to-end: the LLM-training-data pipeline this engine
 adds on top of the reference's alert-filtering surface.
 
-    documents -> quality filter -> exact dedup -> near-dup clustering
-              -> survivor selection -> per-doc stats + TF-IDF summary
+    documents -> quality filter -> PII gate -> repetition gate
+              -> exact dedup -> near-dup clustering -> survivor selection
+              -> benchmark decontamination -> shuffle-sharding -> summary
 
 Run: python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 
@@ -57,19 +58,59 @@ def main() -> None:
     curated = quality.join(drop, "doc_id", "left_anti")
     n3 = curated.count()
 
-    # ---- 4. corpus summary -------------------------------------------------
-    stats = curated.agg(
+    # ---- 4. hygiene gates: PII + repetition --------------------------------
+    from fink_filters_spark.functions.text import (
+        combine_word_hashes,
+        pii_counts,
+        word_hashes,
+    )
+
+    pii_total = None
+    for c in pii_counts("text").values():
+        pii_total = c if pii_total is None else pii_total + c
+    clean = curated.filter(pii_total == 0)
+    wh = clean.select("doc_id", word_hashes("text").alias("__wh"))
+    grams = wh.select(
+        "doc_id", combine_word_hashes("__wh", 3, distinct=False).alias("__g")
+    )
+    repetitive = grams.filter(
+        F.size(F.array_distinct("__g")).cast("double")
+        < F.size("__g").cast("double") * 0.7
+    ).select("doc_id")
+    clean = clean.join(repetitive, "doc_id", "left_anti")
+    n4 = clean.count()
+
+    # ---- 5. benchmark decontamination (eval slice = doc_id % 97 == 0) ------
+    from fink_filters_spark.operators.dedup import decontaminate
+
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = clean.filter(F.col("doc_id") % 97 != 0)
+    train = decontaminate(train, ev, "doc_id", "text", n=5)
+    n5 = train.count()
+
+    # ---- 6. deterministic shuffle-sharding for the trainer -----------------
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1))
+    ) % 64
+    sharded = train.withColumn("shard", shard.cast("long"))
+
+    # ---- 7. corpus summary -------------------------------------------------
+    stats = sharded.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(token_count("text")).alias("tokens"),
         F.round(F.avg("n_chars"), 1).alias("avg_chars"),
+        F.countDistinct("shard").alias("shards"),
     ).first()
 
     print(f"raw documents:        {n0}")
     print(f"after quality gate:   {n1}")
     print(f"exact-dedup groups:   {n2}")
     print(f"after near-dup dedup: {n3}")
+    print(f"after PII+repetition: {n4}")
+    print(f"after decontam:       {n5}")
     print(f"curated corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
-          f"avg {stats['avg_chars']} chars")
+          f"avg {stats['avg_chars']} chars, {stats['shards']} shards")
     spark.stop()
 
 
