@@ -35,6 +35,7 @@ def all_specs() -> list[QuerySpec]:
         relational2,
         relational3,
         similarity,
+        sql_surface,
         text,
         timeseries,
         xmatch,
@@ -43,7 +44,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
                 xmatch, dedup, similarity, text, extras, pipeline, analytic,
-                curation):
+                curation, sql_surface):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

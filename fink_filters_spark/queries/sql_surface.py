@@ -1,0 +1,101 @@
+"""SQL-parser surface queries — shapes that exercise Spark's SQL front end
+itself (both run verbatim-ish in DuckDB too):
+
+- WITH RECURSIVE (new in Spark 4): hierarchy walk with a per-level
+  accumulator — the iterative-computation dual of operators/dedup.py's
+  label-propagation loop, expressed declaratively.
+- LATERAL correlated subquery: per-outer-row top-k — the subquery form of
+  the w_topn_per_user window pattern.
+
+The synthetic schema has no explicit hierarchy, so the recursive query
+derives one deterministically: parent(custkey) = custkey // 2 (a binary
+tree over real keys, ~14 levels at sf0.1). The recursion computes each
+customer's depth and the account-balance sum along its chain to the root —
+values only a genuine per-level walk produces.
+
+Scale note: each recursion level is one self-join of the frontier against
+the (broadcastable) customer dim; depth is log2(|customer|), so the plan is
+O(log n) joins — the same bound as the distributed label-propagation path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load_table
+from . import QuerySpec
+
+RECURSIVE_SQL = """
+WITH RECURSIVE chain(custkey, node, depth, chain_bal_cents) AS (
+  SELECT c_custkey AS custkey, c_custkey AS node, 1 AS depth,
+         CAST(round(c_acctbal*100) AS BIGINT) AS chain_bal_cents
+  FROM customer
+  UNION ALL
+  SELECT ch.custkey, c.c_custkey AS node, ch.depth + 1 AS depth,
+         ch.chain_bal_cents + CAST(round(c.c_acctbal*100) AS BIGINT)
+  FROM chain ch JOIN customer c ON c.c_custkey = ch.node div 2
+  WHERE ch.node > 1
+)
+SELECT custkey, CAST(max(depth) AS BIGINT) AS depth,
+       CAST(max(chain_bal_cents) AS BIGINT) AS chain_bal_cents
+FROM chain
+GROUP BY custkey
+"""
+# join key: Spark `div` and DuckDB `//` are both floor division on
+# integers — plain '/' would be float division on either engine and the
+# equality join would silently match nothing.
+
+
+def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy walk (WITH RECURSIVE, Spark 4): depth and
+    balance sum along each customer's halving chain to the root key."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(RECURSIVE_SQL)
+
+
+def q_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each nation's two richest customers
+    (deterministic tie-break by key) — the subquery dual of the
+    row_number window pattern."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(LATERAL_SQL_BODY)
+
+
+LATERAL_SQL_BODY = """
+SELECT n.n_nationkey AS nationkey, l.c_custkey, l.bal_cents
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY bal_cents DESC, c_custkey ASC
+  LIMIT 2
+) l
+"""
+
+RECURSIVE_ORACLE = """
+WITH RECURSIVE chain(custkey, node, depth, chain_bal_cents) AS (
+  SELECT c_custkey AS custkey, c_custkey AS node, 1 AS depth,
+         CAST(round(c_acctbal*100) AS BIGINT) AS chain_bal_cents
+  FROM customer
+  UNION ALL
+  SELECT ch.custkey, c.c_custkey AS node, ch.depth + 1 AS depth,
+         ch.chain_bal_cents + CAST(round(c.c_acctbal*100) AS BIGINT)
+  FROM chain ch JOIN customer c ON c.c_custkey = ch.node // 2
+  WHERE ch.node > 1
+)
+SELECT custkey, CAST(max(depth) AS BIGINT) AS depth,
+       CAST(max(chain_bal_cents) AS BIGINT) AS chain_bal_cents
+FROM chain
+GROUP BY custkey
+"""
+
+LATERAL_ORACLE = LATERAL_SQL_BODY
+
+SPECS = [
+    QuerySpec("q_recursive_chain", q_recursive_chain, RECURSIVE_ORACLE,
+              "WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE)"),
+    QuerySpec("q_lateral_top2", q_lateral_top2, LATERAL_ORACLE,
+              "LATERAL correlated top-k subquery"),
+]
