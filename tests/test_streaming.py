@@ -353,3 +353,42 @@ def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b, f"overlapping file ranges: {(lo_a, hi_a)} vs {(lo_b, hi_b)}"
+
+
+def test_stream_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Checkpoint recovery: a restarted query resumes from the committed
+    offset — already-processed files are NOT re-delivered to the sink
+    (the exactly-once contract the foreachBatch sinks rely on)."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck_restart")
+
+    def write_batch(name, ids):
+        pd.DataFrame({"k": pd.Series(ids, dtype="int64")}).to_parquet(
+            str(src / f"{name}.parquet")
+        )
+
+    write_batch("a", [1, 2, 3])
+
+    delivered = []
+
+    def run_once():
+        stream = spark.readStream.schema("k long").parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: delivered.extend(r.k for r in df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(delivered) == [1, 2, 3]
+
+    write_batch("b", [4, 5])
+    run_once()  # restart from the same checkpoint
+    assert sorted(delivered) == [1, 2, 3, 4, 5], "old files were reprocessed"
