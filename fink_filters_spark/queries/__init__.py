@@ -30,6 +30,7 @@ def all_specs() -> list[QuerySpec]:
         dedup,
         extras,
         filters,
+        mlprep,
         pipeline,
         relational,
         relational2,
@@ -44,7 +45,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
                 xmatch, dedup, similarity, text, extras, pipeline, analytic,
-                curation, sql_surface):
+                curation, sql_surface, mlprep):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -1,0 +1,291 @@
+"""ML-preparation queries (LLM-data-pipeline surface, part 3):
+k-fold assignment, class weighting, histogram profiling, corpus bigram
+statistics, int8 embedding quantization, and distribution-drift (PSI)
+monitoring — the statistics a training pipeline computes between curation
+and the trainer.
+
+Parity conventions (tables.py): exact integer counting, single
+deterministic double expression at the end, defensive round(x, 6). The
+bigram query reuses the shared word-hash scheme from queries/dedup.py so
+its oracle reproduces the exact gram hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import FP_MOD, WORD_COMBINE_BASE, combine_word_hashes, word_hashes
+from ..tables import cents, load_table
+from . import QuerySpec
+from .dedup import TOKS_SQL, _hash_sql
+
+# ---- k-fold assignment ------------------------------------------------------
+
+KFOLD_K = 5
+KFOLD_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def pipe_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split summary: fold = (doc_id * knuth) % k.
+    Multiplicative hashing decorrelates the fold from any doc_id ordering;
+    the assignment is per-row arithmetic (no shuffle), the summary is a
+    5-group aggregate. Generalizes C38's modulus sampling to CV folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (F.col("doc_id") * KFOLD_MULT) % KFOLD_K
+    per = docs.select(fold.alias("fold"), F.col("n_chars"))
+    return per.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_chars"),
+    )
+
+
+KFOLD_SQL = f"""
+SELECT (doc_id * {KFOLD_MULT}) % {KFOLD_K} AS fold,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---- inverse-frequency class weights ---------------------------------------
+
+def pipe_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class weights over the event-type label column:
+    w = total / (n_classes * n_class) (sklearn's "balanced" formula).
+    One grouped count; totals come from an unpartitioned window over the
+    few-row aggregate, not a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    total = F.sum("n_events").over(w)
+    k = F.count(F.lit(1)).over(w)
+    return per.select(
+        "event_type",
+        "n_events",
+        F.round(
+            total.cast("double") / (k * F.col("n_events")).cast("double"), 6
+        ).alias("weight"),
+    )
+
+
+CLASS_WEIGHTS_SQL = """
+SELECT event_type, n_events,
+       round(CAST(sum(n_events) OVER () AS DOUBLE)
+             / CAST(count(*) OVER () * n_events AS DOUBLE), 6) AS weight
+FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+"""
+
+
+# ---- fixed-width histogram profiling ----------------------------------------
+
+HIST_WIDTH = 5  # l_quantity in 1..50 -> 10 buckets
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem quantity (the one-pass numeric
+    profile a feature pipeline runs per column): bucket arithmetic is
+    per-row, the aggregate has 10 groups, price mass in exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor((F.col("l_quantity") - 1) / HIST_WIDTH).cast("long")
+    return (
+        li.select(
+            bucket.alias("bucket"),
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+            cents("l_extendedprice").alias("price_c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum("price_c").alias("sum_price_cents"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH + 1).alias("lo_qty"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi_qty"),
+            "n_items",
+            "sum_qty",
+            "sum_price_cents",
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT bucket,
+       bucket * {HIST_WIDTH} + 1 AS lo_qty,
+       (bucket + 1) * {HIST_WIDTH} AS hi_qty,
+       count(*) AS n_items,
+       sum(qty) AS sum_qty,
+       sum(price_c) AS sum_price_cents
+FROM (
+  SELECT CAST(floor((l_quantity - 1) / {HIST_WIDTH}) AS BIGINT) AS bucket,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+)
+GROUP BY bucket
+"""
+
+
+# ---- corpus bigram statistics ----------------------------------------------
+
+BIGRAM_TOPK = 40
+
+
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus word bigrams (hashed): the unigram/bigram LM table a
+    tokenizer-training or contamination-analysis step builds. Positional
+    (non-distinct) grams explode into one long column; partial map-side
+    counting collapses the shuffle to distinct grams, and the top-k is a
+    TakeOrdered, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.select(word_hashes("text").alias("__wh")).filter(F.size("__wh") >= 2)
+    grams = wh.select(
+        F.explode(combine_word_hashes("__wh", 2, distinct=False)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("gram").asc())
+        .limit(BIGRAM_TOPK)
+    )
+
+
+BIGRAMS_SQL = f"""
+SELECT gram, count(*) AS n_occ
+FROM (
+  SELECT unnest(list_transform(
+           generate_series(1, len(wh) - 1),
+           i -> (wh[i] * {WORD_COMBINE_BASE} + wh[i+1]) % {FP_MOD}
+         )) AS gram
+  FROM (
+    SELECT list_transform(toks, s -> {_hash_sql('s')}) AS wh
+    FROM ({TOKS_SQL})
+  )
+  WHERE len(wh) >= 2
+)
+GROUP BY gram
+ORDER BY n_occ DESC, gram ASC
+LIMIT {BIGRAM_TOPK}
+"""
+
+
+# ---- int8 embedding quantization --------------------------------------------
+
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127 / max|x|) with
+    reconstruction error — the storage-shrink step before ANN indexing at
+    100 TB. All native higher-order array expressions; the squared error
+    uses d*d (not pow) so both engines emit the identical IEEE tree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = emb.select("vec_id", e.alias("__e")).filter(F.size("__e") > 0)
+    maxabs = F.array_max(F.transform(F.col("__e"), F.abs))
+    scaled = ed.select("vec_id", "__e", (F.lit(127.0) / maxabs).alias("__s")).filter(
+        maxabs > 0
+    )
+
+    def _sq(acc, x):
+        d = x - F.round(x * F.col("__s")) / F.col("__s")
+        return acc + d * d
+
+    sse = F.aggregate(F.col("__e"), F.lit(0.0), _sq)
+    n = F.size("__e")
+    return scaled.select(
+        "vec_id",
+        n.alias("n_dims"),
+        F.round(F.col("__s"), 6).alias("scale"),
+        F.round(sse / n.cast("double") * 1e6, 6).alias("mse_e6"),
+    )
+
+
+QUANTIZE_SQL = """
+SELECT vec_id,
+       len(e) AS n_dims,
+       round(s, 6) AS scale,
+       round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(e, x -> (x - round(x * s) / s) * (x - round(x * s) / s))),
+               (a, b) -> a + b)
+             / CAST(len(e) AS DOUBLE) * 1e6, 6) AS mse_e6
+FROM (
+  SELECT vec_id, e,
+         127.0 / list_max(list_transform(e, x -> abs(x))) AS s,
+         list_max(list_transform(e, x -> abs(x))) AS maxabs
+  FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+  )
+  WHERE len(e) > 0
+)
+WHERE maxabs > 0
+"""
+
+
+# ---- distribution drift (PSI) -----------------------------------------------
+
+def pipe_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index terms between two deterministic user
+    cohorts (user_id parity) over the event-type distribution — the drift
+    monitor between a reference corpus slice and a refresh. Exact integer
+    counts; one ln() per category on the tiny grouped result."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            "event_type", (F.col("user_id") % 2 == 0).alias("in_a")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("n_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    w = Window.partitionBy()
+    pa = F.col("n_a").cast("double") / F.sum("n_a").over(w).cast("double")
+    pb = F.col("n_b").cast("double") / F.sum("n_b").over(w).cast("double")
+    return per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb) * 1e6, 6).alias("psi_term_e6"),
+    )
+
+
+DRIFT_SQL = """
+SELECT event_type, n_a, n_b,
+       round((CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE)
+              - CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE))
+             * ln((CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE)))
+             * 1e6, 6) AS psi_term_e6
+FROM (
+  SELECT event_type,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+  FROM events
+  GROUP BY event_type
+)
+WHERE n_a > 0 AND n_b > 0
+"""
+
+
+SPECS = [
+    QuerySpec("pipe_kfold", pipe_kfold, KFOLD_SQL,
+              "deterministic k-fold CV assignment summary (multiplicative hash)"),
+    QuerySpec("pipe_class_weights", pipe_class_weights, CLASS_WEIGHTS_SQL,
+              "balanced inverse-frequency class weights (one grouped count)"),
+    QuerySpec("agg_histogram", agg_histogram, HISTOGRAM_SQL,
+              "fixed-width numeric histogram profile (exact cents mass)"),
+    QuerySpec("text_bigrams", text_bigrams, BIGRAMS_SQL,
+              "top-k corpus word bigrams (partial-agg + TakeOrdered)"),
+    QuerySpec("sim_quantize_int8", sim_quantize_int8, QUANTIZE_SQL,
+              "per-vector int8 quantization with reconstruction MSE"),
+    QuerySpec("pipe_drift_psi", pipe_drift_psi, DRIFT_SQL,
+              "PSI drift terms between deterministic cohorts"),
+]

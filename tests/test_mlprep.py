@@ -1,0 +1,88 @@
+"""Unit tests for the ML-prep query surface (queries/mlprep.py):
+invariants that must hold on any input, checked at sf0.001 (the DuckDB
+hash-parity check runs separately via tools/check_oracle.py / the driver).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_count(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+
+def test_kfold_partitions_all_docs(spark, docs_count):
+    from fink_filters_spark.queries.mlprep import KFOLD_K, pipe_kfold
+
+    rows = pipe_kfold(spark, SF_DIR).collect()
+    assert {r["fold"] for r in rows} <= set(range(KFOLD_K))
+    assert sum(r["n_docs"] for r in rows) == docs_count
+    for r in rows:
+        assert abs(r["avg_chars"] - r["sum_chars"] / r["n_docs"]) < 1e-5
+
+
+def test_class_weights_balanced_formula(spark):
+    from fink_filters_spark.queries.mlprep import pipe_class_weights
+
+    rows = pipe_class_weights(spark, SF_DIR).collect()
+    total = sum(r["n_events"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r["weight"] == pytest.approx(total / (k * r["n_events"]), abs=1e-5)
+    # weighted event mass is uniform across classes by construction
+    masses = [r["n_events"] * r["weight"] for r in rows]
+    assert max(masses) - min(masses) < 1e-2
+
+
+def test_histogram_covers_every_row(spark):
+    from fink_filters_spark.queries.mlprep import agg_histogram
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = agg_histogram(spark, SF_DIR).collect()
+    assert sum(r["n_items"] for r in rows) == li.count()
+    for r in rows:
+        assert r["lo_qty"] == r["bucket"] * 5 + 1
+        assert r["hi_qty"] == (r["bucket"] + 1) * 5
+        # bucket mean quantity must lie inside the bucket bounds
+        mean_q = r["sum_qty"] / r["n_items"]
+        assert r["lo_qty"] - 0.5 <= mean_q <= r["hi_qty"] + 0.5
+
+
+def test_bigrams_ranked_and_bounded(spark):
+    from fink_filters_spark.queries.mlprep import BIGRAM_TOPK, text_bigrams
+
+    rows = text_bigrams(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= BIGRAM_TOPK
+    counts = [r["n_occ"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert len({r["gram"] for r in rows}) == len(rows)
+
+
+def test_quantize_int8_error_bound(spark):
+    from fink_filters_spark.queries.mlprep import sim_quantize_int8
+
+    rows = sim_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["scale"] > 0
+        # per-dim |err| <= 0.5/scale  =>  mse <= (0.5/scale)^2
+        bound_e6 = (0.5 / r["scale"]) ** 2 * 1e6
+        assert 0 <= r["mse_e6"] <= bound_e6 + 1e-6
+
+
+def test_drift_psi_terms_finite_and_signed_consistently(spark):
+    from fink_filters_spark.queries.mlprep import pipe_drift_psi
+
+    rows = pipe_drift_psi(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert math.isfinite(r["psi_term_e6"])
+        # (p-q)*ln(p/q) >= 0 always
+        assert r["psi_term_e6"] >= 0
