@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.text import FP_MOD, WORD_COMBINE_BASE, combine_word_hashes, word_hashes
-from ..tables import cents, load_table
+from ..tables import cents, load_table, milli
 from . import QuerySpec
 from .dedup import TOKS_SQL, _hash_sql
 
@@ -275,6 +275,38 @@ WHERE n_a > 0 AND n_b > 0
 """
 
 
+# ---- incremental aggregate maintenance --------------------------------------
+
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the events table arrives as two
+    increments (event_id parity stands in for two nights); each increment
+    produces a mergeable partial state, the states merge, and finalize()
+    derives the read view. The oracle is the one-shot GROUP BY over the
+    whole table — hash-equality proves merge(partials) == full rescan,
+    the property that makes O(increment) nightly refresh sound."""
+    from ..operators.incremental import finalize, merge_states, partial_state
+
+    ev = load_table(spark, sf_dir, "events")
+    measures = {"val_m": milli("value")}
+    nights = [
+        partial_state(ev.filter(F.col("event_id") % 2 == p), ["event_type"], measures)
+        for p in (0, 1)
+    ]
+    return finalize(merge_states(nights, ["event_type"]), ["event_type"])
+
+
+INCREMENTAL_SQL = """
+SELECT event_type,
+       count(*) AS val_m_count,
+       sum(v) AS val_m_sum,
+       min(v) AS val_m_min,
+       max(v) AS val_m_max,
+       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS val_m_avg
+FROM (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v FROM events)
+GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("pipe_kfold", pipe_kfold, KFOLD_SQL,
               "deterministic k-fold CV assignment summary (multiplicative hash)"),
@@ -288,4 +320,6 @@ SPECS = [
               "per-vector int8 quantization with reconstruction MSE"),
     QuerySpec("pipe_drift_psi", pipe_drift_psi, DRIFT_SQL,
               "PSI drift terms between deterministic cohorts"),
+    QuerySpec("agg_incremental", agg_incremental, INCREMENTAL_SQL,
+              "incremental partial-agg merge == one-shot rescan"),
 ]

@@ -76,6 +76,34 @@ def test_quantize_int8_error_bound(spark):
         assert 0 <= r["mse_e6"] <= bound_e6 + 1e-6
 
 
+def test_incremental_merge_handles_disjoint_and_overlapping_keys(spark):
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.incremental import (
+        finalize,
+        merge_states,
+        partial_state,
+    )
+
+    a = spark.createDataFrame([("x", 1), ("x", 3), ("y", 10)], "k string, v long")
+    b = spark.createDataFrame([("y", 20), ("z", 5)], "k string, v long")
+    m = {"v": F.col("v")}
+    merged = finalize(
+        merge_states(
+            [partial_state(a, ["k"], m), partial_state(b, ["k"], m)], ["k"]
+        ),
+        ["k"],
+    )
+    got = {r["k"]: r.asDict() for r in merged.collect()}
+    assert got["x"]["v_count"] == 2 and got["x"]["v_sum"] == 4
+    assert got["x"]["v_min"] == 1 and got["x"]["v_max"] == 3
+    assert got["y"]["v_count"] == 2 and got["y"]["v_sum"] == 30  # overlapping key
+    assert got["z"]["v_count"] == 1 and got["z"]["v_avg"] == 5.0  # disjoint key
+    # merge of partials == one-shot aggregate over the union
+    oneshot = finalize(partial_state(a.unionByName(b), ["k"], m), ["k"])
+    assert {tuple(r) for r in oneshot.collect()} == {tuple(r) for r in merged.collect()}
+
+
 def test_drift_psi_terms_finite_and_signed_consistently(spark):
     from fink_filters_spark.queries.mlprep import pipe_drift_psi
 

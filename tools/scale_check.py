@@ -38,6 +38,8 @@ HEADLINERS = [
     "q_stat_moments",
     "w_range_frame",
     "skew_hot_users",
+    "text_bigrams",
+    "sim_quantize_int8",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
