@@ -249,3 +249,43 @@ def streaming_interval_join(
         & (F.col(left_time) <= F.col(right_time) + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, "inner").drop(rkey)
+
+
+def incremental_state_sink(
+    keys: list[str], measures_fn: Callable[[], dict], state_path: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer maintaining a log-structured aggregate state:
+    each micro-batch APPENDS its mergeable partial state (one parquet
+    increment, see operators/incremental.py) keyed by batch_id for
+    exactly-once replay safety — a restarted batch overwrites its own
+    increment instead of double-counting.
+
+    Append-only is the scale choice: the per-batch write is O(batch keys),
+    never O(all keys); merge cost is deferred to ``read_state`` /
+    ``compact_state`` (the LSM pattern). ``measures_fn`` is a factory so
+    the closure ships no Column objects to the executors.
+    """
+    from ..operators.incremental import partial_state
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        part = partial_state(batch_df, keys, measures_fn())
+        part.write.mode("overwrite").parquet(f"{state_path}/batch_id={batch_id}")
+
+    return write
+
+
+def read_state(spark, state_path: str, keys: list[str]) -> DataFrame:
+    """Merge-on-read over all appended increments: one scan + one merge
+    aggregation (operators/incremental.merge_states algebra)."""
+    from ..operators.incremental import merge_states
+
+    inc = spark.read.option("basePath", state_path).parquet(f"{state_path}/batch_id=*")
+    return merge_states([inc.drop("batch_id")], keys)
+
+
+def compact_state(spark, state_path: str, keys: list[str], out_path: str) -> None:
+    """Fold every increment into a single base increment at ``out_path``
+    (run periodically so merge-on-read stays O(base + recent))."""
+    read_state(spark, state_path, keys).write.mode("overwrite").parquet(
+        f"{out_path}/batch_id=compacted"
+    )

@@ -392,3 +392,61 @@ def test_stream_checkpoint_restart_no_reprocessing(spark, tmp_path):
     write_batch("b", [4, 5])
     run_once()  # restart from the same checkpoint
     assert sorted(delivered) == [1, 2, 3, 4, 5], "old files were reprocessed"
+
+
+def test_incremental_state_sink_matches_batch_aggregate(spark, tmp_path):
+    """Streamed increments -> appended partial states -> merge-on-read must
+    equal the one-shot batch aggregate; replaying a batch_id must overwrite
+    (not double-count) its increment."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.streaming import (
+        compact_state,
+        incremental_state_sink,
+        read_state,
+    )
+
+    d = tmp_path / "inc_src"
+    d.mkdir()
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches
+    pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 10]}).to_parquet(d / "p1.parquet")
+    pd.DataFrame({"k": ["b", "c"], "v": [20, 5]}).to_parquet(d / "p2.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    state = str(tmp_path / "inc_state")
+    writer = incremental_state_sink(["k"], lambda: {"v": F.col("v")}, state)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from fink_filters_spark.operators.incremental import finalize
+
+    got = {
+        r["k"]: r.asDict()
+        for r in finalize(read_state(spark, state, ["k"]), ["k"]).collect()
+    }
+    assert got["a"] == {"k": "a", "v_count": 2, "v_sum": 3, "v_min": 1,
+                        "v_max": 2, "v_avg": 1.5}
+    assert got["b"]["v_count"] == 2 and got["b"]["v_sum"] == 30
+    assert got["c"]["v_sum"] == 5
+
+    # replay safety: re-running batch 0's writer overwrites, totals unchanged
+    batch0 = spark.read.parquet(str(d / "p1.parquet"))
+    writer(batch0, 0)
+    again = {r["k"]: r["v_sum"] for r in read_state(spark, state, ["k"]).collect()}
+    assert again == {"a": 3, "b": 30, "c": 5}
+
+    # compaction folds everything into one increment with the same totals
+    compact_state(spark, state, ["k"], str(tmp_path / "inc_base"))
+    base = {
+        r["k"]: r["v_sum"]
+        for r in read_state(spark, str(tmp_path / "inc_base"), ["k"]).collect()
+    }
+    assert base == again
