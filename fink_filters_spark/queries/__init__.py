@@ -26,6 +26,7 @@ class QuerySpec:
 def all_specs() -> list[QuerySpec]:
     from . import (
         analytic,
+        approx,
         curation,
         dedup,
         extras,
@@ -45,7 +46,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
                 xmatch, dedup, similarity, text, extras, pipeline, analytic,
-                curation, sql_surface, mlprep):
+                curation, sql_surface, mlprep, approx):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
