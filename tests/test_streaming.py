@@ -450,3 +450,43 @@ def test_incremental_state_sink_matches_batch_aggregate(spark, tmp_path):
         for r in read_state(spark, str(tmp_path / "inc_base"), ["k"]).collect()
     }
     assert base == again
+
+
+def test_write_zordered_compact_on_both_dims(spark, tmp_path):
+    """Z-order clustering: every output file must cover a small fraction of
+    BOTH dimensions' domains (1-D range clustering leaves dim-2 spanning
+    ~100% per file), so a 2-D box predicate can skip most files on footer
+    stats alone."""
+    import pyarrow.parquet as pq
+
+    from fink_filters_spark.sinks.storage import write_clustered, write_zordered
+
+    # uniform 100x100 grid -> x and y are independent
+    df = spark.range(0, 10_000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS x", "CAST(id DIV 100 AS DOUBLE) AS y"
+    )
+
+    def file_spans(path, col):
+        spans = []
+        for f in sorted(path.glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((max(maxs) - min(mins)) / 100.0)  # fraction of domain
+        return spans
+
+    zpath = tmp_path / "zordered"
+    write_zordered(df, str(zpath), "x", "y", (0, 100), (0, 100), n_files=16)
+    rpath = tmp_path / "range1d"
+    write_clustered(df, str(rpath), "x", n_files=16)
+
+    zx, zy = file_spans(zpath, "x"), file_spans(zpath, "y")
+    ry = file_spans(rpath, "y")
+    # Z-ordered files are compact on BOTH dims...
+    assert sum(zx) / len(zx) <= 0.5 and sum(zy) / len(zy) <= 0.5
+    # ...while 1-D clustering leaves y spanning essentially the full domain
+    assert sum(ry) / len(ry) > 0.9
