@@ -210,3 +210,46 @@ def test_shuffle_shard_range_and_determinism(spark, ids):
     b = {r.doc_id: r.shard for r in df.select("doc_id", shard.alias("shard")).collect()}
     assert a == b
     assert all(0 <= s < 64 for s in a.values())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=40),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_merge_invariant_to_partitioning(spark, rows, cuts):
+    """merge(partial states of ANY partition of the rows into increments)
+    == one-shot aggregate — the algebra that makes nightly incremental
+    refresh sound regardless of how history was sliced."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.incremental import (
+        finalize,
+        merge_states,
+        partial_state,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["v"] = pdf["v"].astype("int64")
+    # assign each row to one of up to 4 increments via the drawn cut labels
+    labels = [cuts[i % len(cuts)] for i in range(len(pdf))]
+    pdf["inc"] = labels
+    full = spark.createDataFrame(pdf[["k", "v"]])
+    m = {"v": F.col("v")}
+    states = [
+        partial_state(
+            spark.createDataFrame(pdf[pdf["inc"] == i][["k", "v"]]), ["k"], m
+        )
+        for i in sorted(set(labels))
+    ]
+    merged = finalize(merge_states(states, ["k"]), ["k"]).collect()
+    oneshot = finalize(partial_state(full, ["k"], m), ["k"]).collect()
+    assert {tuple(r) for r in merged} == {tuple(r) for r in oneshot}
