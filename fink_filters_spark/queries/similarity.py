@@ -213,31 +213,38 @@ def q_sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors; partial aggregation collapses each partition's contribution
     map-side."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
+    agg = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
             F.sum(F.round(F.col("val").cast("double") * 1e6).cast("long")).alias("sum_e6"),
             F.count(F.lit(1)).alias("n"),
         )
-        .withColumn(
-            "centroid",
-            F.round(F.col("sum_e6").cast("double") / 1e6 / F.col("n"), 6),
-        )
     )
+    # mean in micro-units, rounded half-away IN INTEGER ARITHMETIC: a double
+    # mean that lands on a .5e-6 decimal boundary rounds differently in
+    # Spark (BigDecimal shortest-repr) vs DuckDB (binary value) — found as a
+    # 1-ulp hash flake at sf0.1. sign * ((2|s| + n) div 2n) is engine-proof.
+    mean_e6 = F.when(F.col("sum_e6") < 0, -1).otherwise(1) * F.expr(
+        "(2 * abs(sum_e6) + n) div (2 * n)"
+    )
+    return agg.withColumn("centroid", mean_e6.cast("double") / 1e6)
 
 
 SIM_CENTROID_SQL = """
-SELECT label, CAST(pos AS INT) AS pos,
-       CAST(sum(CAST(round(CAST(val AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS sum_e6,
-       count(*) AS n,
-       round(CAST(CAST(sum(CAST(round(CAST(val AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS DOUBLE)
-             / 1e6 / count(*), 6) AS centroid
+SELECT label, pos, sum_e6, n,
+       CAST((CASE WHEN sum_e6 < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(sum_e6) + n) // (2 * n)) AS DOUBLE) / 1e6 AS centroid
 FROM (
-  SELECT label, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
-  FROM embeddings
+  SELECT label, CAST(pos AS INT) AS pos,
+         CAST(sum(CAST(round(CAST(val AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT) AS sum_e6,
+         count(*) AS n
+  FROM (
+    SELECT label, unnest(embedding) AS val, unnest(range(len(embedding))) AS pos
+    FROM embeddings
+  )
+  GROUP BY label, CAST(pos AS INT)
 )
-GROUP BY label, CAST(pos AS INT)
 """
 
 
