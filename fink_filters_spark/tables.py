@@ -12,6 +12,18 @@ order-sensitive float accumulation is replaced by exact integer arithmetic:
 - final derived doubles are produced by a SINGLE deterministic expression
   tree over exact integers (casts below 2^53 are exact, IEEE ops on equal
   operands are bit-equal across engines), then defensively ``round(x, 6)``.
+
+CAVEAT on the defensive round: ``round(x, 6)`` of a BIT-IDENTICAL double can
+STILL differ across engines when x's shortest decimal repr lands exactly on
+the half boundary — Spark rounds the shortest repr (BigDecimal.valueOf,
+HALF_UP) while DuckDB rounds the binary value, so a double printing as
+"0.0032135" but binarily below it rounds up in Spark and down in DuckDB
+(observed once in ~60k rounded cells at sf0.1). Where a rounded MEAN of an
+integer sum is emitted, make the tie decision in integer arithmetic instead:
+``sign(s) * ((2*abs(s) + n) div (2*n))`` (see queries/similarity.py
+centroid). The residual risk for other rounded outputs is ~1e-5 per cell and
+only at boundaries; accept it for ratio-like outputs, but prefer integer
+forms when the value is sum/count.
 """
 
 from __future__ import annotations
