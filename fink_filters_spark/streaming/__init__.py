@@ -279,8 +279,14 @@ def read_state(spark, state_path: str, keys: list[str]) -> DataFrame:
     aggregation (operators/incremental.merge_states algebra)."""
     from ..operators.incremental import merge_states
 
-    inc = spark.read.option("basePath", state_path).parquet(f"{state_path}/batch_id=*")
-    return merge_states([inc.drop("batch_id")], keys)
+    inc = spark.read.parquet(state_path)
+    # drop the increment-partition column(s) (batch_id=… from the streaming
+    # sink, night=… from programs/nightly.py) — only keys + state fields merge
+    state_cols = [
+        c for c in inc.columns
+        if c in keys or c.rsplit("_", 1)[-1] in ("count", "sum", "min", "max")
+    ]
+    return merge_states([inc.select(*state_cols)], keys)
 
 
 def compact_state(spark, state_path: str, keys: list[str], out_path: str) -> None:

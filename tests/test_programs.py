@@ -241,3 +241,44 @@ def test_deredden_raster_join(spark):
     assert abs(corr1 - BAND_EXTINCTION["g"] * 0.33) < 0.05
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_nightly_report_one_pass_matches_per_topic_filters(spark, ztf_df):
+    """The single-pass flag-sum report must equal running each topic filter
+    separately (the reference's per-topic passes)."""
+    from fink_filters_spark.filters import apply_named_filter
+    from fink_filters_spark.programs.nightly import nightly_report
+
+    topics = ["ztf.sn_candidates", "ztf.example", "ztf.sso_ztf_candidates"]
+    got = nightly_report(ztf_df, topics)
+    for t in topics:
+        assert got[t] == apply_named_filter(ztf_df, t).count()
+
+
+def test_nightly_state_update_is_rerun_safe_and_merges(spark, tmp_path):
+    """Two nights append two increments; re-running a night overwrites its
+    increment (no double count); read_state folds both layouts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.incremental import finalize
+    from fink_filters_spark.programs.nightly import nightly_state_update
+    from fink_filters_spark.streaming import read_state
+
+    state = str(tmp_path / "nightly_state")
+    n1 = spark.createDataFrame(
+        pd.DataFrame({"objectId": ["a", "a", "b"], "flux": [1, 2, 10]})
+    )
+    n2 = spark.createDataFrame(pd.DataFrame({"objectId": ["b", "c"], "flux": [20, 5]}))
+    mf = lambda: {"flux": F.col("flux")}  # noqa: E731
+    nightly_state_update(n1, "2026-08-12", state, ["objectId"], mf)
+    nightly_state_update(n2, "2026-08-13", state, ["objectId"], mf)
+    nightly_state_update(n1, "2026-08-12", state, ["objectId"], mf)  # re-run
+
+    got = {
+        r["objectId"]: r.asDict()
+        for r in finalize(read_state(spark, state, ["objectId"]), ["objectId"]).collect()
+    }
+    assert got["a"]["flux_count"] == 2 and got["a"]["flux_sum"] == 3
+    assert got["b"]["flux_sum"] == 30 and got["b"]["flux_min"] == 10
+    assert got["c"]["flux_avg"] == 5.0
