@@ -45,6 +45,15 @@ def test_no_unintended_cartesian_or_nested_loop(plans):
     assert not bad, f"nested-loop/cartesian plans in: {bad}"
 
 
+def test_no_row_at_a_time_python(plans):
+    """Python in the execution path must be Arrow-vectorized
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) — a
+    BatchEvalPython node means a row-at-a-time UDF slipped into a query,
+    the ~10-100x slow path (SURVEY §4 'Vectorized execution')."""
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
 def test_every_query_plans_and_declares_oracle_or_is_listed(plans):
     import __spark_entry__ as entry
 
