@@ -16,10 +16,13 @@ from pyspark.sql import SparkSession
 # Dynamic (session-settable) confs applied even when we are handed an
 # existing SparkSession (e.g. by the verification driver).
 DYNAMIC_CONF = {
-    # /root/testdata parquet stores events.ts as TIMESTAMP(NANOS); Spark has
-    # no nanosecond timestamp type, so read it as a long (nanoseconds since
-    # epoch) and convert explicitly (see tables.py).
+    # events.ts has shipped as TIMESTAMP(NANOS) in some testdata builds and
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) in others. nanosAsLong covers
+    # the NANOS build (read as long); tables.load_events adapts by dtype.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (NTZ) timestamps must mean UTC so Spark's epoch extraction agrees
+    # with DuckDB's epoch_us(ts) regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
     # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
     # ones, convert to broadcast joins when runtime stats allow.
     "spark.sql.adaptive.enabled": "true",

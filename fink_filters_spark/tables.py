@@ -54,10 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_us`` (bigint microseconds since epoch) added.
 
-    Oracle equivalent of ``ts_us`` is ``epoch_us(ts)``.
+    Oracle equivalent of ``ts_us`` is ``epoch_us(ts)``. The physical type of
+    ``ts`` has varied across testdata builds — INT64 TIMESTAMP(NANOS) (read
+    as long via nanosAsLong) vs TIMESTAMP(MICROS) NTZ — so adapt by dtype.
     """
     df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts_us", F.expr("ts div 1000"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts_us = F.expr("ts div 1000")  # int64 nanoseconds since epoch
+    else:
+        # timestamp / timestamp_ntz: session tz is pinned to UTC, so the
+        # cast-to-timestamp interprets naive values as UTC instants.
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_us", ts_us.cast("long"))
 
 
 def cents(col):
