@@ -56,17 +56,58 @@ def main() -> None:
             print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query detail (all queries) goes to stderr; the stdout contract
+    # line must stay well under 2000 chars because the driver records only the
+    # last 2000 chars of output and parses the JSON from that tail window.
+    print("# ALL " + json.dumps(times), file=sys.stderr)
+    headliners = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_nation_revenue",
+        "q9_product_profit",
+        "q13_order_histogram",
+        "q18_large_orders",
+        "q21_sole_returner",
+        "topk_anomalies",
+        "f_sn_candidates",
+        "k1_classification",
+        "w_topn_per_user",
+        "sess_hourly",
+        "ts_linfit",
+        "ts_hist_array",
+        "xmatch_cone",
+        "xmatch_enrich",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_components",
+        "dedup_embedding_cosine",
+        "sim_knn_bruteforce",
+        "sim_ivf_search",
+        "sim_lsh_search",
+        "text_tfidf",
+        "text_bigrams",
+        "pipe_decontaminate",
+        "pipe_pack_sequences",
+        "q_asof_attribution",
+        "q_recursive_chain",
+        "agg_incremental",
+    ]
+    compact = {k: times[k] for k in headliners if k in times}
+    failed = sorted(k for k, v in times.items() if v is not None and v < 0)
+    line = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": compact,
+        "sf": sf,
+        "n_queries": len(times),
+        "n_failed": len(failed),
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1800:  # hard guard for the driver's tail window
+        line["queries"] = dict(list(compact.items())[:15])
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
     spark.stop()
 
 
