@@ -25,6 +25,7 @@ class QuerySpec:
 
 def all_specs() -> list[QuerySpec]:
     from . import (
+        advanced,
         analytic,
         approx,
         curation,
@@ -46,7 +47,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
                 xmatch, dedup, similarity, text, extras, pipeline, analytic,
-                curation, sql_surface, mlprep, approx):
+                curation, sql_surface, mlprep, approx, advanced):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

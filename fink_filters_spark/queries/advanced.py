@@ -1,0 +1,276 @@
+"""Advanced analytics surface (round 3 additions):
+
+- funnel conversion (ordered-stage analytics) — the multi-stage dual of
+  q_sessionize: stage N's timestamp depends on stage N-1's, computed with
+  stacked window aggregates over ONE hash-partition of user_id (no
+  re-shuffle between stages, partitioning is preserved through WindowExec
+  and into the final per-user aggregate).
+- count-min sketch heavy hitters — the mergeable-sketch answer to "top
+  users" at 100 TB: cell counts are a partial-aggregable 4x256 table
+  (map-side combine collapses each partition to <=1024 rows), estimates
+  never underestimate; both the sketch and the exact side are deterministic
+  integer arithmetic, so the DuckDB oracle reproduces the sketch bit-for-bit.
+- deterministic weighted sampling — P(keep) proportional to n_chars via a
+  multiplicative hash of the key (pipe_kfold's scheme): pure per-row
+  arithmetic, no shuffle, reproducible across runs and engines.
+- runtime bloom-filter join — Spark's runtime-filter injection
+  (spark.sql.optimizer.runtime.bloomFilter.*): a selective dim predicate is
+  turned into a bloom pre-filter on the fact scan, the physical analogue of
+  the reference's manual cheap-before-expensive staging (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_events, load_table
+from . import QuerySpec
+
+# ---------------------------------------------------------------- funnel
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: per user, the first view, the
+    first click at-or-after that view, the first purchase at-or-after that
+    click; one row of stage conversion counts.
+
+    Scale: one shuffle on user_id; the three stage timestamps are window
+    aggregates over the same partition spec (no intermediate exchange), the
+    per-user rollup reuses the same partitioning, and only |users| rows
+    reach the final single-row aggregate.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    st1 = ev.withColumn("tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") >= F.col("tv")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    st2 = st1.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("tc")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    st3 = st2.withColumn("tp", tp)
+    per_user = st3.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click"),
+        F.count("tp").alias("n_purchase"),
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+u AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN t END) AS tv
+  FROM e GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.t) AS tc
+  FROM e JOIN u ON e.user_id = u.user_id
+  WHERE e.event_type = 'click' AND e.t >= u.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.t) AS tp
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.t >= c.tc
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(u.tv) AS BIGINT) AS n_view,
+       CAST(count(c.tc) AS BIGINT) AS n_click,
+       CAST(count(p.tp) AS BIGINT) AS n_purchase
+FROM u
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+# ------------------------------------------------- count-min heavy hitters
+
+CMS_P = 1000003  # prime modulus
+CMS_W = 256      # cells per hash row
+CMS_PARAMS = [(0, 131, 17), (1, 137, 29), (2, 139, 41), (3, 149, 53)]
+CMS_K = 10
+
+
+def _cms_cell(key, a, b):
+    return ((key * a + b) % CMS_P) % CMS_W
+
+
+def agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs exact: top-10 users by event count with the CMS
+    estimate alongside and the never-underestimates invariant asserted.
+
+    Scale: the sketch is the scalable side — 4x256 cells regardless of key
+    cardinality, built with map-side partial aggregation (each partition
+    contributes <=1024 partial rows to the shuffle); the exact top-k is
+    TakeOrderedAndProject. The candidate->cell lookup broadcasts the tiny
+    cell table.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    prm = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for i, a, b in CMS_PARAMS
+        ]
+    )
+    cells = (
+        ev.select("user_id", F.explode(prm).alias("p"))
+        .select(
+            F.col("p.i").alias("i"),
+            _cms_cell(F.col("user_id"), F.col("p.a"), F.col("p.b")).alias("cell"),
+        )
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(CMS_K)
+    )
+    est = (
+        exact.select("user_id", "n_exact", F.explode(prm).alias("p"))
+        .select(
+            "user_id",
+            "n_exact",
+            F.col("p.i").alias("i"),
+            _cms_cell(F.col("user_id"), F.col("p.a"), F.col("p.b")).alias("cell"),
+        )
+        .join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") >= F.col("n_exact")).alias("lower_bound_ok"),
+    )
+
+
+CMS_SQL = f"""
+WITH ev AS (SELECT user_id FROM events),
+params AS (
+  SELECT * FROM (VALUES {", ".join(f"({i},{a},{b})" for i, a, b in CMS_PARAMS)})
+    AS t(i, a, b)
+),
+cells AS (
+  SELECT p.i AS i,
+         ((e.user_id * p.a + p.b) % {CMS_P}) % {CMS_W} AS cell,
+         count(*) AS cnt
+  FROM ev e CROSS JOIN params p
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, count(*) AS n_exact FROM ev GROUP BY user_id
+  ORDER BY n_exact DESC, user_id ASC LIMIT {CMS_K}
+),
+est AS (
+  SELECT x.user_id, x.n_exact, min(c.cnt) AS n_cms
+  FROM exact x
+  CROSS JOIN params p
+  JOIN cells c
+    ON c.i = p.i
+   AND c.cell = ((x.user_id * p.a + p.b) % {CMS_P}) % {CMS_W}
+  GROUP BY x.user_id, x.n_exact
+)
+SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_cms AS BIGINT) AS n_cms,
+       n_cms >= n_exact AS lower_bound_ok
+FROM est
+"""
+
+# ------------------------------------------------ weighted sampling
+
+W_MULT = 2654435761  # Knuth multiplicative hash constant (pipe_kfold scheme)
+W_MOD = 4294967296   # 2^32
+W_DENOM = 4096       # P(keep) = n_chars / 4096  (n_chars <= 553 in testdata)
+
+
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic sampling: keep a document with
+    probability n_chars/4096, decided by a multiplicative hash of doc_id —
+    per-row arithmetic only (no shuffle, no RNG state), so the sample is
+    identical on every run, engine, and partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(W_MULT)) % F.lit(W_MOD)
+    return docs.filter(u * W_DENOM < F.col("n_chars") * W_MOD).select(
+        "doc_id", "n_chars", u.cast("long").alias("sample_key")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       CAST((doc_id * {W_MULT}) % {W_MOD} AS BIGINT) AS sample_key
+FROM documents
+WHERE (doc_id * {W_MULT}) % {W_MOD} * {W_DENOM} < n_chars * {W_MOD}
+"""
+
+# ------------------------------------------------ runtime bloom-filter join
+
+_BLOOM_CONF = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # let the filter fire at test scale (defaults assume 10 GB fact scans)
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim -> fact join with runtime bloom-filter injection: the
+    p_brand predicate becomes a bloom pre-filter on the lineitem scan, so
+    the fact side drops non-matching rows before the join exchange — at
+    100 TB this is the difference between shuffling the whole fact table
+    and shuffling the ~1/25 that can match."""
+    for k, v in _BLOOM_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+BLOOM_SQL = """
+SELECT p_type,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+GROUP BY p_type
+"""
+
+SPECS = [
+    QuerySpec("w_funnel_stages", w_funnel_stages, FUNNEL_SQL,
+              "multi-stage funnel conversion (stacked windows, one shuffle)"),
+    QuerySpec("agg_cms_topk", agg_cms_topk, CMS_SQL,
+              "count-min sketch heavy hitters vs exact (mergeable 4x256 sketch)"),
+    QuerySpec("pipe_weighted_sample", pipe_weighted_sample, WEIGHTED_SAMPLE_SQL,
+              "length-weighted deterministic sampling (multiplicative hash)"),
+    QuerySpec("q_bloom_filter_join", q_bloom_filter_join, BLOOM_SQL,
+              "runtime bloom-filter injected selective dim-fact join"),
+]
