@@ -192,6 +192,81 @@ def streaming_object_stats(
     )
 
 
+def streaming_object_stats_tws(
+    df: DataFrame,
+    key_col: str = "objectId",
+    band_col: str = "band",
+    flux_col: str = "psfFlux",
+) -> DataFrame:
+    """streaming_object_stats on Spark 4's transformWithStateInPandas —
+    the typed-state successor of applyInPandasWithState (value/list/map
+    state handles, timers, TTL). Same semantics and output schema; state
+    is one ValueState holding the per-band running (n, sum, min, max).
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — set by the caller
+    or the session; RocksDB is also the right store at scale (state larger
+    than executor heap, incremental checkpointing).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ObjectStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", OBJECT_STATS_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            stats: dict[str, list] = {}
+            if self._stats.exists():
+                bands, ns, sums, mins, maxs = self._stats.get()
+                stats = {
+                    b: [n, s, lo, hi]
+                    for b, n, s, lo, hi in zip(bands, ns, sums, mins, maxs)
+                }
+            for pdf in rows:
+                for band, flux in zip(pdf[band_col], pdf[flux_col]):
+                    if flux is None or band is None:
+                        continue
+                    f = float(flux)
+                    cur = stats.setdefault(band, [0, 0.0, f, f])
+                    cur[0] += 1
+                    cur[1] += f
+                    cur[2] = min(cur[2], f)
+                    cur[3] = max(cur[3], f)
+            items = sorted(stats.items())
+            self._stats.update((
+                [b for b, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                [v[2] for _, v in items],
+                [v[3] for _, v in items],
+            ))
+            yield pd.DataFrame(
+                {
+                    "objectId": [key[0]] * len(items),
+                    "band": [b for b, _ in items],
+                    "n_sources": [v[0] for _, v in items],
+                    "flux_mean": [v[1] / v[0] for _, v in items],
+                    "flux_min": [v[2] for _, v in items],
+                    "flux_max": [v[3] for _, v in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_ObjectStats(),
+        outputStructType=OBJECT_STATS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_window_agg(
     df: DataFrame,
     event_time_col: str,
