@@ -40,6 +40,9 @@ HEADLINERS = [
     "skew_hot_users",
     "text_bigrams",
     "sim_quantize_int8",
+    "w_funnel_stages",
+    "agg_cms_topk",
+    "q_bloom_filter_join",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
