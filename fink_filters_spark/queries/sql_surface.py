@@ -74,6 +74,57 @@ LATERAL (
 ) l
 """
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube —
+    q_rollup/q_cube_grouping cover those): per-priority totals,
+    per-status totals, and the grand total in ONE grouped pass.
+    Spark expands the sets with a single Expand node feeding one partial
+    aggregation — no multi-scan union."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def ev_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse once,
+    extract typed fields with variant_get — the columnar-shredded
+    replacement for per-access JSON string parsing (ev_json_bucket is the
+    string-path dual). Aggregates the extracted value per bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("__v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("__v"), "$.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+VARIANT_ORACLE = """
+SELECT event_type, k % 10 AS k_mod, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type, k % 10
+"""
+
+
 RECURSIVE_ORACLE = """
 WITH RECURSIVE chain(custkey, node, depth, chain_bal_cents) AS (
   SELECT c_custkey AS custkey, c_custkey AS node, 1 AS depth,
@@ -98,4 +149,8 @@ SPECS = [
               "WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE)"),
     QuerySpec("q_lateral_top2", q_lateral_top2, LATERAL_ORACLE,
               "LATERAL correlated top-k subquery"),
+    QuerySpec("q_grouping_sets", q_grouping_sets, GROUPING_SETS_SQL,
+              "explicit GROUPING SETS, one Expand + one aggregation"),
+    QuerySpec("ev_variant_parse", ev_variant_parse, VARIANT_ORACLE,
+              "VARIANT semi-structured parse + typed extraction (Spark 4)"),
 ]
