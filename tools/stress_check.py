@@ -1,0 +1,145 @@
+"""Scale stress: build a key-shifted 10x replica of sf0.1 (~"sf1": 6M
+lineitem rows) and compare headline query wall-clock against sf0.1.
+
+Replication shifts every key by replica*stride so join fan-outs and group
+cardinalities scale linearly like real TPC-H data would — naive row
+duplication would square join outputs and measure the wrong thing.
+Amplified parquet is written to .stress_sf1/ inside the repo (gitignored),
+16 files per table so the scan parallelizes (the driver's single-file
+testdata caps every scan at one task — itself a finding this tool sidesteps
+for the big run).
+
+Run: python tools/stress_check.py        (writes STRESS.md)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SRC = "/root/testdata/sf0.1"
+DST = ".stress_sf1"
+REPLICAS = 10
+
+# key columns to shift per table: (table, {col: stride_source_table_col})
+KEYED = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+HEADLINERS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q13_order_histogram",
+    "q21_sole_returner",
+    "topk_anomalies",
+    "sess_hourly",
+    "ts_linfit",
+    "w_funnel_stages",
+    "agg_cms_topk",
+    "xmatch_cone",
+    "dedup_minhash_lsh",
+    "text_tfidf",
+    "pipe_pack_sequences",
+    "skew_hot_users",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST, exist_ok=True)
+    # one shared stride >= every key's max keeps shifted keys disjoint and
+    # the arithmetic identical across tables (referential integrity holds)
+    strides: dict[str, int] = {}
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for k in keys:
+            strides[k] = df.agg(F.max(k)).collect()[0][0] + 1
+    # o_custkey must shift by the SAME stride as c_custkey etc.
+    unify = {
+        "o_custkey": "c_custkey",
+        "l_orderkey": "o_orderkey",
+        "l_partkey": "p_partkey",
+        "l_suppkey": "s_suppkey",
+    }
+    for a, b in unify.items():
+        strides[a] = strides[b]
+    rep = None
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if keys:
+            if rep is None:
+                rep = list(range(REPLICAS))
+            reps = F.explode(F.array(*[F.lit(i) for i in rep])).alias("__rep")
+            df = df.select("*", reps)
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.col("__rep") * F.lit(strides[k]))
+            df = df.drop("__rep")
+            df = df.repartition(16)
+        df.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"# built {t}: {n} rows", file=sys.stderr)
+
+
+def main() -> None:
+    from fink_filters_spark.session import get_session
+
+    import __spark_entry__ as entry
+
+    spark = get_session("stress")
+    build(spark)
+    qs = entry.queries()
+    rows = []
+    for name in HEADLINERS:
+        times = {}
+        for label, d in (("sf0.1", SRC), ("10x", DST)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, d).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = best
+        ratio = times["10x"] / times["sf0.1"]
+        rows.append((name, times["sf0.1"], times["10x"], ratio))
+        print(f"# {name}: {times['sf0.1']:.2f}s -> {times['10x']:.2f}s "
+              f"({ratio:.1f}x)", file=sys.stderr)
+    with open("STRESS.md", "w") as f:
+        f.write(
+            "# STRESS — 10x key-shifted replication of sf0.1 (~6M lineitem "
+            "rows)\n\n"
+            "Replica keys are shifted by per-key strides, so join fan-out and\n"
+            "group cardinality scale linearly (real-data shape, not row\n"
+            "duplication). 16 files/table so scans parallelize. min-of-2,\n"
+            "local[32]. A scale-correct plan shows ratio well under 10x while\n"
+            "fixed overhead still dominates; superlinear ratios flag plans\n"
+            "that would not survive 1000 executors x 100 TB.\n\n"
+            "| query | sf0.1 | 10x | ratio |\n|---|---|---|---|\n"
+        )
+        for name, a, b, r in rows:
+            f.write(f"| {name} | {a:.2f}s | {b:.2f}s | {r:.1f}x |\n")
+        med = sorted(r for *_ , r in rows)[len(rows) // 2]
+        f.write(f"\nMedian ratio: {med:.1f}x at 10x data.\n")
+    shutil.rmtree(DST, ignore_errors=True)
+    print("STRESS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
