@@ -253,3 +253,111 @@ def test_incremental_merge_invariant_to_partitioning(spark, rows, cuts):
     merged = finalize(merge_states(states, ["k"]), ["k"]).collect()
     oneshot = finalize(partial_state(full, ["k"], m), ["k"]).collect()
     assert {tuple(r) for r in merged} == {tuple(r) for r in oneshot}
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),        # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=1000),      # ts
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_matches_python_replica(spark, events):
+    """Funnel stage counts equal an independent per-user Python replay on
+    arbitrary event soups (ties, missing stages, out-of-order arrivals)."""
+    import fink_filters_spark.queries.advanced as adv
+
+    df = spark.createDataFrame(events, "user_id long, event_type string, ts_us long")
+    orig = adv.load_events
+    adv.load_events = lambda s, d: df
+    try:
+        got = adv.w_funnel_stages(spark, "ignored").first()
+    finally:
+        adv.load_events = orig
+
+    users = {}
+    for u, e, t in events:
+        users.setdefault(u, []).append((e, t))
+    n_view = n_click = n_purchase = 0
+    for evs in users.values():
+        tv = min((t for e, t in evs if e == "view"), default=None)
+        tc = (
+            min((t for e, t in evs if e == "click" and t >= tv), default=None)
+            if tv is not None
+            else None
+        )
+        tp = (
+            min((t for e, t in evs if e == "purchase" and t >= tc), default=None)
+            if tc is not None
+            else None
+        )
+        n_view += tv is not None
+        n_click += tc is not None
+        n_purchase += tp is not None
+    assert (got.n_users, got.n_view, got.n_click, got.n_purchase) == (
+        len(users), n_view, n_click, n_purchase,
+    )
+
+
+@SLOW
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=200)
+)
+def test_cms_estimate_never_underestimates_property(spark, keys):
+    """CMS cell-table arithmetic: for EVERY key, min-over-rows cell count
+    >= the key's true frequency (the one-sided sketch guarantee)."""
+    from collections import Counter
+
+    from fink_filters_spark.queries.advanced import CMS_P, CMS_PARAMS, CMS_W
+
+    exact = Counter(keys)
+    cells: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for i, a, b in CMS_PARAMS:
+            cell = ((k * a + b) % CMS_P) % CMS_W
+            cells[(i, cell)] = cells.get((i, cell), 0) + 1
+    # same arithmetic through Spark expressions, all keys at once
+    df = spark.createDataFrame([(k,) for k in set(keys)], "user_id long")
+    est_rows = (
+        df.select(
+            "user_id",
+            *[
+                (((F.col("user_id") * a + b) % CMS_P) % CMS_W).alias(f"c{i}")
+                for i, a, b in CMS_PARAMS
+            ],
+        )
+    ).collect()
+    for r in est_rows:
+        est = min(cells[(i, r[f"c{i}"])] for i, _, _ in CMS_PARAMS)
+        assert est >= exact[r.user_id]
+
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=100, unique=True)
+)
+def test_weighted_sample_subset_invariance(spark, ids):
+    """A document's keep/drop decision depends only on its own row — the
+    decision on any subset equals the decision on the full set (the
+    property that makes the sample reproducible under repartitioning and
+    incremental ingestion)."""
+    from fink_filters_spark.queries.advanced import W_DENOM, W_MOD, W_MULT
+
+    def kept(doc_ids):
+        df = spark.createDataFrame(
+            [(d, 100 + (d % 400)) for d in doc_ids], "doc_id long, n_chars long"
+        )
+        u = (F.col("doc_id") * F.lit(W_MULT)) % F.lit(W_MOD)
+        return {
+            r.doc_id
+            for r in df.filter(u * W_DENOM < F.col("n_chars") * W_MOD).collect()
+        }
+
+    full = kept(ids)
+    half = kept(ids[: len(ids) // 2 + 1])
+    assert half == {d for d in full if d in ids[: len(ids) // 2 + 1]}
