@@ -135,6 +135,87 @@ SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 
 """
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF ANN vs the exact brute-force baseline, per query —
+    the evaluation harness an ANN deployment runs before trusting nprobe.
+    Both sides are deterministic, so recall itself is oracle-checkable
+    (not just bounded): the DuckDB oracle replays both algorithms and the
+    same overlap join."""
+    bf = q_sim_knn(spark, sf_dir).select("q_id", "neighbor_id")
+    iv = q_sim_ivf_search(spark, sf_dir).select("q_id", "neighbor_id")
+    ov = bf.join(iv, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    qs = bf.select("q_id").distinct()
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return qs.join(ov, "q_id", "left").select(
+        "q_id",
+        n_ov.cast("long").alias("n_overlap"),
+        F.round(n_ov.cast("double") / K, 6).alias("recall_at_k"),
+    )
+
+
+SIM_IVF_RECALL_SQL = f"""
+WITH q AS ({QVEC_SQL}),
+bfp AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_COS_RAW} AS cosine
+  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id
+),
+bf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM bfp
+  ) WHERE rank <= {K}
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, b.vec_id AS centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS_RAW} DESC, b.vec_id ASC
+           ) AS rn
+    FROM q a JOIN q b ON b.vec_id < {N_CENTROIDS}
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, centroid_id FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS_RAW} DESC, b.vec_id ASC
+           ) AS rn
+    FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id < {N_CENTROIDS}
+  ) WHERE rn <= {NPROBE}
+),
+ivfp AS (
+  SELECT p.q_id, c.vec_id AS neighbor_id,
+         (SELECT {_COS_RAW} FROM q a, q b
+          WHERE a.vec_id = p.q_id AND b.vec_id = c.vec_id) AS cosine
+  FROM probes p
+  JOIN assign ca ON ca.centroid_id = p.centroid_id
+  JOIN q c ON c.vec_id = ca.vec_id AND c.vec_id != p.q_id
+),
+ivf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ivfp
+  ) WHERE rank <= {K}
+),
+ov AS (
+  SELECT bf.q_id, count(*) AS n_overlap
+  FROM bf JOIN ivf ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
+  GROUP BY bf.q_id
+)
+SELECT qs.q_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / {K}, 6) AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM bf) qs
+LEFT JOIN ov ON qs.q_id = ov.q_id
+"""
+
+
 N_PLANES = 16
 BAND_BITS = 8
 EMB_DIM = 64
@@ -257,4 +338,6 @@ SPECS = [
               "IVF ANN search (nprobe=2)"),
     QuerySpec("sim_lsh_search", q_sim_lsh_search, _lsh_oracle_sql(),
               "sign-projection LSH ANN (2 bands x 8 bits)"),
+    QuerySpec("sim_ivf_recall", q_sim_ivf_recall, SIM_IVF_RECALL_SQL,
+              "recall@k of IVF ANN vs exact brute force, per query"),
 ]

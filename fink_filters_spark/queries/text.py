@@ -225,8 +225,48 @@ WHERE rn <= 3
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pre-dedup cleanup pass): lowercase,
+    strip non-alphanumerics, collapse runs of whitespace, trim. Pure
+    codegen-native string expressions — one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_words"),
+        (norm != F.lower(F.col("text"))).alias("changed"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       CAST(CASE WHEN norm = '' THEN 0
+                 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_words,
+       norm != lower(text) AS changed
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL, "token/length stats"),
+    QuerySpec("text_normalize", q_text_normalize, TEXT_NORMALIZE_SQL,
+              "lowercase/strip/collapse normalization (codegen-native)"),
     QuerySpec("text_tfidf", q_text_tfidf, TFIDF_SQL,
               "TF-IDF top-terms: explode -> tf -> df broadcast -> rank"),
     QuerySpec("text_lang_id", q_text_lang_id, _lang_sql(), "stopword lang-ID heuristic"),
