@@ -1,0 +1,60 @@
+"""Parquet-native upsert (MERGE INTO semantics without a table format).
+
+The reference never mutates data (alerts are append-only), but a pipeline
+that maintains derived tables — crossmatch snapshots (SURVEY D5's TNS
+cache), per-object rollups, curated corpora — needs keyed upsert. Without
+Delta/Iceberg the idiomatic Spark form is a keyed full-outer join that
+prefers the update side, rewritten atomically per partition:
+
+- ``merge_upsert``: DataFrame-level MERGE (update wins, else keep base,
+  else insert) — one shuffle on the key.
+- ``upsert_partitioned``: write-side companion — rewrites ONLY the
+  partitions the updates touch (dynamic partition overwrite), which is the
+  100 TB behavior: a night's update rewrites that night, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics: rows present in ``updates`` replace base rows with
+    the same key; unmatched update rows are inserted; unmatched base rows
+    survive. Column set must match. One full-outer join on the key."""
+    non_keys = [c for c in base.columns if c not in keys]
+    if set(base.columns) != set(updates.columns):
+        raise ValueError("merge_upsert: base/updates column sets differ")
+    b = base.alias("b")
+    u = updates.alias("u")
+    cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys]
+    joined = b.join(u, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ] + [
+        # update wins when the update row exists at all (matched by key) —
+        # keyed on a key column's presence, not the payload column, so NULL
+        # payloads in updates still overwrite
+        F.when(F.col(f"u.{keys[0]}").isNotNull(), F.col(f"u.{c}"))
+        .otherwise(F.col(f"b.{c}"))
+        .alias(c)
+        for c in non_keys
+    ]
+    return joined.select(*out_cols)
+
+
+def upsert_partitioned(
+    base_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """Rewrite only the partitions touched by ``updates``: read those base
+    partitions, merge, and overwrite them in place (dynamic partition
+    overwrite). Untouched partitions are never read or written."""
+    spark = updates.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    base = spark.read.parquet(base_path).filter(F.col(partition_col).isin(parts))
+    merged = merge_upsert(base, updates, keys)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(base_path)

@@ -264,7 +264,65 @@ WHERE p_brand = 'Brand#23'
 GROUP BY p_type
 """
 
+# ------------------------------------------------ keyed upsert (MERGE)
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (operators/upsert.py): a
+    simulated update batch (every 100th order repriced, a slice of new
+    orders) full-outer-merged into the base table, then rolled up by
+    status so the whole merged state is hash-checked. One shuffle on the
+    merge key; at scale the write side rewrites only touched partitions
+    (upsert_partitioned)."""
+    from ..operators.upsert import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    upd_mod = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    upd_new = (
+        orders.filter(F.col("o_orderkey") % 100 == 1)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    merged = merge_upsert(orders, upd_mod.unionByName(upd_new), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+UPSERT_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 1
+),
+merged AS (
+  SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+              ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+              ELSE b.o_totalprice END AS o_totalprice
+  FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM merged GROUP BY o_orderstatus
+"""
+
 SPECS = [
+    QuerySpec("q_upsert_merge", q_upsert_merge, UPSERT_SQL,
+              "parquet-native MERGE upsert (full-outer, update wins) + rollup"),
     QuerySpec("w_funnel_stages", w_funnel_stages, FUNNEL_SQL,
               "multi-stage funnel conversion (stacked windows, one shuffle)"),
     QuerySpec("agg_cms_topk", agg_cms_topk, CMS_SQL,

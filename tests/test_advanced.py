@@ -100,3 +100,33 @@ def test_bloom_filter_injection_under_shuffle_join(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """update wins (even with NULL payload), unmatched updates insert,
+    unmatched base survives; partitioned variant rewrites only touched
+    partitions."""
+    from fink_filters_spark.operators.upsert import merge_upsert, upsert_partitioned
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    upd = spark.createDataFrame(
+        [(2, None, 99), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert got == {1: ("a", 10), 2: (None, 99), 3: ("c", 30), 4: ("d", 40)}
+
+    # partitioned write path: only partition p=2 is rewritten
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 1, "x"), (2, 1, "y"), (3, 2, "z")], "k long, p long, s string"
+    ).write.partitionBy("p").parquet(p)
+    upsert_partitioned(
+        p,
+        spark.createDataFrame([(3, 2, "Z"), (9, 2, "new")], "k long, p long, s string"),
+        ["k"],
+        "p",
+    )
+    after = {r.k: (r.p, r.s) for r in spark.read.parquet(p).collect()}
+    assert after == {1: (1, "x"), 2: (1, "y"), 3: (2, "Z"), 9: (2, "new")}
