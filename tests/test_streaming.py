@@ -551,3 +551,47 @@ def test_streaming_object_stats_tws_matches_batch(spark, tmp_path):
         ("o2", "g"): (2, 60.0, 50.0, 70.0),
         ("o2", "r"): (1, 10.0, 10.0, 10.0),
     }
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Exactly-once across query RESTARTS: a second run on the same
+    checkpoint must both skip already-processed files and retain the
+    dedup state store, so a key seen before the restart is dropped after
+    it — the recovery contract a 100 TB pipeline leans on."""
+    import pandas as pd
+
+    from fink_filters_spark.streaming import streaming_dedup
+
+    src = tmp_path / "src_restart"
+    src.mkdir()
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    pd.DataFrame({"key": [1, 2], "ts": [ts, ts]}).to_parquet(
+        src / "b0.parquet", coerce_timestamps="us"
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ck = str(tmp_path / "ck_restart")
+
+    def run_once():
+        out: list = []
+        q = (
+            streaming_dedup(
+                spark.readStream.schema(schema).parquet(str(src)),
+                ["key"],
+                "ts",
+                watermark="1 hour",
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: out.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.key for r in out)
+
+    assert run_once() == [1, 2]
+    # new file arrives while the query is DOWN; key 2 is a cross-restart dup
+    pd.DataFrame({"key": [2, 3], "ts": [ts, ts]}).to_parquet(
+        src / "b1.parquet", coerce_timestamps="us"
+    )
+    assert run_once() == [3]
