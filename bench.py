@@ -54,6 +54,10 @@ def main() -> None:
         times[name] = best
         if best >= 0:
             print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        # operators that cache() intermediates (jaccard, minhash, components)
+        # would otherwise accumulate blocks across 100+ queries and skew the
+        # later measurements with GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     # Full per-query detail (all queries) goes to stderr; the stdout contract
@@ -91,6 +95,11 @@ def main() -> None:
         "q_asof_attribution",
         "q_recursive_chain",
         "agg_incremental",
+        "w_funnel_stages",
+        "agg_cms_topk",
+        "q_upsert_merge",
+        "sim_ivf_recall",
+        "ev_variant_parse",
     ]
     compact = {k: times[k] for k in headliners if k in times}
     failed = sorted(k for k, v in times.items() if v is not None and v < 0)
