@@ -144,6 +144,35 @@ GROUP BY custkey
 
 LATERAL_ORACLE = LATERAL_SQL_BODY
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-valued-logic corner cases pinned across engines: COUNT(col) vs
+    COUNT(*) under NULLs, null-safe equality, NULL-excluding NOT IN, and
+    coalesce fallbacks — the semantics a query engine most often gets
+    subtly wrong. Derives a column that is NULL for a deterministic slice
+    (every 7th customer's nation 'masked')."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(NULL_SEMANTICS_SQL)
+
+
+NULL_SEMANTICS_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk,
+         c_nationkey
+  FROM customer
+)
+SELECT count(*) AS n_rows,
+       count(nk) AS n_nonnull,
+       CAST(count(*) - count(nk) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN nk IS NOT DISTINCT FROM c_nationkey THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_eq,
+       CAST(sum(CASE WHEN nk NOT IN (0, 1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_not_in,
+       CAST(sum(coalesce(nk, -1)) AS BIGINT) AS sum_coalesced
+FROM c
+"""
+
+
 SPECS = [
     QuerySpec("q_recursive_chain", q_recursive_chain, RECURSIVE_ORACLE,
               "WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE)"),
@@ -153,4 +182,6 @@ SPECS = [
               "explicit GROUPING SETS, one Expand + one aggregation"),
     QuerySpec("ev_variant_parse", ev_variant_parse, VARIANT_ORACLE,
               "VARIANT semi-structured parse + typed extraction (Spark 4)"),
+    QuerySpec("q_null_semantics", q_null_semantics, NULL_SEMANTICS_SQL,
+              "tri-valued logic: COUNT(col), null-safe eq, NOT IN, coalesce"),
 ]

@@ -98,3 +98,27 @@ def rest_snapshot(
     """
     rows = fetch()
     return F.broadcast(spark.createDataFrame(rows, schema).cache())
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines corpus reader (the interchange format of LLM-pipeline
+    corpora). ALWAYS pass a schema in production: schema inference scans
+    the whole input once before the real read — at 100 TB that is a full
+    extra pass. Multiline JSON is deliberately unsupported (one doc per
+    line keeps the format splittable, so a 1 GB file still fans out over
+    HDFS-block-sized tasks)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """JSON-lines writer for corpus export. Gzip is fine for archive
+    export; prefer parquet for anything Spark reads back (columnar pruning,
+    predicate pushdown, and gzip json files are NOT splittable)."""
+    df.write.mode("overwrite").option("compression", compression).json(path)

@@ -121,3 +121,22 @@ def test_rest_snapshot_crossmatch_d5(spark):
     assert got == {1: "SN 2025aaa", 2: "SN 2025bbb", 3: "Unknown"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    """JSONL corpus round-trip: explicit schema (no inference pass),
+    types preserved, lines splittable (one doc per line)."""
+    from fink_filters_spark.sources import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", 11), (2, "salut", 5)],
+        "doc_id long, text string, n_chars long",
+    )
+    p = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, p, compression="none")
+    back = read_jsonl(spark, p, "doc_id long, text string, n_chars long")
+    assert back.schema == df.schema
+    assert {(r.doc_id, r.text, r.n_chars) for r in back.collect()} == {
+        (1, "hello world", 11),
+        (2, "salut", 5),
+    }
