@@ -226,9 +226,12 @@ WHERE (doc_id * {W_MULT}) % {W_MOD} * {W_DENOM} < n_chars * {W_MOD}
 
 _BLOOM_CONF = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    # let the filter fire at test scale (defaults assume 10 GB fact scans)
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # NOTE: applicationSideScanSizeThreshold is deliberately NOT lowered
+    # here — session confs outlive this query, and forcing injection at
+    # test scale would silently alter every later query's plan in the same
+    # session. The injection behavior itself is asserted in
+    # tests/test_advanced.py with test-scoped confs.
 }
 
 

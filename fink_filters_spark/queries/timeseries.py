@@ -326,8 +326,75 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 """
 
 
+US_PER_DAY = 86_400_000_000
+
+
+def ts_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill (the time-bucket-gapfill
+    operator of timeseries engines): per user, daily value sums on a dense
+    day grid from the user's first to last event; empty days carry the
+    last observed value forward and are flagged.
+
+    Scale: the grid is generated per key with sequence() (no cross join,
+    no driver loop); the fill is one last(ignorenulls) window over the
+    same user_id partitioning the daily aggregate already produced — two
+    shuffles total (agg, then grid explode + window reuse the key)."""
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr(f"ts_us div {US_PER_DAY}").alias("day"),  # exact int floor
+            F.round(F.col("value") * 1000).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").alias("v_day"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("v_day", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v_day").isNull().alias("filled"),
+    )
+
+
+TS_GAPFILL_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+agg AS (SELECT user_id, day, CAST(sum(v) AS BIGINT) AS v_day FROM e GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM agg GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds),
+j AS (
+  SELECT g.user_id, g.day, a.v_day
+  FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.day = a.day
+)
+SELECT user_id, day,
+       last_value(v_day IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       v_day IS NULL AS filled
+FROM j
+"""
+
+
 SPECS = [
     QuerySpec("w_topn_per_user", w_topn_per_user, W_TOPN_SQL, "ranking window (§2.F/G)"),
+    QuerySpec("ts_gapfill_daily", ts_gapfill_daily, TS_GAPFILL_SQL,
+              "dense-grid resample + forward fill (gap-fill operator)"),
     QuerySpec("sess_hourly", sess_hourly, SESS_HOURLY_SQL, "tumbling-window agg (§2.J)"),
     QuerySpec("ev_json_bucket", ev_json_bucket, EV_JSON_SQL, "JSON access + agg (§2.I)"),
     QuerySpec("ts_rate_last2", ts_rate_last2, TS_RATE_SQL, "F2 two-point rate"),

@@ -77,8 +77,19 @@ def test_bloom_filter_injection_under_shuffle_join(spark):
             saved[k] = spark.conf.get(k)
         except Exception:
             saved[k] = None
+    saved.setdefault(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            None,
+        ),
+    )
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
         df = q_bloom_filter_join(spark, SF_DIR)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "bloom" in plan.lower(), plan[:2000]
