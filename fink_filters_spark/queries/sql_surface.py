@@ -173,6 +173,51 @@ FROM c
 """
 
 
+PR_SCALE = 1_000_000_000_000  # rank unit: 1e-12 (integer PageRank)
+
+
+def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled PageRank iterations over the customer halving tree
+    (edge u -> u div 2, out-degree 1), in EXACT integer arithmetic
+    (ranks in 1e-12 units, damping 0.85 as *85 div 100) so the result is
+    bit-identical across engines — the declarative unrolled form of the
+    iterative dual in operators/dedup.connected_components.
+
+    Scale: each iteration is one self-equi-join on the parent key + one
+    grouped sum (map-side combinable); iterations unroll into a linear
+    plan Catalyst pipelines, no driver loop."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_pagerank_sql("div"))
+
+
+def _pagerank_sql(fdiv: str) -> str:
+    """fdiv: integer floor-division operator — 'div' (Spark) / '//' (DuckDB);
+    plain '/' would be float division on either engine."""
+    step = f"""
+  SELECT n.id,
+         ((CAST({PR_SCALE} AS BIGINT) * 15 {fdiv} 100) {fdiv} (SELECT n FROM deg))
+         + (85 * coalesce(s.acc, 0) {fdiv} 100) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT u.id {fdiv} 2 AS pid, CAST(sum(u.r) AS BIGINT) AS acc
+    FROM {{src}} u WHERE u.id > 1 GROUP BY u.id {fdiv} 2
+  ) s ON s.pid = n.id
+"""
+    return f"""
+WITH nodes AS (SELECT c_custkey AS id FROM customer),
+deg AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) {fdiv} (SELECT n FROM deg) AS r
+       FROM nodes),
+i1 AS ({step.format(src="r0")}),
+i2 AS ({step.format(src="i1")}),
+i3 AS ({step.format(src="i2")})
+SELECT id, CAST(r AS BIGINT) AS rank_e12
+FROM i3
+ORDER BY rank_e12 DESC, id ASC
+LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("q_recursive_chain", q_recursive_chain, RECURSIVE_ORACLE,
               "WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE)"),
@@ -184,4 +229,6 @@ SPECS = [
               "VARIANT semi-structured parse + typed extraction (Spark 4)"),
     QuerySpec("q_null_semantics", q_null_semantics, NULL_SEMANTICS_SQL,
               "tri-valued logic: COUNT(col), null-safe eq, NOT IN, coalesce"),
+    QuerySpec("q_pagerank3", q_pagerank3, _pagerank_sql("//"),
+              "3 unrolled integer-exact PageRank iterations (halving tree)"),
 ]
