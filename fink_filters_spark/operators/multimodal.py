@@ -332,3 +332,102 @@ def audio_features(
 
     src = df.select(F.col(id_col).alias("__id"), F.col(bin_col).alias("__bin"))
     return src.mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    src_w: int = 16,
+    src_h: int = 16,
+) -> DataFrame:
+    """64-bit average-hash over the (fake-)decoded image: decode to a
+    src_w x src_h grid, block-mean down to 8x8, set bit i where cell i is
+    above the global mean. The decode is the deterministic stand-in
+    (``fake_image``); the hashing math, Arrow batching and output shape
+    are the production kernel. Bit order: row-major, MSB first."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                ids.append(doc_id)
+                if payload is None:
+                    hashes.append(None)
+                    continue
+                img = fake_image(bytes(payload), src_w, src_h).astype(np.float64)
+                bh, bw = src_h // 8, src_w // 8
+                small = img.reshape(8, bh, 8, bw).mean(axis=(1, 3))
+                bits = (small > small.mean()).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # store as signed int64 (two's complement) for LongType
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded hamming join (the simhash
+    scheme applied to perceptual hashes): split the 64-bit hash into
+    ``n_bands`` equal bands; candidates share at least one exact band
+    (guaranteed to catch every pair with < n_bands differing bands, i.e.
+    hamming spread across fewer than n_bands bands); verify candidates
+    with an exact popcount of the XOR. No all-pairs comparison — the join
+    is an equi-join on (band_index, band_value)."""
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    banded = hashes.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), i * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

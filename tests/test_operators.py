@@ -483,3 +483,30 @@ def test_interval_join_inclusive_and_multicell(spark):
     got = sorted((r.pid, r.iid) for r in out.collect())
     # [10,30] spans cells 1..4 and matches t=10,25,30 inclusively; [28,29] none
     assert got == [(1, 100), (2, 100), (3, 100)]
+
+
+def test_image_phash_and_banded_hamming_pairs(spark):
+    """Identical payloads hash equal (hamming 0); a lightly perturbed copy
+    stays within the hamming budget; an unrelated payload does not pair.
+    The candidate join is band-exact (no all-pairs scan)."""
+    from fink_filters_spark.operators.multimodal import image_phash, phash_pairs
+
+    base = bytes(range(256))
+    near = bytearray(base)
+    near[10] ^= 0x01  # one-byte wiggle -> few phash bits
+    other = bytes((i * 97 + 13) % 251 for i in range(256))
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(near)), (3, other), (4, base)],
+        "doc_id long, media binary",
+    )
+    hashes = image_phash(df, "doc_id", "media")
+    hv = {r.doc_id: r.phash for r in hashes.collect()}
+    assert hv[1] == hv[4]  # determinism: equal payload -> equal hash
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_pairs(hashes, max_hamming=8).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert (1, 3) not in pairs and (3, 4) not in pairs
