@@ -1,0 +1,84 @@
+"""Custom Python DataSource (Spark 4 API): paginated REST snapshot as a
+first-class ``spark.read.format(...)`` source.
+
+SURVEY §2.B B3/B4: the reference pulls REST payloads (Fink portal, SNAD,
+TNS) on the driver inside filter code. The engine-grade form is a
+DataSource whose *partitions are pages*: Spark schedules one task per
+page, so a 10k-page catalog pull fans out across the cluster instead of
+serializing through the driver, and the result is an ordinary DataFrame
+that joins/broadcasts like any other.
+
+The HTTP fetch is pluggable (``fetcher`` option names a dotted callable:
+``page_index -> list[dict]``); the default is a deterministic offline
+synthesizer so the source is testable in this container. Swap the fetcher
+for a requests-based one in production — partitioning, schema and task
+shape stay identical.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+DEFAULT_SCHEMA = "obj_id bigint, ra double, dec double, name string, page int"
+
+
+def default_fetcher(page: int) -> Sequence[dict]:
+    """Deterministic offline page synthesizer (100 rows/page)."""
+    return [
+        {
+            "obj_id": page * 100 + i,
+            "ra": float((page * 100 + i) * 137 % 3600) / 10.0,
+            "dec": float(((page * 100 + i) * 73 % 1800)) / 10.0 - 90.0,
+            "name": f"OBJ{page * 100 + i:06d}",
+            "page": page,
+        }
+        for i in range(100)
+    ]
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int):
+        self.page = page
+
+
+class RestSnapshotReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._n_pages = int(options.get("pages", "4"))
+        self._fetcher_path = options.get("fetcher", "")
+
+    def partitions(self):  # one Spark task per REST page
+        return [_PagePartition(p) for p in range(self._n_pages)]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        if self._fetcher_path:
+            mod, _, fn = self._fetcher_path.rpartition(".")
+            fetch = getattr(importlib.import_module(mod), fn)
+        else:
+            fetch = default_fetcher
+        names = [f.name for f in self._schema.fields]
+        for rec in fetch(partition.page):
+            yield tuple(rec.get(n) for n in names)
+
+
+class RestSnapshotDataSource(DataSource):
+    """``spark.read.format("rest_snapshot").option("pages", 8).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_snapshot"
+
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return RestSnapshotReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RestSnapshotDataSource)

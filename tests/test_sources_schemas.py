@@ -140,3 +140,21 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
         (1, "hello world", 11),
         (2, "salut", 5),
     }
+
+
+def test_rest_snapshot_datasource_partitioned_pages(spark):
+    """Spark 4 custom Python DataSource: one task per REST page, rows from
+    every page present, schema honored, usable as a plain DataFrame."""
+    from fink_filters_spark.sources.rest_datasource import register
+
+    register(spark)
+    df = spark.read.format("rest_snapshot").option("pages", "3").load()
+    assert df.columns == ["obj_id", "ra", "dec", "name", "page"]
+    rows = df.collect()
+    assert len(rows) == 300
+    assert {r.page for r in rows} == {0, 1, 2}
+    # partition-per-page: the scan parallelism equals the page count
+    assert df.rdd.getNumPartitions() == 3
+    # deterministic content (offline fetcher)
+    one = {r.obj_id: r.name for r in rows}
+    assert one[205] == "OBJ000205"
