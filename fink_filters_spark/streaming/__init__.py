@@ -192,6 +192,69 @@ def streaming_object_stats(
     )
 
 
+FUNNEL_STATE = "tv long, tc long, tp long"
+FUNNEL_OUT = "user_id long, tv long, tc long, tp long, stage int"
+
+
+def streaming_funnel(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Cross-batch funnel state machine (the streaming dual of queries/
+    advanced.w_funnel_stages): per user, the first view, the first click
+    at-or-after it, the first purchase at-or-after that — carried in
+    3-long state per key, emitting the user's current stage each time the
+    key appears (output mode: update).
+
+    Equals the batch funnel when events arrive in event-time order (the
+    broker's per-night replay case); a late-arriving earlier 'view' is not
+    retroactively applied — add watermark-delayed processing if exactness
+    under disorder matters more than latency. State is 3 longs per user:
+    bounded, mergeable, store-friendly at 100 TB key cardinality.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        tv = tc = tp = None
+        if state.exists:
+            tv, tc, tp = state.get
+        evs: list = []
+        for pdf in pdfs:
+            evs.extend(zip(pdf[type_col], pdf[ts_col]))
+        evs.sort(key=lambda e: e[1])  # deterministic within-batch order
+        for et, t in evs:
+            t = int(t)
+            if et == "view" and tv is None:
+                tv = t
+            elif et == "click" and tc is None and tv is not None and t >= tv:
+                tc = t
+            elif et == "purchase" and tp is None and tc is not None and t >= tc:
+                tp = t
+        state.update((tv, tc, tp))
+        stage = 3 if tp is not None else 2 if tc is not None else 1 if tv is not None else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "tv": [tv],
+                "tc": [tc],
+                "tp": [tp],
+                "stage": [stage],
+            }
+        )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_object_stats_tws(
     df: DataFrame,
     key_col: str = "objectId",

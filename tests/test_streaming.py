@@ -595,3 +595,52 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
         src / "b1.parquet", coerce_timestamps="us"
     )
     assert run_once() == [3]
+
+
+def test_streaming_funnel_matches_batch_replay(spark, tmp_path):
+    """Per-user funnel state accumulates across micro-batches: with
+    in-event-time-order arrival the final stage per user equals the batch
+    funnel semantics (view -> click>=view -> purchase>=click)."""
+    import pandas as pd
+
+    from fink_filters_spark.streaming import streaming_funnel
+
+    d = tmp_path / "funnel_src"
+    d.mkdir()
+    b0 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "event_type": ["view", "click", "click", "view"],
+            "ts_us": [100, 200, 50, 100],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 2, 3, 3],
+            "event_type": ["purchase", "view", "click", "purchase"],
+            "ts_us": [300, 100, 150, 140],
+        }
+    )
+    b0.to_parquet(d / "b0.parquet")
+    b1.to_parquet(d / "b1.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(d))
+    )
+    out: list = []
+    q = (
+        streaming_funnel(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in out:  # last emit per user wins
+        final[r.user_id] = (r.tv, r.tc, r.tp, r.stage)
+    assert final[1] == (100, 200, 300, 3)   # full funnel across batches
+    assert final[2] == (100, None, None, 1)  # batch-1 click precedes view
+    # user 3: click at 150 (>= view 100) but purchase at 140 < click -> stage 2
+    assert final[3] == (100, 150, None, 2)
