@@ -20,7 +20,12 @@ from __future__ import annotations
 import importlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -79,6 +84,48 @@ class RestSnapshotDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return RestSnapshotReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return RestPollStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(RestSnapshotDataSource)
+
+
+class RestPollStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: each micro-batch reads the next page window; the
+    offset is just the next page index, so checkpoint recovery replays
+    exactly the uncommitted pages (readBetweenOffsets). An empty window
+    (caught up with ``maxPages``) yields no rows and leaves the offset in
+    place — the idle-poll steady state."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._pages_per_batch = int(options.get("pagesPerBatch", "1"))
+        self._max_pages = int(options.get("maxPages", "4"))
+        self._fetcher_path = options.get("fetcher", "")
+
+    def _fetch(self, page: int) -> Sequence[dict]:
+        if self._fetcher_path:
+            mod, _, fn = self._fetcher_path.rpartition(".")
+            return getattr(importlib.import_module(mod), fn)(page)
+        return default_fetcher(page)
+
+    def _rows(self, p0: int, p1: int) -> list[tuple]:
+        names = [f.name for f in self._schema.fields]
+        return [
+            tuple(rec.get(n) for n in names)
+            for p in range(p0, p1)
+            for rec in self._fetch(p)
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        p0 = int(start["page"])
+        p1 = min(p0 + self._pages_per_batch, self._max_pages)
+        return iter(self._rows(p0, p1)), {"page": p1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["page"]), int(end["page"])))

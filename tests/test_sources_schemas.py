@@ -158,3 +158,31 @@ def test_rest_snapshot_datasource_partitioned_pages(spark):
     # deterministic content (offline fetcher)
     one = {r.obj_id: r.name for r in rows}
     assert one[205] == "OBJ000205"
+
+
+def test_rest_snapshot_stream_pages_as_microbatches(spark, tmp_path):
+    """Streaming flavor of the custom DataSource: page index as offset,
+    one page window per micro-batch, stops yielding once caught up."""
+    import time
+
+    from fink_filters_spark.sources.rest_datasource import register
+
+    register(spark)
+    out: list = []
+    q = (
+        spark.readStream.format("rest_snapshot")
+        .option("maxPages", "2")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_rest_stream"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(out) < 200:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(out) == 200  # exactly maxPages x 100, no replays
+    assert {r.page for r in out} == {0, 1}
