@@ -391,10 +391,57 @@ FROM j
 """
 
 
+def w_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — windowed COUNT
+    DISTINCT, which Spark's window functions don't support directly, in
+    its scalable form: distinct = "first time seen", so aggregate each
+    (type, user) to its first day, count new arrivals per day, and running-
+    sum those. No per-row growing state (collect_set over a window holds
+    the whole key set per row — the non-scalable encoding this replaces)."""
+    ev = load_events(spark, sf_dir)
+    first_seen = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr(f"ts_us div {US_PER_DAY}").alias("day"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    daily_new = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type", "day", "n_new", F.sum("n_new").over(w).alias("n_cum_users")
+    )
+
+
+W_CUM_DISTINCT_SQL = """
+WITH fs AS (
+  SELECT event_type, user_id,
+         min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS day
+  FROM events GROUP BY event_type, user_id
+),
+dn AS (SELECT event_type, day, count(*) AS n_new FROM fs GROUP BY 1, 2)
+SELECT event_type, day, n_new,
+       CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_cum_users
+FROM dn
+"""
+
+
 SPECS = [
     QuerySpec("w_topn_per_user", w_topn_per_user, W_TOPN_SQL, "ranking window (§2.F/G)"),
     QuerySpec("ts_gapfill_daily", ts_gapfill_daily, TS_GAPFILL_SQL,
               "dense-grid resample + forward fill (gap-fill operator)"),
+    QuerySpec("w_cum_distinct_users", w_cum_distinct_users, W_CUM_DISTINCT_SQL,
+              "cumulative distinct via first-seen aggregation (scalable form)"),
     QuerySpec("sess_hourly", sess_hourly, SESS_HOURLY_SQL, "tumbling-window agg (§2.J)"),
     QuerySpec("ev_json_bucket", ev_json_bucket, EV_JSON_SQL, "JSON access + agg (§2.I)"),
     QuerySpec("ts_rate_last2", ts_rate_last2, TS_RATE_SQL, "F2 two-point rate"),
