@@ -43,6 +43,10 @@ HEADLINERS = [
     "w_funnel_stages",
     "agg_cms_topk",
     "q_bloom_filter_join",
+    "ts_gapfill_daily",
+    "q_upsert_merge",
+    "w_cum_distinct_users",
+    "q_pagerank3",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
