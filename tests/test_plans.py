@@ -72,3 +72,44 @@ def test_parquet_scans_prune_columns(plans):
     # FIRST in schema order if they were read at all
     assert "l_orderkey" not in read and "l_partkey" not in read and "l_suppkey" not in read
     assert "l_quantity" in read
+
+
+SHUFFLE_BUDGETS = {
+    # scan-only / per-row arithmetic: zero shuffles
+    "f_quality_cuts": 0,
+    "pipe_shuffle_shard": 0,
+    "text_normalize": 0,
+    "f_example": 0,
+    "astro_coords": 0,
+    # one-shuffle aggregates / windows / broadcast-join pipelines
+    "q1_pricing_summary": 1,
+    "sess_hourly": 1,
+    "w_lag_delta": 1,
+    "dedup_exact": 1,
+    "q5_nation_revenue": 1,
+    "topk_anomalies": 1,
+    "xmatch_cone": 1,
+    "pipe_kfold": 1,
+    "k1_classification": 1,
+    "q3_shipping_priority": 1,
+    # multi-stage by design
+    "w_funnel_stages": 2,   # window partition + final single-row agg
+    "ts_gapfill_daily": 2,  # daily agg + grid window (key reused)
+    "agg_cms_topk": 2,      # cell table + exact top-k
+    "w_cum_distinct_users": 3,  # first-seen, daily, running sum
+    "q_upsert_merge": 3,    # full-outer both sides + rollup
+}
+
+
+def test_shuffle_exchange_budgets(plans):
+    """Plan-quality regression guard: each pinned query must not grow new
+    shuffle exchanges (broadcast exchanges excluded — those are the cheap
+    side). A budget increase needs a deliberate edit here, with a reason."""
+    import re
+
+    over = {}
+    for name, budget in SHUFFLE_BUDGETS.items():
+        n = len(re.findall(r"Exchange (hash|range|SinglePartition)", plans[name]))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
