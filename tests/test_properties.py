@@ -361,3 +361,28 @@ def test_weighted_sample_subset_invariance(spark, ids):
     full = kept(ids)
     half = kept(ids[: len(ids) // 2 + 1])
     assert half == {d for d in full if d in ids[: len(ids) // 2 + 1]}
+
+
+@SLOW
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-100, 100)), max_size=30
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-100, 100)), max_size=30
+    ),
+)
+def test_merge_upsert_matches_dict_semantics(spark, base, upd):
+    """merge_upsert == dict update: base keyed, then updates overwrite /
+    insert (last occurrence of a duplicate key within each side wins is NOT
+    guaranteed, so feed unique keys per side)."""
+    base = list({k: (k, v) for k, v in base}.values())
+    upd = list({k: (k, v) for k, v in upd}.values())
+    from fink_filters_spark.operators.upsert import merge_upsert
+
+    b = spark.createDataFrame(base, "k long, v long") if base else spark.createDataFrame([], "k long, v long")
+    u = spark.createDataFrame(upd, "k long, v long") if upd else spark.createDataFrame([], "k long, v long")
+    got = {r.k: r.v for r in merge_upsert(b, u, ["k"]).collect()}
+    want = dict(base)
+    want.update(dict(upd))
+    assert got == want
