@@ -175,6 +175,67 @@ LIMIT {BIGRAM_TOPK}
 """
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based fluency score (the cheap LM-quality proxy): each
+    document's mean corpus-wide occurrence count of its own bigrams.
+    Common-phrase-dense documents score high, gibberish scores ~1 — the
+    filtering signal a perplexity pass approximates, in exact integer
+    arithmetic (one float division per output row).
+
+    Scale: the corpus bigram table is bounded by vocabulary (not corpus
+    size) and partial-aggregated map-side; the doc-gram -> count join
+    shuffles on the gram hash; per-doc sums are integers (order-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.select("doc_id", word_hashes("text").alias("__wh")).filter(
+        F.size("__wh") >= 2
+    )
+    grams = wh.select(
+        "doc_id",
+        F.explode(combine_word_hashes("__wh", 2, distinct=False)).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("n_occ").alias("sum_occ"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_occ",
+            F.round(
+                F.col("sum_occ").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("mean_occ"),
+        )
+    )
+
+
+LM_SCORE_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(wh) - 1),
+           i -> (wh[i] * {WORD_COMBINE_BASE} + wh[i+1]) % {FP_MOD}
+         )) AS gram
+  FROM (
+    SELECT doc_id, list_transform(toks, s -> {_hash_sql('s')}) AS wh
+    FROM ({TOKS_SQL})
+  )
+  WHERE len(wh) >= 2
+),
+c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(c.n_occ) AS BIGINT) AS sum_occ,
+       round(CAST(CAST(sum(c.n_occ) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS mean_occ
+FROM g JOIN c ON g.gram = c.gram
+GROUP BY g.doc_id
+"""
+
+
 # ---- int8 embedding quantization --------------------------------------------
 
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +377,8 @@ SPECS = [
               "fixed-width numeric histogram profile (exact cents mass)"),
     QuerySpec("text_bigrams", text_bigrams, BIGRAMS_SQL,
               "top-k corpus word bigrams (partial-agg + TakeOrdered)"),
+    QuerySpec("text_lm_score", text_lm_score, LM_SCORE_SQL,
+              "mean corpus bigram frequency per doc (LM-quality proxy)"),
     QuerySpec("sim_quantize_int8", sim_quantize_int8, QUANTIZE_SQL,
               "per-vector int8 quantization with reconstruction MSE"),
     QuerySpec("pipe_drift_psi", pipe_drift_psi, DRIFT_SQL,
