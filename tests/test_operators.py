@@ -510,3 +510,25 @@ def test_image_phash_and_banded_hamming_pairs(spark):
     assert pairs[(1, 4)] == 0
     assert (1, 2) in pairs and pairs[(1, 2)] <= 8
     assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_observe_quality_metrics_ride_along(spark):
+    """Metrics come from the same pass as the action: row count, null
+    counts, and domain violations — no second scan job."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.observe import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, None)], "id long, flux double"
+    )
+    observed, obs = observe_quality(
+        df,
+        null_cols=["flux"],
+        domain_checks={"neg_flux": F.col("flux") < 0},
+    )
+    assert observed.count() == 4  # the "real job"
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["n_null_flux"] == 2
+    assert got["n_neg_flux"] == 1
