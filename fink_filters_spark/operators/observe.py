@@ -22,10 +22,12 @@ def observe_quality(
     name: str = "quality",
     null_cols: list[str] | None = None,
     domain_checks: dict[str, "F.Column"] | None = None,
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """Attach row-count, per-column null-count, and named domain-violation
     metrics to ``df``'s plan. Returns (observed_df, observation); read
-    ``observation.get`` AFTER an action on the observed frame.
+    ``observation.get`` AFTER an action on the observed frame. For a
+    STREAMING frame the observation handle is None — read the metrics per
+    micro-batch from ``QueryProgress.observedMetrics[name]`` instead.
 
     Example::
 
@@ -43,5 +45,10 @@ def observe_quality(
         metrics.append(
             F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias(f"n_{label}")
         )
+    if df.isStreaming:
+        # Observation objects are batch-only; streaming uses a string-named
+        # observe node whose per-micro-batch values arrive in
+        # QueryProgress.observedMetrics[name]
+        return df.observe(name, *metrics), None
     obs = Observation(name)
     return df.observe(obs, *metrics), obs

@@ -644,3 +644,45 @@ def test_streaming_funnel_matches_batch_replay(spark, tmp_path):
     assert final[2] == (100, None, None, 1)  # batch-1 click precedes view
     # user 3: click at 150 (>= view 100) but purchase at 140 < click -> stage 2
     assert final[3] == (100, 150, None, 2)
+
+
+def test_observe_metrics_in_streaming_progress(spark, tmp_path):
+    """The same observe_quality helper surfaces per-micro-batch metrics in
+    QueryProgress.observedMetrics — the streaming monitoring path (no
+    second pass, no foreachBatch counting)."""
+    import json
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.observe import observe_quality
+
+    d = tmp_path / "obs_src"
+    d.mkdir()
+    pd.DataFrame({"id": [1, 2, 3], "flux": [10.0, None, -5.0]}).to_parquet(
+        d / "b0.parquet"
+    )
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    observed, _obs = observe_quality(
+        stream, name="stream_quality", null_cols=["flux"],
+        domain_checks={"neg_flux": F.col("flux") < 0},
+    )
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = None
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else json.loads(p.json)["observedMetrics"]
+        if "stream_quality" in om:
+            metrics = om["stream_quality"]
+    assert metrics is not None
+    assert metrics["n_rows"] == 3
+    assert metrics["n_null_flux"] == 1
+    assert metrics["n_neg_flux"] == 1
