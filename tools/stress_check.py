@@ -116,6 +116,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[label] = best
+        spark.catalog.clearCache()  # measurement hygiene (see bench.py)
         ratio = times["10x"] / times["sf0.1"]
         rows.append((name, times["sf0.1"], times["10x"], ratio))
         print(f"# {name}: {times['sf0.1']:.2f}s -> {times['10x']:.2f}s "
