@@ -71,19 +71,10 @@ def test_bloom_filter_injection_under_shuffle_join(spark):
     inject a bloom runtime filter on the fact side of the selective join."""
     from fink_filters_spark.queries.advanced import _BLOOM_CONF, q_bloom_filter_join
 
-    saved = {}
-    for k in list(_BLOOM_CONF) + ["spark.sql.autoBroadcastJoinThreshold"]:
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
-    saved.setdefault(
+    touched = list(_BLOOM_CONF) + [
+        "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        spark.conf.get(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            None,
-        ),
-    )
+    ]
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set(
@@ -108,9 +99,14 @@ def test_bloom_filter_injection_under_shuffle_join(spark):
         }
         assert rows == expect
     finally:
-        for k, v in saved.items():
-            if v is not None:
-                spark.conf.set(k, v)
+        # unset (NOT conditional restore): reverts each conf to its default
+        # so nothing leaks into the shared session — a leaked scan-size
+        # threshold of 0 would inject bloom filters into every later plan
+        for k in touched:
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
 
 
 def test_merge_upsert_semantics(spark, tmp_path):
