@@ -436,8 +436,52 @@ FROM dn
 """
 
 
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (trailing 5 rows) per user — order statistics
+    over a moving frame, which Spark has no native window function for:
+    collect the frame into an array, sort, index the lower median. Exact
+    integer values make it engine-reproducible. The frame is O(1) rows so
+    the per-row array is bounded — this encoding is safe at any scale
+    (contrast unbounded collect_set windows, see w_cum_distinct_users)."""
+    ev = _evq(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list("v").over(w))
+    med = F.expr(
+        "element_at(__arr, int((size(__arr) + 1) div 2))"
+    )
+    return (
+        ev.select("user_id", "event_id", "v", arr.alias("__arr"))
+        .select(
+            "user_id",
+            "event_id",
+            "v",
+            F.size("__arr").alias("frame_n"),
+            med.alias("med5"),
+        )
+    )
+
+
+W_ROLLING_MEDIAN_SQL = f"""
+SELECT user_id, event_id, v,
+       CAST(len(l) AS INT) AS frame_n,
+       list_sort(l)[(len(l) + 1) // 2] AS med5
+FROM (
+  SELECT user_id, event_id, v,
+         list(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+  FROM ({EVQ_SQL})
+)
+"""
+
+
 SPECS = [
     QuerySpec("w_topn_per_user", w_topn_per_user, W_TOPN_SQL, "ranking window (§2.F/G)"),
+    QuerySpec("w_rolling_median", w_rolling_median, W_ROLLING_MEDIAN_SQL,
+              "exact rolling median over a bounded trailing frame"),
     QuerySpec("ts_gapfill_daily", ts_gapfill_daily, TS_GAPFILL_SQL,
               "dense-grid resample + forward fill (gap-fill operator)"),
     QuerySpec("w_cum_distinct_users", w_cum_distinct_users, W_CUM_DISTINCT_SQL,
