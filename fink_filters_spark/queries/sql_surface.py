@@ -173,6 +173,32 @@ FROM c
 """
 
 
+def q_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a SUBQUERY, both without and with a NULL in the value
+    set — the null-aware anti-join physical operator plus the classic
+    tri-valued trap (one NULL in the set makes NOT IN never true).
+    Distinct from q16's NOT IN over a literal list and q_null_semantics'
+    row-local logic: this one plans an actual null-aware anti join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(NULL_AWARE_ANTI_SQL)
+
+
+NULL_AWARE_ANTI_SQL = """
+WITH masked AS (
+  -- nation keys divisible by 5 are masked to NULL in the with-null set
+  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS nk,
+         n_nationkey
+  FROM nation WHERE n_nationkey < 10
+)
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM masked)) AS n_clean,
+  (SELECT count(*) FROM customer
+   WHERE c_nationkey NOT IN (SELECT nk FROM masked)) AS n_with_null
+"""
+
+
 PR_SCALE = 1_000_000_000_000  # rank unit: 1e-12 (integer PageRank)
 
 
@@ -231,4 +257,6 @@ SPECS = [
               "tri-valued logic: COUNT(col), null-safe eq, NOT IN, coalesce"),
     QuerySpec("q_pagerank3", q_pagerank3, _pagerank_sql("//"),
               "3 unrolled integer-exact PageRank iterations (halving tree)"),
+    QuerySpec("q_null_aware_anti", q_null_aware_anti, NULL_AWARE_ANTI_SQL,
+              "null-aware anti join: NOT IN subquery with/without NULL"),
 ]
