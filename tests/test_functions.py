@@ -261,3 +261,25 @@ def test_sql_function_registration_matches_column_exprs(spark):
     for rs, rc in zip(via_sql, via_col):
         for field in ("sep", "b", "beta", "flux", "mag_rt", "dcm"):
             assert rs[field] == rc[field], (field, rs[field], rc[field])
+
+
+def test_udtf_segment_history(spark):
+    """Python UDTF (Spark 4): SQL-callable table function splits a history
+    array into gap-separated segments with per-segment stats."""
+    from fink_filters_spark.functions.udtf_demo import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, [0, 10, 20, 1000, 1010]), (2, [5])],
+        "id long, ts array<bigint>",
+    ).createOrReplaceTempView("alerts_udtf")
+    rows = spark.sql(
+        "SELECT a.id, s.* FROM alerts_udtf a, "
+        "LATERAL segment_history(a.ts, 100) s ORDER BY a.id, s.seg"
+    ).collect()
+    got = [(r.id, r.seg, r.t_start, r.t_end, r.n_points) for r in rows]
+    assert got == [
+        (1, 0, 0, 20, 3),      # first night: 0,10,20
+        (1, 1, 1000, 1010, 2), # gap > 100 -> new segment
+        (2, 0, 5, 5, 1),
+    ]
