@@ -532,3 +532,24 @@ def test_observe_quality_metrics_ride_along(spark):
     assert got["n_rows"] == 4
     assert got["n_null_flux"] == 2
     assert got["n_neg_flux"] == 1
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: a filter that only exists on the dim side
+    becomes a runtime partition filter on the partitioned fact scan — at
+    100 TB this skips whole partitions, not just row groups."""
+    path = str(tmp_path / "fact_dpp")
+    spark.range(1000).selectExpr("id", "id % 10 as p").write.partitionBy(
+        "p"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    # dim key type must MATCH the inferred partition-column type (int) — a
+    # cast on the fact's partition attribute defeats DPP; and the dim side
+    # needs a filter for the optimizer to consider pruning worthwhile
+    dim = spark.createDataFrame(
+        [(3, "x"), (7, "y"), (8, "z")], "p int, tag string"
+    ).filter("tag != 'z'")
+    joined = fact.join(dim, "p")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    assert joined.count() == 200  # partitions 3 and 7 only
