@@ -387,17 +387,29 @@ def phash_pairs(
     id_col: str = "doc_id",
     hash_col: str = "phash",
     max_hamming: int = 8,
-    n_bands: int = 4,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded hamming join (the simhash
     scheme applied to perceptual hashes): split the 64-bit hash into
-    ``n_bands`` equal bands; candidates share at least one exact band
-    (guaranteed to catch every pair with < n_bands differing bands, i.e.
-    hamming spread across fewer than n_bands bands); verify candidates
-    with an exact popcount of the XOR. No all-pairs comparison — the join
-    is an equi-join on (band_index, band_value)."""
-    bits = 64 // n_bands
-    mask = (1 << bits) - 1
+    ``n_bands`` near-equal bands; candidates share at least one exact band;
+    verify candidates with an exact popcount of the XOR. No all-pairs
+    comparison — the join is an equi-join on (band_index, band_value).
+
+    Recall guarantee: ``n_bands`` defaults to ``max_hamming + 1``, so by
+    pigeonhole ``max_hamming`` differing bits cannot touch every band and
+    the banded join is LOSSLESS — the result is exactly the full
+    ``hamming <= max_hamming`` pair set. Passing a smaller ``n_bands``
+    trades recall for fewer candidates: only pairs whose differing bits
+    fall in fewer than ``n_bands`` bands are guaranteed (complete only up
+    to ``hamming <= n_bands - 1``)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError("phash_pairs: n_bands must be in [1, 64]")
+    # near-equal band widths covering all 64 bits (64 need not divide evenly)
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     banded = hashes.select(
         F.col(id_col).alias("__id"),
         F.col(hash_col).alias("__h"),
@@ -406,8 +418,8 @@ def phash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col(hash_col), i * bits)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned(F.col(hash_col), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("val"),
                     )
                     for i in range(n_bands)

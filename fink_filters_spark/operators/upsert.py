@@ -26,16 +26,20 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFr
     if set(base.columns) != set(updates.columns):
         raise ValueError("merge_upsert: base/updates column sets differ")
     b = base.alias("b")
-    u = updates.alias("u")
+    # presence marker: the join is null-safe on keys, so "update row exists"
+    # must not be inferred from a key column's null-ness — a NULL-keyed
+    # update row matches (eqNullSafe) yet its key is NULL, which would
+    # silently hand the win back to the base side
+    u = updates.withColumn("__upd", F.lit(True)).alias("u")
     cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys]
     joined = b.join(u, cond, "full_outer")
     out_cols = [
-        F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+        F.when(F.col("u.__upd").isNotNull(), F.col(f"u.{k}"))
+        .otherwise(F.col(f"b.{k}"))
+        .alias(k)
+        for k in keys
     ] + [
-        # update wins when the update row exists at all (matched by key) —
-        # keyed on a key column's presence, not the payload column, so NULL
-        # payloads in updates still overwrite
-        F.when(F.col(f"u.{keys[0]}").isNotNull(), F.col(f"u.{c}"))
+        F.when(F.col("u.__upd").isNotNull(), F.col(f"u.{c}"))
         .otherwise(F.col(f"b.{c}"))
         .alias(c)
         for c in non_keys
@@ -51,10 +55,25 @@ def upsert_partitioned(
 ) -> None:
     """Rewrite only the partitions touched by ``updates``: read those base
     partitions, merge, and overwrite them in place (dynamic partition
-    overwrite). Untouched partitions are never read or written."""
+    overwrite). Untouched partitions are never read or written.
+
+    Overwrite mode is passed as a PER-WRITE option, not a session conf — a
+    session-level ``partitionOverwriteMode=dynamic`` would silently switch
+    every later ``mode('overwrite').partitionBy(...)`` write in the same
+    session from truncate-table to partition-level semantics.
+
+    Atomicity: the rewrite replaces each touched partition's files
+    non-atomically (plain parquet has no commit log); a crash mid-write can
+    leave a touched partition half-replaced. For crash safety use a table
+    format with a transaction log, or write to a staging dir and swap.
+    """
     spark = updates.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     base = spark.read.parquet(base_path).filter(F.col(partition_col).isin(parts))
     merged = merge_upsert(base, updates, keys)
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(base_path)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(base_path)
+    )

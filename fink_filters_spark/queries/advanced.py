@@ -224,28 +224,19 @@ WHERE (doc_id * {W_MULT}) % {W_MOD} * {W_DENOM} < n_chars * {W_MOD}
 
 # ------------------------------------------------ runtime bloom-filter join
 
-_BLOOM_CONF = {
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-    # NOTE: applicationSideScanSizeThreshold is deliberately NOT lowered
-    # here — session confs outlive this query, and forcing injection at
-    # test scale would silently alter every later query's plan in the same
-    # session. The injection behavior itself is asserted in
-    # tests/test_advanced.py with test-scoped confs.
-}
-
-
 def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective dim -> fact join with runtime bloom-filter injection: the
     p_brand predicate becomes a bloom pre-filter on the lineitem scan, so
     the fact side drops non-matching rows before the join exchange — at
     100 TB this is the difference between shuffling the whole fact table
-    and shuffling the ~1/25 that can match."""
-    for k, v in _BLOOM_CONF.items():
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass
+    and shuffling the ~1/25 that can match.
+
+    No session confs are touched here: runtime bloom-filter injection is ON
+    by default in Spark 4 (``runtime.bloomFilter.enabled=true``) and fires
+    at production scan sizes; mutating thresholds inside a query builder
+    would leak plan-affecting state into every later query in the shared
+    session. The injection behavior itself is asserted in
+    tests/test_advanced.py with test-scoped (saved/restored) confs."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li = load_table(spark, sf_dir, "lineitem")
     return (

@@ -100,13 +100,18 @@ def streaming_dedup(
     event_time_col: str,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exact streaming dedup: first occurrence per key wins; state for a key
-    is dropped once the watermark passes (bounded state — the property that
-    keeps this viable on an unbounded 100 TB stream)."""
+    """Key-only streaming dedup: the first occurrence of each key (in
+    processing order) wins; a later duplicate with a DIFFERENT event time is
+    still dropped, as long as it arrives within ``watermark`` of the first —
+    ``dropDuplicatesWithinWatermark`` keys state on ``key_cols`` alone.
+    State for a key is evicted once the watermark passes its first-seen
+    event time + delay (bounded state — the property that keeps this viable
+    on an unbounded 100 TB stream); a duplicate arriving after eviction is
+    re-emitted, the standard at-scale dedup contract."""
     # watermarks demand TIMESTAMP (not NTZ) event time
     df = df.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
-    return df.withWatermark(event_time_col, watermark).dropDuplicates(
-        key_cols + [event_time_col]
+    return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
     )
 
 

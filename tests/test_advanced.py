@@ -69,9 +69,11 @@ def test_weighted_sample_deterministic_and_length_biased(spark):
 def test_bloom_filter_injection_under_shuffle_join(spark):
     """When the dim side can't broadcast (as at 100 TB), the optimizer must
     inject a bloom runtime filter on the fact side of the selective join."""
-    from fink_filters_spark.queries.advanced import _BLOOM_CONF, q_bloom_filter_join
+    from fink_filters_spark.queries.advanced import q_bloom_filter_join
 
-    touched = list(_BLOOM_CONF) + [
+    touched = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
     ]
