@@ -322,37 +322,99 @@ def minhash_lsh_pairs(
     whose true Jaccard >= tau. Semantics are the *algorithm* (candidates may
     miss sub-threshold-probability pairs); the exact operator is
     ``jaccard_pairs``.
+
+    Representative collapse (scale fix): documents with an IDENTICAL
+    shingle set have identical signatures, identical band keys, and
+    pairwise Jaccard exactly 1 — so the corpus is first grouped by shingle
+    set and LSH runs on ONE representative per distinct set. Exact-duplicate
+    groups (the dominant near-dup class in a web-scale corpus, and what a
+    replicated stress corpus is made of) then cost O(distinct sets) in the
+    band join instead of O(docs), and the quadratic within-group pair
+    explosion happens only at the final output-sized expansion, never in
+    the candidate join or the array_intersect verification. The emitted
+    pair set is bit-identical to running the naive algorithm per document:
+    members inherit their representative's bands (same set -> same bands),
+    so rep-level band-sharing <=> member-level band-sharing.
     """
     # fused Arrow kernel: shingles AND the 16 signature minima in one pass
     # (vectorized (h*a+b) % P + np.minimum.reduceat — replaces 16 interpreted
     # array_min(transform(...)) folds per row); bit-identical to
     # ``minhash_signature`` over the native shingle path
-    sh = minhash_signatures(df, id_col, text_col, n).cache()
-    sig = sh
+    sig = minhash_signatures(df, id_col, text_col, n)
+    # group by the full (sorted, distinct) shingle array — exact, no
+    # fingerprint-collision risk; one shuffle of the shingle payload, after
+    # which every stage is representative-sized
+    nperm = len(MINHASH_AB)
+    grp = (
+        sig.groupBy("__sh")
+        .agg(
+            F.min("__id").alias("__rid"),
+            F.collect_list("__id").alias("__members"),
+            # signature is a pure function of the set: identical per group
+            *[F.first(f"m{i}").alias(f"m{i}") for i in range(nperm)],
+        )
+        .cache()
+    )
+    mem = grp.select("__rid", F.explode("__members").alias("__id"))
+    # within-group pairs: identical sets, Jaccard exactly 1 (>= any tau<=1).
+    # Expanded with a HOF combination expression — no self-join, no shuffle;
+    # groups are near-dup clusters, i.e. small, so interpreted lambdas are
+    # fine (the expansion is output-sized by definition).
+    srt = F.array_sort("__members")
+    pair_structs = F.flatten(
+        F.transform(
+            srt,
+            lambda x, i: F.transform(
+                F.slice(srt, i + F.lit(2), F.size(srt)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    within = (
+        grp.filter(F.size("__members") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
     band_cols = []
     for j in range(MINHASH_BANDS):
         parts = [F.col(f"m{j * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
         band_cols.append(F.concat_ws("_", F.lit(str(j)), *parts))
-    bands = sig.select("__id", F.explode(F.array(*band_cols)).alias("__bk"))
+    bands = grp.select("__rid", F.explode(F.array(*band_cols)).alias("__bk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(b, (F.col("a.__bk") == F.col("b.__bk")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        a.join(b, (F.col("a.__bk") == F.col("b.__bk")) & (F.col("a.__rid") < F.col("b.__rid")))
+        .select(F.col("a.__rid").alias("__ra"), F.col("b.__rid").alias("__rb"))
         .distinct()
     )
-    sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    sh_b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    sh_a = grp.select(F.col("__rid").alias("__ra"), F.col("__sh").alias("__sha"))
+    sh_b = grp.select(F.col("__rid").alias("__rb"), F.col("__sh").alias("__shb"))
     verified = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        cand.join(sh_a, "__ra")
+        .join(sh_b, "__rb")
         .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn(
             "jaccard",
             F.col("__inter").cast("double")
             / (F.size("__sha") + F.size("__shb") - F.col("__inter")).cast("double"),
         )
+        .filter(F.col("jaccard") >= tau)
+        .select("__ra", "__rb", "jaccard")
     )
-    return verified.filter(F.col("jaccard") >= tau).select(
+    # expansion: every member pair across the two groups inherits the rep
+    # pair's Jaccard (Jaccard depends only on the sets). Cross-group ids are
+    # not ordered by group, so order each emitted pair explicitly.
+    ea = mem.select(F.col("__rid").alias("__ra"), F.col("__id").alias("__ida"))
+    eb = mem.select(F.col("__rid").alias("__rb"), F.col("__id").alias("__idb"))
+    cross = (
+        verified.join(ea, "__ra")
+        .join(eb, "__rb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -617,37 +679,48 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
-def embedding_pairs(df: DataFrame, id_col: str, vec_col: str, tau: float) -> DataFrame:
+def embedding_pairs(
+    df: DataFrame, id_col: str, vec_col: str, tau: float, n_blocks: int = 16
+) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine >= tau).
 
-    Brute-force all-pairs, executed as a vectorized Arrow kernel: the
-    quantized corpus matrix (int64, exact) broadcasts to every executor and
-    each partition does one int64 matmul block against it — the "broadcast
-    build side" of a nested-loop join, with NumPy doing the inner loop
-    instead of 12.5M interpreted array folds (~25x faster at sf0.1).
+    Brute-force all-pairs as a DISTRIBUTED block-matrix join — no driver
+    collect, no corpus broadcast: rows are assigned to ``n_blocks`` blocks
+    by id, each block is packed into one row (ids + quantized vectors), and
+    the B*(B+1)/2 unordered block pairs are formed by a tiny nested-loop
+    join over B rows per side. Each block-pair task then does ONE int64
+    NumPy matmul (exact integer dot products) instead of interpreted array
+    folds. Every unordered row pair lands in exactly one block pair, so the
+    result is complete and duplicate-free.
 
     Exactness/parity: integer dot products are exact; cosine is the same
     deterministic double expression (dot / sqrt(na) / sqrt(nb)) as the SQL
     oracle; rounding uses floor(x*1e6 + 0.5) which is precisely DuckDB's
     round() for positive doubles.
 
-    Scale note: broadcasting the corpus caps this at build-side-fits-in-RAM
-    (say <=10M x 64 = 5 GB) — the same cap as any broadcast join. Beyond
-    that use operators/similarity.py (IVF partitioning) or LSH blocking.
+    Scale: pick ``n_blocks`` so one block (~N/B rows x dim x 8 bytes) fits
+    comfortably in a task (e.g. B ~ N*dim*8 / 256 MB); work is B^2/2 matmul
+    tasks — the unavoidable all-pairs FLOPs, now spread across the cluster
+    instead of bounded by driver RAM. For sub-quadratic candidate
+    generation use operators/similarity.py (IVF / LSH blocking).
     """
     from collections.abc import Iterator
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    import numpy as np
-
     q = _spread(df).select(F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__q"))
-    rows = q.collect()
-    ids = np.array([r["__id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["__q"] for r in rows], dtype=np.int64)
-    sqrt_norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat, sqrt_norms))
+    blocks = (
+        q.withColumn("__b", F.pmod(F.col("__id"), F.lit(n_blocks)))
+        .groupBy("__b")
+        .agg(F.collect_list(F.struct("__id", "__q")).alias("__rows"))
+    )
+    a = blocks.select(F.col("__b").alias("__ba"), F.col("__rows").alias("__ra"))
+    b = blocks.select(F.col("__b").alias("__bb"), F.col("__rows").alias("__rb"))
+    # unordered block pairs (ba <= bb): B rows x B rows nested-loop join —
+    # trivially small; the heavy work happens inside the per-pair kernel
+    joined = a.join(b, F.col("__ba") <= F.col("__bb")).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, n_blocks)
+    )
 
     out_schema = StructType(
         [
@@ -657,25 +730,42 @@ def embedding_pairs(df: DataFrame, id_col: str, vec_col: str, tau: float) -> Dat
         ]
     )
 
+    def _unpack(cell):
+        import numpy as _np
+
+        ids = _np.array([r["__id"] for r in cell], dtype=_np.int64)
+        mat = _np.stack([_np.asarray(r["__q"], dtype=_np.int64) for r in cell])
+        return ids, mat, _np.sqrt((mat * mat).sum(axis=1).astype(_np.float64))
+
     def kernel(batches: Iterator) -> Iterator:
         import numpy as _np
         import pandas as _pd
 
-        c_ids, c_mat, c_sq = bc.value
         for pdf in batches:
-            a_ids = pdf["__id"].to_numpy(dtype=_np.int64)
-            a_mat = _np.stack(pdf["__q"].to_numpy()).astype(_np.int64)
-            a_sq = _np.sqrt((a_mat * a_mat).sum(axis=1).astype(_np.float64))
-            dots = (a_mat @ c_mat.T).astype(_np.float64)
-            cos = dots / a_sq[:, None] / c_sq[None, :]
-            ii, jj = _np.nonzero((cos >= tau) & (a_ids[:, None] < c_ids[None, :]))
-            c = cos[ii, jj]
-            yield _pd.DataFrame(
-                {
-                    "id_a": a_ids[ii],
-                    "id_b": c_ids[jj],
-                    "cosine": _np.floor(c * 1e6 + 0.5) / 1e6,
-                }
-            )
+            for ba, bb, ra, rb in zip(pdf["__ba"], pdf["__bb"], pdf["__ra"], pdf["__rb"]):
+                if len(ra) == 0 or len(rb) == 0:
+                    continue
+                a_ids, a_mat, a_sq = _unpack(ra)
+                b_ids, b_mat, b_sq = _unpack(rb)
+                cos = (a_mat @ b_mat.T).astype(_np.float64) / a_sq[:, None] / b_sq[None, :]
+                if ba == bb:
+                    # diagonal block: order within the block, skip self-pairs
+                    mask = (cos >= tau) & (a_ids[:, None] < b_ids[None, :])
+                else:
+                    # off-diagonal: ids interleave across blocks — emit every
+                    # qualifying pair once, ordered per-pair below
+                    mask = cos >= tau
+                ii, jj = _np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                ida, idb = a_ids[ii], b_ids[jj]
+                c = cos[ii, jj]
+                yield _pd.DataFrame(
+                    {
+                        "id_a": _np.minimum(ida, idb),
+                        "id_b": _np.maximum(ida, idb),
+                        "cosine": _np.floor(c * 1e6 + 0.5) / 1e6,
+                    }
+                )
 
-    return q.mapInPandas(kernel, out_schema)
+    return joined.mapInPandas(kernel, out_schema)

@@ -171,24 +171,30 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is the tiebreak.
 
     Scale: both aggs shuffle on term/(doc,term) with map-side partials; df
-    (vocabulary-sized) broadcasts; the window partitions by doc_id.
+    (vocabulary-sized) broadcasts; the window partitions by doc_id. N (the
+    corpus size) rides in the SAME plan as a broadcast single-row cross
+    join — no separate count() job on the driver.
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; embedded as a literal in the plan
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     terms = docs.select(
         "doc_id", F.explode(TOKS()).alias("term")
     ).filter(F.length("term") > 0)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    scored = tf.join(F.broadcast(df_t), "term").withColumn(
-        "score",
-        F.round(
-            F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df_t").cast("double")),
-            6,
-        ),
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n") / F.col("df_t").cast("double")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
