@@ -159,3 +159,321 @@ def fit_per_key(
     model fit scoring with a broadcast XGBoost model — import-gated, the
     heavy science deps are not in this container)."""
     return df.groupBy(key).applyInPandas(kernel, schema)
+
+
+# --------------------------------------------------------------------------
+# Rainbow-shape parametric light-curve fit (pure numpy, deterministic)
+# --------------------------------------------------------------------------
+#
+# The reference fits a rising-sigmoid bolometric light curve with a
+# constant-temperature blackbody spectral shape (RainbowFit.from_angstrom(
+# band_wave_aa, with_baseline=False, temperature="constant",
+# bolometric="sigmoid"), reference ztf/filter_early_tde_candidates/
+# lcs.py:272-326) and draws Monte-Carlo parameter samples from the fit
+# covariance for downstream classifier scoring (filter.py:158-218). It runs
+# that fit in a DRIVER loop per candidate; here the identical math runs as
+# a grouped Arrow kernel — the fit happens where the data lives.
+#
+# Model (single band):      m(t) = A * s((t - t0) / tau)
+# Model (multi band):       m(t, b) = A * w(T, lambda_b) * s((t - t0) / tau)
+# with s the logistic sigmoid and w the blackbody flux ratio
+# B(lambda_b, T) / B(lambda_ref, T), B(l, T) ~ l^-5 / (exp(hc/(l k T)) - 1).
+#
+# Fitting: weighted Levenberg-Marquardt on p = (t0, ln A, ln tau[, ln T])
+# (log-params enforce positivity, as the reference's rejection sampling
+# effectively does), data-driven deterministic initialization, fixed
+# iteration/tolerance budget — bit-reproducible on the same data.
+
+HC_OVER_K_AA = 1.4387769e8  # hc / k_B in Angstrom * Kelvin
+
+
+def _sigmoid(z):
+    import numpy as np
+
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def _bb_ratio(lam, ln_t, lam_ref):
+    """Blackbody flux ratio B(lam, T)/B(lam_ref, T) and its d/dlnT."""
+    import numpy as np
+
+    t = np.exp(ln_t)
+    xb = HC_OVER_K_AA / (lam * t)
+    xr = HC_OVER_K_AA / (lam_ref * t)
+    # expm1 keeps precision for small x (hot/blue limit)
+    ratio = (lam_ref / lam) ** 5 * np.expm1(xr) / np.expm1(xb)
+
+    def _dln(x):
+        return x * np.exp(x) / np.expm1(x)
+
+    dln_dlnt = _dln(xb) - _dln(xr)
+    return ratio, ratio * dln_dlnt
+
+
+def rainbow_model(t, p, lam=None, lam_ref=None):
+    """Model value + Jacobian columns at params p = (t0, lnA, lntau[, lnT])."""
+    import numpy as np
+
+    t0, ln_a, ln_tau = p[0], p[1], p[2]
+    # inf/nan intermediates happen transiently when LM probes a divergent
+    # step; the step is then rejected on the non-finite cost, so the
+    # warnings are noise
+    with np.errstate(all="ignore"):
+        tau = np.exp(ln_tau)
+        z = (t - t0) / tau
+        s = _sigmoid(z)
+        sp = s * (1.0 - s)
+        amp = np.exp(ln_a)
+        if lam is None:
+            w, dw = 1.0, None
+        else:
+            w, dw = _bb_ratio(lam, p[3], lam_ref)
+        m = amp * w * s
+        cols = [
+            amp * w * sp * (-1.0 / tau),  # d/dt0
+            m,                            # d/dlnA
+            amp * w * sp * (-z),          # d/dlntau
+        ]
+        if lam is not None:
+            cols.append(amp * dw * s)     # d/dlnT
+        return m, np.column_stack(cols)
+
+
+def _lm_fit(t, y, wgt, p0, lam_arr=None, lam_ref=None, max_iter=60):
+    """Deterministic damped Gauss-Newton (Levenberg-Marquardt).
+
+    Returns (p, cov, chisq) or None if the normal equations degenerate.
+    cov is the parameter covariance sigma^2 * (J^T W J)^-1 with
+    sigma^2 = chi^2 / (n - k) (the standard WLS estimate)."""
+    import numpy as np
+
+    np_err = np.seterr(all="ignore")  # divergent probe steps; see rainbow_model
+    try:
+        return _lm_fit_inner(t, y, wgt, p0, lam_arr, lam_ref, max_iter)
+    finally:
+        np.seterr(**np_err)
+
+
+def _lm_fit_inner(t, y, wgt, p0, lam_arr, lam_ref, max_iter):
+    import numpy as np
+
+    p = np.asarray(p0, dtype=np.float64)
+    k = len(p)
+    m, jac = rainbow_model(t, p, lam_arr, lam_ref)
+    r = y - m
+    cost = float((wgt * r * r).sum())
+    damp = 1e-3
+    for _ in range(max_iter):
+        jw = jac * wgt[:, None]
+        a = jac.T @ jw
+        g = jw.T @ r
+        improved = False
+        for _ in range(12):
+            try:
+                step = np.linalg.solve(
+                    a + damp * np.diag(np.diag(a)) + 1e-12 * np.eye(k), g
+                )
+            except np.linalg.LinAlgError:
+                return None
+            p1 = p + step
+            m1, jac1 = rainbow_model(t, p1, lam_arr, lam_ref)
+            r1 = y - m1
+            c1 = float((wgt * r1 * r1).sum())
+            if np.isfinite(c1) and c1 <= cost:
+                rel = abs(cost - c1) / max(cost, 1e-300)
+                p, m, jac, r, cost = p1, m1, jac1, r1, c1
+                damp = max(damp * 0.3, 1e-12)
+                improved = True
+                if rel < 1e-12:
+                    return _lm_result(t, p, jac, wgt, cost, k)
+                break
+            damp *= 10.0
+            if damp > 1e12:
+                return _lm_result(t, p, jac, wgt, cost, k)
+        if not improved:
+            break
+    return _lm_result(t, p, jac, wgt, cost, k)
+
+
+def _lm_result(t, p, jac, wgt, cost, k):
+    import numpy as np
+
+    n = len(t)
+    dof = max(n - k, 1)
+    try:
+        cov = np.linalg.inv(jac.T @ (jac * wgt[:, None])) * (cost / dof)
+    except np.linalg.LinAlgError:
+        cov = None
+    return p, cov, cost / dof
+
+
+def rainbow_fit_arrays(t, y, sigma=None, band_wave_aa=None, bands=None):
+    """Fit one light curve; returns a dict of params / errors / r_chisq or
+    None when the fit is impossible (too few points, non-positive peak).
+
+    ``band_wave_aa``: {band_name: wavelength_AA} enables the
+    constant-temperature multiband model (reference band_wave_aa map);
+    ``bands`` is then the per-point band array.
+    """
+    import numpy as np
+
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    multiband = band_wave_aa is not None and bands is not None
+    k = 4 if multiband else 3
+    good = np.isfinite(t) & np.isfinite(y)
+    if sigma is not None:
+        sigma = np.asarray(sigma, dtype=np.float64)
+        good &= np.isfinite(sigma) & (sigma > 0)
+    t, y = t[good], y[good]
+    if multiband:
+        bands = np.asarray(bands, dtype=object)[good]
+        lam_arr = np.array([band_wave_aa.get(b, np.nan) for b in bands])
+        lam_ok = np.isfinite(lam_arr)
+        t, y, lam_arr = t[lam_ok], y[lam_ok], lam_arr[lam_ok]
+        lam_ref = float(np.median(np.array(sorted(band_wave_aa.values()))))
+    else:
+        lam_arr, lam_ref = None, None
+    if len(t) < k + 1:
+        return None
+    wgt = (
+        1.0 / np.maximum(sigma[good], 1e-300) ** 2
+        if sigma is not None
+        else np.ones_like(y)
+    )
+    if sigma is not None and multiband:
+        wgt = wgt[lam_ok]
+    # deterministic data-driven init
+    a0 = float(np.max(y))
+    if a0 <= 0:
+        return None
+    order = np.argsort(t, kind="stable")
+    ts, ys = t[order], y[order]
+    half = np.nonzero(ys >= a0 / 2.0)[0]
+    t0_0 = float(ts[half[0]]) if len(half) else float(ts[len(ts) // 2])
+    span = float(ts[-1] - ts[0])
+    tau0 = span / 10.0 if span > 0 else 1.0
+    p0 = [t0_0, np.log(a0), np.log(tau0)] + ([np.log(1e4)] if multiband else [])
+    res = _lm_fit(t, y, wgt, p0, lam_arr, lam_ref)
+    if res is None:
+        return None
+    p, cov, r_chisq = res
+    if not np.all(np.isfinite(p)):
+        return None
+    amp, tau = float(np.exp(p[1])), float(np.exp(p[2]))
+    out = {
+        "n": int(len(t)),
+        "reference_time": float(p[0]),
+        "amplitude": amp,
+        "rise_time": tau,
+        "r_chisq": float(r_chisq),
+        "params": p,
+        "cov": cov,
+    }
+    if multiband:
+        out["temperature"] = float(np.exp(p[3]))
+    if cov is not None and np.all(np.isfinite(cov)):
+        err = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        out["e_reference_time"] = float(err[0])
+        # delta method: e_X = X * e_lnX for log-parameterized params
+        out["e_amplitude"] = amp * float(err[1])
+        out["e_rise_time"] = tau * float(err[2])
+        if multiband:
+            out["e_temperature"] = out["temperature"] * float(err[3])
+    return out
+
+
+def mc_param_samples(fit: dict, nsamples: int, seed: int):
+    """Deterministic Monte-Carlo parameter draws from the fit covariance —
+    the reference's rejection-sampled multivariate_normal (filter.py:
+    158-218) with an explicit per-key seed so distributed runs reproduce.
+    Sampling happens in the log-parameter space, so the reference's
+    'amplitude < 0 -> reject' rule holds by construction. Returns an array
+    (nsamples, k) of NATURAL-space samples (t0, A, tau[, T])."""
+    import numpy as np
+
+    if fit.get("cov") is None:
+        return None
+    rng = np.random.default_rng(seed)
+    draws = rng.multivariate_normal(fit["params"], fit["cov"], size=nsamples)
+    out = draws.copy()
+    out[:, 1:] = np.exp(draws[:, 1:])
+    return out
+
+
+SIGMOID_FIT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("t0", DoubleType()),
+        StructField("amplitude", DoubleType()),
+        StructField("rise_time", DoubleType()),
+        StructField("r_chisq", DoubleType()),
+        StructField("snr_rise_time", DoubleType()),
+    ]
+)
+
+
+def sigmoid_fit_per_key(
+    df: DataFrame,
+    key: str = "user_id",
+    t_col: str = "xh",
+    y_col: str = "v",
+) -> DataFrame:
+    """Per-key rising-sigmoid fit as a grouped Arrow kernel (the
+    heavy-group counterpart of ``linfit_per_key``: one LM fit per key,
+    where the reference loops on the driver). Degenerate groups (too few
+    points, non-positive peak, singular fit) emit NULL parameters so the
+    row count stays stable. snr_rise_time mirrors the reference's
+    ``snr_rise_time < 1.5`` quality cut input."""
+
+    def kernel(pdf):
+        import pandas as pd
+
+        uid = int(pdf[key].iloc[0])
+        fit = rainbow_fit_arrays(pdf[t_col].to_numpy(), pdf[y_col].to_numpy())
+        if fit is None:
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n": [len(pdf)],
+                    "t0": [None],
+                    "amplitude": [None],
+                    "rise_time": [None],
+                    "r_chisq": [None],
+                    "snr_rise_time": [None],
+                }
+            )
+        import math
+
+        def r6(x):
+            # a diverged fit on pathological data can overflow exp() —
+            # surface it as NULL, same as a degenerate fit
+            return _round6(x) if x is not None and math.isfinite(x) else None
+
+        e_tau = fit.get("e_rise_time")
+        snr = (
+            abs(fit["rise_time"] / e_tau)
+            if e_tau is not None and e_tau > 0 and math.isfinite(fit["rise_time"] / e_tau)
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n": [fit["n"]],
+                "t0": [r6(fit["reference_time"])],
+                "amplitude": [r6(fit["amplitude"])],
+                "rise_time": [r6(fit["rise_time"])],
+                "r_chisq": [r6(fit["r_chisq"])],
+                "snr_rise_time": [r6(snr)],
+            }
+        )
+
+    return df.select(key, t_col, y_col).groupBy(key).applyInPandas(
+        kernel, SIGMOID_FIT_SCHEMA
+    )

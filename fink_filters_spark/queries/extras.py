@@ -146,6 +146,24 @@ def q_ts_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .timeseries import TS_LINFIT_SQL  # noqa: E402
 
 
+def q_ts_sigmoid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F10: REAL parametric light-curve fit — per-key rising-sigmoid
+    (Rainbow bolometric shape, reference ztf/filter_early_tde_candidates/
+    lcs.py:272-326) via weighted Levenberg-Marquardt inside a grouped Arrow
+    kernel. Iterative nonlinear optimization is not SQL-expressible, so
+    this entry carries no oracle (rows-only check); the numerical contract
+    is pinned by property tests against synthetic sigmoid curves
+    (tests/test_operators.py)."""
+    from ..operators.fit import sigmoid_fit_per_key
+
+    ev = _evq(spark, sf_dir)
+    t0 = ev.groupBy("user_id").agg(F.min("t").alias("t0"))
+    x = ev.join(t0, "user_id").withColumn(
+        "xh", F.expr(f"(t - t0) div {US_PER_HOUR}")
+    )
+    return sigmoid_fit_per_key(x, key="user_id", t_col="xh", y_col="v")
+
+
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (letters runs / digit runs / punctuation) —
     the coarse GPT-2-style pre-tokenizer classes."""
@@ -314,5 +332,7 @@ SPECS = [
     QuerySpec("q_setops", q_setops, SETOPS_SQL, "INTERSECT/UNION/EXCEPT (§2.H)"),
     QuerySpec("ts_window_slice", q_ts_window_slice, TS_WINDOW_SQL, "F7 per-row windows"),
     QuerySpec("ts_fit_grouped", q_ts_fit_grouped, TS_LINFIT_SQL, "F10 applyInPandas fit"),
+    QuerySpec("ts_sigmoid_fit", q_ts_sigmoid_fit, None,
+              "F10 nonlinear Rainbow-shape sigmoid fit (LM, rows-only check)"),
     QuerySpec("text_bpe", q_text_bpe, TEXT_BPE_SQL, "BPE-ish token count"),
 ]

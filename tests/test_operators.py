@@ -553,3 +553,128 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
     assert joined.count() == 200  # partitions 3 and 7 only
+
+
+# ---------------------------------------------------------------------------
+# Rainbow-shape parametric fit (operators/fit.py)
+# ---------------------------------------------------------------------------
+
+
+def _synth_sigmoid(t0=50.0, amp=120.0, tau=8.0, n=60, noise=0.0, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 100.0, n)
+    y = amp / (1.0 + np.exp(-(t - t0) / tau))
+    if noise:
+        y = y + rng.normal(0.0, noise, n)
+    return t, y
+
+
+def test_rainbow_fit_recovers_sigmoid_params():
+    """Noise-free rising sigmoid: LM must recover (t0, A, tau) to <0.1%."""
+    from fink_filters_spark.operators.fit import rainbow_fit_arrays
+
+    t, y = _synth_sigmoid()
+    fit = rainbow_fit_arrays(t, y)
+    assert fit is not None
+    assert abs(fit["reference_time"] - 50.0) < 0.05
+    assert abs(fit["amplitude"] - 120.0) / 120.0 < 1e-3
+    assert abs(fit["rise_time"] - 8.0) / 8.0 < 1e-3
+    assert fit["r_chisq"] < 1e-6
+
+
+def test_rainbow_fit_noisy_within_errors():
+    """With noise, recovered params should sit within ~5 sigma of truth and
+    the reported errors should be positive and finite."""
+    from fink_filters_spark.operators.fit import rainbow_fit_arrays
+
+    t, y = _synth_sigmoid(noise=3.0)
+    fit = rainbow_fit_arrays(t, y)
+    assert fit is not None
+    for name, truth in (("reference_time", 50.0), ("amplitude", 120.0), ("rise_time", 8.0)):
+        err = fit["e_" + name]
+        assert err > 0 and np.isfinite(err)
+        assert abs(fit[name] - truth) < 5 * err + 1e-9
+
+
+def test_rainbow_fit_weighted_points_dominate():
+    """Tiny-sigma (high-weight) points must pull the fit: corrupt the
+    low-weight half and the high-weight half still pins the parameters."""
+    from fink_filters_spark.operators.fit import rainbow_fit_arrays
+
+    t, y = _synth_sigmoid()
+    sigma = np.where(t < 50.0, 1e-3, 1e3)  # trust only the first half
+    y2 = y.copy()
+    y2[t >= 50.0] += 40.0  # corrupt the untrusted half
+    fit = rainbow_fit_arrays(t, y2, sigma=sigma)
+    assert fit is not None
+    assert abs(fit["reference_time"] - 50.0) < 1.0
+
+
+def test_rainbow_fit_multiband_constant_temperature():
+    """Multiband constant-T model: per-band blackbody ratios scale a shared
+    sigmoid; the joint fit must recover the temperature."""
+    from fink_filters_spark.operators.fit import (
+        _bb_ratio,
+        rainbow_fit_arrays,
+    )
+
+    waves = {"g": 4770.0, "r": 6231.0, "i": 7625.0}
+    t0, amp, tau, temp = 50.0, 120.0, 8.0, 9000.0
+    lam_ref = float(np.median(sorted(waves.values())))
+    ts, ys, bs = [], [], []
+    for b, lam in waves.items():
+        t = np.linspace(0.0, 100.0, 40)
+        ratio, _ = _bb_ratio(np.array([lam]), np.log(temp), lam_ref)
+        ts.append(t)
+        ys.append(amp * float(ratio[0]) / (1.0 + np.exp(-(t - t0) / tau)))
+        bs.extend([b] * 40)
+    t_all, y_all = np.concatenate(ts), np.concatenate(ys)
+    fit = rainbow_fit_arrays(t_all, y_all, band_wave_aa=waves, bands=bs)
+    assert fit is not None
+    assert abs(fit["temperature"] - temp) / temp < 0.01
+    assert abs(fit["amplitude"] - amp) / amp < 0.01
+    assert abs(fit["rise_time"] - tau) / tau < 0.01
+
+
+def test_rainbow_fit_degenerate_inputs():
+    from fink_filters_spark.operators.fit import rainbow_fit_arrays
+
+    # too few points
+    assert rainbow_fit_arrays([1.0, 2.0], [1.0, 2.0]) is None
+    # non-positive peak
+    t = np.linspace(0, 10, 20)
+    assert rainbow_fit_arrays(t, -np.ones(20)) is None
+
+
+def test_mc_param_samples_deterministic_and_positive():
+    from fink_filters_spark.operators.fit import mc_param_samples, rainbow_fit_arrays
+
+    t, y = _synth_sigmoid(noise=2.0)
+    fit = rainbow_fit_arrays(t, y)
+    s1 = mc_param_samples(fit, 64, seed=123)
+    s2 = mc_param_samples(fit, 64, seed=123)
+    assert s1.shape == (64, 3)
+    assert np.array_equal(s1, s2)  # seeded -> reproducible
+    assert (s1[:, 1] > 0).all() and (s1[:, 2] > 0).all()  # log-space draws
+
+
+def test_sigmoid_fit_per_key_distributed_matches_local(spark):
+    """Grouped kernel == driver-side reference fit, per key."""
+    from fink_filters_spark.operators.fit import (
+        rainbow_fit_arrays,
+        sigmoid_fit_per_key,
+    )
+
+    frames = []
+    for uid, (t0, amp, tau) in enumerate([(30.0, 50.0, 5.0), (60.0, 200.0, 12.0)]):
+        t, y = _synth_sigmoid(t0, amp, tau, noise=1.0, seed=uid)
+        frames.append(pd.DataFrame({"user_id": uid, "xh": t, "v": y}))
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf)
+    got = {r.user_id: r for r in sigmoid_fit_per_key(df).collect()}
+    for uid in (0, 1):
+        sub = pdf[pdf.user_id == uid]
+        ref = rainbow_fit_arrays(sub.xh.to_numpy(), sub.v.to_numpy())
+        assert abs(got[uid].t0 - ref["reference_time"]) < 1e-6
+        assert abs(got[uid].amplitude - ref["amplitude"]) < 1e-6
+        assert abs(got[uid].rise_time - ref["rise_time"]) < 1e-6
