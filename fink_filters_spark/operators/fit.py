@@ -19,7 +19,13 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 LINFIT_SCHEMA = StructType(
     [
@@ -404,6 +410,95 @@ def mc_param_samples(fit: dict, nsamples: int, seed: int):
     out = draws.copy()
     out[:, 1:] = np.exp(draws[:, 1:])
     return out
+
+
+RAINBOW_MC_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("amplitude", DoubleType()),
+        StructField("rise_time", DoubleType()),
+        StructField("r_chisq", DoubleType()),
+        StructField("best_score", DoubleType()),
+        StructField("frac_scores", DoubleType()),
+        StructField("valid", BooleanType()),
+    ]
+)
+
+
+def rainbow_mc_score_per_key(
+    df: DataFrame,
+    model,
+    key: str = "user_id",
+    t_col: str = "xh",
+    y_col: str = "v",
+    nsamples: int = 64,
+    seed: int = 20240814,
+    max_r_chisq: float = 10.0,
+    min_snr_rise_time: float = 1.5,
+    min_frac: float = 0.1,
+) -> DataFrame:
+    """The reference's per-candidate loop (fit -> quality cuts -> MC sample
+    -> classifier -> best/fraction scores, ``filter.py:158-218``) as ONE
+    grouped Arrow kernel with the classifier broadcast.
+
+    Per key: Rainbow-shape sigmoid fit; reference quality cuts
+    (``r_chisq > 10`` or ``snr_rise_time < 1.5`` -> invalid); ``nsamples``
+    deterministic covariance draws (seed xor key, so every key reproduces
+    independently of partitioning); the model scores best fit + samples on
+    (amplitude, rise_time) features; ``frac_scores`` = fraction of samples
+    scoring positive (>= 0.5), and the reference's acceptance rule
+    (``best positive or frac >= 0.1``) lands in ``valid``.
+    """
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(model)
+
+    def kernel(pdf):
+        import math
+
+        import numpy as np
+
+        uid = int(pdf[key].iloc[0])
+
+        def row(**kw):
+            base = {
+                "user_id": uid, "n": len(pdf), "amplitude": None,
+                "rise_time": None, "r_chisq": None, "best_score": None,
+                "frac_scores": None, "valid": False,
+            }
+            base.update(kw)
+            return pd.DataFrame([base])
+
+        fit = rainbow_fit_arrays(pdf[t_col].to_numpy(), pdf[y_col].to_numpy())
+        if fit is None or fit.get("cov") is None:
+            return row()
+        amp, tau, chisq = fit["amplitude"], fit["rise_time"], fit["r_chisq"]
+        if not all(math.isfinite(v) for v in (amp, tau, chisq)):
+            return row()
+        e_tau = fit.get("e_rise_time")
+        snr_tau = abs(tau / e_tau) if e_tau else 0.0
+        if chisq > max_r_chisq or snr_tau < min_snr_rise_time:
+            return row(amplitude=_round6(amp), rise_time=_round6(tau),
+                       r_chisq=_round6(chisq))
+        samples = mc_param_samples(fit, nsamples, seed ^ uid)
+        feats = np.vstack([[amp, tau], samples[:, 1:3]])
+        ok = np.isfinite(feats).all(axis=1)
+        feats = np.where(ok[:, None], feats, 0.0)
+        scores = np.asarray(bc.value.predict_proba_batch(feats), dtype=np.float64)
+        scores = np.where(ok, scores, 0.0)
+        best = float(scores[0])
+        frac = float((scores >= 0.5).mean())
+        return row(
+            amplitude=_round6(amp), rise_time=_round6(tau),
+            r_chisq=_round6(chisq), best_score=_round6(best),
+            frac_scores=_round6(frac),
+            valid=bool(best >= 0.5 or frac >= min_frac),
+        )
+
+    return df.select(key, t_col, y_col).groupBy(key).applyInPandas(
+        kernel, RAINBOW_MC_SCHEMA
+    )
 
 
 SIGMOID_FIT_SCHEMA = StructType(

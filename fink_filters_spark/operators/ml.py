@@ -41,7 +41,10 @@ class LinearStubModel:
 
 
 def load_model(path: str | None = None, weights=None):
-    """Load an XGBoost model if the library exists, else the stub."""
+    """Load an XGBoost model: the real library if installed, else the
+    pure-numpy UBJSON tree-ensemble reader (operators/xgb_ubj.py) for
+    ``.ubj`` files, else the linear stub. All three expose batch scoring
+    compatible with ``predict_proba``."""
     try:  # pragma: no cover - xgboost absent in this environment
         import xgboost as xgb
 
@@ -50,6 +53,10 @@ def load_model(path: str | None = None, weights=None):
             booster.load_model(path)
         return booster
     except ImportError:
+        if path and path.endswith(".ubj"):
+            from .xgb_ubj import XGBEnsemble
+
+            return XGBEnsemble.from_file(path)
         return LinearStubModel(weights)
 
 

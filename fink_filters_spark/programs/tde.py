@@ -9,12 +9,15 @@ sampling, 2x XGBoost predict -> Slack/Telegram.
 Spark recomposition, stage by stage:
 1. prefilter   — all cuts as Column expressions (pushdown-visible);
 2. history     — functions.arrays.hist_concat + Σ-statistics, native;
-3. fit         — operators/fit.fit_per_key (applyInPandas) replaces the
-                 driver loop; the Rainbow parametric fit itself needs the
-                 light-curve package (absent here) so the kernel ships the
-                 closed-form rise-rate fit as the stand-in science;
+3. fit         — operators/fit: the REAL Rainbow-shape sigmoid fit
+                 (pure-numpy Levenberg-Marquardt, rainbow_fit_arrays /
+                 sigmoid_fit_per_key) plus seeded Monte-Carlo sampling and
+                 broadcast-classifier scoring in one grouped kernel
+                 (rainbow_mc_score_per_key); ``rising_rate`` below keeps
+                 the cheap closed-form rise-rate as the prefilter feature;
 4. score       — operators/ml.predict_proba with a broadcast model
-                 (stub scorer where xgboost is absent);
+                 (.ubj models served by the numpy UBJSON reader
+                 operators/xgb_ubj.py where xgboost is absent);
 5. notify      — sinks.NotificationSink.
 """
 

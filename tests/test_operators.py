@@ -678,3 +678,154 @@ def test_sigmoid_fit_per_key_distributed_matches_local(spark):
         assert abs(got[uid].t0 - ref["reference_time"]) < 1e-6
         assert abs(got[uid].amplitude - ref["amplitude"]) < 1e-6
         assert abs(got[uid].rise_time - ref["rise_time"]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# UBJSON XGBoost reader (operators/xgb_ubj.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ubjson_roundtrip_all_types():
+    from fink_filters_spark.operators.xgb_ubj import ubjson_dumps, ubjson_loads
+
+    doc = {
+        "null": None,
+        "bools": [True, False],
+        "ints": [0, 127, 200, 30000, 2**20, 2**40, -5],
+        "float": 3.5,
+        "str": "héllo",
+        "nested": {"a": [1, [2, {"b": "c"}]]},
+    }
+    assert ubjson_loads(ubjson_dumps(doc)) == doc
+
+
+def test_ubjson_typed_and_counted_containers():
+    """XGBoost emits count-optimized containers; parse $type/#count forms."""
+    from fink_filters_spark.operators.xgb_ubj import ubjson_loads
+
+    # [$l#i3 then three big-endian int32 payloads (no per-element markers)
+    import struct
+
+    buf = b"[$l#i\x03" + struct.pack(">iii", 7, -2, 300)
+    assert ubjson_loads(buf) == [7, -2, 300]
+    # counted object without $type: {#i1 <key "k"> <S "v">
+    buf = b"{#i\x01i\x01kSi\x01v"
+    assert ubjson_loads(buf) == {"k": "v"}
+
+
+def _toy_model_dict():
+    """Two hand-built depth-1/2 trees, binary:logistic, base_score 0.5.
+
+    tree0:          [f0 < 1.0]
+                   /          \
+               leaf +0.4    [f1 < 5.0]
+                            /        \
+                       leaf -0.3   leaf +0.2
+    tree1:          [f1 < 2.0]  (default_left=False at root)
+                   /          \
+               leaf +0.1    leaf -0.1
+    """
+    t0 = {
+        "split_indices": [0, 0, 1, 0, 0],
+        "split_conditions": [1.0, 0.4, 5.0, -0.3, 0.2],
+        "left_children": [1, -1, 3, -1, -1],
+        "right_children": [2, -1, 4, -1, -1],
+        "default_left": [True, False, True, False, False],
+    }
+    t1 = {
+        "split_indices": [1, 0, 0],
+        "split_conditions": [2.0, 0.1, -0.1],
+        "left_children": [1, -1, -1],
+        "right_children": [2, -1, -1],
+        "default_left": [False, False, False],
+    }
+    return {
+        "learner": {
+            "gradient_booster": {"model": {"trees": [t0, t1]}},
+            "learner_model_param": {"base_score": "0.5"},
+            "objective": {"name": "binary:logistic"},
+        }
+    }
+
+
+def test_xgb_ubj_predict_matches_hand_traversal():
+    from fink_filters_spark.operators.xgb_ubj import (
+        XGBEnsemble,
+        ubjson_dumps,
+    )
+
+    model = XGBEnsemble.from_ubj(ubjson_dumps(_toy_model_dict()))
+    x = np.array(
+        [
+            [0.5, 0.0],   # t0: left leaf +0.4 ; t1: f1<2 left +0.1  -> 0.5
+            [2.0, 4.0],   # t0: right, f1<5 -> -0.3 ; t1: f1>=2 -> -0.1 -> -0.4
+            [2.0, 9.0],   # t0: right, f1>=5 -> +0.2 ; t1: -0.1 -> 0.1
+            [np.nan, 1.0],  # t0 root default_left -> +0.4 ; t1 +0.1 -> 0.5
+            [0.0, np.nan],  # t0 left +0.4 ; t1 root default_left=False -> -0.1 -> 0.3
+        ]
+    )
+    expect_margin = np.array([0.5, -0.4, 0.1, 0.5, 0.3])
+    np.testing.assert_allclose(model.margin(x), expect_margin, atol=1e-12)
+    # base_score 0.5 -> logit 0 -> plain sigmoid of the margin
+    np.testing.assert_allclose(
+        model.predict_proba_batch(x), 1 / (1 + np.exp(-expect_margin)), atol=1e-12
+    )
+
+
+def test_xgb_ubj_scores_distributed(spark, tmp_path):
+    """End-to-end: write a .ubj, load via load_model, broadcast-score a
+    DataFrame with predict_proba — distributed output == local numpy."""
+    from fink_filters_spark.operators.ml import load_model, predict_proba
+    from fink_filters_spark.operators.xgb_ubj import ubjson_dumps
+
+    path = tmp_path / "toy.ubj"
+    path.write_bytes(ubjson_dumps(_toy_model_dict()))
+    model = load_model(str(path))
+    assert type(model).__name__ == "XGBEnsemble"  # ubj path, not the stub
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 0.0), (2, 2.0, 4.0), (3, 2.0, 9.0)], "id long, f0 double, f1 double"
+    )
+    got = {
+        r.id: r.score
+        for r in predict_proba(df, ["f0", "f1"], model).collect()
+    }
+    local = model.predict_proba_batch(np.array([[0.5, 0.0], [2.0, 4.0], [2.0, 9.0]]))
+    for i, rid in enumerate([1, 2, 3]):
+        assert abs(got[rid] - local[i]) < 1e-12
+
+
+def test_rainbow_mc_score_pipeline(spark, tmp_path):
+    """Full fit -> MC -> classifier flow, distributed and deterministic:
+    clean sigmoid objects pass quality cuts and get scored; a flat-noise
+    object fails the snr cut and comes back invalid with NULL scores."""
+    from fink_filters_spark.operators.fit import rainbow_mc_score_per_key
+    from fink_filters_spark.operators.ml import load_model
+    from fink_filters_spark.operators.xgb_ubj import ubjson_dumps
+
+    path = tmp_path / "toy.ubj"
+    path.write_bytes(ubjson_dumps(_toy_model_dict()))
+    model = load_model(str(path))
+
+    frames = []
+    for uid, (t0, amp, tau) in enumerate([(30.0, 50.0, 5.0), (60.0, 200.0, 12.0)]):
+        t, y = _synth_sigmoid(t0, amp, tau, noise=1.0, seed=uid)
+        frames.append(pd.DataFrame({"user_id": uid, "xh": t, "v": y}))
+    rng = np.random.default_rng(99)
+    frames.append(
+        pd.DataFrame(
+            {"user_id": 7, "xh": np.linspace(0, 100, 50), "v": rng.normal(5, 0.1, 50)}
+        )
+    )
+    df = spark.createDataFrame(pd.concat(frames))
+
+    got1 = {r.user_id: r for r in rainbow_mc_score_per_key(df, model).collect()}
+    got2 = {r.user_id: r for r in rainbow_mc_score_per_key(df, model).collect()}
+    for uid in (0, 1, 7):
+        assert got1[uid] == got2[uid]  # seeded MC -> run-to-run identical
+    for uid in (0, 1):
+        r = got1[uid]
+        assert r.best_score is not None and 0.0 <= r.best_score <= 1.0
+        assert r.frac_scores is not None and 0.0 <= r.frac_scores <= 1.0
+    # flat noise: sigmoid rise_time is unconstrained -> snr cut rejects
+    assert got1[7].best_score is None and got1[7].valid is False
