@@ -151,6 +151,61 @@ def image_kstest(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(kernel, KS_SCHEMA)
 
 
+STAMP_KS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kstest_science", DoubleType()),
+        StructField("kstest_template", DoubleType()),
+    ]
+)
+
+
+def stamp_kstest(
+    df: DataFrame,
+    id_col: str,
+    science_col: str,
+    template_col: str,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """REAL cutout-stamp KS statistics: per row, gunzip + FITS-decode both
+    stamps (pure-numpy codec, ``operators/fits.py``), sigma-clip the pixel
+    values and compute the one-sample KS statistic vs a fitted normal —
+    the decode-to-score path the reference runs inside
+    ``ztf/livestream/filter_new_hostless/utils.py:87-142`` (ELEPHANT,
+    arXiv:2404.18165), here as one Arrow ``mapInPandas`` kernel so each
+    stamp is decoded exactly where its bytes live (no shuffle, no driver).
+
+    Undecodable/None payloads yield NULL statistics (the downstream
+    hostless predicates then reject the row, matching the reference's
+    score-range gate ``0 <= ks <= threshold``).
+    """
+    from fink_filters_spark.operators.fits import stamp_ks
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(payload):
+            if payload is None:
+                return None
+            try:
+                return stamp_ks(payload, sigma=sigma)
+            except (ValueError, OSError, EOFError):  # not FITS / corrupt gzip
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "kstest_science": [one(p) for p in pdf[science_col]],
+                    "kstest_template": [one(p) for p in pdf[template_col]],
+                }
+            )
+
+    return df.select(id_col, science_col, template_col).mapInPandas(
+        kernel, STAMP_KS_SCHEMA
+    )
+
+
 def frame_sample_stub(df: DataFrame, bin_col: str, every_n: int = 30) -> DataFrame:
     """Video frame-sampling stage — decoder unavailable, STUB.
 
