@@ -39,6 +39,7 @@ def all_specs() -> list[QuerySpec]:
         relational3,
         similarity,
         sql_surface,
+        streamq,
         text,
         timeseries,
         xmatch,
@@ -47,7 +48,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
                 xmatch, dedup, similarity, text, extras, pipeline, analytic,
-                curation, sql_surface, mlprep, approx, advanced):
+                curation, sql_surface, mlprep, approx, advanced, streamq):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

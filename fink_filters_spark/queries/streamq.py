@@ -1,0 +1,156 @@
+"""Structured Streaming queries in the ORACLE-CHECKED surface (SURVEY §2.J).
+
+The rest of §2.J is pytest-verified (``streaming/``, ``tests/test_streaming*``);
+these two entries run the REAL streaming machinery — file-stream source,
+event-time window aggregation, stateful ``dropDuplicates`` — inside the
+driver's correctness gate: the collected memory-sink output hash-matches a
+batch DuckDB oracle. Reference precedent: every fink filter runs under
+``readStream`` in production (``fink_filters/tester.py`` drives them with
+a streaming harness); here the streaming result itself is the checked value,
+not a batch re-expression.
+
+Determinism: both queries end in aggregations/distinct whose results are
+independent of file-split order and trigger batching, so the streaming
+output is stable row-set-wise (the driver's compare is order-insensitive).
+
+Scale note (100 TB): the windowed agg carries partial state per
+(window, key) group — bounded by key cardinality, not input rows; the
+dedup carries one state-store entry per distinct key. Both are the
+standard Spark state-store shapes; with a watermark (exercised in
+``streaming/__init__.py``) the state is also bounded in event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load_table
+from . import QuerySpec
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a DIRECTORY source; the testdata tables are
+    single files. Stage a per-sf symlink directory under /tmp (in production
+    the stream watches the landing directory directly)."""
+    import hashlib
+    import os
+
+    d = f"/tmp/fink_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    target = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(target, link)
+    elif os.path.realpath(link) != os.path.realpath(target):
+        os.remove(link)
+        os.symlink(target, link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table with ``ts_us`` normalized, matching
+    ``tables.load_events`` (TIMESTAMP(NANOS)-as-long vs NTZ drift)."""
+    batch = load_table(spark, sf_dir, "events")  # also applies nanos conf
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stream_dir(sf_dir))
+    )
+    ts_type = dict(batch.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return stream.withColumn("ts_us", ts_us.cast("long"))
+
+
+def _run_to_memory(out: DataFrame, name: str, mode: str) -> None:
+    """Run a bounded streaming query to a memory sink. State-store partition
+    count is pinned low for these bounded gate runs (each of the N shuffle
+    partitions opens its own state-store provider — pure fixed overhead at
+    gate scale; a real deployment sizes it to key cardinality instead).
+    The session conf is snapshotted and restored — no conf leak."""
+    spark = out.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(key, before)
+
+
+def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation under readStream: 1-hour
+    ``F.window`` over the event timestamp, grouped with a derived key,
+    complete-mode memory sink. The streaming dual of ``sess_hourly``."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.withColumn("evt", F.timestamp_micros(F.col("ts_us")))
+        .withColumn("user_mod", F.col("user_id") % 10)
+        .withColumn("v", F.round(F.col("value") * 1000).cast("long"))
+        .groupBy(F.window("evt", "1 hour").alias("w"), F.col("user_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            "user_mod",
+            "n",
+            "sum_v",
+        )
+    )
+    _run_to_memory(out, "stream_hourly_stats_sink", "complete")
+    return spark.table("stream_hourly_stats_sink")
+
+
+STREAM_HOURLY_SQL = f"""
+SELECT (epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR} AS hour_start_us,
+       user_id % 10 AS user_mod,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_v
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: ``dropDuplicates`` over a derived key with
+    the HDFS-backed state store doing the cross-batch memory (one entry per
+    distinct key), append-mode memory sink. Single-column rows, so the kept
+    row is deterministic."""
+    ev = _events_stream(spark, sf_dir)
+    out = ev.select((F.col("user_id") % 100).alias("user_bucket")).dropDuplicates(
+        ["user_bucket"]
+    )
+    _run_to_memory(out, "stream_distinct_keys_sink", "append")
+    return spark.table("stream_distinct_keys_sink")
+
+
+STREAM_DISTINCT_SQL = "SELECT DISTINCT user_id % 100 AS user_bucket FROM events"
+
+
+SPECS = [
+    QuerySpec(
+        "stream_hourly_stats",
+        stream_hourly_stats,
+        STREAM_HOURLY_SQL,
+        "§2.J: real streaming windowed agg, memory sink vs batch oracle",
+    ),
+    QuerySpec(
+        "stream_distinct_keys",
+        stream_distinct_keys,
+        STREAM_DISTINCT_SQL,
+        "§2.J: real streaming stateful dedup vs batch DISTINCT oracle",
+    ),
+]
