@@ -496,10 +496,9 @@ def test_streaming_object_stats_tws_matches_batch(spark, tmp_path):
     """transformWithStateInPandas variant (Spark 4 typed state + RocksDB
     store): same cross-batch accumulation contract as the
     applyInPandasWithState path."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState's Python driver worker needs protobuf",
-    )
+    # protobuf is satisfied by the vendored shim (fink_filters_spark/vendor),
+    # activated in conftest before the JVM started; nothing to skip.
+    import google.protobuf.descriptor  # noqa: F401
     import pandas as pd
 
     from fink_filters_spark.streaming import streaming_object_stats_tws
