@@ -2,22 +2,30 @@
 
 The reference resolves a constellation name per candidate on the driver via
 astropy (``ztf/livestream/filter_tns_match/filter.py:181-183``) for sink
-messages. Engine version: a packaged table of the 88 IAU constellations with
-approximate J2000 centroids, nearest-center (Voronoi) assignment through the
-same grid-bucketed broadcast cone join every other crossmatch uses — no
-per-row library call, fully distributed.
+messages. Two engine paths:
 
-Approximation note: true IAU constellation boundaries are polygons; the
-nearest-centroid rule matches them only approximately (good near centers,
-fuzzy at borders). That matches the reference's use of the label (message
-decoration, not science cuts). A user needing exact boundaries swaps the
-packaged table for a polygon table + point-in-polygon predicate without
-touching the join plumbing.
+- ``constellation_label`` — packaged table of the 88 IAU constellations
+  with approximate J2000 centroids, nearest-center (Voronoi) assignment
+  through the same grid-bucketed broadcast cone join every other
+  crossmatch uses. Approximate near borders; matches the reference's use
+  of the label (message decoration, not science cuts).
+- ``constellation_exact`` — the EXACT algorithm astropy implements
+  (Roman 1987, PASP 99, 695): precess J2000 coordinates to the B1875.0
+  frame (IAU 1976 precession — a fixed rotation matrix, evaluated as
+  native Column math, no UDF) and take the FIRST matching row of the
+  precessed-boundary interval table (``Vizier VI/42``: dec_low +
+  [ra_low, ra_high) in 1875 coordinates). The 357-row data file itself
+  is not redistributable from memory in this offline container, so the
+  table is injectable; ``DEMO_BOUNDARY_TABLE`` (clearly synthetic)
+  exercises the semantics, and dropping in the real VI/42 rows requires
+  no code change.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 # (name, ra_deg, dec_deg) — approximate J2000 centroids of the 88 IAU
 # constellations (public astronomical knowledge; ~degrees precision).
@@ -81,3 +89,115 @@ def constellation_label(
         df_ra=ra_col, df_dec=dec_col, how="nearest",
     )
     return out.withColumnRenamed("cat_name", out_col).drop("cat_ra", "cat_dec")
+
+
+# --------------------------- exact path: Roman 1987 boundary lookup --------
+
+
+def precession_matrix_j2000_to_b1875() -> list[list[float]]:
+    """IAU 1976 precession rotation from J2000.0 to B1875.0.
+
+    Angles (Lieske et al. 1977): with t in Julian centuries TDB from
+    J2000 to the target epoch,
+
+        zeta  = 2306.2181 t + 0.30188 t^2 + 0.017998 t^3   [arcsec]
+        z     = 2306.2181 t + 1.09468 t^2 + 0.018203 t^3
+        theta = 2004.3109 t - 0.42665 t^2 - 0.041833 t^3
+
+    and  P = Rz(-z) Ry(theta) Rz(-zeta).  B1875.0 = JD 2405889.25855
+    (Besselian epoch), t = (JD - 2451545)/36525 ≈ -1.2500.
+    """
+    t = (2405889.25855 - 2451545.0) / 36525.0
+    arcsec = math.pi / (180.0 * 3600.0)
+    zeta = (2306.2181 * t + 0.30188 * t * t + 0.017998 * t**3) * arcsec
+    z = (2306.2181 * t + 1.09468 * t * t + 0.018203 * t**3) * arcsec
+    theta = (2004.3109 * t - 0.42665 * t * t - 0.041833 * t**3) * arcsec
+
+    cz, sz = math.cos(z), math.sin(z)
+    ct, st = math.cos(theta), math.sin(theta)
+    cze, sze = math.cos(zeta), math.sin(zeta)
+    # Rz(-z) @ Ry(theta) @ Rz(-zeta), row-major
+    return [
+        [cz * ct * cze - sz * sze, -cz * ct * sze - sz * cze, -cz * st],
+        [sz * ct * cze + cz * sze, -sz * ct * sze + cz * cze, -sz * st],
+        [st * cze, -st * sze, ct],
+    ]
+
+
+def _precessed_radec_1875(ra_col: str, dec_col: str) -> tuple[Column, Column]:
+    """Native-Column J2000 -> B1875 (ra_hours_1875, dec_deg_1875).
+
+    The precession is one constant 3x3 rotation, so the whole transform
+    stays inside whole-stage codegen: unit vector, literal matrix multiply,
+    back to spherical. No UDF, no shuffle."""
+    m = precession_matrix_j2000_to_b1875()
+    ra = F.radians(F.col(ra_col))
+    dec = F.radians(F.col(dec_col))
+    x = F.cos(dec) * F.cos(ra)
+    y = F.cos(dec) * F.sin(ra)
+    zc = F.sin(dec)
+    x1 = F.lit(m[0][0]) * x + F.lit(m[0][1]) * y + F.lit(m[0][2]) * zc
+    y1 = F.lit(m[1][0]) * x + F.lit(m[1][1]) * y + F.lit(m[1][2]) * zc
+    z1 = F.lit(m[2][0]) * x + F.lit(m[2][1]) * y + F.lit(m[2][2]) * zc
+    ra1875_h = (F.degrees(F.atan2(y1, x1)) + 360.0) % 360.0 / 15.0
+    dec1875 = F.degrees(F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), z1))))
+    return ra1875_h, dec1875
+
+
+# DEMONSTRATION table ONLY — four synthetic zones proving the first-match
+# interval semantics (real deployments load Vizier VI/42: 357 rows of
+# (ra_low_h, ra_high_h, dec_low_deg, abbrev) in B1875.0 coordinates, scanned
+# top-down, first match wins — exactly what constellation_exact implements).
+DEMO_BOUNDARY_TABLE: list[tuple[float, float, float, str]] = [
+    (0.0, 24.0, 66.0, "NPOLAR"),
+    (0.0, 12.0, 0.0, "NEAST"),
+    (12.0, 24.0, 0.0, "NWEST"),
+    (0.0, 24.0, -90.0, "SOUTH"),
+]
+
+
+def constellation_exact(
+    df: DataFrame,
+    id_col: str,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    out_col: str = "constellation",
+    table: list[tuple[float, float, float, str]] | None = None,
+) -> DataFrame:
+    """Exact constellation determination (Roman 1987 / astropy semantics).
+
+    Precesses J2000 positions to B1875.0 natively, broadcast-joins the
+    boundary interval table (dec_low <= dec AND ra_low <= ra < ra_high)
+    and keeps the FIRST matching row in table order via ``min_by`` on the
+    row index — one broadcast nested-loop over a <=357-row literal table,
+    i.e. a constant-size scan per row, no shuffle of the fact side beyond
+    the final aggregate-free projection.
+
+    ``table`` rows: (ra_low_hours, ra_high_hours, dec_low_deg, name) in
+    B1875.0, in the catalog's scan order. Defaults to the clearly-marked
+    synthetic ``DEMO_BOUNDARY_TABLE``.
+    """
+    import pandas as pd
+
+    rows = table if table is not None else DEMO_BOUNDARY_TABLE
+    spark = df.sparkSession
+    bounds = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, *r) for i, r in enumerate(rows)],
+            columns=["__idx", "__ra_lo", "__ra_hi", "__dec_lo", "__cname"],
+        )
+    )
+    ra1875, dec1875 = _precessed_radec_1875(ra_col, dec_col)
+    fact = df.withColumn("__ra1875", ra1875).withColumn("__dec1875", dec1875)
+    joined = fact.join(
+        F.broadcast(bounds),
+        (F.col("__dec1875") >= F.col("__dec_lo"))
+        & (F.col("__ra1875") >= F.col("__ra_lo"))
+        & (F.col("__ra1875") < F.col("__ra_hi")),
+        "left",
+    )
+    picked = (
+        joined.groupBy(id_col)
+        .agg(F.min_by(F.col("__cname"), F.col("__idx")).alias(out_col))
+    )
+    return df.join(picked, on=id_col, how="left")

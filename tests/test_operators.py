@@ -561,6 +561,63 @@ def test_constellation_label_landmarks(spark):
     assert got == {1: "Orion", 2: "Crux", 3: "Ursa Minor", 4: "Andromeda"}
 
 
+def test_precession_matrix_properties():
+    """IAU 1976 J2000->B1875 rotation: orthogonal, det=1, and the pole
+    displacement equals the theta precession angle (~0.6965 deg for
+    t = -1.25 centuries)."""
+    from fink_filters_spark.operators.constellation import (
+        precession_matrix_j2000_to_b1875,
+    )
+
+    m = np.array(precession_matrix_j2000_to_b1875())
+    np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+    assert np.linalg.det(m) == pytest.approx(1.0, abs=1e-12)
+    # J2000 pole mapped into the 1875 frame: angular offset == theta
+    pole = m @ np.array([0.0, 0.0, 1.0])
+    t = (2405889.25855 - 2451545.0) / 36525.0
+    theta_deg = (2004.3109 * t - 0.42665 * t * t - 0.041833 * t**3) / 3600.0
+    offset = math.degrees(math.acos(np.clip(pole[2], -1, 1)))
+    assert offset == pytest.approx(abs(theta_deg), abs=1e-9)
+    # rotation preserves separations: random point pair
+    rng = np.random.default_rng(5)
+    a, b = rng.normal(size=3), rng.normal(size=3)
+    a, b = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    before = math.acos(np.clip(a @ b, -1, 1))
+    after = math.acos(np.clip((m @ a) @ (m @ b), -1, 1))
+    assert after == pytest.approx(before, abs=1e-12)
+
+
+def test_constellation_exact_first_match_semantics(spark):
+    """Roman-1987 lookup machinery on the synthetic demo table: precess to
+    B1875, first matching (dec_low, [ra_low, ra_high)) row wins — so the
+    polar zone shadows the N-E/N-W zones it overlaps (scan-order
+    precedence), and border points fall on the correct side after
+    precession (which shifts RA by ~1.7 deg at the equator)."""
+    from fink_filters_spark.operators.constellation import constellation_exact
+
+    pts = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            # J2000 positions; precession to 1875 shifts RA/dec slightly
+            "ra": [10.0, 100.0, 280.0, 10.0, 180.0],
+            "dec": [80.0, 30.0, 30.0, -45.0, -0.3],
+        }
+    )
+    out = constellation_exact(spark.createDataFrame(pts), id_col="id")
+    got = {r.id: r.constellation for r in out.collect()}
+    # 1: dec1875 ~ 79.9 >= 66 -> NPOLAR wins by scan order though NEAST matches too
+    # 2: ra 100deg=6.7h -> NEAST;  3: ra 280deg=18.7h -> NWEST;  4: south
+    assert got[1] == "NPOLAR" and got[2] == "NEAST" and got[3] == "NWEST"
+    assert got[4] == "SOUTH"
+    # 5: J2000 (180, -0.3) is SOUTH of the equator, but precessed to B1875
+    #    it sits at dec ~ +0.40 (ra ~ 11.9h): the exact path must label it
+    #    north-east — a frame-dependence a J2000 Voronoi rule cannot get
+    assert got[5] == "NEAST"
+
+    # row count preserved (left join, one label per input row)
+    assert out.count() == 5
+
+
 def test_asof_join_backward_inclusive(spark):
     """asof_join semantics: greatest right_time <= left_time per key,
     inclusive at equal timestamps, null when no predecessor exists."""
