@@ -221,21 +221,22 @@ def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key count (zeros preserved), then a second aggregation over the
     counts. Exercises the outer-join + double-aggregation surface.
 
-    Scale: the outer join shuffles on custkey (both sides ~|customers| and
-    |orders|); the second agg is tiny (distinct counts ~ hundreds) and
-    collapses map-side."""
+    Scale: orders are pre-aggregated per custkey BEFORE the outer join, so
+    the map-side partial agg collapses the fact table ahead of its shuffle
+    (|orders| rows -> ~|customers| partials) and the join moves aggregated
+    rows only — join-then-aggregate would shuffle every order row. Customers
+    with no qualifying orders surface via the left join with count 0. The
+    second agg is tiny (distinct counts ~ hundreds) and collapses map-side."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
-                                                        "o_orderpriority")
+    order_counts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     per_cust = (
-        cust.join(
-            orders,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        cust.join(order_counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 

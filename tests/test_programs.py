@@ -205,6 +205,38 @@ def test_hostless_pipeline_cutouts_to_topic(spark):
     assert got == {i for i in range(40) if i % 4 == 0}
 
 
+def test_hostless_pipeline_real_fits_stamps(spark):
+    """C9 composition with the REAL decode path: gzipped FITS cutouts ->
+    stamp_kstest (gunzip + FITS parse + sigma-clip + KS in one Arrow
+    kernel, both stamps per pass) -> ztf.new_hostless topic filter.
+    Mirrors the reference's HostLessExtragalactic flow
+    (ztf/livestream/filter_new_hostless/utils.py:87-142) end to end."""
+    import numpy as np
+    from fink_filters_spark.filters import apply_named_filter
+    from fink_filters_spark.operators.fits import write_fits
+    from fink_filters_spark.operators.multimodal import stamp_kstest
+
+    rng = np.random.default_rng(44)
+    rows = []
+    for i in range(24):
+        hostless = i % 3 == 0
+        sky = rng.normal(100.0, 8.0, (31, 31))
+        if not hostless:
+            sky[:, :] = 5000.0  # saturated extended host: point-mass pixels,
+            # degenerate distribution -> KS ~ 1 - 1/n >> 0.5 threshold
+        stamp = bytearray(write_fits(sky.astype(np.float32), compress=True))
+        rows.append((i, stamp, stamp, 2.0, "Unknown", "nan", 0, 1))
+    df = spark.createDataFrame(
+        rows,
+        "candid long, cutout_science binary, cutout_template binary, "
+        "distnr double, cdsxmatch string, DR3Name string, roid int, ndethist int",
+    )
+    ks = stamp_kstest(df, "candid", "cutout_science", "cutout_template")
+    enriched = df.join(ks.withColumnRenamed("doc_id", "candid"), "candid")
+    got = {r.candid for r in apply_named_filter(enriched, "ztf.new_hostless").collect()}
+    assert got == {i for i in range(24) if i % 3 == 0}
+
+
 def test_deredden_raster_join(spark):
     """Dust correction via broadcast raster join: plane sightlines get a
     larger correction than pole sightlines; unknown bands pass through;
