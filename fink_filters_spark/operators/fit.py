@@ -40,11 +40,16 @@ LINFIT_SCHEMA = StructType(
 def _round6(x: float) -> float:
     """Half-away-from-zero rounding to 6 decimals — matches SQL round();
     Python's round() is banker's (half-even) and would diverge at exact
-    boundaries."""
+    boundaries. Above 2^53/1e6 a double has no 6-decimal resolution, so
+    rounding is the identity — return as-is instead of overflowing the
+    *1e6 scale-up (diverged-but-finite fits like exp(700) hit this)."""
     import math
 
+    ax = abs(x)
+    if ax >= 9007199254740992e-6:  # 2**53 / 1e6
+        return x
     s = -1.0 if x < 0 else 1.0
-    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+    return s * math.floor(ax * 1e6 + 0.5) / 1e6
 
 
 def _linfit_kernel(pdf):
@@ -77,11 +82,18 @@ def _linfit_kernel(pdf):
 
 def _linfit_kernel_many(batches, key: str, x_col: str, y_col: str):
     """Vectorized multi-group kernel: Σ-statistics for EVERY key in the
-    partition from one pandas groupby (C-speed), same exact int64 math and
-    half-away rounding as the per-group kernel."""
+    partition via pandas groupby (C-speed), same exact int64 math and
+    half-away rounding as the per-group kernel.
+
+    Arrow feeds a partition as MULTIPLE batches (maxRecordsPerBatch,
+    default 10k), and a key's rows can span batch boundaries — so partial
+    Σ-stats are accumulated per batch and merged once at the end
+    (associative int64 sums; emitting per batch would duplicate keys the
+    moment a partition outgrows one batch)."""
     import numpy as np
     import pandas as pd
 
+    partials = []
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -92,41 +104,48 @@ def _linfit_kernel_many(batches, key: str, x_col: str, y_col: str):
         g["__xx"] = g["__x"] * g["__x"]
         g["__xy"] = g["__x"] * g["__y"]
         g["__yy"] = g["__y"] * g["__y"]
-        s = g.groupby(key, sort=False).agg(
-            n=(key, "size"), sx=("__x", "sum"), sy=("__y", "sum"),
-            sxx=("__xx", "sum"), sxy=("__xy", "sum"), syy=("__yy", "sum"),
-        )
-        n = s["n"].to_numpy(dtype=np.int64)
-        sx, sy = s["sx"].to_numpy(np.int64), s["sy"].to_numpy(np.int64)
-        den_x = n * s["sxx"].to_numpy(np.int64) - sx * sx
-        den_y = n * s["syy"].to_numpy(np.int64) - sy * sy
-        cov = n * s["sxy"].to_numpy(np.int64) - sx * sy
-
-        def _r6(v):
-            return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
-
-        with np.errstate(divide="ignore", invalid="ignore"):
-            slope = np.where(den_x != 0, _r6(cov.astype(np.float64) / den_x.astype(np.float64)), np.nan)
-            r2 = np.where(
-                (den_x != 0) & (den_y != 0),
-                _r6(cov.astype(np.float64) * cov.astype(np.float64)
-                    / (den_x.astype(np.float64) * den_y.astype(np.float64))),
-                np.nan,
+        partials.append(
+            g.groupby(key, sort=False).agg(
+                n=(key, "size"), sx=("__x", "sum"), sy=("__y", "sum"),
+                sxx=("__xx", "sum"), sxy=("__xy", "sum"), syy=("__yy", "sum"),
             )
-        # degenerate fits must surface as NULL (not NaN) — nullable Float64
-        # extension arrays map to Arrow nulls; plain float NaN would not
-        yield pd.DataFrame(
-            {
-                "user_id": s.index.to_numpy(dtype=np.int64),
-                "n": n,
-                "slope": pd.array(slope, dtype="Float64").to_numpy(
-                    dtype=object, na_value=None
-                ) if np.isnan(slope).any() else slope,
-                "r2": pd.array(r2, dtype="Float64").to_numpy(
-                    dtype=object, na_value=None
-                ) if np.isnan(r2).any() else r2,
-            }
         )
+    if not partials:
+        return
+    s = partials[0] if len(partials) == 1 else (
+        pd.concat(partials).groupby(level=0, sort=False).sum()
+    )
+    n = s["n"].to_numpy(dtype=np.int64)
+    sx, sy = s["sx"].to_numpy(np.int64), s["sy"].to_numpy(np.int64)
+    den_x = n * s["sxx"].to_numpy(np.int64) - sx * sx
+    den_y = n * s["syy"].to_numpy(np.int64) - sy * sy
+    cov = n * s["sxy"].to_numpy(np.int64) - sx * sy
+
+    def _r6(v):
+        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(den_x != 0, _r6(cov.astype(np.float64) / den_x.astype(np.float64)), np.nan)
+        r2 = np.where(
+            (den_x != 0) & (den_y != 0),
+            _r6(cov.astype(np.float64) * cov.astype(np.float64)
+                / (den_x.astype(np.float64) * den_y.astype(np.float64))),
+            np.nan,
+        )
+    # degenerate fits must surface as NULL (not NaN) — nullable Float64
+    # extension arrays map to Arrow nulls; plain float NaN would not
+    yield pd.DataFrame(
+        {
+            "user_id": s.index.to_numpy(dtype=np.int64),
+            "n": n,
+            "slope": pd.array(slope, dtype="Float64").to_numpy(
+                dtype=object, na_value=None
+            ) if np.isnan(slope).any() else slope,
+            "r2": pd.array(r2, dtype="Float64").to_numpy(
+                dtype=object, na_value=None
+            ) if np.isnan(r2).any() else r2,
+        }
+    )
 
 
 def linfit_per_key(
@@ -514,61 +533,117 @@ SIGMOID_FIT_SCHEMA = StructType(
 )
 
 
+def _sigmoid_fit_one(uid, t_arr, y_arr, rebase_div):
+    """Fit one group's arrays; returns one output-row tuple (NULL-padded
+    for degenerate/diverged fits — the row count stays stable)."""
+    import math
+
+    if rebase_div is not None:
+        t_arr = (t_arr - t_arr.min()) // rebase_div
+    fit = rainbow_fit_arrays(t_arr, y_arr)
+    if fit is None:
+        return (uid, len(t_arr), None, None, None, None, None)
+
+    def r6(x):
+        # a diverged fit on pathological data can overflow exp() —
+        # surface it as NULL, same as a degenerate fit
+        return _round6(x) if x is not None and math.isfinite(x) else None
+
+    e_tau = fit.get("e_rise_time")
+    snr = (
+        abs(fit["rise_time"] / e_tau)
+        if e_tau is not None and e_tau > 0 and math.isfinite(fit["rise_time"] / e_tau)
+        else None
+    )
+    return (
+        uid,
+        fit["n"],
+        r6(fit["reference_time"]),
+        r6(fit["amplitude"]),
+        r6(fit["rise_time"]),
+        r6(fit["r_chisq"]),
+        r6(snr),
+    )
+
+
+_SIGMOID_COLS = ["user_id", "n", "t0", "amplitude", "rise_time", "r_chisq",
+                 "snr_rise_time"]
+
+
 def sigmoid_fit_per_key(
     df: DataFrame,
     key: str = "user_id",
     t_col: str = "xh",
     y_col: str = "v",
+    rebase_div: int | None = None,
+    per_group: bool = False,
 ) -> DataFrame:
-    """Per-key rising-sigmoid fit as a grouped Arrow kernel (the
-    heavy-group counterpart of ``linfit_per_key``: one LM fit per key,
-    where the reference loops on the driver). Degenerate groups (too few
-    points, non-positive peak, singular fit) emit NULL parameters so the
-    row count stays stable. snr_rise_time mirrors the reference's
-    ``snr_rise_time < 1.5`` quality cut input."""
+    """Per-key rising-sigmoid fit (the heavy-group counterpart of
+    ``linfit_per_key``: one LM fit per key, where the reference loops on
+    the driver). Degenerate groups (too few points, non-positive peak,
+    singular fit) emit NULL parameters so the row count stays stable.
+    snr_rise_time mirrors the reference's ``snr_rise_time < 1.5`` quality
+    cut input.
+
+    Default path: hash-repartition by key + ``mapInPandas`` — groups are
+    split out with one numpy argsort per Arrow batch and accumulated
+    ACROSS batches (a partition arrives as multiple ~10k-row batches and
+    a key's rows can span them), then fitted in one Python loop per task.
+    With many small groups this avoids ``applyInPandas``'s per-group
+    call + frame overhead (~3x here); ``per_group=True`` keeps the one-
+    Arrow-batch-per-key path for few/heavy groups.
+
+    ``rebase_div``: when set, the kernel rebases the time axis to
+    ``(t - min(t)) // rebase_div`` per group — the per-key epoch shift
+    rides the SAME shuffle the grouped fit already pays, instead of a
+    separate min-aggregate + join (one less shuffle at any scale)."""
 
     def kernel(pdf):
         import pandas as pd
 
         uid = int(pdf[key].iloc[0])
-        fit = rainbow_fit_arrays(pdf[t_col].to_numpy(), pdf[y_col].to_numpy())
-        if fit is None:
-            return pd.DataFrame(
-                {
-                    "user_id": [uid],
-                    "n": [len(pdf)],
-                    "t0": [None],
-                    "amplitude": [None],
-                    "rise_time": [None],
-                    "r_chisq": [None],
-                    "snr_rise_time": [None],
-                }
+        row = _sigmoid_fit_one(
+            uid, pdf[t_col].to_numpy(), pdf[y_col].to_numpy(), rebase_div
+        )
+        return pd.DataFrame([row], columns=_SIGMOID_COLS)
+
+    def kernel_many(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            ks = keys[order]
+            ts = pdf[t_col].to_numpy()[order]
+            ys = pdf[y_col].to_numpy()[order]
+            cuts = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+            for kid, tt, yy in zip(
+                np.concatenate([[ks[0]], ks[cuts]]),
+                np.split(ts, cuts),
+                np.split(ys, cuts),
+            ):
+                e = acc.setdefault(int(kid), ([], []))
+                e[0].append(tt)
+                e[1].append(yy)
+        if not acc:
+            return
+        rows = [
+            _sigmoid_fit_one(
+                uid,
+                tt[0] if len(tt) == 1 else np.concatenate(tt),
+                yy[0] if len(yy) == 1 else np.concatenate(yy),
+                rebase_div,
             )
-        import math
+            for uid, (tt, yy) in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=_SIGMOID_COLS)
 
-        def r6(x):
-            # a diverged fit on pathological data can overflow exp() —
-            # surface it as NULL, same as a degenerate fit
-            return _round6(x) if x is not None and math.isfinite(x) else None
-
-        e_tau = fit.get("e_rise_time")
-        snr = (
-            abs(fit["rise_time"] / e_tau)
-            if e_tau is not None and e_tau > 0 and math.isfinite(fit["rise_time"] / e_tau)
-            else None
-        )
-        return pd.DataFrame(
-            {
-                "user_id": [uid],
-                "n": [fit["n"]],
-                "t0": [r6(fit["reference_time"])],
-                "amplitude": [r6(fit["amplitude"])],
-                "rise_time": [r6(fit["rise_time"])],
-                "r_chisq": [r6(fit["r_chisq"])],
-                "snr_rise_time": [r6(snr)],
-            }
-        )
-
-    return df.select(key, t_col, y_col).groupBy(key).applyInPandas(
-        kernel, SIGMOID_FIT_SCHEMA
-    )
+    cols = df.select(key, t_col, y_col)
+    if per_group:
+        return cols.groupBy(key).applyInPandas(kernel, SIGMOID_FIT_SCHEMA)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return cols.repartition(par, key).mapInPandas(kernel_many, SIGMOID_FIT_SCHEMA)

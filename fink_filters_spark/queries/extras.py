@@ -157,11 +157,11 @@ def q_ts_sigmoid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fit import sigmoid_fit_per_key
 
     ev = _evq(spark, sf_dir)
-    t0 = ev.groupBy("user_id").agg(F.min("t").alias("t0"))
-    x = ev.join(t0, "user_id").withColumn(
-        "xh", F.expr(f"(t - t0) div {US_PER_HOUR}")
+    # per-key epoch rebase happens inside the grouped kernel (rebase_div),
+    # riding the fit's own shuffle — no separate min-agg + join
+    return sigmoid_fit_per_key(
+        ev, key="user_id", t_col="t", y_col="v", rebase_div=US_PER_HOUR
     )
-    return sigmoid_fit_per_key(x, key="user_id", t_col="xh", y_col="v")
 
 
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -827,6 +827,63 @@ def test_mc_param_samples_deterministic_and_positive():
     assert (s1[:, 1] > 0).all() and (s1[:, 2] > 0).all()  # log-space draws
 
 
+def test_round6_huge_finite_values_no_overflow():
+    """Regression: a diverged-but-finite fit (e.g. rise_time=exp(700))
+    must survive rounding — above 2^53/1e6 doubles have no 6-decimal
+    resolution so round-to-6 is the identity, not an OverflowError."""
+    from fink_filters_spark.operators.fit import _round6
+
+    assert _round6(math.exp(700)) == math.exp(700)
+    assert _round6(-1e300) == -1e300
+    assert _round6(1.2345675) == 1.234568  # half-away-from-zero still exact
+    assert _round6(-1.0000005) == -1.000001
+    assert _round6(9.1e9) == 9.1e9  # just above the resolution threshold
+
+
+def test_partition_kernels_survive_arrow_batch_splits(spark):
+    """Regression: Arrow feeds a partition as MULTIPLE batches
+    (maxRecordsPerBatch), and a key's rows span batch boundaries. The
+    repartition+mapInPandas fast paths of linfit_per_key and
+    sigmoid_fit_per_key must merge partial groups across batches — a
+    per-batch reduction would emit duplicate keys with partial stats the
+    moment a partition outgrows one batch."""
+    from fink_filters_spark.operators.fit import linfit_per_key, sigmoid_fit_per_key
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "100")  # force many batches per partition
+    try:
+        rng = np.random.default_rng(17)
+        n_keys, per = 40, 60  # 2400 rows >> 100-row batches
+        uid = np.repeat(np.arange(n_keys), per)
+        x = np.tile(np.arange(per), n_keys)
+        y = (3 * x + rng.integers(0, 5, len(x))).astype(np.int64)
+        pdf = pd.DataFrame({"user_id": uid, "xh": x, "v": y})
+        # interleave rows so every key straddles many batches
+        pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+        df = spark.createDataFrame(pdf).repartition(2)
+
+        fast = linfit_per_key(df).toPandas().sort_values("user_id")
+        slow = linfit_per_key(df, per_group=True).toPandas().sort_values("user_id")
+        assert len(fast) == n_keys  # no duplicate keys
+        pd.testing.assert_frame_equal(
+            fast.reset_index(drop=True), slow.reset_index(drop=True)
+        )
+
+        sig_fast = sigmoid_fit_per_key(df).toPandas().sort_values("user_id")
+        sig_slow = (
+            sigmoid_fit_per_key(df, per_group=True).toPandas().sort_values("user_id")
+        )
+        assert len(sig_fast) == n_keys
+        pd.testing.assert_frame_equal(
+            sig_fast.reset_index(drop=True),
+            sig_slow.reset_index(drop=True),
+            check_dtype=False,
+        )
+    finally:
+        spark.conf.set(conf_key, before)
+
+
 def test_sigmoid_fit_per_key_distributed_matches_local(spark):
     """Grouped kernel == driver-side reference fit, per key."""
     from fink_filters_spark.operators.fit import (
