@@ -173,6 +173,18 @@ def pii_counts(text) -> dict[str, Column]:
     }
 
 
+def redact_pii(text) -> Column:
+    """Replace every PII match with a ``<KIND>`` placeholder — the scrub
+    pass paired with ``pii_counts``. Chained native ``regexp_replace``
+    (replace-all), applied in PII_PATTERNS order so engines agree even
+    when patterns overlap (earlier kinds consume their spans first).
+    Whole chain stays inside codegen."""
+    t = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS.items():
+        t = F.regexp_replace(t, pat, f"<{kind.upper()}>")
+    return t
+
+
 def shingle_hash(shingle_col: Column) -> Column:
     """Polynomial hash of one shingle string (same scheme as
     char_fingerprint) — array<string> -> array<long>."""

@@ -123,6 +123,32 @@ PII_SQL = (
 )
 
 
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the scrub pass behind ``text_pii_flags``): every
+    match replaced by a ``<KIND>`` placeholder via chained native
+    regexp_replace — one codegen'd projection, no UDF, no shuffle. The
+    query returns md5 + length of the redacted text (not the text itself)
+    so the oracle compare stays small while still pinning every byte."""
+    from ..functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = redact_pii("text")
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("red_md5"),
+        F.length(red).cast("long").alias("red_len"),
+    )
+
+
+_redact_expr = "text"
+for _k, _p in PII_PATTERNS.items():
+    _redact_expr = f"regexp_replace({_redact_expr}, '{_p}', '<{_k.upper()}>', 'g')"
+REDACT_SQL = (
+    f"SELECT doc_id, md5({_redact_expr}) AS red_md5, "
+    f"CAST(length({_redact_expr}) AS BIGINT) AS red_len FROM documents"
+)
+
+
 def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training order: key = md5 of the
     doc id, shard = 6 bits folded from the key's first two hex chars.
@@ -156,6 +182,8 @@ SPECS = [
               "duplicate-3-gram fraction (Gopher-style repetition signal)"),
     QuerySpec("text_pii_flags", text_pii_flags, PII_SQL,
               "PII match counts per document (regex, codegen-native)"),
+    QuerySpec("text_redact", text_redact, REDACT_SQL,
+              "PII redaction scrub pass (chained regexp_replace, byte-pinned)"),
     QuerySpec("pipe_shuffle_shard", pipe_shuffle_shard, SHUFFLE_SQL,
               "deterministic md5 shuffle-sharding (no sort, no shuffle)"),
 ]

@@ -227,3 +227,31 @@ def test_pii_counts_on_crafted_strings(spark):
     assert [r.ipv4 for r in rows] == [0, 2, 0, 0, 0]
     assert [r.phone for r in rows] == [0, 0, 1, 0, 0]
     assert [r.digit_run for r in rows] == [0, 0, 0, 1, 0]
+
+
+def test_redact_pii_on_crafted_strings(spark):
+    import pandas as pd
+
+    from fink_filters_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "mail jane.doe+x@example.co.uk asap",
+                    "server 192.168.0.1 up",
+                    "call +1 555 867 5309 now",
+                    "ticket 1234567 opened",
+                    "no pii here at all",
+                ]
+            }
+        )
+    )
+    got = [r.red for r in df.select(redact_pii("text").alias("red")).collect()]
+    assert got == [
+        "mail <EMAIL> asap",
+        "server <IPV4> up",
+        "call <PHONE> now",
+        "ticket <DIGIT_RUN> opened",
+        "no pii here at all",
+    ]
