@@ -422,10 +422,16 @@ def mc_param_samples(fit: dict, nsamples: int, seed: int):
     (nsamples, k) of NATURAL-space samples (t0, A, tau[, T])."""
     import numpy as np
 
-    if fit.get("cov") is None:
+    cov = fit.get("cov")
+    if cov is None or not np.all(np.isfinite(cov)) or not np.all(
+        np.isfinite(fit["params"])
+    ):
         return None
     rng = np.random.default_rng(seed)
-    draws = rng.multivariate_normal(fit["params"], fit["cov"], size=nsamples)
+    try:
+        draws = rng.multivariate_normal(fit["params"], cov, size=nsamples)
+    except np.linalg.LinAlgError:  # diverged fit: cov not factorizable
+        return None
     out = draws.copy()
     out[:, 1:] = np.exp(draws[:, 1:])
     return out
@@ -445,6 +451,78 @@ RAINBOW_MC_SCHEMA = StructType(
 )
 
 
+def grouped_arrays_map(
+    df: DataFrame,
+    key: str,
+    value_cols: list[str],
+    fn_one,
+    out_cols: list[str],
+    schema,
+    per_group: bool = False,
+) -> DataFrame:
+    """Per-key kernel runner for heavy-group numeric kernels.
+
+    ``fn_one(uid, *arrays) -> tuple`` produces one output row per key from
+    that key's column arrays. Default path: hash-repartition by key +
+    ``mapInPandas``, groups split out with one numpy argsort per Arrow
+    batch and accumulated ACROSS batches (a partition arrives as multiple
+    ~10k-row batches and a key's rows span them — reducing per batch would
+    duplicate keys), then one Python loop per task. This avoids
+    ``applyInPandas``'s per-group call + frame overhead, which dominates
+    when groups are small and many. ``per_group=True`` keeps the
+    one-Arrow-batch-per-key path for few/heavy groups."""
+
+    def kernel(pdf):
+        import pandas as pd
+
+        uid = int(pdf[key].iloc[0])
+        row = fn_one(uid, *(pdf[c].to_numpy() for c in value_cols))
+        return pd.DataFrame([row], columns=out_cols)
+
+    def kernel_many(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            ks = keys[order]
+            vals = [pdf[c].to_numpy()[order] for c in value_cols]
+            cuts = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+            group_ids = np.concatenate([[ks[0]], ks[cuts]])
+            splits = [np.split(v, cuts) for v in vals]
+            for gi, kid in enumerate(group_ids):
+                e = acc.setdefault(int(kid), tuple([] for _ in value_cols))
+                for ci in range(len(value_cols)):
+                    e[ci].append(splits[ci][gi])
+        if not acc:
+            return
+        rows = [
+            fn_one(
+                uid,
+                *(
+                    chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+                    for chunks in parts
+                ),
+            )
+            for uid, parts in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    cols = df.select(key, *value_cols)
+    if per_group:
+        return cols.groupBy(key).applyInPandas(kernel, schema)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return cols.repartition(par, key).mapInPandas(kernel_many, schema)
+
+
+_RAINBOW_MC_COLS = ["user_id", "n", "amplitude", "rise_time", "r_chisq",
+                    "best_score", "frac_scores", "valid"]
+
+
 def rainbow_mc_score_per_key(
     df: DataFrame,
     model,
@@ -456,6 +534,8 @@ def rainbow_mc_score_per_key(
     max_r_chisq: float = 10.0,
     min_snr_rise_time: float = 1.5,
     min_frac: float = 0.1,
+    rebase_div: int | None = None,
+    per_group: bool = False,
 ) -> DataFrame:
     """The reference's per-candidate loop (fit -> quality cuts -> MC sample
     -> classifier -> best/fraction scores, ``filter.py:158-218``) as ONE
@@ -468,28 +548,29 @@ def rainbow_mc_score_per_key(
     (amplitude, rise_time) features; ``frac_scores`` = fraction of samples
     scoring positive (>= 0.5), and the reference's acceptance rule
     (``best positive or frac >= 0.1``) lands in ``valid``.
-    """
-    import pandas as pd
 
+    ``rebase_div``/``per_group``: see ``sigmoid_fit_per_key`` /
+    ``grouped_arrays_map``.
+    """
     bc = df.sparkSession.sparkContext.broadcast(model)
 
-    def kernel(pdf):
+    def one(uid, t_arr, y_arr):
         import math
 
         import numpy as np
 
-        uid = int(pdf[key].iloc[0])
-
         def row(**kw):
             base = {
-                "user_id": uid, "n": len(pdf), "amplitude": None,
+                "user_id": uid, "n": len(t_arr), "amplitude": None,
                 "rise_time": None, "r_chisq": None, "best_score": None,
                 "frac_scores": None, "valid": False,
             }
             base.update(kw)
-            return pd.DataFrame([base])
+            return tuple(base[c] for c in _RAINBOW_MC_COLS)
 
-        fit = rainbow_fit_arrays(pdf[t_col].to_numpy(), pdf[y_col].to_numpy())
+        if rebase_div is not None:
+            t_arr = (t_arr - t_arr.min()) // rebase_div
+        fit = rainbow_fit_arrays(t_arr, y_arr)
         if fit is None or fit.get("cov") is None:
             return row()
         amp, tau, chisq = fit["amplitude"], fit["rise_time"], fit["r_chisq"]
@@ -501,6 +582,8 @@ def rainbow_mc_score_per_key(
             return row(amplitude=_round6(amp), rise_time=_round6(tau),
                        r_chisq=_round6(chisq))
         samples = mc_param_samples(fit, nsamples, seed ^ uid)
+        if samples is None:  # cov unsampleable (diverged fit): best-fit only
+            samples = np.empty((0, 3))
         feats = np.vstack([[amp, tau], samples[:, 1:3]])
         ok = np.isfinite(feats).all(axis=1)
         feats = np.where(ok[:, None], feats, 0.0)
@@ -515,8 +598,9 @@ def rainbow_mc_score_per_key(
             valid=bool(best >= 0.5 or frac >= min_frac),
         )
 
-    return df.select(key, t_col, y_col).groupBy(key).applyInPandas(
-        kernel, RAINBOW_MC_SCHEMA
+    return grouped_arrays_map(
+        df, key, [t_col, y_col], one, _RAINBOW_MC_COLS, RAINBOW_MC_SCHEMA,
+        per_group=per_group,
     )
 
 
@@ -597,53 +681,12 @@ def sigmoid_fit_per_key(
     ``(t - min(t)) // rebase_div`` per group — the per-key epoch shift
     rides the SAME shuffle the grouped fit already pays, instead of a
     separate min-aggregate + join (one less shuffle at any scale)."""
-
-    def kernel(pdf):
-        import pandas as pd
-
-        uid = int(pdf[key].iloc[0])
-        row = _sigmoid_fit_one(
-            uid, pdf[t_col].to_numpy(), pdf[y_col].to_numpy(), rebase_div
-        )
-        return pd.DataFrame([row], columns=_SIGMOID_COLS)
-
-    def kernel_many(batches):
-        import numpy as np
-        import pandas as pd
-
-        acc: dict = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keys = pdf[key].to_numpy()
-            order = np.argsort(keys, kind="stable")
-            ks = keys[order]
-            ts = pdf[t_col].to_numpy()[order]
-            ys = pdf[y_col].to_numpy()[order]
-            cuts = np.nonzero(ks[1:] != ks[:-1])[0] + 1
-            for kid, tt, yy in zip(
-                np.concatenate([[ks[0]], ks[cuts]]),
-                np.split(ts, cuts),
-                np.split(ys, cuts),
-            ):
-                e = acc.setdefault(int(kid), ([], []))
-                e[0].append(tt)
-                e[1].append(yy)
-        if not acc:
-            return
-        rows = [
-            _sigmoid_fit_one(
-                uid,
-                tt[0] if len(tt) == 1 else np.concatenate(tt),
-                yy[0] if len(yy) == 1 else np.concatenate(yy),
-                rebase_div,
-            )
-            for uid, (tt, yy) in acc.items()
-        ]
-        yield pd.DataFrame(rows, columns=_SIGMOID_COLS)
-
-    cols = df.select(key, t_col, y_col)
-    if per_group:
-        return cols.groupBy(key).applyInPandas(kernel, SIGMOID_FIT_SCHEMA)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return cols.repartition(par, key).mapInPandas(kernel_many, SIGMOID_FIT_SCHEMA)
+    return grouped_arrays_map(
+        df,
+        key,
+        [t_col, y_col],
+        lambda uid, t, y: _sigmoid_fit_one(uid, t, y, rebase_div),
+        _SIGMOID_COLS,
+        SIGMOID_FIT_SCHEMA,
+        per_group=per_group,
+    )

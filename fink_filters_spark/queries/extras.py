@@ -164,6 +164,64 @@ def q_ts_sigmoid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DEMO classifier (clearly synthetic): two hand-built trees over
+# (amplitude, rise_time) in the UBJ model-dict layout the reference's
+# packaged .ubj files decode to — stands in for the trained TDE model
+# (``ztf/filter_early_tde_candidates/filter.py:79-85``), which is not
+# redistributable from memory. Swapping in a real .ubj is
+# ``load_model(path)`` with no query change.
+_DEMO_TDE_MODEL = {
+    "learner": {
+        "gradient_booster": {
+            "model": {
+                "trees": [
+                    {   # bright-and-slow rises score positive
+                        "split_indices": [0, 0, 1, 0, 0],
+                        "split_conditions": [40000.0, -0.7, 300.0, -0.2, 0.8],
+                        "left_children": [1, -1, 3, -1, -1],
+                        "right_children": [2, -1, 4, -1, -1],
+                        "default_left": [True, False, True, False, False],
+                    },
+                    {
+                        "split_indices": [1, 0, 0],
+                        "split_conditions": [50.0, -0.3, 0.2],
+                        "left_children": [1, -1, -1],
+                        "right_children": [2, -1, -1],
+                        "default_left": [False, False, False],
+                    },
+                ]
+            }
+        },
+        "learner_model_param": {"base_score": "0.5"},
+        "objective": {"name": "binary:logistic"},
+    }
+}
+
+
+def q_ts_tde_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F10 flagship composition: per-key Rainbow sigmoid fit -> reference
+    quality cuts (r_chisq, snr_rise_time) -> seeded Monte-Carlo covariance
+    draws -> broadcast XGBoost-format classifier scoring of best fit +
+    samples, with fraction-positive acceptance — the reference's whole
+    early-TDE candidate loop (``filter.py:158-218``) as one distributed
+    kernel. Iterative fit + MC are not SQL-expressible: rows-only check;
+    the numeric contract is pinned by tests (parity, determinism, UBJ
+    parser round-trip)."""
+    from ..operators.fit import rainbow_mc_score_per_key
+    from ..operators.xgb_ubj import XGBEnsemble
+
+    model = XGBEnsemble.from_model_dict(_DEMO_TDE_MODEL)
+    ev = _evq(spark, sf_dir)
+    # the synthetic corpus is not sigmoid-shaped, so the reference's
+    # defaults (r_chisq<=10, snr>=1.5 — kept as operator defaults) would
+    # cut every key before scoring; loosen them HERE so the MC + classifier
+    # stages execute on every group in the declared run
+    return rainbow_mc_score_per_key(
+        ev, model, key="user_id", t_col="t", y_col="v", rebase_div=US_PER_HOUR,
+        max_r_chisq=float("inf"), min_snr_rise_time=0.0,
+    )
+
+
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (letters runs / digit runs / punctuation) —
     the coarse GPT-2-style pre-tokenizer classes."""
@@ -334,5 +392,7 @@ SPECS = [
     QuerySpec("ts_fit_grouped", q_ts_fit_grouped, TS_LINFIT_SQL, "F10 applyInPandas fit"),
     QuerySpec("ts_sigmoid_fit", q_ts_sigmoid_fit, None,
               "F10 nonlinear Rainbow-shape sigmoid fit (LM, rows-only check)"),
+    QuerySpec("ts_tde_score", q_ts_tde_score, None,
+              "F10 fit -> MC -> classifier scoring loop (rows-only check)"),
     QuerySpec("text_bpe", q_text_bpe, TEXT_BPE_SQL, "BPE-ish token count"),
 ]

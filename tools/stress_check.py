@@ -53,6 +53,8 @@ HEADLINERS = [
     "xmatch_cone",
     "dedup_minhash_lsh",
     "text_tfidf",
+    "text_redact",
+    "ts_sigmoid_fit",
     "pipe_pack_sequences",
     "skew_hot_users",
 ]
