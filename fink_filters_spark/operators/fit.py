@@ -519,6 +519,69 @@ def grouped_arrays_map(
     return cols.repartition(par, key).mapInPandas(kernel_many, schema)
 
 
+MULTIBAND_FIT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("t0", DoubleType()),
+        StructField("amplitude", DoubleType()),
+        StructField("rise_time", DoubleType()),
+        StructField("temperature", DoubleType()),
+        StructField("r_chisq", DoubleType()),
+    ]
+)
+
+_MULTIBAND_COLS = ["user_id", "n", "t0", "amplitude", "rise_time",
+                   "temperature", "r_chisq"]
+
+
+def rainbow_multiband_fit_per_key(
+    df: DataFrame,
+    band_wave_aa: dict[str, float],
+    key: str = "user_id",
+    t_col: str = "xh",
+    y_col: str = "v",
+    band_col: str = "band",
+    rebase_div: int | None = None,
+    per_group: bool = False,
+) -> DataFrame:
+    """Per-key JOINT multiband Rainbow fit: one rising-sigmoid bolometric
+    shape shared across bands, scaled per band by a constant-temperature
+    blackbody ratio — the reference's actual multiband model
+    (``ztf/filter_early_tde_candidates/lcs.py:272-326``, band_wave_aa map).
+    4 log-parameterized params (t0, ln A, ln tau, ln T) fitted by the same
+    damped Gauss-Newton kernel; points whose band is not in the map are
+    dropped inside the kernel. NULL-padded rows for degenerate fits."""
+    import math
+
+    def one(uid, t_arr, y_arr, b_arr):
+        if rebase_div is not None:
+            t_arr = (t_arr - t_arr.min()) // rebase_div
+        fit = rainbow_fit_arrays(
+            t_arr, y_arr, band_wave_aa=band_wave_aa, bands=b_arr
+        )
+        if fit is None:
+            return (uid, len(t_arr), None, None, None, None, None)
+
+        def r6(x):
+            return _round6(x) if x is not None and math.isfinite(x) else None
+
+        return (
+            uid,
+            fit["n"],
+            r6(fit["reference_time"]),
+            r6(fit["amplitude"]),
+            r6(fit["rise_time"]),
+            r6(fit.get("temperature")),
+            r6(fit["r_chisq"]),
+        )
+
+    return grouped_arrays_map(
+        df, key, [t_col, y_col, band_col], one, _MULTIBAND_COLS,
+        MULTIBAND_FIT_SCHEMA, per_group=per_group,
+    )
+
+
 _RAINBOW_MC_COLS = ["user_id", "n", "amplitude", "rise_time", "r_chisq",
                     "best_score", "frac_scores", "valid"]
 

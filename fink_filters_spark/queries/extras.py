@@ -222,6 +222,38 @@ def q_ts_tde_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# synthetic band -> wavelength map: the 5 event types stand in for the
+# survey filters (values are real ZTF/atlas-ish central wavelengths in AA)
+_DEMO_BAND_WAVES = {
+    "click": 4770.0,
+    "view": 6231.0,
+    "purchase": 7625.0,
+    "signup": 8690.0,
+    "error": 9620.0,
+}
+
+
+def q_ts_rainbow_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F10: the reference's JOINT multiband Rainbow fit — one shared
+    rising-sigmoid bolometric shape, per-band constant-temperature
+    blackbody scaling (``lcs.py:272-326``) — distributed per key via the
+    grouped Arrow kernel, with event_type standing in for the survey band.
+    Iterative 4-parameter optimization: rows-only check; parameter
+    recovery on synthetic multiband curves is pinned in tests."""
+    from ..operators.fit import rainbow_multiband_fit_per_key
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_us").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        F.col("event_type").alias("band"),
+    )
+    return rainbow_multiband_fit_per_key(
+        ev, _DEMO_BAND_WAVES, key="user_id", t_col="t", y_col="v",
+        band_col="band", rebase_div=US_PER_HOUR,
+    )
+
+
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (letters runs / digit runs / punctuation) —
     the coarse GPT-2-style pre-tokenizer classes."""
@@ -394,5 +426,7 @@ SPECS = [
               "F10 nonlinear Rainbow-shape sigmoid fit (LM, rows-only check)"),
     QuerySpec("ts_tde_score", q_ts_tde_score, None,
               "F10 fit -> MC -> classifier scoring loop (rows-only check)"),
+    QuerySpec("ts_rainbow_multiband", q_ts_rainbow_multiband, None,
+              "F10 joint multiband Rainbow fit (blackbody band scaling)"),
     QuerySpec("text_bpe", q_text_bpe, TEXT_BPE_SQL, "BPE-ish token count"),
 ]

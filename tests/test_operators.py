@@ -906,6 +906,47 @@ def test_sigmoid_fit_per_key_distributed_matches_local(spark):
         assert abs(got[uid].rise_time - ref["rise_time"]) < 1e-6
 
 
+def test_rainbow_multiband_per_key_distributed_matches_local(spark):
+    """Joint multiband kernel == driver-side reference fit: two users with
+    synthetic two-band curves (blackbody-scaled shared sigmoid), unknown
+    bands dropped inside the kernel."""
+    from fink_filters_spark.operators.fit import (
+        rainbow_fit_arrays,
+        rainbow_multiband_fit_per_key,
+    )
+
+    waves = {"g": 4770.0, "r": 6231.0}
+    frames = []
+    rng = np.random.default_rng(3)
+    for uid in (0, 1):
+        t, y = _synth_sigmoid(40.0 + 10 * uid, 150.0, 7.0, n=80, noise=0.5, seed=uid)
+        bands = np.where(np.arange(len(t)) % 2 == 0, "g", "r")
+        # r-band scaled down (cooler blackbody ratio stand-in)
+        y = np.where(bands == "r", y * 0.7, y)
+        frames.append(pd.DataFrame({"user_id": uid, "xh": t, "v": y, "band": bands}))
+    # a few unknown-band points that the kernel must drop
+    frames.append(
+        pd.DataFrame({"user_id": 0, "xh": [1.0, 2.0], "v": [9.9, 9.8],
+                      "band": ["unknown", "unknown"]})
+    )
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.user_id: r
+        for r in rainbow_multiband_fit_per_key(df, waves, band_col="band").collect()
+    }
+    for uid in (0, 1):
+        sub = pdf[pdf.user_id == uid]
+        ref = rainbow_fit_arrays(
+            sub.xh.to_numpy(), sub.v.to_numpy(),
+            band_wave_aa=waves, bands=sub.band.to_numpy(),
+        )
+        assert abs(got[uid].t0 - ref["reference_time"]) < 1e-6
+        assert abs(got[uid].amplitude - ref["amplitude"]) < 1e-6
+        assert abs(got[uid].temperature - ref["temperature"]) < 1e-6
+    assert got[0].temperature is not None and got[0].temperature > 0
+
+
 # ---------------------------------------------------------------------------
 # UBJSON XGBoost reader (operators/xgb_ubj.py)
 # ---------------------------------------------------------------------------
