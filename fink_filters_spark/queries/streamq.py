@@ -85,7 +85,10 @@ def _run_to_memory(out: DataFrame, name: str, mode: str) -> None:
             .start()
         )
         try:
-            q.awaitTermination()
+            # availableNow terminates on its own; the bound is a safety net
+            # so a wedged stream can never hang the caller's gate
+            if not q.awaitTermination(300):
+                raise TimeoutError(f"streaming query {name} did not finish in 300s")
         finally:
             q.stop()
     finally:
