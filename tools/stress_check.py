@@ -139,6 +139,16 @@ def main() -> None:
             f.write(f"| {name} | {a:.2f}s | {b:.2f}s | {r:.1f}x |\n")
         med = sorted(r for *_ , r in rows)[len(rows) // 2]
         f.write(f"\nMedian ratio: {med:.1f}x at 10x data.\n")
+        f.write(
+            "\nReading the ratios: shuffle/join queries should stay near the"
+            "\nmedian (fixed overhead still dominates them at this size)."
+            "\n`ts_sigmoid_fit` is the one compute-bound row — 10x keys means"
+            "\n10x Levenberg-Marquardt fits with the cores already saturated,"
+            "\nso its ratio approaches the work ratio by design; the plan"
+            "\n(hash-partition by key, fit where the rows live) is exactly"
+            "\nwhat a 1000-executor cluster wants: more executors, same"
+            "\nper-key cost, no shuffle growth.\n"
+        )
     shutil.rmtree(DST, ignore_errors=True)
     print("STRESS.md written")
     spark.stop()
