@@ -268,32 +268,34 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier returned), planned as a semi join and an anti join over two
     aliases of lineitem.
 
-    Scale: all three lineitem aliases hash-partition on l_orderkey, so the
-    semi and anti joins co-locate without re-keying; supplier and the
-    final count are small. (At tiny SF AQE turns every side into a
-    broadcast — see PLANS.md.)"""
+    Scale: the EXISTS/NOT-EXISTS pair is algebraized into ONE per-order
+    aggregate instead of three lineitem self-joins — per (orderkey,
+    suppkey) dedup with a returned flag (map-side partial agg collapses
+    duplicate pairs before the shuffle), then per-order supplier counts:
+    ``some other supplier`` == n_supp > 1 and ``no other supplier
+    returned`` == n_ret_supp == 1 given this supplier returned. The
+    returned lines then join the small per-order aggregate on orderkey;
+    supplier broadcasts. Replaces two full-lineitem shuffles with
+    aggregate-sized ones."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    l2 = li.select(F.col("l_orderkey").alias("l2_okey"), F.col("l_suppkey").alias("l2_skey"))
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_okey"), F.col("l_suppkey").alias("l3_skey")
+    per_order = (
+        li.groupBy(F.col("l_orderkey").alias("po_okey"), "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("__ret"))
+        .groupBy("po_okey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("__ret").alias("n_ret_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
     )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
         l1.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_okey")) & (F.col("l_suppkey") != F.col("l2_skey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_okey")) & (F.col("l_suppkey") != F.col("l3_skey")),
-            "left_anti",
-        )
+        .join(per_order, F.col("l_orderkey") == F.col("po_okey"), "left_semi")
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
