@@ -183,3 +183,36 @@ def test_rubin_filters_on_real_alerts(rubin_flat):
     assert apply_named_filter(with_tns, "rubin.in_tns").count() == in_tns
     assert apply_named_filter(rubin_flat, "rubin.uniform_sample").count() == sample
     assert 0 < n_rows
+
+
+def test_fits_codec_on_real_ztf_cutouts(ztf_raw, spark):
+    """The pure-numpy FITS codec decodes the reference's ACTUAL alert
+    cutouts (gzipped 63x63 float32 FITS stamps), and the distributed
+    stamp_kstest pipeline reproduces the local decode+clip+KS result on
+    them — real-survey-data proof, not synthetic round-trips."""
+    from fink_filters_spark.operators.fits import (
+        normal_ks_statistic,
+        parse_fits,
+        sigma_clip,
+    )
+    from fink_filters_spark.operators.multimodal import stamp_kstest
+
+    sel = ztf_raw.select(
+        "candid",
+        F.col("cutoutScience.stampData").alias("sci"),
+        F.col("cutoutTemplate.stampData").alias("tmpl"),
+    ).limit(20)
+    local = {}
+    for r in sel.collect():
+        arr, hdr = parse_fits(bytes(r.sci))
+        assert arr.shape == (63, 63) and hdr["BITPIX"] == -32
+        local[r.candid] = normal_ks_statistic(sigma_clip(arr))
+    got = {
+        r.doc_id: r.kstest_science
+        for r in stamp_kstest(sel, "candid", "sci", "tmpl").collect()
+    }
+    assert set(got) == set(local)
+    for candid, expect in local.items():
+        assert got[candid] == pytest.approx(expect, abs=1e-12)
+    # statistics are in the meaningful range the hostless thresholds assume
+    assert all(0.0 <= v <= 1.0 for v in got.values())
