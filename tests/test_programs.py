@@ -237,6 +237,106 @@ def test_hostless_pipeline_real_fits_stamps(spark):
     assert got == {i for i in range(24) if i % 3 == 0}
 
 
+def test_sfd_pixel_transform_and_galactic_parity(spark):
+    """Real SFD map geometry: numpy galactic conversion matches the native
+    Column gal_b; the SFD98 Lambert transform hits the documented
+    landmarks (galactic poles -> map centers; b=0 ring -> map edge)."""
+    import numpy as np
+
+    from fink_filters_spark.functions.astro import gal_b
+    from fink_filters_spark.operators.cosmology import radec_to_lb, sfd_pixel
+
+    rng = np.random.default_rng(23)
+    ra = rng.uniform(0, 360, 50)
+    dec = rng.uniform(-89, 89, 50)
+    _, b = radec_to_lb(ra, dec)
+    pdf = pd.DataFrame({"ra": ra, "dec": dec})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(gal_b("ra", "dec").alias("b"))
+        .toPandas()["b"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(np.degrees(b), got, atol=1e-9)
+
+    size = 4096
+    # NGP (b=+90): sqrt(1-sin b)=0 -> exact map center (R-0.5, R-0.5)
+    x, y, north = sfd_pixel(np.array([1.23]), np.array([np.pi / 2]), size)
+    assert north[0] and abs(x[0] - 2047.5) < 1e-6 and abs(y[0] - 2047.5) < 1e-6
+    # SGP: center of the southern map
+    x, y, north = sfd_pixel(np.array([4.0]), np.array([-np.pi / 2]), size)
+    assert not north[0] and abs(x[0] - 2047.5) < 1e-6 and abs(y[0] - 2047.5) < 1e-6
+    # galactic plane l=0: x = R + (R-0.5) -> right edge of the frame
+    x, y, north = sfd_pixel(np.array([0.0]), np.array([0.0]), size)
+    assert abs(x[0] - (2048 + 2047.5)) < 1e-6 and abs(y[0] - 2047.5) < 1e-6
+
+
+def test_sfd_ebv_lookup_and_fits_loader(spark, tmp_path):
+    """sfd_ebv samples the injected rasters exactly where the transform
+    says (pattern raster encodes its own pixel coords), deredden_sfd
+    applies R_band, and load_sfd_maps reads real FITS files via the
+    engine codec."""
+    import numpy as np
+
+    from fink_filters_spark.operators.cosmology import (
+        BAND_EXTINCTION,
+        deredden_sfd,
+        load_sfd_maps,
+        radec_to_lb,
+        sfd_ebv,
+        sfd_pixel,
+    )
+    from fink_filters_spark.operators.fits import write_fits
+
+    size = 256
+    yy, xx = np.mgrid[0:size, 0:size]
+    north = (yy * size + xx).astype(np.float64) / 1e4  # value encodes pixel
+    south = north + 10.0
+
+    # write/load through real FITS files (the packaged-map path)
+    npath, spath = tmp_path / "ngp.fits", tmp_path / "sgp.fits"
+    npath.write_bytes(write_fits(north, compress=False))
+    spath.write_bytes(write_fits(south, compress=False))
+    n2, s2 = load_sfd_maps(str(npath), str(spath))
+    # FITS float storage is BITPIX -32 (same as the real SFD files):
+    # float32 precision after the round trip
+    np.testing.assert_allclose(n2, north, rtol=1e-6)
+    np.testing.assert_allclose(s2, south, rtol=1e-6)
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(40),
+            "ra": rng.uniform(0, 360, 40),
+            "dec": rng.uniform(-85, 85, 40),
+            "mag": np.full(40, 20.0),
+            "band": ["g", "r", "unknown", "i"] * 10,
+        }
+    )
+    got = (
+        sfd_ebv(spark.createDataFrame(pdf), n2, s2)
+        .toPandas()
+        .set_index("id")["ebv"]
+    )
+    l, b = radec_to_lb(pdf.ra.to_numpy(), pdf.dec.to_numpy())
+    x, y, is_north = sfd_pixel(l, b, size)
+    xi = np.clip(np.rint(x).astype(int), 0, size - 1)
+    yi = np.clip(np.rint(y).astype(int), 0, size - 1)
+    # expectations from the LOADED rasters (what the kernel actually samples)
+    expect = np.where(is_north, n2[yi, xi], s2[yi, xi])
+    np.testing.assert_allclose(got.loc[pdf.id].to_numpy(), expect, atol=1e-12)
+
+    der = (
+        deredden_sfd(spark.createDataFrame(pdf), "mag", "band", n2, s2)
+        .toPandas()
+        .set_index("id")
+    )
+    for i, row in pdf.iterrows():
+        r_coef = BAND_EXTINCTION.get(row.band)
+        exp_mag = 20.0 - (r_coef * expect[i] if r_coef else 0.0)
+        assert abs(der.loc[row.id, "mag_dered"] - exp_mag) < 1e-9
+
+
 def test_deredden_raster_join(spark):
     """Dust correction via broadcast raster join: plane sightlines get a
     larger correction than pole sightlines; unknown bands pass through;
