@@ -172,3 +172,37 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    out_path: str,
+    max_records_per_file: int = 1_000_000,
+    partition_filter=None,
+) -> None:
+    """Small-file compaction for a partitioned parquet dataset — the
+    maintenance pass every long-running ingest needs at scale (streaming
+    micro-batches and nightly appends leave thousands of sliver files;
+    a 1000-executor read then pays a task per sliver).
+
+    One distributed job: read, optionally prune to the partitions being
+    compacted (``partition_filter`` is a Column — partition pruning keeps
+    untouched partitions unread), repartition on the partition key so each
+    task writes whole partitions, and rewrite with ``maxRecordsPerFile``
+    bounding file size. Writing to ``out_path`` + swap keeps the pass
+    crash-safe (compaction is a rewrite, not an in-place mutation; an
+    atomic swap is the caller's rename).
+    """
+    df = spark.read.parquet(path)
+    if partition_filter is not None:
+        df = df.filter(partition_filter)
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(out_path)
+    )

@@ -186,3 +186,45 @@ def test_rest_snapshot_stream_pages_as_microbatches(spark, tmp_path):
         q.stop()
     assert len(out) == 200  # exactly maxPages x 100, no replays
     assert {r.page for r in out} == {0, 1}
+
+
+def test_compact_partitions_bounds_file_count(spark, tmp_path):
+    """Compaction: 20 sliver files per partition collapse to one bounded
+    set per partition, data survives byte-identically, and a partition
+    filter leaves other partitions untouched in the output."""
+    import glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.sinks.storage import compact_partitions
+
+    src = str(tmp_path / "slivers")
+    # 2 partitions x 20 sliver files each
+    for i in range(20):
+        pdf = pd.DataFrame(
+            {"night": ["n1"] * 5 + ["n2"] * 5, "v": range(i * 10, i * 10 + 10)}
+        )
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").partitionBy(
+            "night"
+        ).parquet(src)
+    assert len(glob.glob(f"{src}/night=n1/*.parquet")) >= 20
+
+    out = str(tmp_path / "compacted")
+    compact_partitions(spark, src, ["night"], out)
+    for night in ("n1", "n2"):
+        files = glob.glob(f"{out}/night={night}/*.parquet")
+        assert 1 <= len(files) <= 2  # bounded, whole-partition tasks
+    before = sorted(
+        (r.night, r.v) for r in spark.read.parquet(src).collect()
+    )
+    after = sorted(
+        (r.night, r.v) for r in spark.read.parquet(out).collect()
+    )
+    assert before == after
+
+    # partition-filtered compaction: only n1 lands in the filtered output
+    out2 = str(tmp_path / "compacted_n1")
+    compact_partitions(spark, src, ["night"], out2, partition_filter=F.col("night") == "n1")
+    assert glob.glob(f"{out2}/night=n1/*.parquet")
+    assert not glob.glob(f"{out2}/night=n2/*.parquet")
