@@ -9,16 +9,20 @@ messages. Two engine paths:
   through the same grid-bucketed broadcast cone join every other
   crossmatch uses. Approximate near borders; matches the reference's use
   of the label (message decoration, not science cuts).
-- ``constellation_exact`` — the EXACT algorithm astropy implements
-  (Roman 1987, PASP 99, 695): precess J2000 coordinates to the B1875.0
-  frame (IAU 1976 precession — a fixed rotation matrix, evaluated as
-  native Column math, no UDF) and take the FIRST matching row of the
-  precessed-boundary interval table (``Vizier VI/42``: dec_low +
-  [ra_low, ra_high) in 1875 coordinates). The 357-row data file itself
-  is not redistributable from memory in this offline container, so the
-  table is injectable; ``DEMO_BOUNDARY_TABLE`` (clearly synthetic)
-  exercises the semantics, and dropping in the real VI/42 rows requires
-  no code change.
+- ``constellation_exact`` — the Roman 1987 (PASP 99, 695) interval
+  algorithm astropy's get_constellation implements: precess J2000
+  coordinates toward the B1875.0 frame and take the FIRST matching row
+  of the precessed-boundary interval table (``Vizier VI/42``: dec_low +
+  [ra_low, ra_high) in 1875 coordinates). Precession here is the pure
+  IAU 1976 rotation (a fixed matrix, evaluated as native Column math,
+  no UDF); astropy's FK4/B1875 conversion additionally applies the
+  FK5->FK4 rotation, equinox correction and E-terms of aberration —
+  arcsecond-level offsets, so sources within a few arcsec of a boundary
+  can land on the other side relative to astropy. The 357-row data file
+  itself is not redistributable from memory in this offline container,
+  so the table is injectable; ``DEMO_BOUNDARY_TABLE`` (clearly
+  synthetic) exercises the semantics, and dropping in the real VI/42
+  rows requires no code change.
 """
 
 from __future__ import annotations
@@ -164,7 +168,8 @@ def constellation_exact(
     out_col: str = "constellation",
     table: list[tuple[float, float, float, str]] | None = None,
 ) -> DataFrame:
-    """Exact constellation determination (Roman 1987 / astropy semantics).
+    """Roman-1987 constellation determination (astropy's algorithm; see
+    the module docstring for the arcsec-level FK4-conversion caveat).
 
     Precesses J2000 positions to B1875.0 natively, broadcast-joins the
     boundary interval table (dec_low <= dec AND ra_low <= ra < ra_high)

@@ -357,23 +357,17 @@ def minhash_lsh_pairs(
     )
     mem = grp.select("__rid", F.explode("__members").alias("__id"))
     # within-group pairs: identical sets, Jaccard exactly 1 (>= any tau<=1).
-    # Expanded with a HOF combination expression — no self-join, no shuffle;
-    # groups are near-dup clusters, i.e. small, so interpreted lambdas are
-    # fine (the expansion is output-sized by definition).
-    srt = F.array_sort("__members")
-    pair_structs = F.flatten(
-        F.transform(
-            srt,
-            lambda x, i: F.transform(
-                F.slice(srt, i + F.lit(2), F.size(srt)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Expanded as a SELF-JOIN on the group key over exploded members: the
+    # output is inherently quadratic in group size, but a join STREAMS it —
+    # per-task memory stays O(group), never O(group^2). (A nested HOF over
+    # the members array would materialize all g^2/2 structs inside ONE row:
+    # a single 100k-duplicate group would OOM that task.)
+    wa = mem.select("__rid", F.col("__id").alias("id_a"))
+    wb = mem.select("__rid", F.col("__id").alias("id_b"))
     within = (
-        grp.filter(F.size("__members") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+        wa.join(wb, "__rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
     band_cols = []
     for j in range(MINHASH_BANDS):
@@ -701,8 +695,11 @@ def embedding_pairs(
     Scale: pick ``n_blocks`` so one block (~N/B rows x dim x 8 bytes) fits
     comfortably in a task (e.g. B ~ N*dim*8 / 256 MB); work is B^2/2 matmul
     tasks — the unavoidable all-pairs FLOPs, now spread across the cluster
-    instead of bounded by driver RAM. For sub-quadratic candidate
-    generation use operators/similarity.py (IVF / LSH blocking).
+    instead of bounded by driver RAM. Inside each block pair the cosine
+    matrix is computed in FIXED-ROW TILES (``tile`` rows of A at a time),
+    so peak task memory is tile x |block| doubles — independent of how big
+    blocks get — never the full |block|^2 matrix. For sub-quadratic
+    candidate generation use operators/similarity.py (IVF / LSH blocking).
     """
     from collections.abc import Iterator
 
@@ -737,7 +734,7 @@ def embedding_pairs(
         mat = _np.stack([_np.asarray(r["__q"], dtype=_np.int64) for r in cell])
         return ids, mat, _np.sqrt((mat * mat).sum(axis=1).astype(_np.float64))
 
-    def kernel(batches: Iterator) -> Iterator:
+    def kernel(batches: Iterator, tile: int = 4096) -> Iterator:
         import numpy as _np
         import pandas as _pd
 
@@ -747,25 +744,32 @@ def embedding_pairs(
                     continue
                 a_ids, a_mat, a_sq = _unpack(ra)
                 b_ids, b_mat, b_sq = _unpack(rb)
-                cos = (a_mat @ b_mat.T).astype(_np.float64) / a_sq[:, None] / b_sq[None, :]
-                if ba == bb:
-                    # diagonal block: order within the block, skip self-pairs
-                    mask = (cos >= tau) & (a_ids[:, None] < b_ids[None, :])
-                else:
-                    # off-diagonal: ids interleave across blocks — emit every
-                    # qualifying pair once, ordered per-pair below
-                    mask = cos >= tau
-                ii, jj = _np.nonzero(mask)
-                if len(ii) == 0:
-                    continue
-                ida, idb = a_ids[ii], b_ids[jj]
-                c = cos[ii, jj]
-                yield _pd.DataFrame(
-                    {
-                        "id_a": _np.minimum(ida, idb),
-                        "id_b": _np.maximum(ida, idb),
-                        "cosine": _np.floor(c * 1e6 + 0.5) / 1e6,
-                    }
-                )
+                # tile the A side: peak memory tile x |B| doubles, not |A| x |B|
+                for lo in range(0, len(a_ids), tile):
+                    hi = lo + tile
+                    cos = (
+                        (a_mat[lo:hi] @ b_mat.T).astype(_np.float64)
+                        / a_sq[lo:hi, None]
+                        / b_sq[None, :]
+                    )
+                    if ba == bb:
+                        # diagonal block: order within the block, skip self-pairs
+                        mask = (cos >= tau) & (a_ids[lo:hi, None] < b_ids[None, :])
+                    else:
+                        # off-diagonal: ids interleave across blocks — emit every
+                        # qualifying pair once, ordered per-pair below
+                        mask = cos >= tau
+                    ii, jj = _np.nonzero(mask)
+                    if len(ii) == 0:
+                        continue
+                    ida, idb = a_ids[lo:hi][ii], b_ids[jj]
+                    c = cos[ii, jj]
+                    yield _pd.DataFrame(
+                        {
+                            "id_a": _np.minimum(ida, idb),
+                            "id_b": _np.maximum(ida, idb),
+                            "cosine": _np.floor(c * 1e6 + 0.5) / 1e6,
+                        }
+                    )
 
     return joined.mapInPandas(kernel, out_schema)

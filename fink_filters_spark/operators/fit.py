@@ -653,12 +653,18 @@ def rainbow_mc_score_per_key(
         scores = np.asarray(bc.value.predict_proba_batch(feats), dtype=np.float64)
         scores = np.where(ok, scores, 0.0)
         best = float(scores[0])
-        frac = float((scores >= 0.5).mean())
+        # fraction over the MC SAMPLES only (reference semantics); the best
+        # fit has its own acceptance branch — mixing it in shifts the
+        # fraction by 1/(n+1) and can flip borderline candidates
+        frac = float((scores[1:] >= 0.5).mean()) if len(scores) > 1 else None
+        accepted = bool(
+            best >= 0.5 or (frac is not None and frac >= min_frac)
+        )
         return row(
             amplitude=_round6(amp), rise_time=_round6(tau),
             r_chisq=_round6(chisq), best_score=_round6(best),
-            frac_scores=_round6(frac),
-            valid=bool(best >= 0.5 or frac >= min_frac),
+            frac_scores=None if frac is None else _round6(frac),
+            valid=accepted,
         )
 
     return grouped_arrays_map(

@@ -103,7 +103,10 @@ def parse_fits(payload: bytes) -> tuple[np.ndarray, dict]:
     naxis = header.get("NAXIS", 0)
     if bitpix not in _BITPIX_DTYPE:
         raise ValueError(f"unsupported BITPIX {bitpix}")
-    shape = [int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
+    try:
+        shape = [int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
+    except (KeyError, TypeError) as e:  # NAXIS declared but NAXISn missing
+        raise ValueError(f"malformed FITS axis cards: {e}") from e
     count = int(np.prod(shape)) if shape else 0
     nbytes = count * abs(bitpix) // 8
     data = payload[pos : pos + nbytes]

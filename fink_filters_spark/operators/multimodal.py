@@ -182,6 +182,8 @@ def stamp_kstest(
     from fink_filters_spark.operators.fits import stamp_ks
 
     def kernel(batches: Iterator) -> Iterator:
+        import zlib
+
         import pandas as pd
 
         def one(payload):
@@ -189,7 +191,9 @@ def stamp_kstest(
                 return None
             try:
                 return stamp_ks(payload, sigma=sigma)
-            except (ValueError, OSError, EOFError):  # not FITS / corrupt gzip
+            except (ValueError, OSError, EOFError, zlib.error):
+                # not FITS / corrupt gzip framing / corrupt deflate body —
+                # a bad stamp must NULL out, never fail the task
                 return None
 
         for pdf in batches:

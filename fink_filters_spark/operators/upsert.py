@@ -69,7 +69,15 @@ def upsert_partitioned(
     """
     spark = updates.sparkSession
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    base = spark.read.parquet(base_path).filter(F.col(partition_col).isin(parts))
+    # NULL-safe partition membership: isin() is NULL for NULL partition
+    # rows, which would silently DROP the base side of the default
+    # partition while dynamic overwrite still rewrites it with
+    # updates-only rows — permanent data loss. Treat None explicitly.
+    non_null = [p for p in parts if p is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(p is None for p in parts):
+        cond = cond | F.col(partition_col).isNull()
+    base = spark.read.parquet(base_path).filter(cond)
     merged = merge_upsert(base, updates, keys)
     (
         merged.write.mode("overwrite")
