@@ -139,3 +139,29 @@ def test_merge_upsert_semantics(spark, tmp_path):
     )
     after = {r.k: (r.p, r.s) for r in spark.read.parquet(p).collect()}
     assert after == {1: (1, "x"), 2: (1, "y"), 3: (2, "Z"), 9: (2, "new")}
+
+
+def test_upsert_partitioned_null_partition_keeps_base_rows(spark, tmp_path):
+    """Regression: an update touching the NULL partition must MERGE with the
+    base rows already in __HIVE_DEFAULT_PARTITION__, not dynamically
+    overwrite them away (isin() is NULL for NULL partition values, so the
+    base side silently vanished before the null-safe membership fix)."""
+    from fink_filters_spark.operators.upsert import upsert_partitioned
+
+    p = str(tmp_path / "tbl_null")
+    spark.createDataFrame(
+        [(1, None, "keep-me"), (2, None, "update-me"), (3, 7, "other-part")],
+        "k long, p long, s string",
+    ).write.partitionBy("p").parquet(p)
+    upsert_partitioned(
+        p,
+        spark.createDataFrame([(2, None, "UPDATED")], "k long, p long, s string"),
+        ["k"],
+        "p",
+    )
+    after = {r.k: (r.p, r.s) for r in spark.read.parquet(p).collect()}
+    assert after == {
+        1: (None, "keep-me"),  # survived the NULL-partition rewrite
+        2: (None, "UPDATED"),
+        3: (7, "other-part"),  # untouched partition never read/written
+    }
