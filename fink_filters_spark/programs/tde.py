@@ -51,6 +51,10 @@ def prefilter_alerts(df: DataFrame) -> DataFrame:
     )
     out = df.filter(cut)
     for leaf in ("jd", "magpsf", "fid", "isdiffpos"):
+        if f"prv_{leaf}" not in out.columns and "prv_candidates" in out.columns:
+            # real alert shape: pull the leaf array straight out of the
+            # nested prv_candidates struct array (reference concat_col)
+            out = out.withColumn(f"prv_{leaf}", F.col(f"prv_candidates.{leaf}"))
         if f"prv_{leaf}" in out.columns:
             out = out.withColumn(f"c{leaf}", hist_concat(f"prv_{leaf}", leaf))
     # per-row array aggregates (E5, prefilter.py:29-53): negative-difference

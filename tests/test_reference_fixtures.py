@@ -216,3 +216,45 @@ def test_fits_codec_on_real_ztf_cutouts(ztf_raw, spark):
         assert got[candid] == pytest.approx(expect, abs=1e-12)
     # statistics are in the meaningful range the hostless thresholds assume
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_tde_pipeline_on_real_tde_alerts(spark):
+    """The early-TDE pipeline binds to the reference's REAL TDE fixture
+    (datatest/tde: ZTF20abfcszi alerts): native prefilter + nested-history
+    extraction stage real brightening candidates, and the Rainbow sigmoid
+    fit runs on the actual light curve (mag -> flux), recovering a
+    positive amplitude/rise time — the flow the reference executes in a
+    per-candidate driver loop (filter_early_tde_candidates), here fully
+    distributed."""
+    from fink_filters_spark.operators.fit import sigmoid_fit_per_key
+    from fink_filters_spark.programs.tde import prefilter_alerts, rising_rate
+    from fink_filters_spark.schemas import flatten_ztf
+
+    flat = flatten_ztf(spark.read.parquet(f"{REF}/tde"))
+    staged = rising_rate(prefilter_alerts(flat))
+    staged = staged.filter(F.col("rise_rate") < 0)  # pipeline's rising cut
+    rows = staged.select("objectId", "nneg", "rise_rate").collect()
+    assert len(rows) > 0  # real TDE alerts survive the reference cuts
+    assert all(r.nneg <= 1 for r in rows)
+    assert all(r.rise_rate < 0 for r in rows)  # brightening (mag decreasing)
+
+    # Rainbow fit over the real embedded light curve: one row per (object,
+    # epoch), mag -> linear flux (reference lcs.py works in flux space)
+    lc = (
+        staged.select(
+            F.crc32(F.col("objectId")).cast("long").alias("user_id"),
+            F.explode(F.arrays_zip("cjd", "cmagpsf")).alias("p"),
+        )
+        .select(
+            "user_id",
+            (F.col("p.cjd") * 24.0).alias("xh"),  # days -> hours
+            F.pow(F.lit(10.0), 0.4 * (20.0 - F.col("p.cmagpsf"))).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    fits = sigmoid_fit_per_key(lc, rebase_div=None).collect()
+    assert len(fits) >= 1
+    ok = [r for r in fits if r.amplitude is not None]
+    assert ok, "real TDE light curve must admit a sigmoid fit"
+    for r in ok:
+        assert r.amplitude > 0 and r.rise_time > 0  # log-parameterized
