@@ -540,7 +540,12 @@ def _mm_base(observatories: list[str]) -> Column:
         & (
             F.col("fink_class").isin(EG_HOST_CLASSES)
             | F.col("fink_class").isin(
-                "SN candidate", "Kilonova candidate", "Transient", "Unknown"
+                # the reference's fink_extragalactic additions
+                # (filter_mm_module/filter.py:50-56)
+                "Kilonova candidate",
+                "SN candidate",
+                "Early SN Ia candidate",
+                "Ambiguous",
             )
         )
     )
@@ -576,7 +581,9 @@ def mm_grb_gold(df: DataFrame) -> Column:
         _mm_base(["Fermi", "SWIFT", "INTEGRAL"])
         & ((1 - F.col("grb_proba")) > _ERF_5)
         & (F.col("rb") >= 0.9)
-        & (F.col("grb_loc_error") <= 5)
+        # grb_loc_error is in ARCMINUTES; the cut is 5 degrees
+        # (filter_mm_module/filter.py:205 f_sky_loc)
+        & (F.col("grb_loc_error") / 60 <= 5)
         & (F.abs(F.col("rate")) > 0.3)
     )
 

@@ -377,3 +377,22 @@ def test_symbiotic_crossmatch_matches_reference_golden(spark):
     )
     labeled_alerts = rev.select("aid").distinct().count()
     assert labeled_alerts == 19  # the reference's doctest golden
+
+
+def test_mm_module_grb_tiers_match_reference_goldens(spark):
+    """C34 multi-messenger tiers on the REAL datatest/grb fixture (joined
+    GCN x ZTF events): the reference doctest goldens are bronze=4,
+    silver=2, gold=1 and gw_bronze=0 (filter_mm_module/filter.py)."""
+    from fink_filters_spark.filters.registry import apply_named_filter
+
+    df = spark.read.parquet(f"{REF}/grb/grb_test_data.parquet")
+    got = {
+        tier: apply_named_filter(df, f"ztf.{tier}").count()
+        for tier in ("mm_grb_bronze", "mm_grb_silver", "mm_grb_gold", "mm_gw_bronze")
+    }
+    assert got == {
+        "mm_grb_bronze": 4,
+        "mm_grb_silver": 2,
+        "mm_grb_gold": 1,
+        "mm_gw_bronze": 0,
+    }
