@@ -110,6 +110,25 @@ def linfit_r2(x: Column, y: Column) -> Column:
     return F.when((sxd != 0) & (syd != 0), cov * cov / (sxd * syd))
 
 
+def linfit_r2_double(x: Column, y: Column) -> Column:
+    """r² of the least-squares fit over DOUBLE arrays — the float twin of
+    ``linfit_r2`` (which demands exact-integer inputs for oracle parity).
+    Matches the reference's per-alert numpy ``r2_score``
+    (``filter_yso_spicy_candidates/filter.py:28-76``) on raw (jd, magpsf)
+    histories; NULL when the x or y spread is zero."""
+    zero = F.lit(0.0)
+    n = F.size(x).cast("double")
+    sx = F.aggregate(x, zero, lambda a, v: a + v)
+    sy = F.aggregate(y, zero, lambda a, v: a + v)
+    sxx = F.aggregate(F.transform(x, lambda v: v * v), zero, lambda a, v: a + v)
+    syy = F.aggregate(F.transform(y, lambda v: v * v), zero, lambda a, v: a + v)
+    sxy = F.aggregate(F.zip_with(x, y, lambda a, b: a * b), zero, lambda a, v: a + v)
+    sxd = n * sxx - sx * sx
+    syd = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return F.when((sxd != 0) & (syd != 0), cov * cov / (sxd * syd))
+
+
 def weighted_linfit(x: Column, y: Column, sigma: Column) -> Column:
     """Inverse-variance weighted least squares over double arrays: returns
     struct(slope, slope_err) — the closed form of the reference's

@@ -396,3 +396,81 @@ def test_mm_module_grb_tiers_match_reference_goldens(spark):
         "mm_grb_gold": 1,
         "mm_gw_bronze": 0,
     }
+
+
+def test_yso_spicy_matches_reference_golden(spark):
+    """C20 on the REAL datatest/spicy_yso fixture: SPICY class known,
+    |r-band feature slope| > 0.025, and r-band history r² > 0.6 — the r²
+    computed NATIVELY from the embedded (jd, magpsf, fid) arrays with the
+    engine's closed-form linfit_r2 (same math as the reference's
+    per-alert numpy r2_score). Reference doctest golden: 6."""
+    from fink_filters_spark.functions.arrays import hist_concat, linfit_r2_double
+
+    df = spark.read.parquet(f"{REF}/spicy_yso").withColumn(
+        "linear_fit_slope", F.col("lc_features_r.linear_fit_slope")
+    )
+    for leaf in ("jd", "magpsf", "fid"):
+        df = df.withColumn(f"c{leaf}", hist_concat(f"prv_candidates.{leaf}", f"candidate.{leaf}"))
+    pairs = F.filter(
+        F.arrays_zip("cjd", "cmagpsf", "cfid"),
+        lambda p: (p["cfid"] == 2) & ~F.isnan(p["cmagpsf"]) & p["cmagpsf"].isNotNull(),
+    )
+    xs = F.transform(pairs, lambda p: p["cjd"])
+    ys = F.transform(pairs, lambda p: p["cmagpsf"])
+    out = (
+        df.withColumn("r2", F.when(F.size(pairs) >= 5, linfit_r2_double(xs, ys)))
+        .filter(
+            ~F.col("spicy_class").isin("Unknown")
+            & F.col("spicy_class").isNotNull()
+            & (F.abs(F.col("linear_fit_slope")) > 0.025)
+            & (F.col("r2") > 0.6)
+        )
+    )
+    assert out.count() == 6  # the reference's doctest golden
+
+
+def test_night_gap_kernels_on_real_histories(ztf_flat, ztf_pdf):
+    """F8 night-gap kernels on REAL embedded histories: the native Column
+    expressions (try_element_at gaps + trailing-nulls check) reproduce the
+    reference's numpy intra/inter_night_transients
+    (filter_new_hostless/utils.py:145-237) computed independently in
+    pandas on the same alerts (54 intra / 10 inter on this snapshot)."""
+    from fink_filters_spark.functions.arrays import hist_concat, pair_gap
+
+    pdf = ztf_pdf
+    cjd = pd.Series([
+        [d["jd"] for d in (p if p is not None else [])] + [c["jd"]]
+        for p, c in zip(pdf["prv_candidates"], pdf["candidate"])
+    ])
+    cmag = pd.Series([
+        [d["magpsf"] for d in (p if p is not None else [])] + [c["magpsf"]]
+        for p, c in zip(pdf["prv_candidates"], pdf["candidate"])
+    ])
+
+    def n_present(arrs, nobs):
+        return arrs.apply(lambda x: sum(i is not None for i in x[-nobs:]))
+
+    want_intra = int((
+        (n_present(cmag, 2) == 2)
+        & (cjd.apply(lambda x: x[-1] - x[-2] if len(x) >= 2 else 99) < 0.5)
+    ).sum())
+    want_inter = int((
+        (n_present(cmag, 3) == 3)
+        & (cjd.apply(lambda x: x[-1] - x[-2] if len(x) >= 3 else -1) > 0.5)
+        & (cjd.apply(lambda x: x[-2] - x[-3] if len(x) >= 3 else 99) < 0.5)
+    ).sum())
+    assert (want_intra, want_inter) == (54, 10)  # pinned for this snapshot
+
+    df = ztf_flat
+    for leaf in ("jd", "magpsf"):
+        df = df.withColumn(f"c{leaf}", hist_concat(f"prv_candidates.{leaf}", leaf))
+    last_ok = lambda n: (
+        F.size(F.filter(F.slice("cmagpsf", -n, n), lambda v: v.isNotNull())) == n
+    ) & (F.size("cmagpsf") >= n)
+    got_intra = df.filter(last_ok(2) & (pair_gap("cjd", 1, 2) < 0.5)).count()
+    got_inter = df.filter(
+        last_ok(3)
+        & (pair_gap("cjd", 1, 2) > 0.5)
+        & (pair_gap("cjd", 2, 3) < 0.5)
+    ).count()
+    assert (got_intra, got_inter) == (want_intra, want_inter)
