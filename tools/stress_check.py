@@ -57,6 +57,9 @@ HEADLINERS = [
     "ts_sigmoid_fit",
     "pipe_pack_sequences",
     "skew_hot_users",
+    "sim_ivf_search",
+    "dedup_ngram_jaccard",
+    "q_upsert_merge",
 ]
 
 
