@@ -390,7 +390,8 @@ def rainbow_fit_arrays(t, y, sigma=None, band_wave_aa=None, bands=None):
     p, cov, r_chisq = res
     if not np.all(np.isfinite(p)):
         return None
-    amp, tau = float(np.exp(p[1])), float(np.exp(p[2]))
+    with np.errstate(over="ignore"):  # diverged fit -> inf, NULLed downstream
+        amp, tau = float(np.exp(p[1])), float(np.exp(p[2]))
     out = {
         "n": int(len(t)),
         "reference_time": float(p[0]),
@@ -433,7 +434,8 @@ def mc_param_samples(fit: dict, nsamples: int, seed: int):
     except np.linalg.LinAlgError:  # diverged fit: cov not factorizable
         return None
     out = draws.copy()
-    out[:, 1:] = np.exp(draws[:, 1:])
+    with np.errstate(over="ignore"):  # extreme draws -> inf, masked by scorer
+        out[:, 1:] = np.exp(draws[:, 1:])
     return out
 
 
