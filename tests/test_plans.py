@@ -32,6 +32,10 @@ def plans(spark):
 
     out = {}
     for name, fn in entry.queries().items():
+        # cached subtrees (InMemoryRelation) hide their upstream exchanges,
+        # making shuffle counts depend on execution order — clear per query
+        # so the snapshot is deterministic
+        spark.catalog.clearCache()
         df = fn(spark, SF_DIR)
         out[name] = df._jdf.queryExecution().executedPlan().toString()
     return out

@@ -27,6 +27,7 @@ def main() -> None:
     spark = get_session("plan-budgets", cpus=8)
     budgets = {}
     for name, fn in sorted(entry.queries().items()):
+        spark.catalog.clearCache()  # keep counts order-independent
         plan = (
             fn(spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution()
