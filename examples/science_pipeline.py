@@ -30,7 +30,6 @@ def main() -> None:
     from fink_filters_spark.operators.fits import write_fits
     from fink_filters_spark.operators.fit import rainbow_mc_score_per_key
     from fink_filters_spark.operators.multimodal import stamp_kstest
-    from fink_filters_spark.operators.ml import load_model
     from fink_filters_spark.queries.extras import _DEMO_TDE_MODEL
     from fink_filters_spark.operators.xgb_ubj import XGBEnsemble
     from fink_filters_spark.session import get_session
@@ -55,7 +54,8 @@ def main() -> None:
     ks = stamp_kstest(alerts, "candid", "cutout_science", "cutout_template")
     enriched = alerts.join(ks.withColumnRenamed("doc_id", "candid"), "candid")
     hostless = apply_named_filter(enriched, "ztf.new_hostless")
-    print(f"hostless topic: {hostless.count()} of {alerts.count()} alerts")
+    n_alerts, n_hostless = len(rows), hostless.count()  # one kernel pass
+    print(f"hostless topic: {n_hostless} of {n_alerts} alerts")
 
     # --- 2. Rainbow fit -> MC -> classifier ------------------------------
     ev = load_events(spark, SF_DIR).select(
@@ -68,8 +68,11 @@ def main() -> None:
         ev, model, t_col="t", y_col="v", rebase_div=3_600_000_000,
         max_r_chisq=float("inf"), min_snr_rise_time=0.0,
     )
-    n_valid = scored.filter("valid").count()
-    print(f"TDE scoring loop: {n_valid} accepted of {scored.count()} objects")
+    # one pass over the expensive fit kernel: aggregate both counts at once
+    n_total, n_valid = scored.agg(
+        F.count(F.lit(1)), F.count_if("valid")
+    ).collect()[0]
+    print(f"TDE scoring loop: {n_valid} accepted of {n_total} objects")
 
     # --- 3. exact constellation labels -----------------------------------
     pts = spark.createDataFrame(

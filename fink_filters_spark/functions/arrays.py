@@ -115,14 +115,24 @@ def linfit_r2_double(x: Column, y: Column) -> Column:
     ``linfit_r2`` (which demands exact-integer inputs for oracle parity).
     Matches the reference's per-alert numpy ``r2_score``
     (``filter_yso_spicy_candidates/filter.py:28-76``) on raw (jd, magpsf)
-    histories; NULL when the x or y spread is zero."""
+    histories; NULL when the x or y spread is zero.
+
+    Inputs are CENTERED on their first element before the Σ folds: r² is
+    shift-invariant, and the uncentered ``n·Σx² − (Σx)²`` catastrophically
+    cancels in doubles exactly on the advertised use (raw jd ~2.459e6 with
+    intra-night spreads ~0.04 d: Σx² has ulp ~1e-2 while the true spread
+    statistic is ~0.01 — the naive formula returns 0 or garbage)."""
     zero = F.lit(0.0)
+    x0 = F.element_at(x, 1)
+    y0 = F.element_at(y, 1)
+    xc = F.transform(x, lambda v: v - x0)
+    yc = F.transform(y, lambda v: v - y0)
     n = F.size(x).cast("double")
-    sx = F.aggregate(x, zero, lambda a, v: a + v)
-    sy = F.aggregate(y, zero, lambda a, v: a + v)
-    sxx = F.aggregate(F.transform(x, lambda v: v * v), zero, lambda a, v: a + v)
-    syy = F.aggregate(F.transform(y, lambda v: v * v), zero, lambda a, v: a + v)
-    sxy = F.aggregate(F.zip_with(x, y, lambda a, b: a * b), zero, lambda a, v: a + v)
+    sx = F.aggregate(xc, zero, lambda a, v: a + v)
+    sy = F.aggregate(yc, zero, lambda a, v: a + v)
+    sxx = F.aggregate(F.transform(xc, lambda v: v * v), zero, lambda a, v: a + v)
+    syy = F.aggregate(F.transform(yc, lambda v: v * v), zero, lambda a, v: a + v)
+    sxy = F.aggregate(F.zip_with(xc, yc, lambda a, b: a * b), zero, lambda a, v: a + v)
     sxd = n * sxx - sx * sx
     syd = n * syy - sy * sy
     cov = n * sxy - sx * sy

@@ -283,3 +283,38 @@ def test_udtf_segment_history(spark):
         (1, 1, 1000, 1010, 2), # gap > 100 -> new segment
         (2, 0, 5, 5, 1),
     ]
+
+
+def test_linfit_r2_double_no_catastrophic_cancellation(spark):
+    """Regression: raw ZTF jd values (~2.459e6) with intra-night spread
+    (~0.04 d) catastrophically cancel the uncentered n*Sxx - Sx^2 in
+    doubles (the naive formula returned NULL for a clean r^2=0.996
+    trend); centering on the first element fixes it exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.functions.arrays import linfit_r2_double
+
+    rng = np.random.default_rng(9)
+    jd0 = 2459000.0
+    x = jd0 + np.sort(rng.uniform(0, 0.04, 8))
+    y = 18.0 + 25.0 * (x - jd0) + rng.normal(0, 0.002, 8)
+    # local numpy reference (centered, exact)
+    xc, yc = x - x.mean(), y - y.mean()
+    want = float((xc @ yc) ** 2 / ((xc @ xc) * (yc @ yc)))
+    assert want > 0.9
+
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in x], [float(v) for v in y])],
+        "id long, xs array<double>, ys array<double>",
+    )
+    got = df.select(linfit_r2_double("xs", "ys").alias("r2")).collect()[0].r2
+    assert got is not None, "cancellation regression: r2 must not be NULL"
+    assert abs(got - want) < 1e-9
+    # shift-invariance: same answer on rebased inputs
+    df2 = spark.createDataFrame(
+        [(1, [float(v - jd0) for v in x], [float(v) for v in y])],
+        "id long, xs array<double>, ys array<double>",
+    )
+    got2 = df2.select(linfit_r2_double("xs", "ys").alias("r2")).collect()[0].r2
+    assert abs(got2 - got) < 1e-9
