@@ -123,8 +123,10 @@ def linfit_r2_double(x: Column, y: Column) -> Column:
     intra-night spreads ~0.04 d: Σx² has ulp ~1e-2 while the true spread
     statistic is ~0.01 — the naive formula returns 0 or garbage)."""
     zero = F.lit(0.0)
-    x0 = F.element_at(x, 1)
-    y0 = F.element_at(y, 1)
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at THROW on
+    # an empty array; empty histories must yield NULL like the docstring says
+    x0 = F.try_element_at(x, F.lit(1))
+    y0 = F.try_element_at(y, F.lit(1))
     xc = F.transform(x, lambda v: v - x0)
     yc = F.transform(y, lambda v: v - y0)
     n = F.size(x).cast("double")

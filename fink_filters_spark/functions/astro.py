@@ -89,6 +89,10 @@ def dc_mag(magpsf, sigmapsf, magnr, sigmagnr, isdiffpos) -> Column:
     (fink-utils ``dc_mag``, used at reference
     ``ztf/livestream/filter_kn_candidates/filter.py:242-251``). Sign of the
     difference flux follows ``isdiffpos`` ('t'/'1' -> +1 else -1).
+
+    The error columns participate (no dead parameters): see ``dc_mag_err``
+    for the propagated uncertainty; this function returns the magnitude
+    alone for predicate use.
     """
     m, mr = (F.col(c) if isinstance(c, str) else c for c in (magpsf, magnr))
     sign = F.when((F.col(isdiffpos) if isinstance(isdiffpos, str) else isdiffpos).isin("t", "1"), 1.0).otherwise(-1.0)
@@ -96,6 +100,29 @@ def dc_mag(magpsf, sigmapsf, magnr, sigmagnr, isdiffpos) -> Column:
     fdiff = F.pow(F.lit(10.0), -0.4 * m)
     ftot = fref + sign * fdiff
     return F.when(ftot > 0, F.lit(-2.5) * F.log10(ftot))
+
+
+def dc_mag_err(magpsf, sigmapsf, magnr, sigmagnr, isdiffpos) -> Column:
+    """Propagated uncertainty of ``dc_mag`` (the (mag, err) pair fink-utils'
+    dc_mag returns): standard first-order propagation in flux space,
+
+        sigma_F = sqrt((F_ref*sigmagnr)^2 + (F_psf*sigmapsf)^2)
+        sigma_m = (2.5/ln 10) * sigma_F / F_tot
+
+    NULL when the combined flux is non-positive (same guard as the mag)."""
+    m, mr, sp, sr = (
+        F.col(c) if isinstance(c, str) else c
+        for c in (magpsf, magnr, sigmapsf, sigmagnr)
+    )
+    sign = F.when(
+        (F.col(isdiffpos) if isinstance(isdiffpos, str) else isdiffpos).isin("t", "1"),
+        1.0,
+    ).otherwise(-1.0)
+    fref = F.pow(F.lit(10.0), -0.4 * mr)
+    fdiff = F.pow(F.lit(10.0), -0.4 * m)
+    ftot = fref + sign * fdiff
+    sigma_f = F.sqrt(F.pow(fref * sr, F.lit(2.0)) + F.pow(fdiff * sp, F.lit(2.0)))
+    return F.when(ftot > 0, F.lit(2.5 / math.log(10.0)) * sigma_f / ftot)
 
 
 def grid_cell(ra, dec, cell_deg: float) -> Column:
@@ -110,8 +137,17 @@ def grid_cell(ra, dec, cell_deg: float) -> Column:
     ra_c = (F.col(ra) if isinstance(ra, str) else ra)
     dec_c = (F.col(dec) if isinstance(dec, str) else dec)
     nx = int(math.ceil(360.0 / cell_deg))
-    ix = F.floor(ra_c / F.lit(cell_deg)).cast("long") % nx
-    iy = F.floor((dec_c + 90.0) / F.lit(cell_deg)).cast("long")
+    ny = int(math.ceil(180.0 / cell_deg))
+    # pmod, NOT %: Spark's % is sign-preserving, so ra just below 0 (the
+    # (-180,180] convention, or numeric underflow) would land in a cell the
+    # catalog neighbor ring never produces and silently lose its match
+    ix = F.pmod(F.floor(ra_c / F.lit(cell_deg)).cast("long"), F.lit(nx))
+    # clamp the dec band: dec == +90 exactly would index band ny, one past
+    # the catalog ring's clamped ny-1
+    iy = F.least(
+        F.lit(ny - 1),
+        F.greatest(F.lit(0), F.floor((dec_c + 90.0) / F.lit(cell_deg)).cast("long")),
+    )
     return iy * nx + ix
 
 
@@ -136,8 +172,15 @@ def neighbor_cells(ra, dec, cell_deg: float, radius_deg: float | None = None) ->
     ix = F.floor(ra_c / F.lit(cell_deg)).cast("long")
     iy = F.floor((dec_c + 90.0) / F.lit(cell_deg)).cast("long")
 
-    worst_dec = F.least(F.lit(89.99), F.abs(dec_c) + F.lit(r))
-    sin_half = F.lit(math.sin(r / 2.0 * _D2R)) / F.cos(worst_dec * F.lit(_D2R))
+    # the cone touches the pole whenever |dec|+r >= 90: force the full-ring
+    # fallback THERE (a fixed 89.99 clamp would let tiny radii within
+    # ~0.01 deg of the pole skip the ring and miss cross-pole matches)
+    worst_dec = F.abs(dec_c) + F.lit(r)
+    sin_half = F.when(
+        worst_dec >= 90.0, F.lit(1.0)
+    ).otherwise(
+        F.lit(math.sin(r / 2.0 * _D2R)) / F.cos(worst_dec * F.lit(_D2R))
+    )
     ra_half_deg = 2 * F.asin(F.least(F.lit(1.0), sin_half)) * F.lit(_R2D)
     kx = F.least(
         F.lit(nx // 2),
@@ -207,6 +250,19 @@ def register_sql_functions(spark) -> list[str]:
             "(CASE WHEN isdiffpos IN ('t', '1') THEN 1.0 ELSE -1.0 END) * "
             "pow(10.0, -0.4 * magpsf) > 0 THEN "
             "-2.5 * log10(pow(10.0, -0.4 * magnr) + "
+            "(CASE WHEN isdiffpos IN ('t', '1') THEN 1.0 ELSE -1.0 END) * "
+            "pow(10.0, -0.4 * magpsf)) END"
+        ),
+        "dc_mag_err": (
+            "(magpsf DOUBLE, sigmapsf DOUBLE, magnr DOUBLE, sigmagnr DOUBLE, "
+            "isdiffpos STRING) RETURNS DOUBLE RETURN "
+            "CASE WHEN pow(10.0, -0.4 * magnr) + "
+            "(CASE WHEN isdiffpos IN ('t', '1') THEN 1.0 ELSE -1.0 END) * "
+            "pow(10.0, -0.4 * magpsf) > 0 THEN "
+            f"{2.5 / math.log(10.0)!r} * "
+            "sqrt(pow(pow(10.0, -0.4 * magnr) * sigmagnr, 2) + "
+            "pow(pow(10.0, -0.4 * magpsf) * sigmapsf, 2)) / "
+            "(pow(10.0, -0.4 * magnr) + "
             "(CASE WHEN isdiffpos IN ('t', '1') THEN 1.0 ELSE -1.0 END) * "
             "pow(10.0, -0.4 * magpsf)) END"
         ),

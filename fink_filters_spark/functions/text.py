@@ -60,18 +60,25 @@ def stopword_ratio(text, stopwords: list[str]) -> Column:
     return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def _char_fold(s: Column) -> Column:
+    """The ONE polynomial char-fold everything hashes with:
+    ``fold(acc, c) = (acc * FP_BASE + ascii(c)) % FP_MOD``. Shared by
+    char_fingerprint / word_hashes / shingle_hash so the DuckDB-oracle
+    parity contract cannot drift between copies."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+
+
 def char_fingerprint(text) -> Column:
     """Polynomial rolling hash over characters, mod FP_MOD (document
     fingerprint; exact DuckDB mirror:
     ``list_reduce(list_prepend(0, [ascii(c) for c in split(text,'')]),
     (a, b) -> (a * 31 + b) % FP_MOD)``)."""
     t = F.col(text) if isinstance(text, str) else text
-    chars = F.split(t, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
-    )
+    return _char_fold(t)
 
 
 def word_shingles(text, n: int = 3) -> Column:
@@ -111,14 +118,7 @@ def word_hashes(text) -> Column:
     """Per-token polynomial hashes: array<long>, one char-fold per word."""
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE)
-    return F.transform(
-        toks,
-        lambda s: F.aggregate(
-            F.split(s, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
-        ),
-    )
+    return F.transform(toks, _char_fold)
 
 
 def combine_word_hashes(wh_col: Column | str, n: int = 3, distinct: bool = True) -> Column:
@@ -188,11 +188,4 @@ def redact_pii(text) -> Column:
 def shingle_hash(shingle_col: Column) -> Column:
     """Polynomial hash of one shingle string (same scheme as
     char_fingerprint) — array<string> -> array<long>."""
-    return F.transform(
-        shingle_col,
-        lambda s: F.aggregate(
-            F.split(s, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
-        ),
-    )
+    return F.transform(shingle_col, _char_fold)

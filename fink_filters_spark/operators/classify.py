@@ -30,7 +30,10 @@ def classify(
     """
     nflags = None
     for c in flags.values():
-        term = c.cast("int")
+        # NULL-safe: a single NULL flag (e.g. a NULL feature column) must
+        # count as False, not NULL out the whole sum and silently disable
+        # the Ambiguous branch (pandas reference: NaN comparisons are False)
+        term = F.coalesce(c.cast("int"), F.lit(0))
         nflags = term if nflags is None else nflags + term
     expr = F.when(F.lit(False), F.lit(None))
     if override is not None:

@@ -13,8 +13,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def uniform_sample(df: DataFrame, key: str, modulus: int = 113, residue: int = 0) -> DataFrame:
-    """Keep rows where key % modulus == residue (≈ 1/modulus of the stream)."""
-    return df.filter(F.col(key) % modulus == residue)
+    """Keep rows where key mod modulus == residue (≈ 1/modulus of the stream).
+
+    pmod, not %: the reference's Python ``objectId % 113`` is always
+    non-negative, while Spark's % is sign-preserving — a negative key could
+    never satisfy a positive residue and would be silently unsampleable."""
+    return df.filter(F.pmod(F.col(key), F.lit(modulus)) == residue)
 
 
 def hash_sample(df: DataFrame, key: str, fraction: float, seed: int = 42) -> DataFrame:
@@ -32,5 +36,5 @@ def stratified_mod_sample(df: DataFrame, key: str, strata: Column, moduli: dict)
     'error' events) — the streaming-safe version of sampleBy."""
     cond = F.lit(False)
     for stratum, modulus in moduli.items():
-        cond = cond | ((strata == stratum) & (F.col(key) % modulus == 0))
+        cond = cond | ((strata == stratum) & (F.pmod(F.col(key), F.lit(modulus)) == 0))
     return df.filter(cond)

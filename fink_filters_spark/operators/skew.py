@@ -26,8 +26,17 @@ def salted_join(
 ) -> DataFrame:
     """Exact equi-join with the big side salted and the small side exploded.
 
-    Output columns = big ⋈ small minus the helper salt column.
+    Output columns = big ⋈ small minus the helper salt column. ``how`` is
+    restricted to the joins whose semantics survive small-side replication;
+    right/full outer would null-extend each UNMATCHED small-side row once
+    per salt replica (``salt`` duplicate outputs).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the exploded small side"
+            f" would emit unmatched rows {salt}x under right/full outer joins"
+        )
     big_s = big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
@@ -36,9 +45,20 @@ def salted_join(
 
 
 def salted_group_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
-    """Two-phase grouped count: (key, salt) partial -> key merge."""
+    """Two-phase grouped count: (key, salt) partial -> key merge.
+
+    The salt must be ROW-dependent (hash of every column, same scheme as
+    ``salted_join``): deriving it from the grouping key alone maps all of a
+    hot key's rows to one (key, salt) bucket — the phase-1 shuffle then
+    concentrates exactly like an unsalted groupBy and the operator is a
+    silent no-op for its stated purpose. spark_partition_id is mixed in so
+    even byte-identical duplicate rows spread across the buckets they came
+    from (still deterministic for a fixed input partitioning)."""
     partial = (
-        df.withColumn("__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(salt)))
+        df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*df.columns) + F.spark_partition_id(), F.lit(salt)),
+        )
         .groupBy(key, "__salt")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -23,8 +23,13 @@ def topk_by_key(
     ascending: bool = False,
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """Best row per ``key`` (dedup), then global top-``k`` by ``score``."""
-    direction = F.asc(score) if ascending else F.desc(score)
+    """Best row per ``key`` (dedup), then global top-``k`` by ``score``.
+
+    NULL scores always sort LAST (asc_nulls_last / desc_nulls_last): Spark's
+    plain asc() puts NULL first, which would let null-score rows win both
+    the per-key dedup and the global cut — the pandas reference
+    (sort_values) puts NaN last in either direction."""
+    direction = F.asc_nulls_last(score) if ascending else F.desc_nulls_last(score)
     order = [direction] + ([F.asc(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     best = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -1096,3 +1096,112 @@ def test_rainbow_mc_score_pipeline(spark, tmp_path):
         assert r.frac_scores is not None and 0.0 <= r.frac_scores <= 1.0
     # flat noise: sigmoid rise_time is unconstrained -> snr cut rejects
     assert got1[7].best_score is None and got1[7].valid is False
+
+
+def test_crossmatch_sky_domain_edges(spark):
+    """Regression (review findings): the grid-bucketed cone join must match
+    across the sky-domain edges the synthetic coordinates never hit —
+    slightly-negative ra (the (-180,180] convention), dec exactly +90, and
+    tiny radii right at the pole (full-ring fallback must key off
+    |dec|+r >= 90, not a fixed clamp)."""
+    from fink_filters_spark.operators.crossmatch import crossmatch
+
+    cat = spark.createDataFrame(
+        [
+            (100, 359.9999, 0.0),     # near ra wrap
+            (200, 10.0, 89.995),      # near the pole
+            (300, 200.0, 90.0),       # exactly at the pole band edge
+        ],
+        "cid long, cat_ra double, cat_dec double",
+    )
+    stream = spark.createDataFrame(
+        [
+            (1, -0.0001, 0.0),        # negative ra: same sky point as 359.9999
+            (2, 130.0, 89.9995),      # 120 deg of ra from cid=200, sep ~ tiny
+            (3, 20.0, 90.0),          # at the pole: ra degenerate
+        ],
+        "aid long, ra double, dec double",
+    )
+    # small radius vs 1-degree cells: exercises ring math, not brute force
+    pairs = {
+        (r.aid, r.cid)
+        for r in crossmatch(
+            stream, cat, df_id="aid", radius_deg=0.01, cell_deg=1.0, how="all"
+        ).select("aid", "cid").collect()
+    }
+    assert (1, 100) in pairs  # wrap across ra=0
+    assert (2, 200) in pairs  # cross-pole-region match, 120 deg of ra apart
+    assert (3, 300) in pairs  # dec=+90 exactly still lands in a valid band
+    nearest = {r.aid: r.cid for r in crossmatch(
+        stream, cat, df_id="aid", radius_deg=0.01, cell_deg=1.0
+    ).collect()}
+    # the pole point (dec=90, any ra) is closest to both polar stream rows
+    assert nearest == {1: 100, 2: 300, 3: 300}
+
+
+def test_uniform_sample_negative_keys(spark):
+    """pmod semantics: negative keys sample like the reference's Python %."""
+    from fink_filters_spark.operators.sample import uniform_sample
+
+    df = spark.createDataFrame([(i,) for i in range(-300, 300)], "key long")
+    got = {r.key for r in uniform_sample(df, "key", modulus=113, residue=5).collect()}
+    want = {i for i in range(-300, 300) if i % 113 == 5}  # python %
+    assert got == want and any(k < 0 for k in got)
+
+
+def test_topk_null_scores_sort_last(spark):
+    from fink_filters_spark.operators.topk import topk_by_key
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, "b", 1.0), (4, "b", None)],
+        "id long, key string, score double",
+    )
+    asc = topk_by_key(df, "key", "score", k=2, ascending=True).collect()
+    assert {r.id for r in asc} == {2, 3}  # nulls never win either direction
+    desc = topk_by_key(df, "key", "score", k=2, ascending=False).collect()
+    assert {r.id for r in desc} == {2, 3}
+
+
+def test_classify_null_flag_is_false(spark):
+    from fink_filters_spark.operators.classify import classify
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0, None), (2, 5.0, None, None)],
+        "id long, x double, y double, z double",
+    )
+    flags = {
+        "A": F.col("x") > 1,
+        "B": F.col("y") > 1,
+        "C": F.col("z") > 1,
+    }
+    got = {r.id: r["class"] for r in classify(df, flags).collect()}
+    assert got[1] == "Ambiguous"  # two true flags despite the NULL third
+    assert got[2] == "A"
+
+
+def test_salted_group_count_distributes_hot_key(spark):
+    """The salt must be row-dependent: a hot key's rows must spread over
+    multiple (key, salt) buckets, and how='full' is rejected on
+    salted_join (unmatched small rows would duplicate)."""
+    import pytest as _pytest
+
+    from fink_filters_spark.operators.skew import salted_group_count, salted_join
+
+    hot = spark.range(0, 10000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    ).repartition(8)
+    got = {r.k: r.n for r in salted_group_count(hot, "k", salt=16).collect()}
+    assert got == {"hot": 10000}
+    # distribution check: phase-1 must produce >1 bucket for the hot key
+    n_buckets = (
+        hot.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*hot.columns) + F.spark_partition_id(), F.lit(16)),
+        )
+        .select("__salt").distinct().count()
+    )
+    assert n_buckets > 1
+
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
+    with _pytest.raises(ValueError):
+        salted_join(hot, small, "k", how="full")
