@@ -344,6 +344,172 @@ def decontaminate(
     return df.join(contaminated, id_col, "left_anti")
 
 
+def contamination_fraction(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document contamination score: the fraction of a training doc's
+    DISTINCT word-``n``-gram shingles that also occur anywhere in the
+    evaluation set. The graded companion to ``decontaminate`` — pipelines
+    that can't afford to drop every 1-shingle brush with a benchmark
+    threshold on this fraction instead (e.g. drop if >= 0.8 overlap).
+
+    Output: (id, n_shingles, n_hit, contamination) per training doc that
+    has at least one shingle.
+
+    Scale: same shape as ``decontaminate`` — eval shingles are benchmark-
+    sized and broadcast; the corpus is scanned once, exploded shingles are
+    flagged by a broadcast LEFT join (no shuffle of corpus text), and the
+    per-doc re-aggregation partial-aggregates map-side before the one
+    shuffle on the doc id.
+    """
+    eval_sh = (
+        _hashed_shingled(eval_df, id_col, text_col, n)
+        .select(F.explode("__sh").alias("__s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_sh = _hashed_shingled(df, id_col, text_col, n).select(
+        "__id", F.explode("__sh").alias("__s")
+    )
+    flagged = train_sh.join(F.broadcast(eval_sh), "__s", "left")
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hit"),  # count of non-null = hits
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Exact substring-level duplication profile (the fixed-window form of
+    Lee et al. 2022's ExactSubstr dedup): a length-``n`` token span is
+    *duplicated* when the identical span occurs in >= 2 distinct documents.
+    Per doc, report how many of its spans are duplicated and how many token
+    positions are covered by at least one duplicated span — the quantity a
+    span-trimming rewrite would remove.
+
+    Output: (id, n_spans, n_dup_spans, covered_tokens) per doc with >= n
+    tokens.
+
+    Scale: positional span hashes -> global span frequency is one shuffle
+    keyed by the span hash (inverted index, same shape as the Jaccard
+    postings join, AQE splits hot spans); the flagged spans re-join the
+    postings on the same key, then per-doc counts partial-aggregate before
+    the doc-id shuffle. Interval union is computed exactly by exploding
+    each duplicated span into its n covered positions and counting
+    distinct positions — positions, not pairs, so the explode is O(n x
+    spans), never quadratic.
+    """
+    from ..functions.text import combine_word_hashes, word_hashes
+
+    wh = df.select(F.col(id_col).alias("__id"), word_hashes(text_col).alias("__wh"))
+    spans = wh.filter(F.size("__wh") >= n).select(
+        "__id",
+        F.posexplode(combine_word_hashes("__wh", n, distinct=False)).alias(
+            "__pos", "__g"
+        ),
+    )
+    freq = (
+        spans.groupBy("__g")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__g")
+    )
+    dup = spans.join(freq, "__g", "left_semi")
+    per_dup = dup.groupBy("__id").agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    covered = (
+        dup.select("__id", F.explode(F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))).alias("__p"))
+        .groupBy("__id")
+        .agg(F.count_distinct("__p").alias("covered_tokens"))
+    )
+    totals = spans.groupBy("__id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(per_dup, "__id", "left")
+        .join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid_vec",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings by nearest centroid,
+    then within each cluster drop every vector whose cosine to a LOWER-id
+    cluster-mate reaches ``tau`` (greedy keep-lowest-id, same survivor rule
+    as the text near-dup rewrites). Output: (vec_id, centroid_id, kept
+    0/1) for the whole corpus.
+
+    Scale: this is the semantic-dedup shape that makes all-pairs tractable
+    at 100 TB — the O(N^2) comparison is confined to within-cluster pairs
+    (expected cluster size N/k), expressed as a self equi-join keyed by the
+    centroid id: one shuffle on ``centroid_id``, no broadcast of corpus
+    state, AQE splits skewed clusters. Centroid assignment itself is a
+    broadcast join (centroids are k rows). Quantized-integer cosine keeps
+    the math bit-identical to the DuckDB oracle.
+    """
+    from .similarity import _cos, _quantized, ivf_assign
+
+    assign = ivf_assign(
+        corpus, centroids, c_id=c_id, cent_id=cent_id, c_vec=c_vec, cent_vec=cent_vec
+    ).select("vec_id", "centroid_id")
+    q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq")
+    j = q.join(assign, "vec_id")
+    a = j.select(
+        "centroid_id",
+        F.col("vec_id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__nsq").alias("__na"),
+    )
+    b = j.select(
+        "centroid_id",
+        F.col("vec_id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__nsq").alias("__nb"),
+    )
+    dup = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(_cos("__va", "__vb", "__na", "__nb") >= tau)
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return j.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.when(F.col("__dup").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kept"),
+    )
+
+
 def minhash_signature(sh_col: Column) -> list[Column]:
     """16 minhash values over a hashed-shingle array column (integer math)."""
     hashes = shingle_hash(sh_col)

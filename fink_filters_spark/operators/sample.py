@@ -31,6 +31,41 @@ def hash_sample(df: DataFrame, key: str, fraction: float, seed: int = 42) -> Dat
     return df.filter(bucket < threshold)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    key: str,
+    source_col: str,
+    rate_col: str = "rate_permille",
+    default_permille: int = 1000,
+    mult: int = 2654435761,
+) -> DataFrame:
+    """Deterministic dataset-mixture sampling: down-weight each source to a
+    target rate (per-mille) from a small rates dimension — the "mix N
+    corpora at fixed proportions" step of a pretraining data pipeline.
+
+    A row survives iff ``(key * knuth) pmod 1000 < rate(source)``; sources
+    absent from the rates table keep ``default_permille``. Multiplicative
+    hashing makes the verdict a pure per-row predicate — reproducible
+    across retries/restarts (same property as ``uniform_sample``), no RNG
+    state, and subset-invariant: a doc keeps the same fate when the corpus
+    around it grows.
+
+    Scale: the rates table is corpus-count-sized (tens of rows) and
+    broadcast; the survival filter is per-row arithmetic after the
+    broadcast join — one corpus scan, zero shuffles.
+    """
+    r = rates.select(
+        F.col(source_col).alias("__src"), F.col(rate_col).alias("__rate")
+    )
+    bucket = F.pmod(F.col(key) * F.lit(mult), F.lit(1000))
+    return (
+        df.join(F.broadcast(r), df[source_col] == F.col("__src"), "left")
+        .filter(bucket < F.coalesce(F.col("__rate"), F.lit(default_permille)))
+        .drop("__src", "__rate")
+    )
+
+
 def stratified_mod_sample(df: DataFrame, key: str, strata: Column, moduli: dict) -> DataFrame:
     """Per-stratum modulus sampling (e.g. keep 1/10 of 'view' events but all
     'error' events) — the streaming-safe version of sampleBy."""

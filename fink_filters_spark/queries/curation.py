@@ -13,10 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import PII_PATTERNS, combine_word_hashes, pii_counts, word_hashes
-from ..operators.dedup import decontaminate
+from ..operators.dedup import contamination_fraction, decontaminate, duplicated_spans
+from ..operators.sample import mixture_sample
 from ..tables import load_table
 from . import QuerySpec
-from .dedup import SHH3_SQL
+from .dedup import SHH3_SQL, TOKS_SQL, _hash_sql
 
 EVAL_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
 
@@ -41,6 +42,115 @@ SELECT d.doc_id
 FROM documents d
 WHERE d.doc_id % {EVAL_MOD} <> 0
   AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def pipe_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: per training doc, the fraction of its
+    distinct word-3-gram shingles that occur anywhere in the eval slice
+    (doc_id % 97 == 0) — the thresholdable companion to the binary
+    ``pipe_decontaminate`` drop (operators/dedup.py
+    ``contamination_fraction``: broadcast eval shingles, one corpus scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return contamination_fraction(train, ev, "doc_id", "text", n=3)
+
+
+CONTAM_FRAC_SQL = f"""
+WITH s AS ({SHH3_SQL}),
+ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT tr.doc_id,
+       count(*) AS n_shingles,
+       count(e.g) AS n_hit,
+       round(CAST(count(e.g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS contamination
+FROM tr LEFT JOIN ev e ON tr.g = e.g
+GROUP BY tr.doc_id
+"""
+
+
+SPAN_N = 5  # duplicated-span window (tokens)
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication profile: per doc, how many of its
+    5-token spans occur verbatim in >= 2 distinct docs, and how many token
+    positions those spans cover (the trim set of an ExactSubstr-style
+    rewrite). operators/dedup.py ``duplicated_spans``: inverted-index
+    shuffle on the span hash, position-explode interval union."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", n=SPAN_N)
+
+
+_SPAN_G = "wh[i]"
+for _j in range(1, SPAN_N):
+    _SPAN_G = f"({_SPAN_G} * 37 + wh[i+{_j}]) % 66571993087"
+
+DEDUP_SUBSTR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_transform(toks, s -> {_hash_sql('s')}) AS wh
+  FROM ({TOKS_SQL})
+),
+sp AS (
+  SELECT doc_id, t.i - 1 AS pos, {_SPAN_G} AS g
+  FROM w CROSS JOIN LATERAL unnest(generate_series(1, len(wh) - {SPAN_N - 1}))
+           AS t(i)
+  WHERE len(wh) >= {SPAN_N}
+),
+freq AS (SELECT g FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT sp.* FROM sp WHERE g IN (SELECT g FROM freq)),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos + u.j) AS covered_tokens
+  FROM dup CROSS JOIN LATERAL unnest(generate_series(0, {SPAN_N - 1})) AS u(j)
+  GROUP BY doc_id
+),
+nd AS (SELECT doc_id, count(*) AS n_dup_spans FROM dup GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_spans,
+       coalesce(nd.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(cov.covered_tokens, 0) AS covered_tokens
+FROM tot
+LEFT JOIN nd USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+"""
+
+
+MIX_MULT = 2654435761  # Knuth multiplicative-hash constant (as pipe_kfold)
+MIX_RATES = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
+MIX_DEFAULT = 700
+
+
+def pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling: down-weight each source to a target
+    per-mille rate (src0 keep-all ... src3 1/8, everything else 70%) via
+    the deterministic multiplicative-hash survival test, then report the
+    post-mix per-source composition. operators/sample.py
+    ``mixture_sample``: broadcast rates dim, zero-shuffle filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in MIX_RATES.items()], "source string, rate_permille int"
+    )
+    kept = mixture_sample(
+        docs, rates, key="doc_id", source_col="source",
+        default_permille=MIX_DEFAULT, mult=MIX_MULT,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_mix_case = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items()
+) + f" ELSE {MIX_DEFAULT} END"
+
+MIXTURE_SQL = f"""
+SELECT source, count(*) AS n_kept, sum(n_chars) AS sum_chars
+FROM documents
+WHERE (doc_id * {MIX_MULT}) % 1000 < {_mix_case}
+GROUP BY source
 """
 
 
@@ -186,4 +296,10 @@ SPECS = [
               "PII redaction scrub pass (chained regexp_replace, byte-pinned)"),
     QuerySpec("pipe_shuffle_shard", pipe_shuffle_shard, SHUFFLE_SQL,
               "deterministic md5 shuffle-sharding (no sort, no shuffle)"),
+    QuerySpec("pipe_contamination_frac", pipe_contamination_frac, CONTAM_FRAC_SQL,
+              "per-doc eval-overlap fraction (graded decontamination)"),
+    QuerySpec("dedup_substring", dedup_substring, DEDUP_SUBSTR_SQL,
+              "cross-doc duplicated 5-token spans + trim coverage (ExactSubstr)"),
+    QuerySpec("pipe_mixture", pipe_mixture, MIXTURE_SQL,
+              "deterministic per-source mixture sampling (broadcast rates dim)"),
 ]

@@ -329,8 +329,55 @@ FROM (
 """
 
 
+SEMDEDUP_TAU = 0.4
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-prune embedding dedup — assign every vector
+    to its nearest seed centroid, drop vectors with a lower-id cluster-mate
+    at cosine >= tau (operators/dedup.py ``semantic_dedup``). The all-pairs
+    comparison is confined to within-cluster pairs, so the one heavy join
+    shuffles on the centroid id — the shape that keeps semantic dedup
+    tractable at corpus scale."""
+    from ..operators.dedup import semantic_dedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    centroids = em.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return semantic_dedup(em, centroids, tau=SEMDEDUP_TAU)
+
+
+SEMDEDUP_SQL = f"""
+WITH q AS ({QVEC_SQL}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, b.vec_id AS centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS_RAW} DESC, b.vec_id ASC
+           ) AS rn
+    FROM q a JOIN q b ON b.vec_id < {N_CENTROIDS}
+  ) WHERE rn = 1
+),
+j AS (SELECT q.vec_id, q.qv, assign.centroid_id
+      FROM q JOIN assign ON q.vec_id = assign.vec_id),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM j a JOIN j b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COS_RAW} >= {SEMDEDUP_TAU}
+)
+SELECT j.vec_id, j.centroid_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM j LEFT JOIN dup d ON j.vec_id = d.vec_id
+"""
+
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
+    QuerySpec("dedup_semantic", q_dedup_semantic, SEMDEDUP_SQL,
+              "SemDeDup cluster-then-prune embedding dedup (shuffle on centroid)"),
     QuerySpec("sim_centroid_train", q_sim_centroids, SIM_CENTROID_SQL,
               "per-label mean embedding (IVF k-means update step)"),
     QuerySpec("sim_ivf_assign", q_sim_ivf_assign, SIM_IVF_SQL, "IVF coarse-quantizer assignment"),

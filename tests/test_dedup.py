@@ -255,3 +255,100 @@ def test_redact_pii_on_crafted_strings(spark):
         "ticket <DIGIT_RUN> opened",
         "no pii here at all",
     ]
+
+
+def test_contamination_fraction_counts(spark):
+    """Known shingle overlap: doc sharing k of its m distinct 3-grams with
+    the eval set scores k/m; a disjoint doc scores 0."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.dedup import contamination_fraction
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                # doc 1: 3 distinct 3-grams, exactly one ("c d e") in eval
+                "text": ["a b c d e", "p q r s t"],
+            }
+        )
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["x c d e y"]})
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination_fraction(train, ev, "doc_id", "text", n=3).collect()
+    }
+    assert rows[1].n_shingles == 3 and rows[1].n_hit == 1
+    assert abs(rows[1].contamination - 1 / 3) < 1e-6
+    assert rows[2].n_shingles == 3 and rows[2].n_hit == 0
+    assert rows[2].contamination == 0.0
+
+
+def test_duplicated_spans_matches_python_replica(corpus):
+    """Per-doc duplicated-span counts and interval-union coverage equal an
+    independent per-doc python computation on the planted-dup corpus."""
+    from fink_filters_spark.operators.dedup import duplicated_spans
+
+    df, pdf = corpus
+    n = 5
+    spans = {}  # doc -> list of (pos, gram)
+    for r in pdf.itertuples():
+        w = r.text.lower().split()
+        spans[r.doc_id] = [
+            (i, " ".join(w[i : i + n])) for i in range(len(w) - n + 1)
+        ]
+    owners = {}
+    for d, sp in spans.items():
+        for _, g in sp:
+            owners.setdefault(g, set()).add(d)
+    expected = {}
+    for d, sp in spans.items():
+        dup = [(p, g) for p, g in sp if len(owners[g]) >= 2]
+        cov = set()
+        for p, _ in dup:
+            cov.update(range(p, p + n))
+        expected[d] = (len(sp), len(dup), len(cov))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.covered_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expected
+    # the planted exact duplicate (doc 81 copies doc 1) must be fully covered
+    assert got[81][2] == len(pdf.text[81].split())
+
+
+def test_semantic_dedup_cluster_confinement(spark):
+    """Within-cluster near-identical pair -> higher id dropped; an equally
+    similar CROSS-cluster pair survives (the documented SemDeDup
+    approximation: comparisons are confined to a cluster)."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.dedup import semantic_dedup
+
+    # centroids: e0 and e1 axes; vecs 10/11 ~ e0 (near-dups of each other),
+    # 12 ~ e1, 13 ~ e1 but also near-dup of nothing in its cluster
+    vecs = {
+        10: [1.0, 0.02, 0.0],
+        11: [0.99, 0.0, 0.01],   # cos(10,11) ~ 1 -> dropped (same cluster)
+        12: [0.0, 1.0, 0.03],
+        13: [0.02, 0.98, -0.01],  # cos(12,13) ~ 1 -> dropped (same cluster)
+        14: [0.7, -0.7, 0.0],     # closer to e0 cluster, far from 10/11
+    }
+    em = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": list(vecs), "embedding": [vecs[k] for k in vecs]}
+        )
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {"centroid_id": [0, 1],
+             "centroid_vec": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]}
+        )
+    )
+    out = {r.vec_id: r for r in semantic_dedup(em, cents, tau=0.9).collect()}
+    assert out[10].kept == 1 and out[11].kept == 0  # lower id survives
+    assert out[12].kept == 1 and out[13].kept == 0
+    assert out[14].kept == 1  # same cluster as 10/11 but cos < tau
+    assert out[10].centroid_id == 0 and out[12].centroid_id == 1

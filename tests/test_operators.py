@@ -1205,3 +1205,42 @@ def test_salted_group_count_distributes_hot_key(spark):
     small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, w int")
     with _pytest.raises(ValueError):
         salted_join(hot, small, "k", how="full")
+
+
+def test_mixture_sample_rates_and_subset_invariance(spark):
+    """Per-source keep rates track the requested per-mille targets, absent
+    sources fall back to the default, and a doc's fate is independent of
+    what else is in the corpus (pure per-row predicate)."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.sample import mixture_sample
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "source": [f"s{i % 4}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rates = spark.createDataFrame(
+        [("s0", 1000), ("s1", 500), ("s2", 125)],
+        "source string, rate_permille int",
+    )
+    kept = mixture_sample(df, rates, key="doc_id", source_col="source",
+                          default_permille=250)
+    counts = {r.source: r.n for r in
+              kept.groupBy("source").agg(__import__("pyspark").sql.functions
+                                         .count("*").alias("n")).collect()}
+    per_source = n // 4
+    assert counts["s0"] == per_source                      # keep-all exact
+    assert abs(counts["s1"] / per_source - 0.5) < 0.08     # ~half
+    assert abs(counts["s2"] / per_source - 0.125) < 0.05   # ~1/8
+    assert abs(counts["s3"] / per_source - 0.25) < 0.08    # default ~1/4
+
+    # subset invariance: the same doc survives regardless of corpus context
+    sub = mixture_sample(df.filter("doc_id < 1000"), rates, key="doc_id",
+                         source_col="source", default_permille=250)
+    full_ids = {r.doc_id for r in kept.filter("doc_id < 1000").collect()}
+    sub_ids = {r.doc_id for r in sub.collect()}
+    assert full_ids == sub_ids
