@@ -9,12 +9,13 @@ collected (post-filter cardinality is tiny by construction), formatted, and
 handed to a transport with retry/backoff. Exactly-once-ish delivery comes
 from the (batch_id, row key) idempotency key.
 
-Transports are pluggable; the default ``CollectingTransport`` records
-payloads in memory / to a local directory — the HTTP clients
-(slack_sdk / python-telegram-bot / requests) are NOT available in this
-offline container, so the webhook POST itself is stubbed behind the
-Transport interface (clearly marked), while batching, formatting, retry,
-and idempotency logic are real and tested.
+Transports are pluggable: ``CollectingTransport`` records payloads in
+memory / to a local JSONL (the offline default), and ``HttpTransport`` /
+``SlackTransport`` / ``TelegramTransport`` are REAL stdlib-urllib JSON
+clients (``fink_filters_spark.net``) — the container has no external
+network, so tests exercise them against an in-process loopback
+``http.server`` (including 429 Retry-After pacing); batching, formatting,
+retry, and idempotency logic are shared across all transports.
 """
 
 from __future__ import annotations
@@ -70,30 +71,73 @@ class FlakyTransport(Transport):
         self.sent.append(payload)
 
 
-class SlackTransport(Transport):  # pragma: no cover - requires network
-    """B6: Slack webhook/WebClient transport — STUB.
+class HttpTransport(Transport):
+    """Generic JSON-webhook transport over the stdlib HTTP layer
+    (``fink_filters_spark.net``) — a REAL client, loopback-tested
+    in-container; rate limits (429 Retry-After) surface as retryable
+    TransportError so RetryPolicy honors the server's pacing."""
 
-    Reference behavior being reproduced: webhook POST per candidate gated by
-    KNWEBHOOK* env vars (``filter_kn_candidates/filter.py:321-333``) and
-    slack_sdk file upload + chat_postMessage
-    (``filter_anomaly_notification/filter_utils.py:269-326``).
-    """
-
-    def __init__(self, webhook_env: str = "KNWEBHOOK"):
-        self.webhook_env = webhook_env
-
-    def send(self, payload: dict) -> None:
-        raise NotImplementedError(
-            "offline container: no HTTP client; wire requests.post(webhook, json=payload)"
-        )
-
-
-class TelegramTransport(Transport):  # pragma: no cover - requires network
-    """B7: Telegram bot transport gated by FINK_TG_TOKEN — STUB
-    (reference ``filter_early_sn_candidates/filter.py:182-211``)."""
+    def __init__(self, url: str, timeout: float = 10.0,
+                 headers: dict | None = None):
+        self.url = url
+        self.timeout = timeout
+        self.headers = headers or {}
 
     def send(self, payload: dict) -> None:
-        raise NotImplementedError("offline container: no HTTP client")
+        from ..net import HttpError, http_post_json
+
+        try:
+            http_post_json(self.url, payload, timeout=self.timeout,
+                           headers=self.headers)
+        except HttpError as e:
+            raise TransportError(str(e), retry_after=e.retry_after) from e
+
+
+class SlackTransport(HttpTransport):
+    """B6: Slack incoming-webhook transport. Reference behavior being
+    reproduced: webhook POST per candidate gated by KNWEBHOOK* env vars
+    (``filter_kn_candidates/filter.py:321-333``) and slack_sdk
+    chat_postMessage (``filter_anomaly_notification/filter_utils.py:269-326``).
+    The webhook URL comes from the same env-var convention; the payload is
+    Slack's ``{"text": ...}`` shape (non-text keys ride along)."""
+
+    def __init__(self, webhook_env: str = "KNWEBHOOK",
+                 url: str | None = None, timeout: float = 10.0):
+        import os
+
+        resolved = url or os.environ.get(webhook_env, "")
+        if not resolved:
+            raise ValueError(f"no Slack webhook: set ${webhook_env} or pass url=")
+        super().__init__(resolved, timeout=timeout)
+
+    def send(self, payload: dict) -> None:
+        if "text" not in payload:
+            payload = {"text": json.dumps(payload, default=str), **payload}
+        super().send(payload)
+
+
+class TelegramTransport(HttpTransport):
+    """B7: Telegram bot transport gated by FINK_TG_TOKEN (reference
+    ``filter_early_sn_candidates/filter.py:182-211``): POST to the bot
+    API's sendMessage method with a fixed chat id. ``api_base`` is
+    overridable so tests point it at a loopback server."""
+
+    def __init__(self, chat_id: str, token_env: str = "FINK_TG_TOKEN",
+                 token: str | None = None,
+                 api_base: str = "https://api.telegram.org",
+                 timeout: float = 10.0):
+        import os
+
+        tok = token or os.environ.get(token_env, "")
+        if not tok:
+            raise ValueError(f"no Telegram token: set ${token_env} or pass token=")
+        self.chat_id = chat_id
+        super().__init__(f"{api_base}/bot{tok}/sendMessage", timeout=timeout)
+
+    def send(self, payload: dict) -> None:
+        text = payload.get("text") or json.dumps(payload, default=str)
+        super().send({"chat_id": self.chat_id, "text": text,
+                      "parse_mode": "markdown"})
 
 
 @dataclass

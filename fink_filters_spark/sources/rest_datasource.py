@@ -8,11 +8,13 @@ page, so a 10k-page catalog pull fans out across the cluster instead of
 serializing through the driver, and the result is an ordinary DataFrame
 that joins/broadcasts like any other.
 
-The HTTP fetch is pluggable (``fetcher`` option names a dotted callable:
-``page_index -> list[dict]``); the default is a deterministic offline
-synthesizer so the source is testable in this container. Swap the fetcher
-for a requests-based one in production — partitioning, schema and task
-shape stay identical.
+The HTTP fetch is pluggable: the ``url`` option enables the REAL stdlib
+HTTP fetcher (GET ``{url}?page=N`` returning a JSON array of records,
+executed ON THE EXECUTOR owning that page's task — loopback-tested in
+this container); the ``fetcher`` option names a dotted callable
+``page_index -> list[dict]`` for custom clients; the default is a
+deterministic offline synthesizer. Partitioning, schema and task shape
+stay identical across all three.
 """
 
 from __future__ import annotations
@@ -46,6 +48,21 @@ def default_fetcher(page: int) -> Sequence[dict]:
     ]
 
 
+def _resolve_fetcher(fetcher_path: str, url: str):
+    """Pick the page fetcher: real HTTP (``url``), dotted custom callable
+    (``fetcher``), or the offline synthesizer. Resolved inside the task
+    (executor-side), never pickled."""
+    if url:
+        from ..net import http_get_json
+
+        sep = "&" if "?" in url else "?"
+        return lambda page: http_get_json(f"{url}{sep}page={page}") or []
+    if fetcher_path:
+        mod, _, fn = fetcher_path.rpartition(".")
+        return getattr(importlib.import_module(mod), fn)
+    return default_fetcher
+
+
 class _PagePartition(InputPartition):
     def __init__(self, page: int):
         self.page = page
@@ -56,16 +73,13 @@ class RestSnapshotReader(DataSourceReader):
         self._schema = schema
         self._n_pages = int(options.get("pages", "4"))
         self._fetcher_path = options.get("fetcher", "")
+        self._url = options.get("url", "")
 
     def partitions(self):  # one Spark task per REST page
         return [_PagePartition(p) for p in range(self._n_pages)]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
-        if self._fetcher_path:
-            mod, _, fn = self._fetcher_path.rpartition(".")
-            fetch = getattr(importlib.import_module(mod), fn)
-        else:
-            fetch = default_fetcher
+        fetch = _resolve_fetcher(self._fetcher_path, self._url)
         names = [f.name for f in self._schema.fields]
         for rec in fetch(partition.page):
             yield tuple(rec.get(n) for n in names)
@@ -104,12 +118,10 @@ class RestPollStreamReader(SimpleDataSourceStreamReader):
         self._pages_per_batch = int(options.get("pagesPerBatch", "1"))
         self._max_pages = int(options.get("maxPages", "4"))
         self._fetcher_path = options.get("fetcher", "")
+        self._url = options.get("url", "")
 
     def _fetch(self, page: int) -> Sequence[dict]:
-        if self._fetcher_path:
-            mod, _, fn = self._fetcher_path.rpartition(".")
-            return getattr(importlib.import_module(mod), fn)(page)
-        return default_fetcher(page)
+        return _resolve_fetcher(self._fetcher_path, self._url)(page)
 
     def _rows(self, p0: int, p1: int) -> list[tuple]:
         names = [f.name for f in self._schema.fields]

@@ -19,6 +19,7 @@ NESTED_LOOP_ALLOWED = {
     "text_tfidf",  # 1-row corpus-count cross join (broadcast NLJ is the right plan)
     "sim_knn_bruteforce",  # query-set x corpus broadcast NLJ
     "sim_ivf_assign",  # corpus x centroids broadcast NLJ
+    "dedup_semantic",  # composes sim_ivf_assign's corpus x centroids broadcast NLJ
     "sim_ivf_search",  # probe join includes a non-equi condition
     "sim_ivf_recall",  # composes sim_knn_bruteforce + sim_ivf_search above
     "q22_idle_customers",  # 1-row scalar-aggregate cross join (broadcast NLJ is the right plan)

@@ -60,6 +60,9 @@ HEADLINERS = [
     "sim_ivf_search",
     "dedup_ngram_jaccard",
     "q_upsert_merge",
+    "dedup_substring",
+    "pipe_contamination_frac",
+    "pipe_mixture",
 ]
 
 
@@ -126,6 +129,35 @@ def main() -> None:
         rows.append((name, times["sf0.1"], times["10x"], ratio))
         print(f"# {name}: {times['sf0.1']:.2f}s -> {times['10x']:.2f}s "
               f"({ratio:.1f}x)", file=sys.stderr)
+
+    # dedup_semantic with k ∝ N: the SemDeDup contract is that centroid
+    # count grows with the corpus so the expected cluster SIZE stays
+    # constant (with k fixed, within-cluster pairs grow quadratically by
+    # construction — that's a deployment misconfiguration, not a plan
+    # property). Measure the operator the way it is deployed: 8 centroids
+    # at sf0.1, 80 at 10x.
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.dedup import semantic_dedup
+
+    times = {}
+    for label, d, k in (("sf0.1", SRC, 8), ("10x", DST, 80)):
+        em = spark.read.parquet(f"{d}/embeddings.parquet")
+        cents = em.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            semantic_dedup(em, cents, tau=0.4).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[label] = best
+    ratio = times["10x"] / times["sf0.1"]
+    rows.append(("dedup_semantic (k∝N)", times["sf0.1"], times["10x"], ratio))
+    print(f"# dedup_semantic(k∝N): {times['sf0.1']:.2f}s -> "
+          f"{times['10x']:.2f}s ({ratio:.1f}x)", file=sys.stderr)
     with open("STRESS.md", "w") as f:
         f.write(
             "# STRESS — 10x key-shifted replication of sf0.1 (~6M lineitem "
