@@ -44,7 +44,14 @@ def _do(req: urllib.request.Request, timeout: float):
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             body = resp.read()
-            return json.loads(body) if body else None
+            if not body:
+                return None
+            try:
+                return json.loads(body)
+            except ValueError:
+                # 2xx with a non-JSON body is still success — real Slack
+                # incoming webhooks answer 200 with the literal text "ok"
+                return body.decode(errors="replace")
     except urllib.error.HTTPError as e:
         raise HttpError(
             f"HTTP {e.code} from {req.full_url}",

@@ -420,13 +420,21 @@ def duplicated_spans(
     """
     from ..functions.text import combine_word_hashes, word_hashes
 
-    wh = df.select(F.col(id_col).alias("__id"), word_hashes(text_col).alias("__wh"))
+    wh = _spread(df).select(
+        F.col(id_col).alias("__id"), word_hashes(text_col).alias("__wh")
+    )
     spans = wh.filter(F.size("__wh") >= n).select(
         "__id",
         F.posexplode(combine_word_hashes("__wh", n, distinct=False)).alias(
             "__pos", "__g"
         ),
     )
+    # cache barrier: spans feeds four aggregation subtrees (freq, the semi
+    # join, per-doc counts, coverage) — without it the tokenize+char-fold
+    # pipeline re-evaluates per subtree, and projection collapse would
+    # inline word_hashes into every element_at of the combine stage (the
+    # O(words x shingles) trap documented on _hashed_shingled_native)
+    spans = spans.cache()
     freq = (
         spans.groupBy("__g")
         .agg(F.count_distinct("__id").alias("__nd"))
@@ -498,6 +506,10 @@ def semantic_dedup(
     dup = (
         a.join(b, "centroid_id")
         .filter(F.col("__ida") < F.col("__idb"))
+        # zero-norm guard: 0/0 is NaN and Spark orders NaN above every
+        # number, so an unguarded NaN >= tau would mark a zero vector's
+        # whole cluster as duplicates (same convention as embedding_pairs)
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
         .filter(_cos("__va", "__vb", "__na", "__nb") >= tau)
         .select(F.col("__idb").alias("vec_id"))
         .distinct()

@@ -38,8 +38,18 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alia
 
 
 def _cos(av, bv, ansq, bnsq) -> "F.Column":
-    # same expression tree as cosine_sim_q: dot / sqrt(na) / sqrt(nb)
-    return dot_q(F.col(av), F.col(bv)).cast("double") / F.sqrt(F.col(ansq)) / F.sqrt(F.col(bnsq))
+    # same expression tree as cosine_sim_q: dot / sqrt(na) / sqrt(nb).
+    # Zero-norm guard via when(): under ANSI mode (Spark 4 default) 0/0 is
+    # a hard DIVIDE_BY_ZERO error, and when() is the only form guaranteed
+    # not to evaluate the division for guarded rows (a separate filter
+    # conjunct may be reordered). Zero vectors get NULL cosine: excluded by
+    # >= tau filters, ordered last by desc sorts.
+    return F.when(
+        (F.col(ansq) > 0) & (F.col(bnsq) > 0),
+        dot_q(F.col(av), F.col(bv)).cast("double")
+        / F.sqrt(F.col(ansq))
+        / F.sqrt(F.col(bnsq)),
+    )
 
 
 def knn_bruteforce(

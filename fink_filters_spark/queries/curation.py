@@ -146,10 +146,12 @@ _mix_case = "CASE source " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items()
 ) + f" ELSE {MIX_DEFAULT} END"
 
+# ((x % m) + m) % m is DuckDB's sign-preserving % folded to Spark's pmod,
+# so negative keys sample at their stated rate in both engines
 MIXTURE_SQL = f"""
 SELECT source, count(*) AS n_kept, sum(n_chars) AS sum_chars
 FROM documents
-WHERE (doc_id * {MIX_MULT}) % 1000 < {_mix_case}
+WHERE ((doc_id * {MIX_MULT}) % 1000 + 1000) % 1000 < {_mix_case}
 GROUP BY source
 """
 

@@ -366,7 +366,9 @@ dup AS (
   SELECT DISTINCT b.vec_id
   FROM j a JOIN j b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE {_COS_RAW} >= {SEMDEDUP_TAU}
+  WHERE CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) > 0
+    AND CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) > 0
+    AND {_COS_RAW} >= {SEMDEDUP_TAU}
 )
 SELECT j.vec_id, j.centroid_id,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept

@@ -82,6 +82,7 @@ class HttpTransport(Transport):
         self.url = url
         self.timeout = timeout
         self.headers = headers or {}
+        self._secret = ""  # subclasses set this to redact it from errors
 
     def send(self, payload: dict) -> None:
         from ..net import HttpError, http_post_json
@@ -90,7 +91,10 @@ class HttpTransport(Transport):
             http_post_json(self.url, payload, timeout=self.timeout,
                            headers=self.headers)
         except HttpError as e:
-            raise TransportError(str(e), retry_after=e.retry_after) from e
+            msg = str(e)
+            if self._secret:  # keep credentials out of logs/exceptions
+                msg = msg.replace(self._secret, "***")
+            raise TransportError(msg, retry_after=e.retry_after) from e
 
 
 class SlackTransport(HttpTransport):
@@ -125,19 +129,30 @@ class TelegramTransport(HttpTransport):
     def __init__(self, chat_id: str, token_env: str = "FINK_TG_TOKEN",
                  token: str | None = None,
                  api_base: str = "https://api.telegram.org",
-                 timeout: float = 10.0):
+                 timeout: float = 10.0,
+                 parse_mode: str | None = None):
         import os
 
         tok = token or os.environ.get(token_env, "")
         if not tok:
             raise ValueError(f"no Telegram token: set ${token_env} or pass token=")
         self.chat_id = chat_id
+        # default plain text: parse_mode="MarkdownV2" makes the Bot API
+        # REJECT any message with unbalanced metacharacters (survey ids
+        # like ZTF21_abc contain '_'), so markup is strictly opt-in and the
+        # caller owns the escaping
+        self.parse_mode = parse_mode
         super().__init__(f"{api_base}/bot{tok}/sendMessage", timeout=timeout)
+        self._secret = tok  # never let the bot token reach logs
 
     def send(self, payload: dict) -> None:
-        text = payload.get("text") or json.dumps(payload, default=str)
-        super().send({"chat_id": self.chat_id, "text": text,
-                      "parse_mode": "markdown"})
+        text = payload.get("text")
+        if text is None:
+            text = json.dumps(payload, default=str)
+        body = {"chat_id": self.chat_id, "text": text}
+        if self.parse_mode:
+            body["parse_mode"] = self.parse_mode
+        super().send(body)
 
 
 @dataclass

@@ -352,3 +352,27 @@ def test_semantic_dedup_cluster_confinement(spark):
     assert out[12].kept == 1 and out[13].kept == 0
     assert out[14].kept == 1  # same cluster as 10/11 but cos < tau
     assert out[10].centroid_id == 0 and out[12].centroid_id == 1
+
+
+def test_semantic_dedup_zero_vector_harmless(spark):
+    """A zero (or sub-quantization) vector yields NaN cosine; Spark orders
+    NaN above every number, so without the norm guard it would falsely
+    mark its whole cluster as duplicates."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.dedup import semantic_dedup
+
+    em = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                # vec 1 quantizes to all-zero; 2 and 3 are dissimilar
+                "embedding": [[1e-8, 1e-8], [1.0, 0.0], [0.0, 1.0]],
+            }
+        )
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame({"centroid_id": [0], "centroid_vec": [[1.0, 1.0]]})
+    )
+    out = {r.vec_id: r.kept for r in semantic_dedup(em, cents, tau=0.5).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}  # nobody dropped by a NaN cosine

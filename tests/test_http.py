@@ -27,6 +27,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _text(self, code: int, body: bytes) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
         state = self.server.state  # type: ignore[attr-defined]
         if self.path.startswith("/pages"):
@@ -45,6 +52,10 @@ class _Handler(BaseHTTPRequestHandler):
         state = self.server.state  # type: ignore[attr-defined]
         n = int(self.headers.get("Content-Length", "0"))
         payload = json.loads(self.rfile.read(n)) if n else None
+        if self.path == "/slack":  # real Slack webhooks answer plain "ok"
+            state["posts"].append((self.path, payload))
+            self._text(200, b"ok")
+            return
         if self.path == "/flaky":
             state["flaky_hits"] += 1
             if state["flaky_hits"] == 1:
@@ -91,14 +102,37 @@ def test_slack_and_telegram_transports_deliver(server, monkeypatch):
     assert payload["objectId"] == "ZTF1"
 
     monkeypatch.setenv("FINK_TG_TOKEN", "tok123")
-    TelegramTransport(chat_id="@chan", api_base=base).send({"text": "hi"})
+    # default is PLAIN text (no parse_mode): unescaped survey ids like
+    # ZTF21_abc would make MarkdownV2 sends fail server-side
+    TelegramTransport(chat_id="@chan", api_base=base).send({"text": "hi_x"})
     path, payload = state["posts"][-1]
     assert path == "/bottok123/sendMessage"
-    assert payload == {"chat_id": "@chan", "text": "hi",
-                       "parse_mode": "markdown"}
+    assert payload == {"chat_id": "@chan", "text": "hi_x"}
+    TelegramTransport(chat_id="@chan", api_base=base,
+                      parse_mode="MarkdownV2").send({"text": "ok"})
+    assert state["posts"][-1][1]["parse_mode"] == "MarkdownV2"
 
     with pytest.raises(ValueError):
         SlackTransport(webhook_env="UNSET_ENV_VAR_XYZ")
+
+
+def test_telegram_token_redacted_from_errors(monkeypatch):
+    from fink_filters_spark.sinks import TelegramTransport, TransportError
+
+    tr = TelegramTransport(chat_id="@c", token="sekrit42",
+                           api_base="http://127.0.0.1:1")
+    with pytest.raises(TransportError) as ei:
+        tr.send({"text": "x"})
+    assert "sekrit42" not in str(ei.value)
+    assert "***" in str(ei.value)
+
+
+def test_non_json_2xx_body_is_success(server):
+    from fink_filters_spark.net import http_post_json
+
+    base, state = server
+    assert http_post_json(f"{base}/slack", {"text": "t"}) == "ok"
+    assert state["posts"][-1] == ("/slack", {"text": "t"})
 
 
 def test_retry_policy_honors_server_retry_after(server):

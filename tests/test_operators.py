@@ -1244,3 +1244,14 @@ def test_mixture_sample_rates_and_subset_invariance(spark):
     full_ids = {r.doc_id for r in kept.filter("doc_id < 1000").collect()}
     sub_ids = {r.doc_id for r in sub.collect()}
     assert full_ids == sub_ids
+
+    # negative keys sample at the stated rate too (pmod, not sign-preserving
+    # %: a % 1000 < rate would keep EVERY negative key)
+    neg = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(-2000, 0), "source": ["s1"] * 2000})
+    )
+    got = {r.doc_id for r in
+           mixture_sample(neg, rates, key="doc_id", source_col="source",
+                          default_permille=250).collect()}
+    expected = {i for i in range(-2000, 0) if (i * 2654435761) % 1000 < 500}
+    assert got == expected  # python % on ints IS pmod for positive modulus
