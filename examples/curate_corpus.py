@@ -1,9 +1,11 @@
 """Corpus curation end-to-end: the LLM-training-data pipeline this engine
 adds on top of the reference's alert-filtering surface.
 
-    documents -> quality filter -> PII gate -> repetition gate
-              -> exact dedup -> near-dup clustering -> survivor selection
-              -> benchmark decontamination -> shuffle-sharding -> summary
+    documents -> source-mixture sampling -> quality filter -> PII gate
+              -> repetition gate -> exact dedup -> near-dup clustering
+              -> survivor selection -> semantic dedup (embeddings)
+              -> substring-duplication profile -> graded + binary
+                 decontamination -> shuffle-sharding -> summary
 
 Run: python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 
@@ -39,8 +41,19 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # ---- 0. source-mixture sampling (broadcast rates dim, zero shuffle) ----
+    from fink_filters_spark.operators.sample import mixture_sample
+
+    rates = spark.createDataFrame(
+        [("src0", 1000), ("src1", 500)], "source string, rate_permille int"
+    )
+    docs_mixed = mixture_sample(
+        docs, rates, key="doc_id", source_col="source", default_permille=800
+    )
+    n0b = docs_mixed.count()
+
     # ---- 1. quality gate (native predicates -> pushed into the scan) -------
-    quality = docs.filter(
+    quality = docs_mixed.filter(
         (token_count("text") >= 5) & (punct_ratio("text") < 0.3)
     )
     n1 = quality.count()
@@ -80,11 +93,42 @@ def main() -> None:
     clean = clean.join(repetitive, "doc_id", "left_anti")
     n4 = clean.count()
 
-    # ---- 5. benchmark decontamination (eval slice = doc_id % 97 == 0) ------
-    from fink_filters_spark.operators.dedup import decontaminate
+    # ---- 4b. semantic dedup over the embedding table (SemDeDup) ------------
+    from fink_filters_spark.operators.dedup import semantic_dedup
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    sem = semantic_dedup(em, cents, tau=0.4)
+    sem_drop = sem.filter(F.col("kept") == 0).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    # doc_id == vec_id in the synthetic tables; at scale this is the join
+    # key the embedding pipeline carries alongside the text
+    clean = clean.join(sem_drop, "doc_id", "left_anti")
+    n4b = clean.count()
+
+    # ---- 4c. substring-duplication profile (ExactSubstr trim set) ----------
+    from fink_filters_spark.operators.dedup import duplicated_spans
+
+    prof = duplicated_spans(clean, "doc_id", "text", n=5)
+    heavy = prof.filter(
+        F.col("covered_tokens") * 2 > F.col("n_spans") + 4  # >50% duplicated
+    )
+    n_heavy = heavy.count()
+
+    # ---- 5. decontamination: graded score, then the binary gate ------------
+    from fink_filters_spark.operators.dedup import (
+        contamination_fraction,
+        decontaminate,
+    )
 
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     train = clean.filter(F.col("doc_id") % 97 != 0)
+    frac = contamination_fraction(train, ev, "doc_id", "text", n=3)
+    n_contam = frac.filter(F.col("contamination") >= 0.5).count()
     train = decontaminate(train, ev, "doc_id", "text", n=5)
     n5 = train.count()
 
@@ -104,10 +148,14 @@ def main() -> None:
     ).first()
 
     print(f"raw documents:        {n0}")
+    print(f"after mixture sample: {n0b}")
     print(f"after quality gate:   {n1}")
     print(f"exact-dedup groups:   {n2}")
     print(f"after near-dup dedup: {n3}")
     print(f"after PII+repetition: {n4}")
+    print(f"after semantic dedup: {n4b}")
+    print(f"heavy substring-dup:  {n_heavy}")
+    print(f"contaminated >=50%:   {n_contam}")
     print(f"after decontam:       {n5}")
     print(f"curated corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
           f"avg {stats['avg_chars']} chars, {stats['shards']} shards")

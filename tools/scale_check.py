@@ -47,6 +47,10 @@ HEADLINERS = [
     "q_upsert_merge",
     "w_cum_distinct_users",
     "q_pagerank3",
+    "dedup_semantic",
+    "dedup_substring",
+    "pipe_contamination_frac",
+    "pipe_mixture",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
