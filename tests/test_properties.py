@@ -386,3 +386,128 @@ def test_merge_upsert_matches_dict_semantics(spark, base, upd):
     want = dict(base)
     want.update(dict(upd))
     assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_duplicated_spans_matches_python_on_arbitrary_corpora(spark, texts):
+    """duplicated_spans == an independent python computation for any corpus:
+    span totals, cross-doc duplicated counts, and interval-union coverage."""
+    from fink_filters_spark.operators.dedup import duplicated_spans
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    spans = {}
+    for i, t in enumerate(texts):
+        w = t.lower().split()
+        spans[i] = [(p, " ".join(w[p : p + n])) for p in range(len(w) - n + 1)]
+    owners: dict = {}
+    for d, sp in spans.items():
+        for _, g in sp:
+            owners.setdefault(g, set()).add(d)
+    expected = {}
+    for d, sp in spans.items():
+        if not sp:
+            continue  # <n tokens: absent from the output by contract
+        dup = [(p, g) for p, g in sp if len(owners[g]) >= 2]
+        cov = set()
+        for p, _ in dup:
+            cov.update(range(p, p + n))
+        expected[d] = (len(sp), len(dup), len(cov))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.covered_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    ev=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_contamination_fraction_bounds_and_set_semantics(spark, train, ev):
+    """contamination in [0,1]; equals the exact distinct-shingle overlap
+    ratio computed independently; 1.0 whenever the doc also appears
+    verbatim in the eval set."""
+    from fink_filters_spark.operators.dedup import contamination_fraction
+
+    n = 3
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(ev)], "doc_id long, text string"
+    )
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    ev_sh = set().union(*(sh(t) for t in ev))
+    rows = {
+        r.doc_id: r
+        for r in contamination_fraction(tdf, edf, "doc_id", "text", n=n).collect()
+    }
+    for i, t in enumerate(train):
+        s = sh(t)
+        if not s:
+            assert i not in rows
+            continue
+        r = rows[i]
+        assert 0.0 <= r.contamination <= 1.0
+        assert r.n_shingles == len(s)
+        assert r.n_hit == len(s & ev_sh)
+        if t in ev:
+            assert r.contamination == 1.0
+
+
+@SLOW
+@given(ids=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                    min_size=1, max_size=200, unique=True))
+def test_mixture_sample_matches_python_pmod(spark, ids):
+    """The survival verdict equals the python pmod formula for every key,
+    positive or negative, known source or default."""
+    import pandas as pd
+
+    from fink_filters_spark.operators.sample import mixture_sample
+
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "source": ["a" if i % 2 == 0 else "zz" for i in ids]}
+    )
+    df = spark.createDataFrame(pdf)
+    rates = spark.createDataFrame([("a", 300)], "source string, rate_permille int")
+    got = {
+        r.doc_id
+        for r in mixture_sample(
+            df, rates, key="doc_id", source_col="source", default_permille=650
+        ).collect()
+    }
+    want = {
+        i
+        for i in ids
+        if (i * 2654435761) % 1000 < (300 if i % 2 == 0 else 650)
+    }
+    assert got == want
