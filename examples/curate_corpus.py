@@ -133,11 +133,9 @@ def main() -> None:
     n5 = train.count()
 
     # ---- 6. deterministic shuffle-sharding for the trainer -----------------
-    key = F.md5(F.col("doc_id").cast("string"))
-    shard = (
-        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1))
-    ) % 64
-    sharded = train.withColumn("shard", shard.cast("long"))
+    from fink_filters_spark.operators.sample import md5_bucket
+
+    sharded = train.withColumn("shard", md5_bucket("doc_id", 64).cast("long"))
 
     # ---- 7. corpus summary -------------------------------------------------
     stats = sharded.agg(

@@ -409,14 +409,17 @@ def duplicated_spans(
     Output: (id, n_spans, n_dup_spans, covered_tokens) per doc with >= n
     tokens.
 
-    Scale: positional span hashes -> global span frequency is one shuffle
-    keyed by the span hash (inverted index, same shape as the Jaccard
-    postings join, AQE splits hot spans); the flagged spans re-join the
-    postings on the same key, then per-doc counts partial-aggregate before
-    the doc-id shuffle. Interval union is computed exactly by exploding
-    each duplicated span into its n covered positions and counting
-    distinct positions — positions, not pairs, so the explode is O(n x
-    spans), never quadratic.
+    Scale: a strictly linear two-shuffle pipeline with a SINGLE consumer
+    chain (no cache, no recompute): positional span hashes group once on
+    the span hash into per-gram postings (inverted index, as the Jaccard
+    join), each posting re-emerges flagged with whether its gram is
+    cross-doc duplicated, and one per-doc aggregation computes all three
+    statistics -- the interval union exactly, by expanding each duplicated
+    start into its n covered positions with array HOFs inside the
+    aggregate (positions, not pairs, so the expansion is O(n x spans)).
+    A degenerate gram shared by a large fraction of all docs concentrates
+    its posting list in one group; hashed n>=5-token spans make that as
+    unlikely as a hot key in any inverted index.
     """
     from ..functions.text import combine_word_hashes, word_hashes
 
@@ -429,34 +432,33 @@ def duplicated_spans(
             "__pos", "__g"
         ),
     )
-    # cache barrier: spans feeds four aggregation subtrees (freq, the semi
-    # join, per-doc counts, coverage) — without it the tokenize+char-fold
-    # pipeline re-evaluates per subtree, and projection collapse would
-    # inline word_hashes into every element_at of the combine stage (the
-    # O(words x shingles) trap documented on _hashed_shingled_native)
-    spans = spans.cache()
-    freq = (
-        spans.groupBy("__g")
-        .agg(F.count_distinct("__id").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("__g")
+    posts = spans.groupBy("__g").agg(
+        F.collect_list(F.struct("__id", "__pos")).alias("__posts"),
+        (F.count_distinct("__id") >= 2).alias("__dup"),
     )
-    dup = spans.join(freq, "__g", "left_semi")
-    per_dup = dup.groupBy("__id").agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    covered = (
-        dup.select("__id", F.explode(F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))).alias("__p"))
-        .groupBy("__id")
-        .agg(F.count_distinct("__p").alias("covered_tokens"))
+    flat = posts.select(F.explode("__posts").alias("__e"), "__dup").select(
+        F.col("__e.__id").alias("__id"),
+        F.col("__e.__pos").alias("__pos"),
+        "__dup",
     )
-    totals = spans.groupBy("__id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_pos = F.collect_list(F.when(F.col("__dup"), F.col("__pos")))
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(F.transform(dup_pos, lambda p: F.sequence(p, p + (n - 1))))
+        )
+    )
     return (
-        totals.join(per_dup, "__id", "left")
-        .join(covered, "__id", "left")
+        flat.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_spans"),
+            covered.cast("long").alias("covered_tokens"),
+        )
         .select(
             F.col("__id").alias(id_col),
             "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            "n_dup_spans",
+            "covered_tokens",
         )
     )
 
@@ -480,17 +482,34 @@ def semantic_dedup(
     at 100 TB — the O(N^2) comparison is confined to within-cluster pairs
     (expected cluster size N/k), expressed as a self equi-join keyed by the
     centroid id: one shuffle on ``centroid_id``, no broadcast of corpus
-    state, AQE splits skewed clusters. Centroid assignment itself is a
-    broadcast join (centroids are k rows). Quantized-integer cosine keeps
-    the math bit-identical to the DuckDB oracle.
+    state, AQE splits skewed clusters. Centroid assignment is inlined (the
+    same broadcast-NLJ + per-vector window as ``ivf_assign``) so the
+    corpus is scanned and quantized ONCE, with the quantized vector and
+    norm riding through the assignment window instead of re-deriving them
+    in a second scan + join. Quantized-integer cosine keeps the math
+    bit-identical to the DuckDB oracle; zero-norm vectors get NULL cosine
+    (see ``_cos``), so they neither error under ANSI nor mark anything as
+    duplicate.
     """
-    from .similarity import _cos, _quantized, ivf_assign
+    from pyspark.sql import Window
 
-    assign = ivf_assign(
-        corpus, centroids, c_id=c_id, cent_id=cent_id, c_vec=c_vec, cent_vec=cent_vec
-    ).select("vec_id", "centroid_id")
+    from .similarity import _cos, _quantized
+
     q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq")
-    j = q.join(assign, "vec_id")
+    cents = _quantized(centroids, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(_cos("__v", "__kv", "__nsq", "__kn")), F.asc("centroid_id")
+    )
+    j = (
+        q.join(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "centroid_id", "__v", "__nsq")
+    )
+    # cache barrier: j feeds both sides of the pair self-join AND the final
+    # verdict join — without it the scan+quantize+assign subtree executes
+    # three times (same precedent as jaccard_pairs' grp cache)
+    j = j.cache()
     a = j.select(
         "centroid_id",
         F.col("vec_id").alias("__ida"),
@@ -506,10 +525,6 @@ def semantic_dedup(
     dup = (
         a.join(b, "centroid_id")
         .filter(F.col("__ida") < F.col("__idb"))
-        # zero-norm guard: 0/0 is NaN and Spark orders NaN above every
-        # number, so an unguarded NaN >= tau would mark a zero vector's
-        # whole cluster as duplicates (same convention as embedding_pairs)
-        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
         .filter(_cos("__va", "__vb", "__na", "__nb") >= tau)
         .select(F.col("__idb").alias("vec_id"))
         .distinct()

@@ -31,6 +31,33 @@ def hash_sample(df: DataFrame, key: str, fraction: float, seed: int = 42) -> Dat
     return df.filter(bucket < threshold)
 
 
+def md5_bucket(key: Column | str, modulus: int, n_hex: int = 5) -> Column:
+    """Deterministic, well-mixed bucket in ``[0, modulus)`` from a key: the
+    first ``n_hex`` hex digits of ``md5(cast(key as string))`` as an
+    integer, mod ``modulus``.
+
+    This is the engine's portable sampling/sharding hash. Why not
+    ``(key * knuth) % m``: under ANSI mode the multiply overflows long for
+    keys >= ~3.5e9 (routine at corpus scale), and modular multiplication
+    by a constant is just a PERMUTATION of ``key % m`` — a strided id
+    allocator (e.g. ids = 1000*seq) collapses to one residue class and
+    samples at 0% or 100% instead of the stated rate. md5 mixes all key
+    bits; the hex-digit arithmetic below is exactly reproducible in
+    DuckDB, so oracles stay bit-identical. Bias from ``16^n_hex % modulus``
+    is <= modulus/16^n_hex (~0.1% for per-mille rates at n_hex=5).
+    """
+    s = F.md5((F.col(key) if isinstance(key, str) else key).cast("string"))
+
+    def hv(i: int) -> Column:
+        a = F.ascii(F.substring(s, i, 1))
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    v = hv(1).cast("long")  # long accumulator: n_hex up to 15 stays exact
+    for i in range(2, n_hex + 1):
+        v = v * 16 + hv(i)
+    return v % modulus  # v >= 0, so % == pmod
+
+
 def mixture_sample(
     df: DataFrame,
     rates: DataFrame,
@@ -38,18 +65,18 @@ def mixture_sample(
     source_col: str,
     rate_col: str = "rate_permille",
     default_permille: int = 1000,
-    mult: int = 2654435761,
 ) -> DataFrame:
     """Deterministic dataset-mixture sampling: down-weight each source to a
     target rate (per-mille) from a small rates dimension — the "mix N
     corpora at fixed proportions" step of a pretraining data pipeline.
 
-    A row survives iff ``(key * knuth) pmod 1000 < rate(source)``; sources
-    absent from the rates table keep ``default_permille``. Multiplicative
-    hashing makes the verdict a pure per-row predicate — reproducible
-    across retries/restarts (same property as ``uniform_sample``), no RNG
-    state, and subset-invariant: a doc keeps the same fate when the corpus
-    around it grows.
+    A row survives iff ``md5_bucket(key, 1000) < rate(source)``; sources
+    absent from the rates table keep ``default_permille``. The md5 bucket
+    makes the verdict a pure per-row predicate — reproducible across
+    retries/restarts (same property as ``uniform_sample``), no RNG state,
+    subset-invariant (a doc keeps the same fate when the corpus around it
+    grows), and independent of any structure in the id allocation (see
+    ``md5_bucket`` for why a multiplicative hash is NOT safe here).
 
     Scale: the rates table is corpus-count-sized (tens of rows) and
     broadcast; the survival filter is per-row arithmetic after the
@@ -58,7 +85,7 @@ def mixture_sample(
     r = rates.select(
         F.col(source_col).alias("__src"), F.col(rate_col).alias("__rate")
     )
-    bucket = F.pmod(F.col(key) * F.lit(mult), F.lit(1000))
+    bucket = md5_bucket(key, 1000)
     return (
         df.join(F.broadcast(r), df[source_col] == F.col("__src"), "left")
         .filter(bucket < F.coalesce(F.col("__rate"), F.lit(default_permille)))

@@ -198,29 +198,40 @@ FROM est
 
 # ------------------------------------------------ weighted sampling
 
-W_MULT = 2654435761  # Knuth multiplicative hash constant (pipe_kfold scheme)
-W_MOD = 4294967296   # 2^32
+W_MOD = 4294967296   # 2^32 (8 md5 hex digits)
 W_DENOM = 4096       # P(keep) = n_chars / 4096  (n_chars <= 553 in testdata)
 
 
 def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-proportional deterministic sampling: keep a document with
-    probability n_chars/4096, decided by a multiplicative hash of doc_id —
-    per-row arithmetic only (no shuffle, no RNG state), so the sample is
-    identical on every run, engine, and partitioning."""
+    probability n_chars/4096, decided by the md5-bucket hash of doc_id
+    (uniform in [0, 2^32)) — per-row arithmetic only (no shuffle, no RNG
+    state), so the sample is identical on every run, engine, and
+    partitioning. (Was a multiplicative ``(id*knuth) % 2^32``: that
+    overflows long under ANSI for ids >= ~3.5e9 and inherits id-allocation
+    structure; see ``md5_bucket``.)"""
+    from ..operators.sample import md5_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    u = (F.col("doc_id") * F.lit(W_MULT)) % F.lit(W_MOD)
+    u = md5_bucket("doc_id", W_MOD, n_hex=8)
     return docs.filter(u * W_DENOM < F.col("n_chars") * W_MOD).select(
         "doc_id", "n_chars", u.cast("long").alias("sample_key")
     )
 
 
-WEIGHTED_SAMPLE_SQL = f"""
+def _weighted_sample_sql() -> str:
+    from .curation import md5_bucket_sql
+
+    u = md5_bucket_sql("doc_id", W_MOD, n_hex=8)
+    return f"""
 SELECT doc_id, n_chars,
-       CAST((doc_id * {W_MULT}) % {W_MOD} AS BIGINT) AS sample_key
+       CAST({u} AS BIGINT) AS sample_key
 FROM documents
-WHERE (doc_id * {W_MULT}) % {W_MOD} * {W_DENOM} < n_chars * {W_MOD}
+WHERE {u} * {W_DENOM} < n_chars * {W_MOD}
 """
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 # ------------------------------------------------ runtime bloom-filter join
 

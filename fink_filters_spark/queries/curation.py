@@ -117,7 +117,20 @@ LEFT JOIN cov USING (doc_id)
 """
 
 
-MIX_MULT = 2654435761  # Knuth multiplicative-hash constant (as pipe_kfold)
+def md5_bucket_sql(expr: str, modulus: int, n_hex: int = 5) -> str:
+    """DuckDB replica of ``operators.sample.md5_bucket`` — identical hex
+    arithmetic over the same md5 string, so buckets are bit-equal."""
+
+    def hv(i: int) -> str:
+        a = f"ascii(substr(md5(CAST({expr} AS VARCHAR)), {i}, 1))"
+        return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+    v = f"CAST({hv(1)} AS BIGINT)"  # BIGINT accumulator, as the Spark side
+    for i in range(2, n_hex + 1):
+        v = f"({v} * 16 + {hv(i)})"
+    return f"({v} % {modulus})"
+
+
 MIX_RATES = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
 MIX_DEFAULT = 700
 
@@ -125,16 +138,16 @@ MIX_DEFAULT = 700
 def pipe_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-mixture sampling: down-weight each source to a target
     per-mille rate (src0 keep-all ... src3 1/8, everything else 70%) via
-    the deterministic multiplicative-hash survival test, then report the
-    post-mix per-source composition. operators/sample.py
-    ``mixture_sample``: broadcast rates dim, zero-shuffle filter."""
+    the deterministic md5-bucket survival test, then report the post-mix
+    per-source composition. operators/sample.py ``mixture_sample``:
+    broadcast rates dim, zero-shuffle filter."""
     docs = load_table(spark, sf_dir, "documents")
     rates = spark.createDataFrame(
         [(k, v) for k, v in MIX_RATES.items()], "source string, rate_permille int"
     )
     kept = mixture_sample(
         docs, rates, key="doc_id", source_col="source",
-        default_permille=MIX_DEFAULT, mult=MIX_MULT,
+        default_permille=MIX_DEFAULT,
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -146,12 +159,10 @@ _mix_case = "CASE source " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items()
 ) + f" ELSE {MIX_DEFAULT} END"
 
-# ((x % m) + m) % m is DuckDB's sign-preserving % folded to Spark's pmod,
-# so negative keys sample at their stated rate in both engines
 MIXTURE_SQL = f"""
 SELECT source, count(*) AS n_kept, sum(n_chars) AS sum_chars
 FROM documents
-WHERE ((doc_id * {MIX_MULT}) % 1000 + 1000) % 1000 < {_mix_case}
+WHERE {md5_bucket_sql('doc_id', 1000)} < {_mix_case}
 GROUP BY source
 """
 
@@ -263,26 +274,29 @@ REDACT_SQL = (
 
 def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training order: key = md5 of the
-    doc id, shard = 6 bits folded from the key's first two hex chars.
-    Shard assignment is per-row arithmetic — no sort, no shuffle, no
-    window — so it scales embarrassingly; a trainer reads shards in key
-    order to get a reproducible, uniformly mixed epoch."""
+    doc id, shard = the md5-hex bucket mod 64 (``md5_bucket``). Shard
+    assignment is per-row arithmetic — no sort, no shuffle, no window — so
+    it scales embarrassingly; a trainer reads shards in key order to get a
+    reproducible, uniformly mixed epoch.
+
+    (The earlier ascii-fold ``(a*256 + b) % 64`` was a bug: 256 % 64 == 0,
+    so only the second hex digit survived and 16 of the 64 shards were
+    ever produced — caught when the example pipeline printed 16 shards.)"""
+    from ..operators.sample import md5_bucket
+
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.col("doc_id").cast("string"))
-    shard = (
-        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1))
-    ) % 64
     return docs.select(
-        "doc_id", key.alias("shuffle_key"), shard.cast("long").alias("shard")
+        "doc_id",
+        key.alias("shuffle_key"),
+        md5_bucket("doc_id", 64).cast("long").alias("shard"),
     )
 
 
-SHUFFLE_SQL = """
+SHUFFLE_SQL = f"""
 SELECT doc_id,
        md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
-       CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-             + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 64 AS BIGINT)
-           AS shard
+       CAST({md5_bucket_sql('doc_id', 64)} AS BIGINT) AS shard
 FROM documents
 """
 

@@ -22,17 +22,22 @@ from .dedup import TOKS_SQL, _hash_sql
 # ---- k-fold assignment ------------------------------------------------------
 
 KFOLD_K = 5
-KFOLD_MULT = 2654435761  # Knuth multiplicative-hash constant
 
 
 def pipe_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-fold split summary: fold = (doc_id * knuth) % k.
-    Multiplicative hashing decorrelates the fold from any doc_id ordering;
-    the assignment is per-row arithmetic (no shuffle), the summary is a
-    5-group aggregate. Generalizes C38's modulus sampling to CV folds."""
+    """Deterministic k-fold split summary: fold = md5_bucket(doc_id, k).
+    The md5 bucket decorrelates the fold from ANY structure in the id
+    allocation — a multiplicative ``(id * knuth) % k`` is only a
+    permutation of ``id % k`` (strided allocators collapse to one fold)
+    and overflows long under ANSI for ids >= ~3.5e9. Assignment is
+    per-row arithmetic (no shuffle), the summary is a 5-group aggregate.
+    Generalizes C38's modulus sampling to CV folds."""
+    from ..operators.sample import md5_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    fold = (F.col("doc_id") * KFOLD_MULT) % KFOLD_K
-    per = docs.select(fold.alias("fold"), F.col("n_chars"))
+    per = docs.select(
+        md5_bucket("doc_id", KFOLD_K).alias("fold"), F.col("n_chars")
+    )
     return per.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -42,14 +47,20 @@ def pipe_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KFOLD_SQL = f"""
-SELECT (doc_id * {KFOLD_MULT}) % {KFOLD_K} AS fold,
+def _kfold_sql() -> str:
+    from .curation import md5_bucket_sql
+
+    return f"""
+SELECT {md5_bucket_sql('doc_id', KFOLD_K)} AS fold,
        count(*) AS n_docs,
        sum(n_chars) AS sum_chars,
        round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
 FROM documents
 GROUP BY 1
 """
+
+
+KFOLD_SQL = _kfold_sql()
 
 
 # ---- inverse-frequency class weights ---------------------------------------

@@ -16,17 +16,21 @@ N_QUERIES = 20  # vec_id < 20 are the query set
 N_CENTROIDS = 8  # vec_id < 8 are the IVF seed centroids
 K = 5
 
-COS_SQL = (
-    "round(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)"
-    " / sqrt(CAST(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS DOUBLE))"
-    " / sqrt(CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE)), 6)"
-)
+# Zero-norm guard mirrors operators/similarity._cos: Spark's guarded
+# cosine is NULL for a zero-norm side (never NaN), and NULL orders LAST
+# under both engines' DESC default — whereas an unguarded 0/0 would be a
+# hard ANSI error in Spark and a NaN in DuckDB that sorts FIRST in DESC,
+# silently flipping centroid assignments.
+_NA_SQL = "CAST(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS DOUBLE)"
+_NB_SQL = "CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE)"
 
 _COS_RAW = (
+    f"(CASE WHEN {_NA_SQL} > 0 AND {_NB_SQL} > 0 THEN "
     "CAST(CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)"
-    " / sqrt(CAST(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS DOUBLE))"
-    " / sqrt(CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE))"
+    f" / sqrt({_NA_SQL}) / sqrt({_NB_SQL}) END)"
 )
+
+COS_SQL = f"round({_COS_RAW}, 6)"
 
 
 def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,9 +370,7 @@ dup AS (
   SELECT DISTINCT b.vec_id
   FROM j a JOIN j b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) > 0
-    AND CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) > 0
-    AND {_COS_RAW} >= {SEMDEDUP_TAU}
+  WHERE {_COS_RAW} >= {SEMDEDUP_TAU}
 )
 SELECT j.vec_id, j.centroid_id,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept

@@ -92,8 +92,12 @@ class HttpTransport(Transport):
                            headers=self.headers)
         except HttpError as e:
             msg = str(e)
-            if self._secret:  # keep credentials out of logs/exceptions
+            if self._secret:
+                # keep credentials out of logs/exceptions — and suppress the
+                # cause chain, whose HttpError message embeds the raw URL
+                # (logging.exception prints __cause__ too)
                 msg = msg.replace(self._secret, "***")
+                raise TransportError(msg, retry_after=e.retry_after) from None
             raise TransportError(msg, retry_after=e.retry_after) from e
 
 
@@ -113,6 +117,8 @@ class SlackTransport(HttpTransport):
         if not resolved:
             raise ValueError(f"no Slack webhook: set ${webhook_env} or pass url=")
         super().__init__(resolved, timeout=timeout)
+        # a Slack incoming-webhook URL IS the credential — redact all of it
+        self._secret = resolved
 
     def send(self, payload: dict) -> None:
         if "text" not in payload:

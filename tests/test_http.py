@@ -116,15 +116,31 @@ def test_slack_and_telegram_transports_deliver(server, monkeypatch):
         SlackTransport(webhook_env="UNSET_ENV_VAR_XYZ")
 
 
-def test_telegram_token_redacted_from_errors(monkeypatch):
-    from fink_filters_spark.sinks import TelegramTransport, TransportError
+def test_credentials_redacted_from_errors_and_cause_chain(monkeypatch):
+    import traceback
+
+    from fink_filters_spark.sinks import (
+        SlackTransport,
+        TelegramTransport,
+        TransportError,
+    )
 
     tr = TelegramTransport(chat_id="@c", token="sekrit42",
                            api_base="http://127.0.0.1:1")
     with pytest.raises(TransportError) as ei:
         tr.send({"text": "x"})
-    assert "sekrit42" not in str(ei.value)
+    # the WHOLE formatted exception (what logging.exception prints,
+    # including __cause__/__context__) must be free of the token
+    rendered = "".join(traceback.format_exception(ei.value))
+    assert "sekrit42" not in rendered
     assert "***" in str(ei.value)
+
+    # a Slack webhook URL is itself a credential
+    sl = SlackTransport(url="http://127.0.0.1:1/services/SECRETPATH")
+    with pytest.raises(TransportError) as ei2:
+        sl.send({"text": "x"})
+    rendered2 = "".join(traceback.format_exception(ei2.value))
+    assert "SECRETPATH" not in rendered2
 
 
 def test_non_json_2xx_body_is_success(server):

@@ -1245,13 +1245,20 @@ def test_mixture_sample_rates_and_subset_invariance(spark):
     sub_ids = {r.doc_id for r in sub.collect()}
     assert full_ids == sub_ids
 
-    # negative keys sample at the stated rate too (pmod, not sign-preserving
-    # %: a % 1000 < rate would keep EVERY negative key)
+    # negative and huge keys sample at the stated rate too (the md5 bucket
+    # has no sign or overflow hazards; a multiplicative (k*m)%1000 would
+    # overflow long under ANSI for k >= ~3.5e9)
+    import hashlib
+
+    big = list(range(-1000, 0)) + [4_000_000_000 + i for i in range(1000)]
     neg = spark.createDataFrame(
-        pd.DataFrame({"doc_id": range(-2000, 0), "source": ["s1"] * 2000})
+        pd.DataFrame({"doc_id": big, "source": ["s1"] * len(big)})
     )
     got = {r.doc_id for r in
            mixture_sample(neg, rates, key="doc_id", source_col="source",
                           default_permille=250).collect()}
-    expected = {i for i in range(-2000, 0) if (i * 2654435761) % 1000 < 500}
-    assert got == expected  # python % on ints IS pmod for positive modulus
+    expected = {
+        i for i in big
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:5], 16) % 1000 < 500
+    }
+    assert got == expected

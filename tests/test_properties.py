@@ -346,13 +346,14 @@ def test_weighted_sample_subset_invariance(spark, ids):
     decision on any subset equals the decision on the full set (the
     property that makes the sample reproducible under repartitioning and
     incremental ingestion)."""
-    from fink_filters_spark.queries.advanced import W_DENOM, W_MOD, W_MULT
+    from fink_filters_spark.operators.sample import md5_bucket
+    from fink_filters_spark.queries.advanced import W_DENOM, W_MOD
 
     def kept(doc_ids):
         df = spark.createDataFrame(
             [(d, 100 + (d % 400)) for d in doc_ids], "doc_id long, n_chars long"
         )
-        u = (F.col("doc_id") * F.lit(W_MULT)) % F.lit(W_MOD)
+        u = md5_bucket("doc_id", W_MOD, n_hex=8)
         return {
             r.doc_id
             for r in df.filter(u * W_DENOM < F.col("n_chars") * W_MOD).collect()
@@ -485,11 +486,13 @@ def test_contamination_fraction_bounds_and_set_semantics(spark, train, ev):
 
 
 @SLOW
-@given(ids=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+@given(ids=st.lists(st.integers(min_value=-(2**62), max_value=2**62),
                     min_size=1, max_size=200, unique=True))
-def test_mixture_sample_matches_python_pmod(spark, ids):
-    """The survival verdict equals the python pmod formula for every key,
-    positive or negative, known source or default."""
+def test_mixture_sample_matches_python_md5(spark, ids):
+    """The survival verdict equals the python md5-bucket formula for every
+    key — negative, huge (no ANSI overflow), known source or default."""
+    import hashlib
+
     import pandas as pd
 
     from fink_filters_spark.operators.sample import mixture_sample
@@ -505,9 +508,9 @@ def test_mixture_sample_matches_python_pmod(spark, ids):
             df, rates, key="doc_id", source_col="source", default_permille=650
         ).collect()
     }
-    want = {
-        i
-        for i in ids
-        if (i * 2654435761) % 1000 < (300 if i % 2 == 0 else 650)
-    }
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:5], 16) % 1000
+
+    want = {i for i in ids if bucket(i) < (300 if i % 2 == 0 else 650)}
     assert got == want
