@@ -441,25 +441,31 @@ def duplicated_spans(
         F.col("__e.__pos").alias("__pos"),
         "__dup",
     )
-    dup_pos = F.collect_list(F.when(F.col("__dup"), F.col("__pos")))
-    covered = F.size(
-        F.array_distinct(
-            F.flatten(F.transform(dup_pos, lambda p: F.sequence(p, p + (n - 1))))
-        )
+    # flat appears in two subtrees, but both contain the IDENTICAL posts
+    # exchange, so Spark's ReusedExchange executes the scan+hash+shuffle
+    # once (no cache needed). Coverage goes through explode +
+    # count_distinct — codegen'd hash aggregation — rather than per-doc
+    # array HOFs: with heavy duplication (every span duplicated) the
+    # interpreted flatten/array_distinct path measured 5x at 10x stress,
+    # the codegen path stays linear.
+    counts = flat.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_spans"),
     )
-    return (
-        flat.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_spans"),
-            covered.cast("long").alias("covered_tokens"),
-        )
+    cov = (
+        flat.filter(F.col("__dup"))
         .select(
-            F.col("__id").alias(id_col),
-            "n_spans",
-            "n_dup_spans",
-            "covered_tokens",
+            "__id",
+            F.explode(F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))).alias("__p"),
         )
+        .groupBy("__id")
+        .agg(F.count_distinct("__p").alias("covered_tokens"))
+    )
+    return counts.join(cov, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_spans",
+        "n_dup_spans",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
     )
 
 

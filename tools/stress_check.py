@@ -149,6 +149,9 @@ def main() -> None:
         )
         best = None
         for _ in range(2):
+            # semantic_dedup caches its assignment table internally — clear
+            # between repeats so each run pays the full cold pipeline
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             semantic_dedup(em, cents, tau=0.4).count()
             dt = time.perf_counter() - t0
