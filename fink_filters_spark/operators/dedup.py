@@ -409,14 +409,16 @@ def duplicated_spans(
     Output: (id, n_spans, n_dup_spans, covered_tokens) per doc with >= n
     tokens.
 
-    Scale: a strictly linear two-shuffle pipeline with a SINGLE consumer
-    chain (no cache, no recompute): positional span hashes group once on
-    the span hash into per-gram postings (inverted index, as the Jaccard
-    join), each posting re-emerges flagged with whether its gram is
-    cross-doc duplicated, and one per-doc aggregation computes all three
-    statistics -- the interval union exactly, by expanding each duplicated
-    start into its n covered positions with array HOFs inside the
-    aggregate (positions, not pairs, so the expansion is O(n x spans)).
+    Scale: positional span hashes group once on the span hash into
+    per-gram postings (inverted index, as the Jaccard join); each posting
+    re-emerges flagged with whether its gram is cross-doc duplicated. The
+    flagged stream feeds two codegen'd aggregations — per-doc span/dup
+    counts, and the exact interval union via explode + count_distinct
+    (positions, not pairs: O(n x spans)) — whose shared postings exchange
+    executes once through Spark's runtime exchange reuse, so nothing is
+    cached and nothing recomputes. (A per-doc array-HOF union was tried
+    and rejected: interpreted flatten/array_distinct measured 5x at 10x
+    stress under full duplication; the codegen path stays linear.)
     A degenerate gram shared by a large fraction of all docs concentrates
     its posting list in one group; hashed n>=5-token spans make that as
     unlikely as a hot key in any inverted index.
@@ -441,13 +443,8 @@ def duplicated_spans(
         F.col("__e.__pos").alias("__pos"),
         "__dup",
     )
-    # flat appears in two subtrees, but both contain the IDENTICAL posts
-    # exchange, so Spark's ReusedExchange executes the scan+hash+shuffle
-    # once (no cache needed). Coverage goes through explode +
-    # count_distinct — codegen'd hash aggregation — rather than per-doc
-    # array HOFs: with heavy duplication (every span duplicated) the
-    # interpreted flatten/array_distinct path measured 5x at 10x stress,
-    # the codegen path stays linear.
+    # both consumers of flat contain the IDENTICAL posts exchange, so
+    # runtime exchange reuse executes the scan+hash+shuffle once
     counts = flat.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_spans"),
@@ -514,7 +511,10 @@ def semantic_dedup(
     )
     # cache barrier: j feeds both sides of the pair self-join AND the final
     # verdict join — without it the scan+quantize+assign subtree executes
-    # three times (same precedent as jaccard_pairs' grp cache)
+    # three times (same precedent as jaccard_pairs' grp cache). The cache
+    # lives until the session clears it (plan-keyed caches are not GC'd):
+    # long-lived sessions invoking this repeatedly should
+    # spark.catalog.clearCache() between corpus passes, as bench/stress do.
     j = j.cache()
     a = j.select(
         "centroid_id",

@@ -30,8 +30,6 @@ _COS_RAW = (
     f" / sqrt({_NA_SQL}) / sqrt({_NB_SQL}) END)"
 )
 
-COS_SQL = f"round({_COS_RAW}, 6)"
-
 
 def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")

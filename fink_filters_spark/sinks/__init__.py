@@ -84,21 +84,34 @@ class HttpTransport(Transport):
         self.headers = headers or {}
         self._secret = ""  # subclasses set this to redact it from errors
 
+    def _sanitize(self, msg: str) -> str:
+        """Webhook URLs embed credentials in the PATH (Slack/Discord/Telegram
+        convention), so error text keeps scheme+host only; ``_secret`` covers
+        tokens that could surface outside the URL."""
+        if self._secret:
+            msg = msg.replace(self._secret, "***")
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(self.url)
+        if parts.netloc and parts.path not in ("", "/"):
+            msg = msg.replace(self.url, f"{parts.scheme}://{parts.netloc}/***")
+        return msg
+
     def send(self, payload: dict) -> None:
         from ..net import HttpError, http_post_json
 
+        # every failure is re-raised with a sanitized message and a
+        # SUPPRESSED cause chain: logging.exception prints __cause__ /
+        # __context__ too, and those embed the raw credential-bearing URL
         try:
             http_post_json(self.url, payload, timeout=self.timeout,
                            headers=self.headers)
         except HttpError as e:
-            msg = str(e)
-            if self._secret:
-                # keep credentials out of logs/exceptions — and suppress the
-                # cause chain, whose HttpError message embeds the raw URL
-                # (logging.exception prints __cause__ too)
-                msg = msg.replace(self._secret, "***")
-                raise TransportError(msg, retry_after=e.retry_after) from None
-            raise TransportError(msg, retry_after=e.retry_after) from e
+            raise TransportError(self._sanitize(str(e)),
+                                 retry_after=e.retry_after) from None
+        except Exception as e:  # e.g. ValueError from a malformed URL
+            raise TransportError(
+                self._sanitize(f"{type(e).__name__}: {e}")) from None
 
 
 class SlackTransport(HttpTransport):
@@ -117,8 +130,6 @@ class SlackTransport(HttpTransport):
         if not resolved:
             raise ValueError(f"no Slack webhook: set ${webhook_env} or pass url=")
         super().__init__(resolved, timeout=timeout)
-        # a Slack incoming-webhook URL IS the credential — redact all of it
-        self._secret = resolved
 
     def send(self, payload: dict) -> None:
         if "text" not in payload:

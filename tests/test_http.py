@@ -142,6 +142,14 @@ def test_credentials_redacted_from_errors_and_cause_chain(monkeypatch):
     rendered2 = "".join(traceback.format_exception(ei2.value))
     assert "SECRETPATH" not in rendered2
 
+    # NON-HttpError failures (e.g. ValueError from a malformed URL) must
+    # also come out sanitized — urllib raises before any request is made
+    bad = TelegramTransport(chat_id="@c", token="sekrit42",
+                            api_base="127.0.0.1:9")  # no scheme
+    with pytest.raises(TransportError) as ei3:
+        bad.send({"text": "x"})
+    assert "sekrit42" not in "".join(traceback.format_exception(ei3.value))
+
 
 def test_non_json_2xx_body_is_success(server):
     from fink_filters_spark.net import http_post_json
