@@ -393,6 +393,34 @@ def contamination_fraction(
     )
 
 
+def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __pos, __dup) — every length-``n`` token-span start position,
+    flagged with whether the identical span occurs in >= 2 distinct docs.
+    One shuffle on the span hash (inverted-index postings), postings
+    re-emerge flagged. Shared core of ``duplicated_spans`` (the profile)
+    and ``trim_duplicated_spans`` (the rewrite)."""
+    from ..functions.text import combine_word_hashes, word_hashes
+
+    wh = _spread(df).select(
+        F.col(id_col).alias("__id"), word_hashes(text_col).alias("__wh")
+    )
+    spans = wh.filter(F.size("__wh") >= n).select(
+        "__id",
+        F.posexplode(combine_word_hashes("__wh", n, distinct=False)).alias(
+            "__pos", "__g"
+        ),
+    )
+    posts = spans.groupBy("__g").agg(
+        F.collect_list(F.struct("__id", "__pos")).alias("__posts"),
+        (F.count_distinct("__id") >= 2).alias("__dup"),
+    )
+    return posts.select(F.explode("__posts").alias("__e"), "__dup").select(
+        F.col("__e.__id").alias("__id"),
+        F.col("__e.__pos").alias("__pos"),
+        "__dup",
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -423,26 +451,7 @@ def duplicated_spans(
     its posting list in one group; hashed n>=5-token spans make that as
     unlikely as a hot key in any inverted index.
     """
-    from ..functions.text import combine_word_hashes, word_hashes
-
-    wh = _spread(df).select(
-        F.col(id_col).alias("__id"), word_hashes(text_col).alias("__wh")
-    )
-    spans = wh.filter(F.size("__wh") >= n).select(
-        "__id",
-        F.posexplode(combine_word_hashes("__wh", n, distinct=False)).alias(
-            "__pos", "__g"
-        ),
-    )
-    posts = spans.groupBy("__g").agg(
-        F.collect_list(F.struct("__id", "__pos")).alias("__posts"),
-        (F.count_distinct("__id") >= 2).alias("__dup"),
-    )
-    flat = posts.select(F.explode("__posts").alias("__e"), "__dup").select(
-        F.col("__e.__id").alias("__id"),
-        F.col("__e.__pos").alias("__pos"),
-        "__dup",
-    )
+    flat = _span_flags(df, id_col, text_col, n)
     # both consumers of flat contain the IDENTICAL posts exchange, so
     # runtime exchange reuse executes the scan+hash+shuffle once
     counts = flat.groupBy("__id").agg(
@@ -463,6 +472,67 @@ def duplicated_spans(
         "n_spans",
         "n_dup_spans",
         F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+    )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """The ExactSubstr REWRITE: remove every token covered by a cross-doc
+    duplicated ``n``-token span and reassemble the document — the step a
+    training pipeline actually ships after profiling with
+    ``duplicated_spans``. Returns (id, n_tokens, kept_tokens, trimmed_md5)
+    where trimmed_md5 pins every byte of the reconstructed text (single
+    spaces, original token order) without shipping the text through the
+    result set; a fully-trimmed doc hashes the empty string.
+
+    Scale: covered positions come from the shared span-flag pipeline (one
+    shuffle on the span hash); the rewrite is a positional anti join of
+    the token stream against covered positions (shuffle on (id, pos)) and
+    one per-doc reassembly aggregate — sort-by-position inside a small
+    per-doc array, never a global sort.
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__tok"),
+    )
+    cov = (
+        _span_flags(df, id_col, text_col, n)
+        .filter(F.col("__dup"))
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))
+            ).alias("__pos"),
+        )
+    )
+    kept = toks.join(cov, ["__id", "__pos"], "left_anti")
+    agg = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+            " ",
+        ).alias("__trimmed"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return base.join(agg, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        F.md5(F.coalesce("__trimmed", F.lit(""))).alias("trimmed_md5"),
     )
 
 

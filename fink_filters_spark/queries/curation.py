@@ -131,6 +131,56 @@ def md5_bucket_sql(expr: str, modulus: int, n_hex: int = 5) -> str:
     return f"({v} % {modulus})"
 
 
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr trim rewrite: drop every token covered by a cross-doc
+    duplicated 5-token span, reassemble, and byte-pin the result via md5
+    (operators/dedup.py ``trim_duplicated_spans`` — the ship step behind
+    the ``dedup_substring`` profile)."""
+    from ..operators.dedup import trim_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_duplicated_spans(docs, "doc_id", "text", n=SPAN_N)
+
+
+DEDUP_SUBSTR_REWRITE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, toks, list_transform(toks, s -> {_hash_sql('s')}) AS wh
+  FROM ({TOKS_SQL})
+),
+sp AS (
+  SELECT doc_id, t.i - 1 AS pos, {_SPAN_G} AS g
+  FROM w CROSS JOIN LATERAL unnest(generate_series(1, len(wh) - {SPAN_N - 1}))
+           AS t(i)
+  WHERE len(wh) >= {SPAN_N}
+),
+freq AS (SELECT g FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, pos + u.j AS pos
+  FROM sp CROSS JOIN LATERAL unnest(generate_series(0, {SPAN_N - 1})) AS u(j)
+  WHERE g IN (SELECT g FROM freq)
+),
+tokpos AS (
+  SELECT doc_id, t.i - 1 AS pos, toks[t.i] AS tok
+  FROM w CROSS JOIN LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+  WHERE cov.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS trimmed
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.toks) AS BIGINT) AS n_tokens,
+       coalesce(agg.kept_tokens, 0) AS kept_tokens,
+       md5(coalesce(agg.trimmed, '')) AS trimmed_md5
+FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+"""
+
+
 MIX_RATES = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
 MIX_DEFAULT = 700
 
@@ -316,6 +366,9 @@ SPECS = [
               "per-doc eval-overlap fraction (graded decontamination)"),
     QuerySpec("dedup_substring", dedup_substring, DEDUP_SUBSTR_SQL,
               "cross-doc duplicated 5-token spans + trim coverage (ExactSubstr)"),
+    QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite,
+              DEDUP_SUBSTR_REWRITE_SQL,
+              "ExactSubstr trim rewrite, byte-pinned via md5 of the trimmed text"),
     QuerySpec("pipe_mixture", pipe_mixture, MIXTURE_SQL,
               "deterministic per-source mixture sampling (broadcast rates dim)"),
 ]

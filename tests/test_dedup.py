@@ -376,3 +376,40 @@ def test_semantic_dedup_zero_vector_harmless(spark):
     )
     out = {r.vec_id: r.kept for r in semantic_dedup(em, cents, tau=0.5).collect()}
     assert out == {1: 1, 2: 1, 3: 1}  # nobody dropped by a NaN cosine
+
+
+def test_trim_duplicated_spans_reconstruction(spark):
+    """The rewrite removes exactly the tokens covered by cross-doc
+    duplicated spans: a doc duplicated verbatim trims to empty, a doc with
+    a shared prefix keeps its unique tail, a unique doc is untouched."""
+    import hashlib
+
+    import pandas as pd
+
+    from fink_filters_spark.operators.dedup import trim_duplicated_spans
+
+    shared = "a b c d e"  # one 5-token span, present in docs 1 and 2
+    texts = {
+        1: shared,
+        2: shared + " x y z",       # shared prefix + unique tail
+        3: "p q r s t u",           # unique: untouched
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {r.doc_id: r for r in
+           trim_duplicated_spans(df, "doc_id", "text", n=5).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1: all 5 tokens covered -> empty
+    assert (got[1].n_tokens, got[1].kept_tokens) == (5, 0)
+    assert got[1].trimmed_md5 == h("")
+    # doc 2: spans "a b c d e" and shifted ones? only the span starting at 0
+    # matches doc 1; positions 0-4 covered, tail "x y z" kept
+    assert (got[2].n_tokens, got[2].kept_tokens) == (8, 3)
+    assert got[2].trimmed_md5 == h("x y z")
+    # doc 3: no cross-doc span -> identity
+    assert (got[3].n_tokens, got[3].kept_tokens) == (6, 6)
+    assert got[3].trimmed_md5 == h("p q r s t u")
