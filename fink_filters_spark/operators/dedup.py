@@ -104,8 +104,15 @@ def _hashed_shingled_native(df: DataFrame, id_col: str, text_col: str, n: int) -
     )
 
 
-def _hashed_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _hashed_shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int, with_key: bool = False
+) -> DataFrame:
     """(__id, __sh: array<long>) — distinct hashed word n-gram shingles.
+
+    ``with_key=True`` adds ``__k``: the 16-byte md5 of the sorted shingle
+    array's raw int64 bytes — a fixed-width content key for the
+    representative collapse, so grouping documents by shingle-SET identity
+    shuffles and compares 16-byte keys instead of full arrays.
 
     Arrow-vectorized kernel (mapInPandas): per batch, tokenize, hash each
     DISTINCT word once (vocab ≪ token count), combine n-grams and dedupe
@@ -124,21 +131,30 @@ def _hashed_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     from collections.abc import Iterator
 
     def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
         import pandas as _pd
 
         for pdf in batches:
             flat = _shingle_flat(pdf, n)
             if flat is None:
-                yield _pd.DataFrame({"__id": _pd.Series([], dtype="int64"),
-                                     "__sh": _pd.Series([], dtype="object")})
+                out = {"__id": _pd.Series([], dtype="int64"),
+                       "__sh": _pd.Series([], dtype="object")}
+                if with_key:
+                    out["__k"] = _pd.Series([], dtype="object")
+                yield _pd.DataFrame(out)
                 continue
             ids, dd, ss, bounds, ends = flat
-            out_ids = [ids[dd[s]] for s in bounds]
-            out_sh = [ss[s:e] for s, e in zip(bounds, ends)]
-            yield _pd.DataFrame({"__id": out_ids, "__sh": out_sh})
+            out = {"__id": [ids[dd[s]] for s in bounds],
+                   "__sh": [ss[s:e] for s, e in zip(bounds, ends)]}
+            if with_key:
+                out["__k"] = [hashlib.md5(ss[s:e].tobytes()).digest()
+                              for s, e in zip(bounds, ends)]
+            yield _pd.DataFrame(out)
 
     src = _spread(df).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    return src.mapInPandas(kernel, "__id long, __sh array<long>")
+    schema = "__id long, __sh array<long>" + (", __k binary" if with_key else "")
+    return src.mapInPandas(kernel, schema)
 
 
 def _shingle_flat(pdf, n: int):
@@ -244,7 +260,13 @@ def jaccard_pairs(
     # back afterward via streamed joins. Without this, g exact duplicates
     # put g entries in EVERY posting list, and the co-occurrence join
     # explodes as g^2 x |shingles| — a 10x-replicated stress corpus showed
-    # 22x wall-clock before the collapse, 1.xx after.
+    # 22x wall-clock before the collapse, 1.xx after. The grouping keys on
+    # __k (16-byte md5 of the sorted shingle bytes, computed inside the
+    # Arrow kernel) so the collapse shuffle hashes and compares fixed-width
+    # keys, never full arrays; the rep's array rides once as a first()
+    # payload for the posting explode. Identical-set pairs (Jaccard exactly
+    # 1) are emitted as rep self-pairs and expand through the SAME member
+    # joins as cross-set pairs — one code path, two fewer stages.
     #
     # Design note: AllPairs/SSJoin prefix filtering (index only the
     # rarest-first (1-tau)|d|+1 shingles, then verify candidates) was
@@ -253,25 +275,20 @@ def jaccard_pairs(
     # array_intersect verification is far costlier than counting. On a
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
-    sh = _hashed_shingled(df, id_col, text_col, n)
+    sh = _hashed_shingled(df, id_col, text_col, n, with_key=True)
     grp = (
-        sh.groupBy("__sh")
-        .agg(F.min("__id").alias("__rid"), F.collect_list("__id").alias("__members"))
+        sh.groupBy("__k")
+        .agg(
+            F.min("__id").alias("__rid"),
+            F.collect_list("__id").alias("__members"),
+            F.first("__sh").alias("__sh"),
+            F.count(F.lit(1)).alias("__gsz"),
+        )
         .cache()
     )
-    mem = grp.select("__rid", F.explode("__members").alias("__id"))
-    # within-group pairs: identical sets, Jaccard exactly 1 (>= any tau<=1);
-    # streamed self-join — per-task memory O(group), output is output-sized
-    wa = mem.select("__rid", F.col("__id").alias("id_a"))
-    wb = mem.select("__rid", F.col("__id").alias("id_b"))
-    within = (
-        wa.join(wb, "__rid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-    )
-    reps = grp.select(F.col("__rid").alias("__id"), "__sh")
-    postings = reps.select(
-        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
+    postings = grp.select(
+        F.col("__rid").alias("__id"), F.size("__sh").alias("__n"),
+        F.explode("__sh").alias("__s"),
     )
     a, b = postings.alias("a"), postings.alias("b")
     co = (
@@ -293,21 +310,40 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= tau)
         .select("__ra", "__rb", "jaccard")
     )
-    # cross-group expansion: member pairs inherit the representative pair's
-    # Jaccard (it depends only on the sets); order each pair explicitly
+    return _expand_rep_pairs(grp, verified)
+
+
+def _expand_rep_pairs(grp: DataFrame, verified: DataFrame) -> DataFrame:
+    """Expand representative-level verified pairs back to member pairs.
+
+    ``grp`` is the collapse table (__rid, __members, __gsz); ``verified``
+    holds (__ra, __rb, jaccard) over representative ids with __ra < __rb.
+    Identical-set groups (size >= 2) contribute rep SELF-pairs (Jaccard
+    exactly 1, it is the same set), which flow through the same two member
+    joins as cross-set pairs: for __ra != __rb the member sets are disjoint
+    so every (a, b) combination is one output pair (ordered with
+    least/greatest — cross-group ids are not ordered by group); for
+    __ra == __rb the a < b filter keeps each unordered pair once. Member
+    pairs inherit the rep pair's Jaccard (it depends only on the sets).
+    The expansion is output-sized and streams through the joins — per-task
+    memory stays O(group), never O(group^2)."""
+    mem = grp.select("__rid", F.explode("__members").alias("__id"))
+    selfp = grp.filter(F.col("__gsz") >= 2).select(
+        F.col("__rid").alias("__ra"), F.col("__rid").alias("__rb"),
+        F.lit(1.0).alias("jaccard"),
+    )
     ea = mem.select(F.col("__rid").alias("__ra"), F.col("__id").alias("__ida"))
     eb = mem.select(F.col("__rid").alias("__rb"), F.col("__id").alias("__idb"))
-    cross = (
-        verified.join(ea, "__ra")
+    return (
+        verified.unionByName(selfp)
+        .join(ea, "__ra")
         .join(eb, "__rb")
+        .filter((F.col("__ra") != F.col("__rb")) | (F.col("__ida") < F.col("__idb")))
         .select(
             F.least("__ida", "__idb").alias("id_a"),
             F.greatest("__ida", "__idb").alias("id_b"),
-            "jaccard",
+            F.round("jaccard", 6).alias("jaccard"),
         )
-    )
-    return within.unionByName(cross).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -396,9 +432,19 @@ def contamination_fraction(
 def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(__id, __pos, __dup) — every length-``n`` token-span start position,
     flagged with whether the identical span occurs in >= 2 distinct docs.
-    One shuffle on the span hash (inverted-index postings), postings
-    re-emerge flagged. Shared core of ``duplicated_spans`` (the profile)
-    and ``trim_duplicated_spans`` (the rewrite)."""
+
+    The dup flag is computed as a bounded aggregate — groupBy(gram) with
+    count_distinct(id) >= 2, one row per distinct gram — and joined back
+    onto the posting stream on the gram hash. No per-gram posting ARRAY is
+    ever materialized: a boilerplate span shared by millions of documents
+    (license headers, templates — the expected input of ExactSubstr dedup
+    at corpus scale) is a hot GROUP here, which partial aggregation and
+    AQE skew handling absorb, where a collect_list posting list would
+    accumulate millions of structs in one task. Both sides of the rejoin
+    hash-partition on the same gram key, and the flag side is
+    gram-distinct-sized (AQE broadcasts it when small). Shared core of
+    ``duplicated_spans`` (the profile) and ``trim_duplicated_spans`` (the
+    rewrite)."""
     from ..functions.text import combine_word_hashes, word_hashes
 
     wh = _spread(df).select(
@@ -410,15 +456,10 @@ def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             "__pos", "__g"
         ),
     )
-    posts = spans.groupBy("__g").agg(
-        F.collect_list(F.struct("__id", "__pos")).alias("__posts"),
-        (F.count_distinct("__id") >= 2).alias("__dup"),
+    dup_grams = spans.groupBy("__g").agg(
+        (F.count_distinct("__id") >= 2).alias("__dup")
     )
-    return posts.select(F.explode("__posts").alias("__e"), "__dup").select(
-        F.col("__e.__id").alias("__id"),
-        F.col("__e.__pos").alias("__pos"),
-        "__dup",
-    )
+    return spans.join(dup_grams, "__g").select("__id", "__pos", "__dup")
 
 
 def duplicated_spans(
@@ -437,19 +478,18 @@ def duplicated_spans(
     Output: (id, n_spans, n_dup_spans, covered_tokens) per doc with >= n
     tokens.
 
-    Scale: positional span hashes group once on the span hash into
-    per-gram postings (inverted index, as the Jaccard join); each posting
-    re-emerges flagged with whether its gram is cross-doc duplicated. The
-    flagged stream feeds two codegen'd aggregations — per-doc span/dup
-    counts, and the exact interval union via explode + count_distinct
-    (positions, not pairs: O(n x spans)) — whose shared postings exchange
+    Scale: positional span hashes aggregate once on the span hash to a
+    gram-distinct dup-flag table (bounded rows — never per-gram posting
+    arrays, so a boilerplate span shared by millions of docs is a hot
+    group absorbed by partial aggregation, not an OOM; see
+    ``_span_flags``), rejoined onto the posting stream. The flagged
+    stream feeds two codegen'd aggregations — per-doc span/dup counts,
+    and the exact interval union via explode + count_distinct (positions,
+    not pairs: O(n x spans)) — whose shared flagged-postings exchange
     executes once through Spark's runtime exchange reuse, so nothing is
     cached and nothing recomputes. (A per-doc array-HOF union was tried
     and rejected: interpreted flatten/array_distinct measured 5x at 10x
     stress under full duplication; the codegen path stays linear.)
-    A degenerate gram shared by a large fraction of all docs concentrates
-    its posting list in one group; hashed n>=5-token spans make that as
-    unlikely as a hot key in any inverted index.
     """
     flat = _span_flags(df, id_col, text_col, n)
     # both consumers of flat contain the IDENTICAL posts exchange, so
@@ -487,7 +527,12 @@ def trim_duplicated_spans(
     ``duplicated_spans``. Returns (id, n_tokens, kept_tokens, trimmed_md5)
     where trimmed_md5 pins every byte of the reconstructed text (single
     spaces, original token order) without shipping the text through the
-    result set; a fully-trimmed doc hashes the empty string.
+    result set; a fully-trimmed doc hashes the empty string. The
+    reconstruction is over the engine's dedup normalization —
+    ``split(lower(trim(text)), '\\s+')`` tokens — so the hash pins the
+    case-folded, whitespace-collapsed rewrite, NOT the original bytes;
+    a pipeline shipping a case-preserving rewrite must re-tokenize
+    without ``lower()`` and hash that output instead.
 
     Scale: covered positions come from the shared span-flag pipeline (one
     shuffle on the span hash); the rewrite is a positional anti join of
@@ -550,6 +595,13 @@ def semantic_dedup(
     cluster-mate reaches ``tau`` (greedy keep-lowest-id, same survivor rule
     as the text near-dup rewrites). Output: (vec_id, centroid_id, kept
     0/1) for the whole corpus.
+
+    .. note:: The returned plan holds a ``cache()`` on the corpus-sized
+       assignment table (it feeds three consumers). Spark keeps plan-keyed
+       caches until the session drops them, so long-lived sessions calling
+       this repeatedly must ``spark.catalog.clearCache()`` (or unpersist)
+       between corpus passes — as bench/stress do — or the assignments pin
+       executor storage indefinitely.
 
     Scale: this is the semantic-dedup shape that makes all-pairs tractable
     at 100 TB — the O(N^2) comparison is confined to within-cluster pairs
@@ -635,8 +687,10 @@ def minhash_lsh_pairs(
 
     Representative collapse (scale fix): documents with an IDENTICAL
     shingle set have identical signatures, identical band keys, and
-    pairwise Jaccard exactly 1 — so the corpus is first grouped by shingle
-    set and LSH runs on ONE representative per distinct set. Exact-duplicate
+    pairwise Jaccard exactly 1 — so the corpus is first grouped by
+    shingle-set identity (``__k``, 16-byte md5 of the sorted shingle
+    bytes, so the collapse shuffle carries fixed-width keys) and LSH runs
+    on ONE representative per distinct set. Exact-duplicate
     groups (the dominant near-dup class in a web-scale corpus, and what a
     replicated stress corpus is made of) then cost O(distinct sets) in the
     band join instead of O(docs), and the quadratic within-group pair
@@ -650,34 +704,23 @@ def minhash_lsh_pairs(
     # (vectorized (h*a+b) % P + np.minimum.reduceat — replaces 16 interpreted
     # array_min(transform(...)) folds per row); bit-identical to
     # ``minhash_signature`` over the native shingle path
-    sig = minhash_signatures(df, id_col, text_col, n)
-    # group by the full (sorted, distinct) shingle array — exact, no
-    # fingerprint-collision risk; one shuffle of the shingle payload, after
-    # which every stage is representative-sized
+    sig = minhash_signatures(df, id_col, text_col, n, with_key=True)
+    # group by __k, the kernel's 16-byte md5 of the sorted shingle bytes —
+    # the collapse shuffle hashes/compares fixed-width keys, never arrays;
+    # the rep's shingle array rides once as a first() payload for the
+    # verification path, and the signature is a pure function of the set
+    # (identical per group)
     nperm = len(MINHASH_AB)
     grp = (
-        sig.groupBy("__sh")
+        sig.groupBy("__k")
         .agg(
             F.min("__id").alias("__rid"),
             F.collect_list("__id").alias("__members"),
-            # signature is a pure function of the set: identical per group
+            F.first("__sh").alias("__sh"),
+            F.count(F.lit(1)).alias("__gsz"),
             *[F.first(f"m{i}").alias(f"m{i}") for i in range(nperm)],
         )
         .cache()
-    )
-    mem = grp.select("__rid", F.explode("__members").alias("__id"))
-    # within-group pairs: identical sets, Jaccard exactly 1 (>= any tau<=1).
-    # Expanded as a SELF-JOIN on the group key over exploded members: the
-    # output is inherently quadratic in group size, but a join STREAMS it —
-    # per-task memory stays O(group), never O(group^2). (A nested HOF over
-    # the members array would materialize all g^2/2 structs inside ONE row:
-    # a single 100k-duplicate group would OOM that task.)
-    wa = mem.select("__rid", F.col("__id").alias("id_a"))
-    wb = mem.select("__rid", F.col("__id").alias("id_b"))
-    within = (
-        wa.join(wb, "__rid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
     band_cols = []
     for j in range(MINHASH_BANDS):
@@ -704,32 +747,17 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= tau)
         .select("__ra", "__rb", "jaccard")
     )
-    # expansion: every member pair across the two groups inherits the rep
-    # pair's Jaccard (Jaccard depends only on the sets). Cross-group ids are
-    # not ordered by group, so order each emitted pair explicitly.
-    ea = mem.select(F.col("__rid").alias("__ra"), F.col("__id").alias("__ida"))
-    eb = mem.select(F.col("__rid").alias("__rb"), F.col("__id").alias("__idb"))
-    cross = (
-        verified.join(ea, "__ra")
-        .join(eb, "__rb")
-        .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
-            "jaccard",
-        )
-    )
-    return within.unionByName(cross).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return _expand_rep_pairs(grp, verified)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, with_key: bool = False
 ) -> DataFrame:
     """(__id, __sh, m0..m15): hashed shingles + MinHash signature in one
     fused Arrow pass. Permutation math is exact int64 ((h·a+b) mod P with
     h < 2^36, a < 2^26 — products < 2^62), identical to
-    ``minhash_signature`` and the DuckDB oracle."""
+    ``minhash_signature`` and the DuckDB oracle. ``with_key=True`` adds the
+    same fixed-width set-identity key ``__k`` as ``_hashed_shingled``."""
     from collections.abc import Iterator
 
     ab_a = [a for a, _ in MINHASH_AB]
@@ -737,6 +765,8 @@ def minhash_signatures(
     ncols = len(MINHASH_AB)
 
     def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
         import numpy as _np
         import pandas as _pd
 
@@ -745,25 +775,30 @@ def minhash_signatures(
         for pdf in batches:
             flat = _shingle_flat(pdf, n)
             if flat is None:
-                yield _pd.DataFrame(
-                    {"__id": _pd.Series([], dtype="int64"),
-                     "__sh": _pd.Series([], dtype="object"),
-                     **{f"m{i}": _pd.Series([], dtype="int64") for i in range(ncols)}}
-                )
+                empty = {"__id": _pd.Series([], dtype="int64"),
+                         "__sh": _pd.Series([], dtype="object")}
+                if with_key:
+                    empty["__k"] = _pd.Series([], dtype="object")
+                for i in range(ncols):
+                    empty[f"m{i}"] = _pd.Series([], dtype="int64")
+                yield _pd.DataFrame(empty)
                 continue
             ids, dd, ss, bounds, ends = flat
             perms = (ss[:, None] * va + vb) % FP_MOD
             mins = _np.minimum.reduceat(perms, bounds, axis=0)
             out = {"__id": ids[dd[bounds]],
                    "__sh": [ss[s:e] for s, e in zip(bounds, ends)]}
+            if with_key:
+                out["__k"] = [hashlib.md5(ss[s:e].tobytes()).digest()
+                              for s, e in zip(bounds, ends)]
             for i in range(ncols):
                 out[f"m{i}"] = mins[:, i]
             yield _pd.DataFrame(out)
 
     src = _spread(df).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    schema = "__id long, __sh array<long>, " + ", ".join(
-        f"m{i} long" for i in range(ncols)
-    )
+    schema = "__id long, __sh array<long>, " + (
+        "__k binary, " if with_key else ""
+    ) + ", ".join(f"m{i} long" for i in range(ncols))
     return src.mapInPandas(kernel, schema)
 
 

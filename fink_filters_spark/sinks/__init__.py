@@ -87,14 +87,22 @@ class HttpTransport(Transport):
     def _sanitize(self, msg: str) -> str:
         """Webhook URLs embed credentials in the PATH (Slack/Discord/Telegram
         convention), so error text keeps scheme+host only; ``_secret`` covers
-        tokens that could surface outside the URL."""
+        tokens that could surface outside the URL. Beyond the exact URL, the
+        bare path (redirect targets, exception text that drops the host) and
+        its percent-encoded form are replaced too — defense in depth against
+        variants the exact-match replace would miss."""
+        from urllib.parse import quote, urlsplit
+
         if self._secret:
             msg = msg.replace(self._secret, "***")
-        from urllib.parse import urlsplit
-
+            msg = msg.replace(quote(self._secret, safe=""), "***")
         parts = urlsplit(self.url)
         if parts.netloc and parts.path not in ("", "/"):
             msg = msg.replace(self.url, f"{parts.scheme}://{parts.netloc}/***")
+            for variant in (parts.path, quote(parts.path, safe=""),
+                            quote(parts.path, safe="/")):
+                if len(variant) > 1:
+                    msg = msg.replace(variant, "/***")
         return msg
 
     def send(self, payload: dict) -> None:
