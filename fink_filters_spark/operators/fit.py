@@ -430,7 +430,16 @@ def mc_param_samples(fit: dict, nsamples: int, seed: int):
         return None
     rng = np.random.default_rng(seed)
     try:
-        draws = rng.multivariate_normal(fit["params"], cov, size=nsamples)
+        import warnings
+
+        with warnings.catch_warnings():
+            # near-singular LM covariances trip numpy's PSD warning; the
+            # draw itself still succeeds deterministically (svd method) —
+            # same benign class as the exp-overflow silenced below
+            warnings.filterwarnings(
+                "ignore", message="covariance is not symmetric positive"
+            )
+            draws = rng.multivariate_normal(fit["params"], cov, size=nsamples)
     except np.linalg.LinAlgError:  # diverged fit: cov not factorizable
         return None
     out = draws.copy()
@@ -601,6 +610,9 @@ def rainbow_mc_score_per_key(
     min_frac: float = 0.1,
     rebase_div: int | None = None,
     per_group: bool = False,
+    band_col: str | None = None,
+    band_wave_aa: dict | None = None,
+    feature_names: tuple = ("amplitude", "rise_time"),
 ) -> DataFrame:
     """The reference's per-candidate loop (fit -> quality cuts -> MC sample
     -> classifier -> best/fraction scores, ``filter.py:158-218``) as ONE
@@ -610,16 +622,33 @@ def rainbow_mc_score_per_key(
     (``r_chisq > 10`` or ``snr_rise_time < 1.5`` -> invalid); ``nsamples``
     deterministic covariance draws (seed xor key, so every key reproduces
     independently of partitioning); the model scores best fit + samples on
-    (amplitude, rise_time) features; ``frac_scores`` = fraction of samples
+    ``feature_names`` columns; ``frac_scores`` = fraction of samples
     scoring positive (>= 0.5), and the reference's acceptance rule
     (``best positive or frac >= 0.1``) lands in ``valid``.
+
+    ``band_col``/``band_wave_aa`` switch to the constant-temperature
+    MULTIBAND Rainbow model (``lcs.py:272-326``), which makes
+    ``temperature`` available as a feature. ``feature_names`` selects the
+    classifier's feature matrix by name, matching the reference's
+    ``pd.DataFrame(res)[clf.feature_names_in_]`` (filter.py:203-205):
+    ``amplitude``/``rise_time``/``temperature`` vary per MC draw,
+    ``e_reference_time`` is the best-fit covariance error (constant across
+    draws). The default matches the packaged ``model_broad.ubj`` contract
+    up to its first two features; pass
+    ``("e_reference_time", "rise_time", "temperature")`` with the real
+    broad model for the reference's exact feature set.
 
     ``rebase_div``/``per_group``: see ``sigmoid_fit_per_key`` /
     ``grouped_arrays_map``.
     """
     bc = df.sparkSession.sparkContext.broadcast(model)
+    multiband = band_col is not None and band_wave_aa is not None
+    # sample-matrix column per feature (draws are (t0, A, tau[, T]) in
+    # natural space); None -> constant best-fit value across draws
+    _FEAT_SAMPLE_COL = {"amplitude": 1, "rise_time": 2, "temperature": 3,
+                        "e_reference_time": None, "reference_time": 0}
 
-    def one(uid, t_arr, y_arr):
+    def one(uid, t_arr, y_arr, *rest):
         import math
 
         import numpy as np
@@ -635,7 +664,11 @@ def rainbow_mc_score_per_key(
 
         if rebase_div is not None:
             t_arr = (t_arr - t_arr.min()) // rebase_div
-        fit = rainbow_fit_arrays(t_arr, y_arr)
+        if multiband:
+            fit = rainbow_fit_arrays(t_arr, y_arr, band_wave_aa=band_wave_aa,
+                                     bands=rest[0])
+        else:
+            fit = rainbow_fit_arrays(t_arr, y_arr)
         if fit is None or fit.get("cov") is None:
             return row()
         amp, tau, chisq = fit["amplitude"], fit["rise_time"], fit["r_chisq"]
@@ -648,8 +681,18 @@ def rainbow_mc_score_per_key(
                        r_chisq=_round6(chisq))
         samples = mc_param_samples(fit, nsamples, seed ^ uid)
         if samples is None:  # cov unsampleable (diverged fit): best-fit only
-            samples = np.empty((0, 3))
-        feats = np.vstack([[amp, tau], samples[:, 1:3]])
+            samples = np.empty((0, 4 if multiband else 3))
+        best_vals = [float(fit.get(nm, np.nan)) for nm in feature_names]
+        samp_cols = []
+        for nm, bv in zip(feature_names, best_vals):
+            ci = _FEAT_SAMPLE_COL[nm]
+            if ci is None or ci >= samples.shape[1]:
+                samp_cols.append(np.full(len(samples), bv))
+            else:
+                samp_cols.append(samples[:, ci])
+        feats = np.vstack([best_vals,
+                           np.column_stack(samp_cols) if len(samples)
+                           else np.empty((0, len(feature_names)))])
         ok = np.isfinite(feats).all(axis=1)
         feats = np.where(ok[:, None], feats, 0.0)
         scores = np.asarray(bc.value.predict_proba_batch(feats), dtype=np.float64)
@@ -669,8 +712,9 @@ def rainbow_mc_score_per_key(
             valid=accepted,
         )
 
+    value_cols = [t_col, y_col] + ([band_col] if multiband else [])
     return grouped_arrays_map(
-        df, key, [t_col, y_col], one, _RAINBOW_MC_COLS, RAINBOW_MC_SCHEMA,
+        df, key, value_cols, one, _RAINBOW_MC_COLS, RAINBOW_MC_SCHEMA,
         per_group=per_group,
     )
 

@@ -60,6 +60,37 @@ def load_model(path: str | None = None, weights=None):
         return LinearStubModel(weights)
 
 
+# The reference snapshot's packaged early-TDE classifiers
+# (``ztf/filter_early_tde_candidates/data/model_{nuclear,broad}.ubj``,
+# loaded at ``filter.py:79-85``). Read-only fixture data — present when the
+# reference checkout is mounted, absent in standalone deployments.
+REFERENCE_TDE_MODEL_DIR = (
+    "/root/reference/fink_filters/ztf/filter_early_tde_candidates/data"
+)
+
+# Feature contracts baked into the packaged models (their stored
+# ``feature_names``): nuclear adds the host-nucleus offset.
+REFERENCE_TDE_FEATURES = {
+    "broad": ("e_reference_time", "rise_time", "temperature"),
+    "nuclear": ("e_reference_time", "rise_time", "temperature", "distnr"),
+}
+
+
+def load_reference_tde_model(which: str = "broad"):
+    """Load one of the reference's REAL packaged early-TDE XGBoost
+    classifiers through the numpy UBJSON reader, or None when the
+    reference snapshot is not mounted (callers fall back to the demo
+    model). ``which``: "broad" or "nuclear"."""
+    import os
+
+    path = os.path.join(REFERENCE_TDE_MODEL_DIR, f"model_{which}.ubj")
+    if not os.path.isfile(path):
+        return None
+    from .xgb_ubj import XGBEnsemble
+
+    return XGBEnsemble.from_file(path)
+
+
 def predict_proba(df: DataFrame, feature_cols: list[str], model, out_col: str = "score") -> DataFrame:
     """Append a probability column scored by the broadcast ``model``."""
     import pandas as pd

@@ -233,6 +233,38 @@ _DEMO_BAND_WAVES = {
 }
 
 
+def q_ts_tde_score_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F10 with the reference's REAL packaged classifier: the multiband
+    Rainbow fit feeds the exact feature contract stored inside
+    ``model_broad.ubj`` — (e_reference_time, rise_time, temperature), the
+    ``clf.feature_names_in_`` selection at ``filter.py:203-205`` — and the
+    model itself is the reference's shipped artifact, parsed and scored by
+    the numpy UBJSON reader. Falls back to the demo model when the
+    reference snapshot is not mounted (feature shape unchanged, so the
+    query runs everywhere). Iterative fit + MC: rows-only check; the
+    model's numeric parity is pinned by golden tests on a fixed feature
+    matrix (tests/test_reference_fixtures.py)."""
+    from ..operators.fit import rainbow_mc_score_per_key
+    from ..operators.ml import REFERENCE_TDE_FEATURES, load_reference_tde_model
+    from ..operators.xgb_ubj import XGBEnsemble
+
+    model = load_reference_tde_model("broad")
+    if model is None:  # standalone deployment: demo fallback
+        model = XGBEnsemble.from_model_dict(_DEMO_TDE_MODEL)
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_us").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        F.col("event_type").alias("band"),
+    )
+    return rainbow_mc_score_per_key(
+        ev, model, key="user_id", t_col="t", y_col="v", rebase_div=US_PER_HOUR,
+        band_col="band", band_wave_aa=_DEMO_BAND_WAVES,
+        feature_names=REFERENCE_TDE_FEATURES["broad"],
+        max_r_chisq=float("inf"), min_snr_rise_time=0.0,
+    )
+
+
 def q_ts_rainbow_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.F10: the reference's JOINT multiband Rainbow fit — one shared
     rising-sigmoid bolometric shape, per-band constant-temperature
@@ -428,5 +460,7 @@ SPECS = [
               "F10 fit -> MC -> classifier scoring loop (rows-only check)"),
     QuerySpec("ts_rainbow_multiband", q_ts_rainbow_multiband, None,
               "F10 joint multiband Rainbow fit (blackbody band scaling)"),
+    QuerySpec("ts_tde_score_real", q_ts_tde_score_real, None,
+              "F10 TDE scoring through the reference's real model_broad.ubj"),
     QuerySpec("text_bpe", q_text_bpe, TEXT_BPE_SQL, "BPE-ish token count"),
 ]

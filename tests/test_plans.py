@@ -67,6 +67,7 @@ NO_ORACLE_OK = {
     "ts_sigmoid_fit",  # iterative Levenberg-Marquardt fit
     "ts_tde_score",  # fit + Monte-Carlo + classifier (not SQL-expressible)
     "ts_rainbow_multiband",  # iterative joint multiband fit
+    "ts_tde_score_real",  # multiband fit + MC + the real packaged model
 }
 
 

@@ -474,3 +474,110 @@ def test_night_gap_kernels_on_real_histories(ztf_flat, ztf_pdf):
         & (pair_gap("cjd", 2, 3) < 0.5)
     ).count()
     assert (got_intra, got_inter) == (want_intra, want_inter)
+
+
+REF_TDE_MODELS = "/root/reference/fink_filters/ztf/filter_early_tde_candidates/data"
+
+# Deterministic feature matrix in physically plausible ranges for the
+# models' stored feature contract (e_reference_time [days], rise_time
+# [days], temperature [K], distnr [arcsec]); broad uses the first three.
+_TDE_PIN_X = [
+    [0.5, 10.0, 15000.0, 0.1],
+    [2.0, 30.0, 30000.0, 0.5],
+    [10.0, 5.0, 8000.0, 1.5],
+    [0.1, 50.0, 50000.0, 0.05],
+    [5.0, 20.0, 20000.0, 3.0],
+    [1.0, 15.0, 12000.0, 0.3],
+    [0.2, 80.0, 6000.0, 0.8],
+    [3.0, 3.0, 40000.0, 0.02],
+]
+# golden probabilities from the numpy UBJSON reader on the REAL packaged
+# models (pinned: any reader or parser drift breaks this test)
+_TDE_PIN_NUCLEAR = [0.8900553901, 0.6137845478, 0.1183909022, 0.7863164133,
+                    0.3469229693, 0.7857057291, 0.2096200393, 0.7218432939]
+_TDE_PIN_BROAD = [0.8824727737, 0.8497432395, 0.2081925614, 0.8534614026,
+                  0.7578479195, 0.7962893516, 0.3230423393, 0.6817531204]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TDE_MODELS),
+                    reason="packaged models absent")
+def test_real_ubj_models_score_pinned_goldens():
+    """I-ML golden parity: the reference's REAL packaged early-TDE
+    classifiers (``model_nuclear.ubj``/``model_broad.ubj``, loaded by the
+    reference at ``filter_early_tde_candidates/filter.py:79-85``) parse
+    through the numpy UBJSON reader with the expected structure and score
+    a pinned feature matrix to stored golden probabilities."""
+    import numpy as np
+
+    from fink_filters_spark.operators.ml import REFERENCE_TDE_FEATURES
+    from fink_filters_spark.operators.xgb_ubj import XGBEnsemble, ubjson_loads
+
+    X = np.array(_TDE_PIN_X)
+    for which, nfeat, golden in (("nuclear", 4, _TDE_PIN_NUCLEAR),
+                                 ("broad", 3, _TDE_PIN_BROAD)):
+        payload = open(f"{REF_TDE_MODELS}/model_{which}.ubj", "rb").read()
+        learner = ubjson_loads(payload)["learner"]
+        assert learner["objective"]["name"] == "binary:logistic"
+        assert int(learner["learner_model_param"]["num_feature"]) == nfeat
+        assert len(learner["gradient_booster"]["model"]["trees"]) == 100
+        assert tuple(learner["feature_names"]) == REFERENCE_TDE_FEATURES[which]
+        model = XGBEnsemble.from_ubj(payload)
+        probs = model.predict_proba_batch(X[:, :nfeat])
+        np.testing.assert_allclose(probs, golden, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TDE_MODELS) or not os.path.isdir(REF),
+                    reason="reference fixtures absent")
+def test_real_tde_curve_scored_by_real_models(spark):
+    """F10 end-to-end fidelity: the REAL ZTF20abfcszi light curve
+    (datatest/tde), deduplicated across its alert packets, fits the
+    constant-temperature multiband Rainbow model in the distributed kernel
+    and is scored by the reference's REAL ``model_broad.ubj`` on its exact
+    stored feature contract (e_reference_time, rise_time, temperature) —
+    the full chain of ``filter.py:158-218`` with zero stand-ins. Goldens
+    pin the engine's own fit+score numerics (drift detection); they are
+    not asserted against the ``light-curve`` package, which is absent
+    offline."""
+    from fink_filters_spark.operators.fit import rainbow_mc_score_per_key
+    from fink_filters_spark.operators.ml import (
+        REFERENCE_TDE_FEATURES, load_reference_tde_model,
+    )
+    from fink_filters_spark.schemas import flatten_ztf
+
+    flat = flatten_ztf(spark.read.parquet(f"{REF}/tde"))
+    lc = (
+        flat.select(
+            F.crc32(F.col("objectId")).cast("long").alias("user_id"),
+            F.explode(
+                F.arrays_zip(
+                    F.col("prv_candidates.jd").alias("jd"),
+                    F.col("prv_candidates.magpsf").alias("magpsf"),
+                    F.col("prv_candidates.fid").alias("fid"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "user_id",
+            F.col("p.jd").alias("t"),  # days, the reference's fit unit
+            F.pow(F.lit(10.0), 0.4 * (20.0 - F.col("p.magpsf"))).alias("v"),
+            F.when(F.col("p.fid") == 1, "g").otherwise("r").alias("band"),
+        )
+        .filter(F.col("v").isNotNull())
+        .dropDuplicates(["user_id", "t", "v", "band"])
+    )
+    model = load_reference_tde_model("broad")
+    out = rainbow_mc_score_per_key(
+        lc, model, key="user_id", t_col="t", y_col="v",
+        band_col="band", band_wave_aa={"g": 4770.0, "r": 6231.0, "i": 7625.0},
+        feature_names=REFERENCE_TDE_FEATURES["broad"],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 55  # distinct (jd, mag, band) epochs in this snapshot
+    # engine-pinned fit goldens for this curve (6-dp kernel rounding)
+    assert r.amplitude == pytest.approx(4.432921, abs=1e-5)
+    assert r.rise_time == pytest.approx(9.630325, abs=1e-5)
+    assert r.r_chisq == pytest.approx(0.060496, abs=1e-5)
+    # real-model score of the real best fit
+    assert r.best_score == pytest.approx(0.323042, abs=1e-5)
+    assert r.frac_scores is not None  # MC ran (seeded by crc32(objectId))
