@@ -977,7 +977,12 @@ def connected_components(
             )
             return spark.createDataFrame(out)
     # distributed path: only the undirected edge list is reused (every
-    # propagation round), so that is the one worth caching
+    # propagation round), so that is the one worth caching. Each label
+    # generation is localCheckpoint'ed (eager): the checkpoint both serves
+    # as the round's cache AND truncates lineage, so after d rounds the
+    # result plan is one scan instead of d nested join/agg layers — the
+    # standard Pregel lineage guard (a long-diameter graph would otherwise
+    # blow up planning time and driver stack depth).
     und = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -987,7 +992,7 @@ def connected_components(
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -1002,7 +1007,7 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             nxt.withColumnRenamed("label", "new_label")
@@ -1010,7 +1015,6 @@ def connected_components(
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
-        labels.unpersist()
         labels = nxt
         if changed == 0:
             break

@@ -269,10 +269,35 @@ FROM documents d2
 """
 
 
+def q_dedup_components_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED connected-components path (Pregel-style min-label
+    propagation to a fixpoint), forced by ``driver_threshold=0`` on the
+    same pair graph as ``dedup_components`` — the execution a pair graph
+    too large for the driver union-find takes at corpus scale. Checked
+    against the identical recursive-CTE oracle, so BOTH adaptive paths are
+    oracle-verified, not just the driver-side common case."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    comp = connected_components(pairs, driver_threshold=0)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
     QuerySpec("dedup_components", q_dedup_components, DEDUP_COMPONENTS_SQL,
               "connected components over the near-dup pair graph"),
+    QuerySpec("dedup_components_distributed", q_dedup_components_distributed,
+              DEDUP_COMPONENTS_SQL,
+              "connected components via distributed min-label propagation"),
     QuerySpec("dedup_apply", q_dedup_apply, DEDUP_APPLY_SQL,
               "applied near-dup removal (keep-lowest-id)"),
     QuerySpec("dedup_ngram_jaccard", q_dedup_jaccard, DEDUP_JACCARD_SQL,
