@@ -11,6 +11,8 @@ interpolate between neighbors — all native expressions after the join.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -138,10 +140,38 @@ def sfd_pixel(l_rad, b_rad, size: int = 4096):
     return x, y, north
 
 
-def load_sfd_maps(north_path: str, south_path: str):
-    """Load the packaged SFD rasters (``SFD_dust_4096_ngp.fits`` /
-    ``_sgp.fits``) with the engine's own FITS codec — no astropy/dustmaps.
-    Returns (north, south) float64 arrays."""
+def synth_ebv_law(l_rad, b_rad):
+    """The packaged synthetic rasters' ANALYTIC dust law (see
+    ``tools/gen_sfd_synth.py``): a cosecant-like galactic-plane
+    concentration with a longitudinal modulation. Tests landmark the full
+    codec -> Lambert transform -> nearest-sample chain against this
+    closed form. The sin terms deliberately break the b -> -b and
+    l -> -l symmetries, so a hemisphere swap or mirrored transform
+    produces detectably wrong samples instead of cancelling out."""
+    return 0.02 * (2.0 + np.sin(b_rad)) + 0.30 * np.exp(
+        -np.abs(b_rad) / np.radians(10.0)
+    ) * (1.0 + 0.5 * np.cos(l_rad) + 0.3 * np.sin(l_rad))
+
+
+# Packaged synthetic hemisphere rasters (256x256, generated by
+# tools/gen_sfd_synth.py from ``synth_ebv_law`` over the exact SFD98
+# pixel geometry). The REAL SFD_dust_4096_{ngp,sgp}.fits files are ~500 MB
+# and not redistributable here; swap them in by passing their paths to
+# ``load_sfd_maps`` — same codec, same geometry, only the raster size grows.
+_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
+SFD_SYNTH_NGP = os.path.join(_DATA_DIR, "sfd_synth_ngp.fits.gz")
+SFD_SYNTH_SGP = os.path.join(_DATA_DIR, "sfd_synth_sgp.fits.gz")
+
+
+def load_sfd_maps(north_path: str = SFD_SYNTH_NGP,
+                  south_path: str = SFD_SYNTH_SGP):
+    """Load SFD hemisphere rasters with the engine's own FITS codec — no
+    astropy/dustmaps. Defaults to the packaged synthetic maps (analytic
+    ``synth_ebv_law`` content, full real geometry); pass the real
+    ``SFD_dust_4096_ngp.fits`` / ``_sgp.fits`` paths for production
+    extinction values. Returns (north, south) float64 arrays."""
     from .fits import parse_fits
 
     arrays = []

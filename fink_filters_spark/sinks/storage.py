@@ -88,6 +88,20 @@ def write_clustered(
     )
 
 
+def kafka_encode(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The Kafka wire frame: every row serialized to a JSON ``value``
+    (the whole row as one struct) with an optional string ``key`` — exactly
+    what the kafka format sink consumes. Split out of ``kafka_writer`` so
+    the encoding is testable broker-free: round-tripping through
+    ``sources.kafka_decode`` with the source schema must reproduce the
+    rows (pinned by tests/test_streaming.py)."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    cols = [payload]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
 def kafka_writer(
     df: DataFrame,
     brokers: str,
@@ -99,12 +113,8 @@ def kafka_writer(
     per-topic output streams). Returns the started StreamingQuery.
     Requires the spark-sql-kafka package at runtime (not in this container).
     """
-    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
-    cols = [payload]
-    if key_col:
-        cols.insert(0, F.col(key_col).cast("string").alias("key"))
     return (
-        df.select(*cols)
+        kafka_encode(df, key_col)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)

@@ -58,10 +58,19 @@ def kafka_stream(
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     raw = reader.load()
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("alert"),
-        F.col("timestamp").alias("kafka_timestamp"),
-    ).select("alert.*", "kafka_timestamp")
+    return kafka_decode(raw, schema).select("alert.*", "kafka_timestamp")
+
+
+def kafka_decode(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Parse the Kafka wire frame back to typed rows: ``value`` (JSON bytes
+    or string) -> ``alert`` struct via ``from_json``, Kafka's ingest
+    ``timestamp`` surfaced as ``kafka_timestamp`` when present. The inverse
+    of ``sinks.storage.kafka_encode`` — their round trip is pinned
+    broker-free by tests/test_streaming.py."""
+    cols = [F.from_json(F.col("value").cast("string"), schema).alias("alert")]
+    if "timestamp" in raw.columns:
+        cols.append(F.col("timestamp").alias("kafka_timestamp"))
+    return raw.select(*cols)
 
 
 def load_catalog(

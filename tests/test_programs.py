@@ -337,6 +337,60 @@ def test_sfd_ebv_lookup_and_fits_loader(spark, tmp_path):
         assert abs(der.loc[row.id, "mag_dered"] - exp_mag) < 1e-9
 
 
+def test_packaged_sfd_rasters_landmarks(spark):
+    """The SHIPPED synthetic hemisphere rasters (fink_filters_spark/data,
+    generated by tools/gen_sfd_synth.py) run the production code path
+    end-to-end — gzip FITS codec -> galactic conversion -> SFD98 Lambert
+    pixel transform -> nearest-pixel sample -> R_band correction — and the
+    sampled E(B-V) matches the analytic ``synth_ebv_law`` at known
+    landmarks. Swapping in the real SFD_dust_4096 files is the documented
+    one-line change (paths to ``load_sfd_maps``)."""
+    import numpy as np
+
+    from fink_filters_spark.operators.cosmology import (
+        BAND_EXTINCTION,
+        deredden_sfd,
+        load_sfd_maps,
+        radec_to_lb,
+        synth_ebv_law,
+    )
+
+    north, south = load_sfd_maps()  # packaged defaults
+    assert north.shape == (256, 256) and south.shape == (256, 256)
+    # hemisphere maps must differ (the law breaks the b -> -b symmetry)
+    assert not np.allclose(north, south)
+
+    # landmarks: galactic poles and anticenter-ish sightlines, plus a
+    # spread of random ones; nearest-pixel at 256 px -> ~0.4 deg cells,
+    # and the law's steepest gradient is exp(-|b|/10deg), so one cell
+    # moves the value by <~5% — tolerance set accordingly
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(24),
+            "ra": np.r_[192.85948, 13.0, 86.4, rng.uniform(0, 360, 21)],
+            "dec": np.r_[27.12825, -27.0, 28.0, rng.uniform(-88, 88, 21)],
+            "mag": np.full(24, 20.0),
+            "band": ["g", "r", "i"] * 8,
+        }
+    )
+    out = (
+        deredden_sfd(spark.createDataFrame(pdf), "mag", "band", north, south)
+        .toPandas()
+        .set_index("id")
+    )
+    l, b = radec_to_lb(pdf.ra.to_numpy(), pdf.dec.to_numpy())
+    want_ebv = synth_ebv_law(l, b)
+    # row 0 is the north galactic pole: b ~ +90, law -> 0.02*(2+1) = 0.06
+    assert abs(want_ebv[0] - 0.06) < 1e-3
+    for i, row in pdf.iterrows():
+        got_mag = out.loc[row.id, "mag_dered"]
+        got_ebv = (20.0 - got_mag) / BAND_EXTINCTION[row.band]
+        assert abs(got_ebv - want_ebv[i]) <= 0.05 * want_ebv[i] + 0.01, (
+            f"landmark {i}: sampled {got_ebv:.4f} vs analytic {want_ebv[i]:.4f}"
+        )
+
+
 def test_deredden_raster_join(spark):
     """Dust correction via broadcast raster join: plane sightlines get a
     larger correction than pole sightlines; unknown bands pass through;

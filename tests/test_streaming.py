@@ -685,3 +685,46 @@ def test_observe_metrics_in_streaming_progress(spark, tmp_path):
     assert metrics["n_rows"] == 3
     assert metrics["n_null_flux"] == 1
     assert metrics["n_neg_flux"] == 1
+
+
+def test_kafka_wire_encoding_round_trip(spark):
+    """B-surface Kafka egress/ingest encoding pinned WITHOUT a broker: the
+    exact (key, value) frame ``kafka_writer`` ships — whole row as one JSON
+    value, string-cast key — parses back through ``kafka_decode`` with the
+    source schema to the original rows, nested structs/arrays and nulls
+    included. Broker e2e stays environment-gated (no Kafka in-container);
+    this pins the part the engine owns: the wire encoding contract."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from fink_filters_spark.sinks.storage import kafka_encode
+    from fink_filters_spark.sources import kafka_decode
+
+    schema = StructType([
+        StructField("candid", LongType()),
+        StructField("objectId", StringType()),
+        StructField("candidate", StructType([
+            StructField("magpsf", DoubleType()),
+            StructField("fid", LongType()),
+        ])),
+        StructField("cjd", ArrayType(DoubleType())),
+    ])
+    rows = [
+        (1, "ZTF1", (17.25, 1), [2459000.5, 2459001.5]),
+        (2, "ZTF2", (None, 2), []),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    wire = kafka_encode(df, key_col="objectId")
+    assert wire.columns == ["key", "value"]
+    # key is the string-cast partition key; null keys stay null (Kafka
+    # round-robins those)
+    keys = [r.key for r in wire.collect()]
+    assert keys == ["ZTF1", "ZTF2", None]
+    back = kafka_decode(wire, schema).select("alert.*")
+    assert [tuple(r) for r in back.orderBy("candid").collect()] == [
+        (1, "ZTF1", (17.25, 1), [2459000.5, 2459001.5]),
+        (2, "ZTF2", (None, 2), []),
+        (3, None, None, None),
+    ]
