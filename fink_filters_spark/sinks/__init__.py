@@ -214,6 +214,13 @@ class NotificationSink:
     — the reference's Friday-only Slack gate
     (``filter_kn_candidates/filter.py:340-345``) as sink POLICY rather than
     logic buried in the filter UDF. Selection semantics are unaffected.
+
+    ``max_rows_per_batch`` bounds the per-batch ``collect()``: a
+    notification sink is human-facing, so rows beyond the cap are DROPPED
+    for that batch by design (the reference likewise collects its selected
+    alerts driver-side before posting). Keep the cap small — this sink is
+    for tens of messages per micro-batch, not bulk egress; route bulk
+    output through the storage/Kafka writers instead.
     """
 
     transport: Transport

@@ -582,6 +582,28 @@ def test_real_tde_curve_scored_by_real_models(spark):
     assert r.best_score == pytest.approx(0.323042, abs=1e-5)
     assert r.frac_scores is not None  # MC ran (seeded by crc32(objectId))
 
+    # nuclear model: same fit features + the latest alert packet's REAL
+    # host-nucleus offset (the reference's 4th feature, distnr)
+    from fink_filters_spark.operators.fit import rainbow_fit_arrays
+
+    pts = lc.orderBy("t").collect()
+    t_arr = np.array([p.t for p in pts])
+    v_arr = np.array([p.v for p in pts])
+    b_arr = np.array([p.band for p in pts], dtype=object)
+    fit = rainbow_fit_arrays(
+        t_arr, v_arr,
+        band_wave_aa={"g": 4770.0, "r": 6231.0, "i": 7625.0}, bands=b_arr,
+    )
+    assert fit["temperature"] == pytest.approx(5763.386779, abs=0.01)
+    latest = flat.orderBy(F.desc("jd")).select("distnr").first()
+    assert latest.distnr == pytest.approx(0.178270, abs=1e-5)
+    nuclear = load_reference_tde_model("nuclear")
+    feats = np.array([[fit["e_reference_time"], fit["rise_time"],
+                       fit["temperature"], float(latest.distnr)]])
+    assert nuclear.predict_proba_batch(feats)[0] == pytest.approx(
+        0.496755, abs=1e-5
+    )
+
 
 def test_streaming_topics_match_batch_on_real_alerts(spark, tmp_path):
     """§2.J product parity on the REAL fixture: registered ZTF topics run

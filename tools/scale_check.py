@@ -49,6 +49,9 @@ HEADLINERS = [
     "q_pagerank3",
     "dedup_semantic",
     "dedup_substring",
+    "dedup_substring_rewrite",
+    "dedup_minhash_lsh",
+    "dedup_components_distributed",
     "pipe_contamination_frac",
     "pipe_mixture",
 ]

@@ -61,6 +61,10 @@ HEADLINERS = [
     "dedup_ngram_jaccard",
     "q_upsert_merge",
     "dedup_substring",
+    "dedup_substring_rewrite",
+    "dedup_simhash",
+    "dedup_components",
+    "q_asof_attribution",
     "pipe_contamination_frac",
     "pipe_mixture",
 ]
