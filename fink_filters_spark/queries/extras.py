@@ -443,9 +443,217 @@ GROUP BY 1, 2
 """
 
 
+def q_ts_rising_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F4 robust rising test as a declared oracle query: per user, the
+    reference's brightening gate (``prefilter.py:69-149`` — last magnitude
+    brighter than the faintest by >3 sigma of the combined errors AND
+    weighted-LSQ slope negative at 3 sigma) over synthetic per-user light
+    curves. Exact-parity discipline: y is an integer-valued double
+    (distinct within a user via the row number, so the faintest-point
+    argmax has no tie ambiguity) and sigma ∈ {0.5, 1, 2} makes every
+    weight a power of two — all Σ-statistics are exact binary fixed-point
+    sums, order-independent across engines."""
+    from pyspark.sql import Window
+
+    from ..functions.arrays import is_rising, weighted_linfit
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts_us").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    b = ev.select(
+        "user_id", "t", "event_id",
+        F.expr(f"(t - min(t) OVER (PARTITION BY user_id)) div {US_PER_HOUR}")
+        .cast("double").alias("x"),
+        (F.col("v") * 128 + F.row_number().over(wo)).cast("double").alias("y"),
+        F.when(F.col("event_id") % 3 == 0, 0.5)
+        .when(F.col("event_id") % 3 == 1, 1.0)
+        .otherwise(2.0).alias("s"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("t", "event_id", "x", "y", "s")))
+    g = b.groupBy("user_id").agg(arr.alias("__a"))
+    xs = F.transform("__a", lambda e: e["x"])
+    ys = F.transform("__a", lambda e: e["y"])
+    ss = F.transform("__a", lambda e: e["s"])
+    fit = weighted_linfit(xs, ys, ss)
+    return g.select(
+        "user_id",
+        F.size("__a").cast("long").alias("n"),
+        F.round(fit["slope"], 6).alias("slope"),
+        F.round(fit["slope_err"], 6).alias("slope_err"),
+        is_rising(ys, ss, xs, 3.0).alias("rising"),
+    )
+
+
+RISING_SQL = f"""
+WITH ev AS ({EVQ_SQL}),
+b AS (
+  SELECT user_id, event_id, t,
+    CAST((t - min(t) OVER (PARTITION BY user_id)) // {US_PER_HOUR} AS DOUBLE) AS x,
+    CAST(v * 128 + row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+         AS DOUBLE) AS y,
+    CASE event_id % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 ELSE 2.0 END AS s,
+    CASE event_id % 3 WHEN 0 THEN 4.0 WHEN 1 THEN 1.0 ELSE 0.25 END AS w
+  FROM ev
+),
+lastrow AS (
+  SELECT user_id, y AS last_y, s AS last_s FROM (
+    SELECT user_id, y, s,
+           row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC)
+           AS rdesc
+    FROM b
+  ) WHERE rdesc = 1
+),
+agg AS (
+  SELECT user_id, count(*) AS cnt, max(y) AS max_y, arg_max(s, y) AS faint_s,
+         sum(w) AS sw, sum(w*x) AS swx, sum(w*y) AS swy,
+         sum(w*x*x) AS swxx, sum(w*x*y) AS swxy
+  FROM b GROUP BY user_id
+)
+SELECT a.user_id, CAST(a.cnt AS BIGINT) AS n,
+  CASE WHEN (sw*swxx - swx*swx) <> 0
+       THEN round((sw*swxy - swx*swy) / (sw*swxx - swx*swx), 6) END AS slope,
+  CASE WHEN (sw*swxx - swx*swx) <> 0
+       THEN round(sqrt(sw / (sw*swxx - swx*swx)), 6) END AS slope_err,
+  (a.cnt >= 2
+   AND (max_y - last_y) > 3.0 * sqrt(last_s*last_s + faint_s*faint_s)
+   AND (sw*swxx - swx*swx) <> 0
+   AND (sw*swxy - swx*swy) / (sw*swxx - swx*swx)
+       < -3.0 * sqrt(sw / (sw*swxx - swx*swx))) AS rising
+FROM agg a JOIN lastrow l USING (user_id)
+"""
+
+
+def q_astro_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I photometry scalars as native math — the reference computes
+    these in numpy inside pandas UDFs (``prefilter.py:153-166`` mag->flux,
+    ``rubin/utils.py:193-212`` flux->mag, fink-utils ``dc_mag`` at
+    ``filter_kn_candidates/filter.py:242-251``). Synthetic magnitudes
+    derive deterministically from the events table; every emitted value is
+    O(1)-scale (magnitudes or log-flux, never raw flux) so a sub-ulp libm
+    difference between engines cannot cross a 6-dp rounding boundary."""
+    from ..functions.astro import dc_mag, dc_mag_err, flux2mag, mag2fluxcal
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.round(F.col("value") * 1000).cast("long").alias("v")
+    )
+    base = ev.select(
+        "event_id",
+        (F.lit(20.0) + (F.col("v") % 5000) / F.lit(1000.0)).alias("magpsf"),
+        (F.lit(0.01) + (F.col("event_id") % 100) / F.lit(1000.0)).alias("sigmapsf"),
+        F.when(F.col("event_id") % 2 == 0, "t").otherwise("f").alias("isdiffpos"),
+        F.col("v").cast("double").alias("flux_njy"),
+    ).withColumn("magnr", F.col("magpsf") - 1.0).withColumn(
+        "sigmagnr", F.lit(0.05)
+    )
+    fluxcal = mag2fluxcal(F.col("magpsf"))
+    return base.select(
+        "event_id",
+        F.round(F.log10(fluxcal), 6).alias("log_fluxcal"),
+        F.round(flux2mag("flux_njy"), 6).alias("ab_mag"),
+        F.round(
+            dc_mag("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos"), 6
+        ).alias("dcmag"),
+        F.round(
+            dc_mag_err("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos"), 6
+        ).alias("dcmag_err"),
+    )
+
+
+PHOTOMETRY_SQL = """
+WITH base AS (
+  SELECT event_id,
+         20.0 + (CAST(round(value*1000) AS BIGINT) % 5000) / 1000.0 AS magpsf,
+         0.01 + (event_id % 100) / 1000.0 AS sigmapsf,
+         CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign,
+         CAST(CAST(round(value*1000) AS BIGINT) AS DOUBLE) AS flux_njy
+  FROM events
+),
+f AS (
+  SELECT *, magpsf - 1.0 AS magnr, 0.05 AS sigmagnr,
+         power(10.0, -0.4*(magpsf - 1.0)) AS fref,
+         power(10.0, -0.4*magpsf) AS fdiff
+  FROM base
+)
+SELECT event_id,
+  round(log10(power(10.0, -(magpsf - 25.0)/2.5) * 1000.0), 6) AS log_fluxcal,
+  CASE WHEN flux_njy > 0
+       THEN round(-2.5*log10(flux_njy) + 31.4, 6) END AS ab_mag,
+  CASE WHEN fref + sign*fdiff > 0
+       THEN round(-2.5*log10(fref + sign*fdiff), 6) END AS dcmag,
+  CASE WHEN fref + sign*fdiff > 0
+       THEN round(2.5/ln(10.0)
+                  * sqrt(power(fref*sigmagnr, 2.0) + power(fdiff*sigmapsf, 2.0))
+                  / (fref + sign*fdiff), 6) END AS dcmag_err
+FROM f
+"""
+
+
+def q_ev_prev_same_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F9 latest-same-band lookup as a declared oracle query: for each
+    user's LATEST event, the most recent PRIOR event of the same type —
+    the reference scans prvDiaSources for the max-MJD source matching the
+    current band (``rubin/livestream/filter_extragalactic_new_candidate/
+    filter.py:55-75``). The history array is ordered by (t, event_id) and
+    the in-array time key is the row number, so ties in t are broken
+    identically in both engines."""
+    from pyspark.sql import Window
+
+    from ..functions.arrays import latest_same_band
+
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts_us").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        F.col("event_type").alias("band"),
+    ).withColumn("rn", F.row_number().over(wo))
+    arr = F.array_sort(F.collect_list(F.struct("rn", "t", "v", "band")))
+    g = ev.groupBy("user_id").agg(arr.alias("__a"))
+    last = F.element_at("__a", -1)
+    prevs = F.slice("__a", 1, F.size("__a") - 1)
+    match = latest_same_band(prevs, "band", "rn", last["band"])
+    return g.select(
+        "user_id",
+        last["band"].alias("last_band"),
+        match["t"].alias("prev_t"),
+        match["v"].alias("prev_v"),
+    )
+
+
+PREV_SAME_BAND_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         CAST(round(value*1000) AS BIGINT) AS v, event_type AS band
+  FROM events
+),
+lastrow AS (
+  SELECT user_id, event_id AS last_eid, t AS last_t, band AS last_band FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC)
+              AS rdesc
+    FROM ev
+  ) WHERE rdesc = 1
+)
+SELECT l.user_id, l.last_band, p.t AS prev_t, p.v AS prev_v
+FROM lastrow l LEFT JOIN LATERAL (
+  SELECT e.t, e.v FROM ev e
+  WHERE e.user_id = l.user_id AND e.band = l.last_band
+    AND (e.t < l.last_t OR (e.t = l.last_t AND e.event_id < l.last_eid))
+  ORDER BY e.t DESC, e.event_id DESC LIMIT 1
+) p ON TRUE
+"""
+
+
 SPECS = [
     QuerySpec("q_sessionize", q_sessionize, SESSIONIZE_SQL,
               "gap-based session windows (§2.J)"),
+    QuerySpec("ts_rising_3sigma", q_ts_rising_3sigma, RISING_SQL,
+              "F4 robust 3-sigma rising test (weighted LSQ significance)"),
+    QuerySpec("astro_photometry", q_astro_photometry, PHOTOMETRY_SQL,
+              "I-math mag<->flux and DC-magnitude photometry scalars"),
+    QuerySpec("ev_prev_same_band", q_ev_prev_same_band, PREV_SAME_BAND_SQL,
+              "F9 latest same-band history lookup"),
     QuerySpec("q_asof_attribution", q_asof_attribution, ASOF_SQL,
               "as-of join via union+window (custom operator)"),
     QuerySpec("q_interval_attribution", q_interval_attribution, INTERVAL_SQL,
