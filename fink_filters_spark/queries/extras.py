@@ -645,9 +645,119 @@ FROM lastrow l LEFT JOIN LATERAL (
 """
 
 
+_BAND_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_ev_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F6 per-band struct-carried statistics: per (user, band) running
+    mean pivoted to one column per band, then each event reads ITS band's
+    mean through the chained-CASE lookup — the exact shape of the Rubin
+    alert schema's {band}_{stat} columns and ``_band_stat``
+    (``filters/rubin.py``, reference ``rubin/utils.py:49-112``) — and
+    flags ``rising`` as flux above the band mean (``blocks.py:262-339``).
+    The oracle computes the same values through a window AVG instead of
+    pivot+CASE, so the check also pins cross-shape equivalence. Mean is an
+    exact-integer sum over count (one deterministic division)."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        F.col("event_type").alias("band"),
+    )
+    stats = (
+        ev.groupBy("user_id")
+        .pivot("band", _BAND_TYPES)
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("mean"))
+    )
+    for b in _BAND_TYPES:  # {band}_{stat} carrier columns, Rubin-style
+        stats = stats.withColumnRenamed(b, f"{b}_vMean")
+    j = ev.join(stats, "user_id")
+    band_mean = F.lit(None).cast("double")
+    for b in _BAND_TYPES:  # the F6 chained-CASE lookup
+        band_mean = F.when(F.col("band") == b, F.col(f"{b}_vMean")).otherwise(
+            band_mean
+        )
+    return j.select(
+        "event_id",
+        F.round(band_mean, 6).alias("band_mean"),
+        (F.col("v") > band_mean).alias("rising"),
+    )
+
+
+BAND_STATS_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(round(value*1000) AS BIGINT) AS v,
+         event_type AS band
+  FROM events
+)
+SELECT event_id,
+       round(CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w, 6) AS band_mean,
+       (CAST(v AS DOUBLE)
+        > CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w) AS rising
+FROM ev
+WINDOW w AS (PARTITION BY user_id, band)
+"""
+
+
+def q_ev_night_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F8 night-gap predicates over per-key history arrays: the gap
+    between the last two observations and between the prior pair classify
+    intra-night (both gaps short) vs inter-night (fresh short pair after a
+    long gap) — the hostless filters' cadence gates
+    (``ztf/livestream/filter_intra_night_hostless`` /
+    ``_inter_night_hostless``), here over the events table with an hour
+    standing in for the night threshold. Gaps are exact integer
+    microsecond differences of array tail elements."""
+    from ..functions.arrays import pair_gap
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts_us").alias("t"), "event_id"
+    )
+    arr = F.array_sort(F.collect_list(F.struct("t", "event_id")))
+    g = ev.groupBy("user_id").agg(arr.alias("__a"))
+    ts = F.transform("__a", lambda e: e["t"])
+    gap12 = pair_gap(ts, 1, 2)
+    gap23 = pair_gap(ts, 2, 3)
+    thr = F.lit(US_PER_HOUR)
+    return g.select(
+        "user_id",
+        gap12.alias("gap12_us"),
+        gap23.alias("gap23_us"),
+        ((F.size("__a") >= 2) & (gap12 < thr)).alias("intra"),
+        ((F.size("__a") >= 3) & (gap12 < thr) & (gap23 > thr)).alias("inter"),
+    )
+
+
+NIGHT_GAPS_SQL = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+r AS (
+  SELECT user_id, t,
+         row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC)
+         AS rdesc,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM ev
+),
+tails AS (
+  SELECT user_id,
+         max(CASE WHEN rdesc = 1 THEN t END) AS t1,
+         max(CASE WHEN rdesc = 2 THEN t END) AS t2,
+         max(CASE WHEN rdesc = 3 THEN t END) AS t3,
+         max(cnt) AS cnt
+  FROM r GROUP BY user_id
+)
+SELECT user_id, t1 - t2 AS gap12_us, t2 - t3 AS gap23_us,
+       (cnt >= 2 AND t1 - t2 < {US_PER_HOUR}) AS intra,
+       (cnt >= 3 AND t1 - t2 < {US_PER_HOUR} AND t2 - t3 > {US_PER_HOUR}) AS inter
+FROM tails
+"""
+
+
 SPECS = [
     QuerySpec("q_sessionize", q_sessionize, SESSIONIZE_SQL,
               "gap-based session windows (§2.J)"),
+    QuerySpec("ev_band_stats", q_ev_band_stats, BAND_STATS_SQL,
+              "F6 per-band struct stats via pivot + chained-CASE lookup"),
+    QuerySpec("ev_night_gaps", q_ev_night_gaps, NIGHT_GAPS_SQL,
+              "F8 intra/inter-night gap predicates over history tails"),
     QuerySpec("ts_rising_3sigma", q_ts_rising_3sigma, RISING_SQL,
               "F4 robust 3-sigma rising test (weighted LSQ significance)"),
     QuerySpec("astro_photometry", q_astro_photometry, PHOTOMETRY_SQL,
