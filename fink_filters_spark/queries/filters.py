@@ -173,7 +173,151 @@ GROUP BY 1
 """
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def f_orphan_grb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30 orphan-GRB shape through the REAL registered topic expression
+    (``filters/ztf.py`` ``orphan_grb``, reference
+    ``ztf/filter_orphan_grb_candidates/filter.py:24-157``): the events
+    table is folded into an alert-shaped frame — 3-epoch history arrays
+    (cjd/cmagpsf/cfid from each user's last three events, sorted by time),
+    alert jd/jdstarthist, an SSO-name veto column — and the topic's
+    higher-order array predicate (detection count, faintness forall,
+    10-day window, fading tail, g-r color from per-band means) selects
+    over it. Magnitudes are integer-valued doubles and band means are
+    integer sums over counts, so every float the two engines compare is
+    bit-identical."""
+    from ..filters.registry import get_filter
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts_us").alias("t"), "event_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    arr = F.slice(
+        F.array_sort(F.collect_list(F.struct("t", "event_id", "v"))), -3, 3
+    )
+    g = ev.groupBy("user_id").agg(arr.alias("__a")).filter(F.size("__a") == 3)
+    frame = g.select(
+        "user_id",
+        F.transform("__a", lambda e: e["t"] / F.lit(float(_US_PER_DAY))).alias("cjd"),
+        F.transform("__a", lambda e: (18 + e["v"] % 8).cast("double")).alias(
+            "cmagpsf"
+        ),
+        F.transform("__a", lambda e: (1 + e["event_id"] % 2).cast("int")).alias(
+            "cfid"
+        ),
+    ).select(
+        "user_id", "cjd", "cmagpsf", "cfid",
+        F.element_at("cjd", -1).alias("jd"),
+        F.element_at("cjd", 1).alias("jdstarthist"),
+        F.when(F.col("user_id") % 7 == 0, F.lit("sso123")).alias("ssnamenr"),
+    )
+    sel = frame.filter(get_filter("ztf.orphan_grb").builder(frame))
+    return sel.select(
+        "user_id",
+        F.round("jd", 6).alias("jd"),
+        F.element_at("cmagpsf", -1).alias("last_mag"),
+    )
+
+
+F_ORPHAN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC)
+            AS rdesc,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM ev
+),
+h AS (  -- last three epochs, rdesc 1 = newest
+  SELECT user_id,
+         CAST(18 + v % 8 AS DOUBLE) AS m,
+         CAST(1 + event_id % 2 AS INTEGER) AS fid,
+         t / {float(_US_PER_DAY)!r} AS jd_d, rdesc
+  FROM r WHERE rdesc <= 3 AND cnt >= 3
+),
+a AS (
+  SELECT user_id,
+         max(CASE WHEN rdesc = 1 THEN jd_d END) AS jd,
+         max(CASE WHEN rdesc = 3 THEN jd_d END) AS jdstart,
+         max(CASE WHEN rdesc = 1 THEN m END) AS m_last,
+         max(CASE WHEN rdesc = 3 THEN m END) AS m_first,
+         min(m) AS m_min,
+         sum(CASE WHEN fid = 1 THEN m END) AS g_sum,
+         count(CASE WHEN fid = 1 THEN 1 END) AS g_n,
+         sum(CASE WHEN fid = 2 THEN m END) AS r_sum,
+         count(CASE WHEN fid = 2 THEN 1 END) AS r_n
+  FROM h GROUP BY user_id
+)
+SELECT user_id, round(jd, 6) AS jd, m_last AS last_mag
+FROM a
+WHERE (jd - jdstart) <= 30
+  AND m_min > 18
+  AND (jd - jdstart) < 10
+  AND user_id % 7 <> 0
+  AND m_last >= m_first
+  AND (g_n = 0 OR r_n = 0 OR (g_sum / g_n - r_sum / r_n >= 0))
+"""
+
+
+def q_ev_band_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.E6 cross-column greatest/least (the Rubin per-band flux columns
+    compared with ``F.greatest``/``F.least``, ``filters/rubin.py:266-271``):
+    per-user per-band means pivoted to one column per band, then the
+    brightest/faintest band mean via greatest/least. Missing bands are
+    coalesced to an explicit sentinel so NULL semantics cannot diverge
+    between engines."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        F.col("event_type").alias("band"),
+    )
+    from .extras import _BAND_TYPES
+
+    stats = (
+        ev.groupBy("user_id")
+        .pivot("band", _BAND_TYPES)
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("mean"))
+    )
+    cols = [F.coalesce(F.col(b), F.lit(-1.0)) for b in _BAND_TYPES]
+    return stats.select(
+        "user_id",
+        F.round(F.greatest(*cols), 6).alias("max_band_mean"),
+        F.round(F.least(*cols), 6).alias("min_band_mean"),
+    )
+
+
+BAND_EXTREMES_SQL = """
+WITH m AS (
+  SELECT user_id, event_type AS band,
+         CAST(sum(CAST(round(value*1000) AS BIGINT)) AS DOUBLE) / count(*) AS mean
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN band = 'click' THEN mean END), -1.0) AS c,
+         coalesce(max(CASE WHEN band = 'view' THEN mean END), -1.0) AS vw,
+         coalesce(max(CASE WHEN band = 'purchase' THEN mean END), -1.0) AS pu,
+         coalesce(max(CASE WHEN band = 'signup' THEN mean END), -1.0) AS s,
+         coalesce(max(CASE WHEN band = 'error' THEN mean END), -1.0) AS e
+  FROM m GROUP BY user_id
+)
+SELECT user_id,
+       round(greatest(c, vw, pu, s, e), 6) AS max_band_mean,
+       round(least(c, vw, pu, s, e), 6) AS min_band_mean
+FROM p
+"""
+
+
 SPECS = [
+    QuerySpec("f_orphan_grb", f_orphan_grb, F_ORPHAN_SQL,
+              "C30 orphan-GRB array-logic shape (real topic expression)"),
+    QuerySpec("ev_band_extremes", q_ev_band_extremes, BAND_EXTREMES_SQL,
+              "E6 cross-column greatest/least over per-band means"),
     QuerySpec("f_example", f_example, F_EXAMPLE_SQL, "C1 predicate shape"),
     QuerySpec("f_sn_candidates", f_sn_candidates, F_SN_SQL, "C2 conjunction shape"),
     QuerySpec("f_quality_cuts", f_quality_cuts, F_QUALITY_SQL, "C23 quality cuts"),
