@@ -413,3 +413,43 @@ def test_trim_duplicated_spans_reconstruction(spark):
     # doc 3: no cross-doc span -> identity
     assert (got[3].n_tokens, got[3].kept_tokens) == (6, 6)
     assert got[3].trimmed_md5 == h("p q r s t u")
+
+
+def test_simhash_collapse_matches_naive_band_join(spark):
+    """The representative collapse in simhash_pairs is a pure execution
+    optimization: on a corpus dense with exact duplicates (the collapse's
+    target input) the emitted pair set equals a naive per-document band
+    join built directly from the fingerprints."""
+    from fink_filters_spark.operators.dedup import (
+        SIMHASH_BAND_BITS, SIMHASH_BITS, simhash_fingerprints, simhash_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs right now",
+        "sphinx of black quartz judge my vow please",
+    ]
+    rows = [(i * 10 + j, t) for j, t in enumerate(base) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+
+    sims = {r["__id"]: r["__sim"]
+            for r in simhash_fingerprints(df, "doc_id", "text", 3).collect()}
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+
+    def bands(s):
+        return {(j, (s >> (j * SIMHASH_BAND_BITS)) & mask) for j in range(n_bands)}
+
+    want = set()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bands(sims[a]) & bands(sims[b]):
+                h = bin(sims[a] ^ sims[b]).count("1")
+                if h <= 3:
+                    want.add((a, b, h))
+    assert got == want and len(want) >= 40  # within-group pairs present
