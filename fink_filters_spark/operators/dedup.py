@@ -109,10 +109,14 @@ def _hashed_shingled(
 ) -> DataFrame:
     """(__id, __sh: array<long>) — distinct hashed word n-gram shingles.
 
-    ``with_key=True`` adds ``__k``: the 16-byte md5 of the sorted shingle
-    array's raw int64 bytes — a fixed-width content key for the
+    ``with_key=True`` adds ``__k``: the 32-byte sha256 of the sorted
+    shingle array's raw int64 bytes — a fixed-width content key for the
     representative collapse, so grouping documents by shingle-SET identity
-    shuffles and compares 16-byte keys instead of full arrays.
+    shuffles and compares 32-byte keys instead of full arrays. Using a
+    collision-resistant hash keeps the collapse EXACT in practice even
+    against adversarially constructed corpora (a collision would merge two
+    distinct sets into one duplicate group — the property the pre-collapse
+    array-key grouping guaranteed structurally).
 
     Arrow-vectorized kernel (mapInPandas): per batch, tokenize, hash each
     DISTINCT word once (vocab ≪ token count), combine n-grams and dedupe
@@ -148,7 +152,7 @@ def _hashed_shingled(
             out = {"__id": [ids[dd[s]] for s in bounds],
                    "__sh": [ss[s:e] for s, e in zip(bounds, ends)]}
             if with_key:
-                out["__k"] = [hashlib.md5(ss[s:e].tobytes()).digest()
+                out["__k"] = [hashlib.sha256(ss[s:e].tobytes()).digest()
                               for s, e in zip(bounds, ends)]
             yield _pd.DataFrame(out)
 
@@ -248,6 +252,12 @@ def jaccard_pairs(
     Set sizes ride along with each posting, so Jaccard falls out of the
     co-occurrence groupBy directly — one shuffle keyed by shingle, one by
     pair, no extra joins.
+
+    .. note:: Like ``minhash_lsh_pairs`` / ``simhash_pairs`` /
+       ``semantic_dedup``, the plan holds a ``cache()`` on the
+       distinct-set-sized collapse table; long-lived sessions calling
+       these repeatedly should ``spark.catalog.clearCache()`` between
+       corpus passes, as bench/stress do.
     """
     # Inverted-index co-occurrence join: explode shingles (sizes ride along
     # with each posting), pair docs sharing a shingle, and count — the count
@@ -261,7 +271,7 @@ def jaccard_pairs(
     # put g entries in EVERY posting list, and the co-occurrence join
     # explodes as g^2 x |shingles| — a 10x-replicated stress corpus showed
     # 22x wall-clock before the collapse, 1.xx after. The grouping keys on
-    # __k (16-byte md5 of the sorted shingle bytes, computed inside the
+    # __k (32-byte sha256 of the sorted shingle bytes, computed inside the
     # Arrow kernel) so the collapse shuffle hashes and compares fixed-width
     # keys, never full arrays; the rep's array rides once as a first()
     # payload for the posting explode. Identical-set pairs (Jaccard exactly
@@ -702,8 +712,10 @@ def minhash_lsh_pairs(
     Representative collapse (scale fix): documents with an IDENTICAL
     shingle set have identical signatures, identical band keys, and
     pairwise Jaccard exactly 1 — so the corpus is first grouped by
-    shingle-set identity (``__k``, 16-byte md5 of the sorted shingle
-    bytes, so the collapse shuffle carries fixed-width keys) and LSH runs
+    shingle-set identity (``__k``, 32-byte sha256 of the sorted shingle
+    bytes — fixed-width AND collision-resistant, so the collapse stays
+    exact even adversarially; cache-lifetime note on ``jaccard_pairs``
+    applies here too) and LSH runs
     on ONE representative per distinct set. Exact-duplicate
     groups (the dominant near-dup class in a web-scale corpus, and what a
     replicated stress corpus is made of) then cost O(distinct sets) in the
@@ -719,7 +731,7 @@ def minhash_lsh_pairs(
     # array_min(transform(...)) folds per row); bit-identical to
     # ``minhash_signature`` over the native shingle path
     sig = minhash_signatures(df, id_col, text_col, n, with_key=True)
-    # group by __k, the kernel's 16-byte md5 of the sorted shingle bytes —
+    # group by __k, the kernel's 32-byte sha256 of the sorted shingle bytes —
     # the collapse shuffle hashes/compares fixed-width keys, never arrays;
     # the rep's shingle array rides once as a first() payload for the
     # verification path, and the signature is a pure function of the set
@@ -803,7 +815,7 @@ def minhash_signatures(
             out = {"__id": ids[dd[bounds]],
                    "__sh": [ss[s:e] for s, e in zip(bounds, ends)]}
             if with_key:
-                out["__k"] = [hashlib.md5(ss[s:e].tobytes()).digest()
+                out["__k"] = [hashlib.sha256(ss[s:e].tobytes()).digest()
                               for s, e in zip(bounds, ends)]
             for i in range(ncols):
                 out[f"m{i}"] = mins[:, i]
@@ -904,7 +916,8 @@ def simhash_pairs(
     document put g entries in every band bucket and the candidate join
     grows as g^2 — a 10x-replicated stress corpus measured 4.7x
     wall-clock pre-collapse; post-collapse the band join is
-    distinct-fingerprint-sized.
+    distinct-fingerprint-sized. Cache-lifetime note on ``jaccard_pairs``
+    applies here too.
     """
     sh = simhash_fingerprints(df, id_col, text_col, n)
     grp = (
@@ -971,8 +984,16 @@ def connected_components(
       undirected edge list, takes the min neighbor label, stops when no
       label changed. Rounds = graph diameter; the convergence check makes
       the result exact regardless of ``max_iter``. Each round is one
-      shuffle join + groupBy, caching each generation, unpersisting the
-      last.
+      shuffle join + groupBy, and each label generation is CHECKPOINTED to
+      truncate lineage (the standard Pregel guard — without it the result
+      plan nests one join/agg layer per round). With
+      ``spark.sparkContext.setCheckpointDir(...)`` configured the
+      checkpoint is reliable (recoverable on executor loss — set it on a
+      real cluster, with ``spark.cleaner.referenceTracking.cleanCheckpoints``
+      to reap superseded files); otherwise ``localCheckpoint`` is used,
+      which stores blocks on executors and is NOT recoverable if one dies
+      mid-run. Superseded generations are freed by the context cleaner as
+      their frames are garbage collected.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if driver_threshold > 0:
@@ -1017,21 +1038,28 @@ def connected_components(
             return spark.createDataFrame(out)
     # distributed path: only the undirected edge list is reused (every
     # propagation round), so that is the one worth caching. Each label
-    # generation is localCheckpoint'ed (eager): the checkpoint both serves
-    # as the round's cache AND truncates lineage, so after d rounds the
-    # result plan is one scan instead of d nested join/agg layers — the
-    # standard Pregel lineage guard (a long-diameter graph would otherwise
-    # blow up planning time and driver stack depth).
+    # generation is checkpointed eagerly — reliable checkpoint when a
+    # checkpoint dir is configured (executor-loss-recoverable; set one on a
+    # real cluster), localCheckpoint otherwise — which both serves as the
+    # round's cache AND truncates lineage, so after d rounds the result
+    # plan is one scan instead of d nested join/agg layers (the standard
+    # Pregel lineage guard; a long-diameter graph would otherwise blow up
+    # planning time and driver stack depth).
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
     und = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .cache()
     )
-    labels = (
+    labels = ckpt(
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -1040,13 +1068,12 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "nbr_node")
         )
-        nxt = (
+        nxt = ckpt(
             labels.join(nbr, labels.node == nbr.nbr_node, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             nxt.withColumnRenamed("label", "new_label")
@@ -1054,6 +1081,10 @@ def connected_components(
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
+        # dropping the last Python reference releases the superseded
+        # generation's JVM frame; the context cleaner then frees its
+        # checkpoint blocks (DataFrame.unpersist would be a no-op here —
+        # checkpoint storage is not cache-manager-tracked)
         labels = nxt
         if changed == 0:
             break

@@ -647,6 +647,22 @@ def rainbow_mc_score_per_key(
     # natural space); None -> constant best-fit value across draws
     _FEAT_SAMPLE_COL = {"amplitude": 1, "rise_time": 2, "temperature": 3,
                         "e_reference_time": None, "reference_time": 0}
+    unknown = [nm for nm in feature_names if nm not in _FEAT_SAMPLE_COL]
+    if unknown:
+        # fail at the driver with an actionable message, not a KeyError
+        # inside an executor kernel. Alert-row features like the nuclear
+        # model's 'distnr' are not fit products: join them onto the result
+        # and score with operators.ml.predict_proba instead (as the
+        # real-curve fixture test does).
+        raise ValueError(
+            f"rainbow_mc_score_per_key: unknown feature name(s) {unknown}; "
+            f"fit-derived features are {sorted(_FEAT_SAMPLE_COL)}"
+        )
+    if "temperature" in feature_names and not multiband:
+        raise ValueError(
+            "rainbow_mc_score_per_key: 'temperature' requires the multiband "
+            "fit (pass band_col and band_wave_aa)"
+        )
 
     def one(uid, t_arr, y_arr, *rest):
         import math

@@ -23,6 +23,34 @@ class QuerySpec:
     doc: str = ""
 
 
+# The synthetic events table's 5 event types, standing in for survey bands
+# in the F6/E6 per-band queries and the multiband fit demos.
+BAND_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def band_means_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, <band>...) — per-user per-band mean of the quantized value,
+    pivoted to one double column per band (exact integer sum over count,
+    one deterministic division). Shared source frame of the F6 band-stat
+    lookup (``extras.q_ev_band_stats``) and the E6 extremes query
+    (``filters.q_ev_band_extremes``) so the mean definition cannot
+    silently diverge between their oracles."""
+    from pyspark.sql import functions as F
+
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+        F.col("event_type").alias("band"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .pivot("band", BAND_TYPES)
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("mean"))
+    )
+
+
 def all_specs() -> list[QuerySpec]:
     from . import (
         advanced,

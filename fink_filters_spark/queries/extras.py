@@ -461,7 +461,6 @@ def q_ts_rising_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("ts_us").alias("t"),
         F.round(F.col("value") * 1000).cast("long").alias("v"),
     )
-    w = Window.partitionBy("user_id")
     wo = Window.partitionBy("user_id").orderBy("t", "event_id")
     b = ev.select(
         "user_id", "t", "event_id",
@@ -645,9 +644,6 @@ FROM lastrow l LEFT JOIN LATERAL (
 """
 
 
-_BAND_TYPES = ["click", "view", "purchase", "signup", "error"]
-
-
 def q_ev_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.F6 per-band struct-carried statistics: per (user, band) running
     mean pivoted to one column per band, then each event reads ITS band's
@@ -658,21 +654,19 @@ def q_ev_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same values through a window AVG instead of
     pivot+CASE, so the check also pins cross-shape equivalence. Mean is an
     exact-integer sum over count (one deterministic division)."""
+    from . import BAND_TYPES, band_means_pivot
+
     ev = load_events(spark, sf_dir).select(
         "event_id", "user_id",
         F.round(F.col("value") * 1000).cast("long").alias("v"),
         F.col("event_type").alias("band"),
     )
-    stats = (
-        ev.groupBy("user_id")
-        .pivot("band", _BAND_TYPES)
-        .agg((F.sum("v") / F.count(F.lit(1))).alias("mean"))
-    )
-    for b in _BAND_TYPES:  # {band}_{stat} carrier columns, Rubin-style
+    stats = band_means_pivot(spark, sf_dir)
+    for b in BAND_TYPES:  # {band}_{stat} carrier columns, Rubin-style
         stats = stats.withColumnRenamed(b, f"{b}_vMean")
     j = ev.join(stats, "user_id")
     band_mean = F.lit(None).cast("double")
-    for b in _BAND_TYPES:  # the F6 chained-CASE lookup
+    for b in BAND_TYPES:  # the F6 chained-CASE lookup
         band_mean = F.when(F.col("band") == b, F.col(f"{b}_vMean")).otherwise(
             band_mean
         )

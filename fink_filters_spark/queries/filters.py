@@ -271,19 +271,10 @@ def q_ev_band_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     brightest/faintest band mean via greatest/least. Missing bands are
     coalesced to an explicit sentinel so NULL semantics cannot diverge
     between engines."""
-    ev = load_events(spark, sf_dir).select(
-        "user_id",
-        F.round(F.col("value") * 1000).cast("long").alias("v"),
-        F.col("event_type").alias("band"),
-    )
-    from .extras import _BAND_TYPES
+    from . import BAND_TYPES, band_means_pivot
 
-    stats = (
-        ev.groupBy("user_id")
-        .pivot("band", _BAND_TYPES)
-        .agg((F.sum("v") / F.count(F.lit(1))).alias("mean"))
-    )
-    cols = [F.coalesce(F.col(b), F.lit(-1.0)) for b in _BAND_TYPES]
+    stats = band_means_pivot(spark, sf_dir)
+    cols = [F.coalesce(F.col(b), F.lit(-1.0)) for b in BAND_TYPES]
     return stats.select(
         "user_id",
         F.round(F.greatest(*cols), 6).alias("max_band_mean"),

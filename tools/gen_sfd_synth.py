@@ -4,12 +4,14 @@ Writes ``fink_filters_spark/data/sfd_synth_{ngp,sgp}.fits.gz``: 256x256
 float32 Lambert polar azimuthal equal-area maps (the exact SFD98 Appendix C
 pixel geometry ``operators/cosmology.sfd_pixel`` implements) filled with an
 ANALYTIC dust law so tests can compute expected E(B-V) independently of the
-raster:
+raster (the single source of truth is ``cosmology.synth_ebv_law``):
 
-    E(B-V)(l, b) = 0.02 + 0.30 * exp(-|b| / 10 deg) * (1 + 0.5 * cos(l))
+    E(B-V)(l, b) = 0.02 * (2 + sin b)
+                 + 0.30 * exp(-|b| / 10 deg) * (1 + 0.5 cos l + 0.3 sin l)
 
-— a cosecant-like galactic-plane concentration with a longitudinal
-modulation (so both coordinates are exercised). The real
+— a cosecant-like galactic-plane concentration with longitudinal modulation;
+the sin terms deliberately break the b -> -b and l -> -l symmetries so a
+hemisphere swap or mirrored transform is detectable. The real
 ``SFD_dust_4096_{ngp,sgp}.fits`` files drop in by passing their paths to
 ``load_sfd_maps`` — same codec, same geometry, only ``size`` grows.
 
