@@ -291,8 +291,78 @@ def q_dedup_components_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: near-dup clusters (connected
+    components over the Jaccard pair graph) each keep their LONGEST
+    member, doc_id ascending on ties — the policy real curation pipelines
+    ship instead of keep-lowest-id (retain the most complete copy of a
+    duplicated page, not an arbitrary one). One max_by aggregate per
+    component on (n_chars desc, doc_id asc); singleton docs survive as
+    their own cluster."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    comp = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id", "n_chars",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    # max_by over a composite order: longest first, then LOWEST doc_id —
+    # encoded as (n_chars, -doc_id) so one struct-max resolves both
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__nid")))
+    return labeled.groupBy("component").agg(
+        (-best["__nid"]).alias("survivor_id"),
+        best["n_chars"].alias("survivor_chars"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE d AS ({SHH3_SQL}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+),
+labeled AS (
+  SELECT doc_id, n_chars,
+         coalesce((SELECT least(min(r.dst), d2.doc_id) FROM reach r
+                   WHERE r.src = d2.doc_id), doc_id) AS component
+  FROM documents d2
+)
+SELECT component, survivor_id, survivor_chars, cluster_size FROM (
+  SELECT component, doc_id AS survivor_id, n_chars AS survivor_chars,
+         count(*) OVER (PARTITION BY component) AS cluster_size,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM labeled
+) WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
+    QuerySpec("dedup_survivors_quality", q_dedup_survivors_quality,
+              DEDUP_SURVIVORS_SQL,
+              "quality-aware survivor per near-dup cluster (longest wins)"),
     QuerySpec("dedup_components", q_dedup_components, DEDUP_COMPONENTS_SQL,
               "connected components over the near-dup pair graph"),
     QuerySpec("dedup_components_distributed", q_dedup_components_distributed,

@@ -163,9 +163,61 @@ GROUP BY lang, CAST(floor(prev_toks / 1024) AS BIGINT)
 """
 
 
+def pipe_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split — the leakage guard a per-row split
+    lacks: EVERY document from one ``source`` lands in the same split
+    (near-duplicate rows from a shared source can never straddle
+    train/test and leak evaluation content into training). The split
+    hashes the GROUP key through the engine's portable md5 bucket, so
+    membership is deterministic, well-mixed even for strided key spaces,
+    and bit-reproducible in the oracle. Output audits the split: per-split
+    document/source counts plus ``leaky_sources`` — sources seen in more
+    than one split — which the structural guarantee pins at 0."""
+    from ..operators.sample import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.withColumn(
+        "split",
+        F.when(md5_bucket("source", 10) < 8, "train").otherwise("test"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    leaky = (
+        tagged.groupBy("source")
+        .agg(F.count_distinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_sources"))
+    )
+    return per_split.crossJoin(F.broadcast(leaky))
+
+
+def _group_split_sql() -> str:
+    from .curation import md5_bucket_sql
+
+    bucket = md5_bucket_sql("source", 10)
+    return f"""
+WITH tagged AS (
+  SELECT *, CASE WHEN {bucket} < 8 THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+leaky AS (
+  SELECT count(*) AS leaky_sources FROM (
+    SELECT source FROM tagged GROUP BY source HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       (SELECT leaky_sources FROM leaky) AS leaky_sources
+FROM tagged GROUP BY split
+"""
+
+
 SPECS = [
     QuerySpec("pipe_sample_stratified", pipe_sample_stratified, SAMPLE_STRAT_SQL,
               "per-stratum deterministic modulus sampling"),
+    QuerySpec("pipe_group_split", pipe_group_split, _group_split_sql(),
+              "group-aware split with zero cross-split source leakage"),
     QuerySpec("pipe_profile_columns", pipe_profile_columns, PROFILE_SQL,
               "one-scan multi-column null/distinct profile"),
     QuerySpec("pipe_split_train_test", pipe_split_train_test, SPLIT_SQL,

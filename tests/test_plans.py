@@ -24,6 +24,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_ivf_recall",  # composes sim_knn_bruteforce + sim_ivf_search above
     "q22_idle_customers",  # 1-row scalar-aggregate cross join (broadcast NLJ is the right plan)
     "q11_important_stock",  # 1-row scalar-aggregate cross join (fraction-of-total HAVING)
+    "pipe_group_split",  # 1-row leakage-audit aggregate cross join (broadcast NLJ)
 }
 
 
