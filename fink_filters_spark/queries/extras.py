@@ -644,6 +644,21 @@ FROM lastrow l LEFT JOIN LATERAL (
 """
 
 
+def q_text_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE tokenization end-to-end: learn 64 merges from the
+    documents corpus (distributed word counts -> deterministic greedy
+    merge loop over the vocabulary-sized dict), then tokenize every
+    document with the learned merges broadcast to an Arrow kernel
+    (``operators/bpe.py``). Iterative vocabulary training has no SQL
+    dual: rows-only check; the trainer itself is pinned by goldens on the
+    Sennrich worked example and a determinism test."""
+    from ..operators.bpe import bpe_token_stats, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=64, top_words=5000)
+    return bpe_token_stats(docs, "doc_id", "text", merges)
+
+
 def q_ev_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.F6 per-band struct-carried statistics: per (user, band) running
     mean pivoted to one column per band, then each event reads ITS band's
@@ -775,4 +790,6 @@ SPECS = [
     QuerySpec("ts_tde_score_real", q_ts_tde_score_real, None,
               "F10 TDE scoring through the reference's real model_broad.ubj"),
     QuerySpec("text_bpe", q_text_bpe, TEXT_BPE_SQL, "BPE-ish token count"),
+    QuerySpec("text_bpe_trained", q_text_bpe_trained, None,
+              "trained-BPE tokenization (iterative merge training)"),
 ]

@@ -1262,3 +1262,56 @@ def test_mixture_sample_rates_and_subset_invariance(spark):
         if int(hashlib.md5(str(i).encode()).hexdigest()[:5], 16) % 1000 < 500
     }
     assert got == expected
+
+
+def test_bpe_train_matches_sennrich_example(spark):
+    """BPE trainer golden on the classic worked example (Sennrich et al.
+    2016 §3.2 uses {low, lower, newest, widest}): with end-of-word
+    markers and count-then-lexicographic tie-breaking, the first merges
+    must join the 'est</w>' suffix shared by the 6 newest/widest counts,
+    and training must be deterministic across repartitionings."""
+    from fink_filters_spark.operators.bpe import (
+        END, bpe_token_stats, bpe_train, segment_word,
+    )
+
+    corpus = (
+        [("low " * 5).strip()] + [("lower " * 2).strip()]
+        + [("newest " * 6).strip()] + [("widest " * 3).strip()]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, "text", n_merges=6, top_words=100)
+    # 'es' (9: newest 6 + widest 3), then 'es'+'t' (9), then 'est'+'</w>'
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", END)]
+    # determinism across partitioning
+    assert bpe_train(df.repartition(7), "text", n_merges=6, top_words=100) == merges
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    seg = segment_word("newest", ranks)
+    assert seg[-1] == "est" + END and "".join(seg) == "newest" + END
+
+    stats = {r.doc_id: (r.n_words, r.n_tokens)
+             for r in bpe_token_stats(df, "doc_id", "text", merges).collect()}
+    assert stats[0][0] == 5  # 'low' x5
+    # tokens per word shrink as merges apply: newest = [n,e,w,est</w>] = 4
+    assert stats[2] == (6, 6 * len(segment_word("newest", ranks)))
+
+
+def test_bpe_token_stats_counts_all_words(spark):
+    """Tokenization with ZERO merges = characters + end marker per word;
+    with full merges the count can only shrink, never below one token per
+    word. Also covers empty and null documents."""
+    from fink_filters_spark.operators.bpe import bpe_token_stats, bpe_train
+
+    rows = [(1, "aa bb aa"), (2, ""), (3, None), (4, "aa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    zero = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_token_stats(df, "doc_id", "text", []).collect()}
+    assert zero[1] == (3, 9)  # 3 words x (2 chars + </w>)
+    assert zero[2] == (0, 0) and zero[3] == (0, 0) and zero[4] == (1, 3)
+    merges = bpe_train(df, "text", n_merges=4, top_words=10)
+    trained = {r.doc_id: r.n_tokens
+               for r in bpe_token_stats(df, "doc_id", "text", merges).collect()}
+    assert trained[1] <= zero[1][1] and trained[1] >= 3
+    assert trained[4] == 1  # 'aa</w>' fully merged (aa appears 3x)

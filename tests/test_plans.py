@@ -69,6 +69,7 @@ NO_ORACLE_OK = {
     "ts_tde_score",  # fit + Monte-Carlo + classifier (not SQL-expressible)
     "ts_rainbow_multiband",  # iterative joint multiband fit
     "ts_tde_score_real",  # multiband fit + MC + the real packaged model
+    "text_bpe_trained",  # iterative BPE vocabulary training
 }
 
 
