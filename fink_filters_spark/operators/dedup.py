@@ -334,40 +334,55 @@ def _expand_rep_pairs(
 
     ``grp`` is the collapse table (__rid, __members, __gsz); ``verified``
     holds (__ra, __rb, <value_col>) over representative ids with
-    __ra < __rb. Identical-key groups (size >= 2) contribute rep
-    SELF-pairs at ``self_value`` (Jaccard exactly 1 for identical shingle
-    sets; Hamming 0 for identical fingerprints), which flow through the
-    same two member joins as cross-group pairs: for __ra != __rb the
-    member sets are disjoint so every (a, b) combination is one output
-    pair (ordered with least/greatest — cross-group ids are not ordered by
-    group); for __ra == __rb the a < b filter keeps each unordered pair
-    once. Member pairs inherit the rep pair's value (it depends only on
-    the grouped content). The expansion is output-sized and streams
-    through the joins — per-task memory stays O(group), never
-    O(group^2)."""
+    __ra < __rb. Identical-key groups (size >= 2) contribute member pairs
+    at ``self_value`` (Jaccard exactly 1 for identical shingle sets;
+    Hamming 0 for identical fingerprints), built by a within-group double
+    explode — narrow, no shuffle, output-sized. Cross-group pairs expand
+    through two LEFT joins against the MULTI-member groups only
+    (``__gsz >= 2``): in a real corpus the overwhelming majority of
+    distinct-content groups are singletons, so the join payload is tiny
+    (AQE broadcasts it and the expansion adds ZERO exchanges), and a
+    singleton rep falls through ``coalesce(members, array(rep))`` without
+    touching the join state. Member pairs inherit the rep pair's value (it
+    depends only on the grouped content); cross-group combinations are
+    ordered with least/greatest (ids are not ordered by group). Per-task
+    memory stays O(group), never O(group^2) — explodes stream."""
     if self_value is None:
         self_value = F.lit(1.0)
-    mem = grp.select("__rid", F.explode("__members").alias("__id"))
-    selfp = grp.filter(F.col("__gsz") >= 2).select(
-        F.col("__rid").alias("__ra"), F.col("__rid").alias("__rb"),
-        self_value.alias(value_col),
-    )
-    ea = mem.select(F.col("__rid").alias("__ra"), F.col("__id").alias("__ida"))
-    eb = mem.select(F.col("__rid").alias("__rb"), F.col("__id").alias("__idb"))
     out_val = (
         F.round(value_col, round_digits) if round_digits is not None
         else F.col(value_col)
     )
-    return (
-        verified.unionByName(selfp)
-        .join(ea, "__ra")
-        .join(eb, "__rb")
-        .filter((F.col("__ra") != F.col("__rb")) | (F.col("__ida") < F.col("__idb")))
+    multi = grp.filter(F.col("__gsz") >= 2).select("__rid", "__members")
+    # identical-content pairs: unordered member pairs within each multi
+    # group, a < b keeps each once (members explode against themselves)
+    selfp = (
+        multi.select(F.explode("__members").alias("__ida"),
+                     F.col("__members").alias("__mb"))
+        .select("__ida", F.explode("__mb").alias("__idb"))
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb", self_value.alias(value_col))
+    )
+    ea = multi.select(F.col("__rid").alias("__ra"), F.col("__members").alias("__ma"))
+    eb = multi.select(F.col("__rid").alias("__rb"), F.col("__members").alias("__mb"))
+    cross = (
+        verified.join(ea, "__ra", "left")
+        .join(eb, "__rb", "left")
         .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
-            out_val.alias(value_col),
+            F.explode(F.coalesce("__ma", F.array("__ra"))).alias("__ida"),
+            F.coalesce("__mb", F.array("__rb")).alias("__mb"),
+            value_col,
         )
+        .select("__ida", F.explode("__mb").alias("__idb"), value_col)
+        .select(
+            F.least("__ida", "__idb").alias("__ida"),
+            F.greatest("__ida", "__idb").alias("__idb"),
+            F.col(value_col),
+        )
+    )
+    return cross.unionByName(selfp).select(
+        F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"),
+        out_val.alias(value_col),
     )
 
 
