@@ -303,3 +303,135 @@ def lsh_search(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, n_sub: int, id_alias: str
+) -> DataFrame:
+    """(id, m, sv) — every vector quantized and split into ``n_sub`` equal
+    contiguous subvectors (PQ's subspace decomposition). Narrow: one
+    transform + posexplode, no shuffle. Dimension must divide evenly."""
+    qv = quantize_vec(vec_col)
+    sublen = (F.size(qv) / n_sub).cast("int")
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda j: F.slice(qv, j * sublen + F.lit(1), sublen),
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias), F.posexplode(slices).alias("m", "sv")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    n_sub: int,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011): per subspace
+    ``m``, one codeword per ``label_col`` value — the element-wise mean
+    subvector of that label's members (a single k-means update step with
+    the label as the initial assignment, the same deterministic training
+    convention as ``sim_centroid_train``; loop it for full k-means).
+
+    Output: (code, m, cw array<long>). Means are floored exact-integer
+    math (sum and count are exact; the double quotient of a <2^53 sum is
+    correctly rounded, so floor is stable) — bit-identical to the SQL
+    oracle. Scale: one narrow subvector pass + one groupBy of
+    (labels x n_sub x sublen) rows — codebook-sized output, corpus-sized
+    scan, exactly one shuffle."""
+    qv = quantize_vec(c_vec)
+    sublen = (F.size(qv) / n_sub).cast("int")
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda j: F.slice(qv, j * sublen + F.lit(1), sublen),
+    )
+    sub = corpus.select(
+        F.col(label_col).alias("code"), F.posexplode(slices).alias("m", "sv")
+    )
+    elem = sub.select("code", "m", F.posexplode("sv").alias("pos", "v"))
+    cbe = elem.groupBy("code", "m", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).cast("long").alias("cv")
+    )
+    return cbe.groupBy("code", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("cw")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    n_sub: int,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per vector and subspace, the code of the nearest
+    codeword by exact-integer squared L2 (ties to the smallest code).
+    Output: (vec_id, m, code) — the compressed corpus representation
+    (``n_sub`` small ints per vector instead of the full embedding).
+
+    Scale: corpus-sized narrow pass joined against the BROADCAST codebook
+    (codebook rows = codes x subspaces — always tiny), then one partial
+    min-aggregate keyed by (vec, m); no corpus shuffle beyond the agg."""
+    sub = _pq_subvectors(corpus, c_id, c_vec, n_sub, "vec_id")
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id", "m", d2.alias("__d2"), "code"
+    )
+    # min(struct) = lexicographic (d2 asc, code asc): deterministic argmin
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("__d2"), F.col("code"))).alias("__b"))
+        .select("vec_id", "m", F.col("__b.code").alias("code"))
+    )
+
+
+def pq_adc_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int,
+    n_sub: int,
+    q_id: str = "q_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: per query, build the per-
+    (subspace, code) distance table against the raw query subvectors
+    (queries x subspaces x codes rows — tiny), broadcast it onto the
+    ENCODED corpus, and rank by the summed approximate squared L2.
+
+    This is the PQ scale shape: the corpus is touched only through its
+    ``n_sub``-byte codes (RAM-resident at billions of rows), the scan is
+    one broadcast hash join + one partial-aggregated sum keyed by
+    (query, vector), and nothing corpus-sized ever shuffles except the
+    (query x vector) partial-distance stream that the map-side combine
+    collapses to one row per pair. Output: (q_id, neighbor_id, adc_d2,
+    rank); self-matches excluded."""
+    qsub = _pq_subvectors(queries, q_id, q_vec, n_sub, "q_id")
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dtable = qsub.join(F.broadcast(codebook), "m").select(
+        "q_id", "m", "code", d2.alias("__d2")
+    )
+    part = codes.join(
+        F.broadcast(dtable), ["m", "code"]
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    adc = part.groupBy("q_id", "vec_id").agg(F.sum("__d2").alias("adc_d2"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rank"
+        )
+    )

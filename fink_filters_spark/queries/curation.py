@@ -10,7 +10,7 @@ reproduce the exact shingle sets. PII regexes are RE2/Java-compatible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.text import PII_PATTERNS, combine_word_hashes, pii_counts, word_hashes
 from ..operators.dedup import contamination_fraction, decontaminate, duplicated_spans
@@ -351,6 +351,110 @@ FROM documents
 """
 
 
+# ---- per-source caps + robust outlier profile ------------------------------
+
+SOURCE_CAP = 120  # max docs kept per source
+CAP_MOD = 16 ** 5  # raw 5-hex md5 value: a uniform deterministic sort key
+
+
+def pipe_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (the CommonCrawl-style per-domain cap: no
+    single origin may dominate the training mix): within each ``source``,
+    rank docs by a deterministic md5 shuffle key and keep the first
+    {SOURCE_CAP}. Output: every surviving (doc_id, source, cap_rank).
+
+    The md5 key makes the "random" selection reproducible across engines
+    and insensitive to id-allocation structure (a sequential-id ORDER BY
+    would keep each source's OLDEST docs — a time-skewed sample). Scale:
+    one hash-partitioned window per source; skewed sources are one hot
+    partition each, bounded by the source's own row count, and only rank
+    <= cap survives the window's streaming evaluation."""
+    from ..operators.sample import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_bucket("doc_id", CAP_MOD).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= SOURCE_CAP)
+    )
+
+
+SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5_bucket_sql('doc_id', CAP_MOD)} ASC, doc_id ASC
+         ) AS INTEGER) AS cap_rank
+  FROM documents
+) WHERE cap_rank <= {SOURCE_CAP}
+"""
+
+
+MAD_K_E6 = 3_000_000  # flag |x - median| > 3.0 * MAD, in 1e-6 units
+
+
+def pipe_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier profile: median and MAD (median
+    absolute deviation) of ``n_chars`` per source, and how many docs fall
+    outside median +/- 3*MAD — the robust alternative to z-scores for
+    curation cutoffs (MAD ignores the very outliers a stddev would absorb).
+
+    Exact medians (both engines interpolate even-count medians the same
+    way on integer inputs: the .5 midpoint is exactly representable);
+    the 3*MAD comparison is scaled to exact integers (x1e6) so the flag
+    is pure integer arithmetic. Scale: two grouped medians = two shuffles
+    on source (the second over (source, |x-med|) pairs), one broadcast
+    join of the per-source stats back onto the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = (
+        docs.join(F.broadcast(med), "source")
+        .select("source", "med", F.abs(F.col("n_chars") - F.col("med")).alias("__ad"))
+    )
+    mad = dev.groupBy("source").agg(F.median("__ad").alias("mad"))
+    stats = med.join(mad, "source")
+    flagged = docs.join(F.broadcast(stats), "source").select(
+        "source", "med", "mad",
+        (
+            F.round(F.abs(F.col("n_chars") - F.col("med")) * 1e6).cast("long")
+            > F.round(F.col("mad") * F.lit(MAD_K_E6)).cast("long")
+        ).cast("int").alias("__out"),
+    )
+    return flagged.groupBy("source").agg(
+        F.round(F.first("med"), 6).alias("med_chars"),
+        F.round(F.first("mad"), 6).alias("mad_chars"),
+        F.sum("__out").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+OUTLIER_MAD_SQL = f"""
+WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+),
+mad AS (
+  SELECT d.source, median(abs(d.n_chars - m.med)) AS mad
+  FROM documents d JOIN med m ON d.source = m.source
+  GROUP BY d.source
+)
+SELECT d.source,
+       round(any_value(m.med), 6) AS med_chars,
+       round(any_value(x.mad), 6) AS mad_chars,
+       sum(CASE WHEN CAST(round(abs(d.n_chars - m.med) * 1e6) AS BIGINT)
+                     > CAST(round(x.mad * {MAD_K_E6}) AS BIGINT)
+                THEN 1 ELSE 0 END) AS n_outliers,
+       count(*) AS n_docs
+FROM documents d
+JOIN med m ON d.source = m.source
+JOIN mad x ON d.source = x.source
+GROUP BY d.source
+"""
+
+
 SPECS = [
     QuerySpec("pipe_decontaminate", pipe_decontaminate, DECONTAM_SQL,
               "benchmark n-gram decontamination (broadcast semi + anti join)"),
@@ -371,4 +475,8 @@ SPECS = [
               "ExactSubstr trim rewrite, byte-pinned via md5 of the trimmed text"),
     QuerySpec("pipe_mixture", pipe_mixture, MIXTURE_SQL,
               "deterministic per-source mixture sampling (broadcast rates dim)"),
+    QuerySpec("pipe_source_cap", pipe_source_cap, SOURCE_CAP_SQL,
+              "per-source doc caps by deterministic md5 shuffle key"),
+    QuerySpec("pipe_outlier_mad", pipe_outlier_mad, OUTLIER_MAD_SQL,
+              "per-source median/MAD robust length-outlier profile"),
 ]

@@ -19,6 +19,107 @@ from ..tables import cents, load_table, milli
 from . import QuerySpec
 from .dedup import TOKS_SQL, _hash_sql
 
+# ---- PMI collocations -------------------------------------------------------
+
+PMI_TOPK = 40
+PMI_MIN_COUNT = 20
+
+
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the phrase
+    discovery step of tokenizer/embedding prep (word2vec-style):
+    PMI(a,b) = ln P(ab) - ln P(a) - ln P(b) over positional adjacent
+    bigrams, keeping pairs seen >= {PMI_MIN_COUNT} times.
+
+    All counts are exact integers; the ONLY float work is one log-domain
+    expression per surviving pair (ln keeps the math overflow-free where
+    the ratio form c_ab*T^2/(Tb*c_a*c_b) would overflow int64 at corpus
+    scale). Scale: unigram and bigram tables are vocabulary-bounded with
+    map-side partial counting; totals are one-row aggregates broadcast
+    back; the two count joins are vocab-sized — nothing corpus-sized ever
+    shuffles except the first gram explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.select(word_hashes("text").alias("__wh"))
+    uni = (
+        wh.select(F.explode("__wh").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = wh.filter(F.size("__wh") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__wh") - 1),
+                lambda i: F.struct(
+                    F.element_at("__wh", i).alias("wa"),
+                    F.element_at("__wh", i + 1).alias("wb"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.wa", "p.wb")
+    big = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("n_ab"))
+    tot_u = uni.agg(F.sum("n_w").alias("t_uni"))
+    tot_b = big.agg(F.sum("n_ab").alias("t_big"))
+    na = uni.select(F.col("w").alias("wa"), F.col("n_w").alias("n_a"))
+    nb = uni.select(F.col("w").alias("wb"), F.col("n_w").alias("n_b"))
+    pmi = (
+        big.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(na), "wa")
+        .join(F.broadcast(nb), "wb")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "wa", "wb", "n_ab",
+            F.round(
+                F.log(F.col("n_ab").cast("double"))
+                + 2 * F.log(F.col("t_uni").cast("double"))
+                - F.log(F.col("t_big").cast("double"))
+                - F.log(F.col("n_a").cast("double"))
+                - F.log(F.col("n_b").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(
+        F.col("pmi").desc(), F.col("wa").asc(), F.col("wb").asc()
+    ).limit(PMI_TOPK)
+
+
+PMI_SQL = f"""
+WITH wh AS (
+  SELECT list_transform(toks, s -> {_hash_sql('s')}) AS wh
+  FROM ({TOKS_SQL})
+),
+uni AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(wh) AS w FROM wh)
+  GROUP BY w
+),
+big AS (
+  SELECT p.wa AS wa, p.wb AS wb, count(*) AS n_ab
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(wh) - 1),
+                                 i -> {{'wa': wh[i], 'wb': wh[i+1]}})) AS p
+    FROM wh WHERE len(wh) >= 2
+  )
+  GROUP BY p.wa, p.wb
+),
+tot AS (
+  SELECT (SELECT sum(n_w) FROM uni) AS t_uni,
+         (SELECT sum(n_ab) FROM big) AS t_big
+)
+SELECT wa, wb, n_ab,
+       round(ln(CAST(n_ab AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))
+             - ln(CAST(t_big AS DOUBLE)) - ln(CAST(a.n_w AS DOUBLE))
+             - ln(CAST(b.n_w AS DOUBLE)), 6) AS pmi
+FROM big
+JOIN uni a ON big.wa = a.w
+JOIN uni b ON big.wb = b.w
+CROSS JOIN tot
+WHERE n_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, wa ASC, wb ASC
+LIMIT {PMI_TOPK}
+"""
+
+
 # ---- k-fold assignment ------------------------------------------------------
 
 KFOLD_K = 5
@@ -386,6 +487,8 @@ SPECS = [
               "balanced inverse-frequency class weights (one grouped count)"),
     QuerySpec("agg_histogram", agg_histogram, HISTOGRAM_SQL,
               "fixed-width numeric histogram profile (exact cents mass)"),
+    QuerySpec("text_pmi", text_pmi, PMI_SQL,
+              "PMI collocations (log-domain, vocab-bounded tables)"),
     QuerySpec("text_bigrams", text_bigrams, BIGRAMS_SQL,
               "top-k corpus word bigrams (partial-agg + TakeOrdered)"),
     QuerySpec("text_lm_score", text_lm_score, LM_SCORE_SQL,

@@ -376,6 +376,106 @@ FROM j LEFT JOIN dup d ON j.vec_id = d.vec_id
 """
 
 
+PQ_M = 4  # subspaces: 64-dim embeddings -> 4 x 16-dim subvectors
+
+
+def q_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ train + encode: codebooks are per-(label, subspace) mean
+    subvectors (one deterministic k-means update step, same convention as
+    ``sim_centroid_train``), then every corpus vector is compressed to
+    ``PQ_M`` codes by nearest-codeword squared L2. The output IS the
+    compressed corpus a billion-row ANN deployment keeps in RAM."""
+    from ..operators.similarity import pq_encode, pq_train
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(em, PQ_M, label_col="label")
+    return pq_encode(em, cb, PQ_M)
+
+
+def _pq_common_sql() -> str:
+    """Shared CTE prefix: quantized vectors, subvector split, codebook
+    (floored per-(label, m, pos) means), squared-L2 encoding."""
+    m = PQ_M
+    d2 = ("CAST(list_sum(list_transform(generate_series(1, len(s.sv)), "
+          "i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS BIGINT)")
+    return f"""
+q AS ({QVEC_SQL}),
+sub AS (
+  SELECT q.vec_id, g.m,
+         list_slice(q.qv, g.m * (len(q.qv) // {m}) + 1,
+                    (g.m + 1) * (len(q.qv) // {m})) AS sv
+  FROM q, (SELECT unnest(generate_series(0, {m - 1})) AS m) g
+),
+cbe AS (
+  SELECT e.label AS code, s.m, i.pos,
+         CAST(floor(CAST(sum(s.sv[i.pos]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM sub s
+  JOIN embeddings e ON e.vec_id = s.vec_id,
+       LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS pos) i
+  GROUP BY e.label, s.m, i.pos
+),
+cb AS (
+  SELECT code, m, list(cv ORDER BY pos) AS cw FROM cbe GROUP BY code, m
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {d2} ASC, c.code ASC
+           ) AS rn
+    FROM sub s JOIN cb c ON s.m = c.m
+  ) WHERE rn = 1
+)"""
+
+
+SIM_PQ_ENCODE_SQL = f"""
+WITH {_pq_common_sql()}
+SELECT vec_id, m, code FROM enc
+"""
+
+
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: the first {N_QUERIES} vectors query
+    the PQ-compressed corpus — per-query distance tables against the
+    codebook broadcast onto the codes, top-{K} by summed squared L2. The
+    oracle replays train -> encode -> ADC exactly."""
+    from ..operators.similarity import pq_adc_search, pq_encode, pq_train
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(em, PQ_M, label_col="label")
+    codes = pq_encode(em, cb, PQ_M)
+    queries = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return pq_adc_search(queries, codes, cb, k=K, n_sub=PQ_M)
+
+
+SIM_PQ_ADC_SQL = f"""
+WITH {_pq_common_sql()},
+dt AS (
+  SELECT s.vec_id AS q_id, s.m, c.code,
+         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
+              i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS BIGINT) AS d2
+  FROM sub s JOIN cb c ON s.m = c.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT dt.q_id, e.vec_id AS neighbor_id, sum(dt.d2) AS adc_d2
+  FROM enc e JOIN dt ON e.m = dt.m AND e.code = dt.code
+  WHERE e.vec_id != dt.q_id
+  GROUP BY dt.q_id, e.vec_id
+)
+SELECT q_id, neighbor_id, adc_d2, rank FROM (
+  SELECT q_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY adc_d2 ASC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM adc
+) WHERE rank <= {K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
     QuerySpec("dedup_semantic", q_dedup_semantic, SEMDEDUP_SQL,
@@ -389,4 +489,8 @@ SPECS = [
               "sign-projection LSH ANN (2 bands x 8 bits)"),
     QuerySpec("sim_ivf_recall", q_sim_ivf_recall, SIM_IVF_RECALL_SQL,
               "recall@k of IVF ANN vs exact brute force, per query"),
+    QuerySpec("sim_pq_encode", q_sim_pq_encode, SIM_PQ_ENCODE_SQL,
+              "product-quantization train + encode (compressed corpus)"),
+    QuerySpec("sim_pq_adc", q_sim_pq_adc, SIM_PQ_ADC_SQL,
+              "PQ asymmetric-distance top-k over the encoded corpus"),
 ]

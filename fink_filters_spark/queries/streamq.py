@@ -143,6 +143,53 @@ def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DISTINCT_SQL = "SELECT DISTINCT user_id % 100 AS user_bucket FROM events"
 
 
+US_PER_30M = 1_800_000_000
+
+
+def stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING-window aggregation under readStream: 1-hour
+    windows every 30 minutes, so each event contributes to exactly two
+    overlapping windows — the overlap semantics (trend smoothing, rate
+    monitoring) a tumbling window cannot express. State is per
+    (window, key) as usual, just 2x the tumbling cardinality; the oracle
+    replays the window assignment arithmetic (start = each 30-min
+    boundary in (ts - 1h, ts]) in batch SQL."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.withColumn("evt", F.timestamp_micros(F.col("ts_us")))
+        .withColumn("user_mod", F.col("user_id") % 10)
+        .withColumn("v", F.round(F.col("value") * 1000).cast("long"))
+        .groupBy(
+            F.window("evt", "1 hour", "30 minutes").alias("w"), F.col("user_mod")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "user_mod",
+            "n",
+            "sum_v",
+        )
+    )
+    _run_to_memory(out, "stream_sliding_stats_sink", "complete")
+    return spark.table("stream_sliding_stats_sink")
+
+
+STREAM_SLIDING_SQL = f"""
+SELECT win_start_us, user_mod, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_v
+FROM (
+  SELECT unnest([
+           (epoch_us(ts) // {US_PER_30M}) * {US_PER_30M},
+           (epoch_us(ts) // {US_PER_30M}) * {US_PER_30M} - {US_PER_30M}
+         ]) AS win_start_us,
+         user_id % 10 AS user_mod,
+         CAST(round(value*1000) AS BIGINT) AS v
+  FROM events
+)
+GROUP BY win_start_us, user_mod
+"""
+
+
 SPECS = [
     QuerySpec(
         "stream_hourly_stats",
@@ -155,5 +202,11 @@ SPECS = [
         stream_distinct_keys,
         STREAM_DISTINCT_SQL,
         "§2.J: real streaming stateful dedup vs batch DISTINCT oracle",
+    ),
+    QuerySpec(
+        "stream_sliding_stats",
+        stream_sliding_stats,
+        STREAM_SLIDING_SQL,
+        "§2.J: real streaming sliding-window agg (1h / 30min overlap)",
     ),
 ]

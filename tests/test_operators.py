@@ -1315,3 +1315,88 @@ def test_bpe_token_stats_counts_all_words(spark):
                for r in bpe_token_stats(df, "doc_id", "text", merges).collect()}
     assert trained[1] <= zero[1][1] and trained[1] >= 3
     assert trained[4] == 1  # 'aa</w>' fully merged (aa appears 3x)
+
+
+def test_pq_encode_picks_nearest_codeword_and_adc_bounds(spark):
+    """PQ invariants on a controlled corpus: (1) every vector whose
+    subvectors exactly equal a codeword encodes to that code with ADC
+    distance 0 to an identical query; (2) ADC distance equals the sum of
+    true subspace distances to the ASSIGNED codewords (exact integers);
+    (3) ties break to the smallest code."""
+    import numpy as np
+
+    from fink_filters_spark.operators.similarity import (
+        pq_adc_search, pq_encode, pq_train,
+    )
+
+    # 4-dim vectors, 2 subspaces x 2 dims; labels 0/1 cluster at +/-0.5
+    rows = []
+    for i in range(8):
+        lab = i % 2
+        base = 0.5 if lab == 0 else -0.5
+        rows.append((i, [base, base, base, base], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cb = pq_train(df, 2, label_col="label")
+    cbl = {(r.code, r.m): r.cw for r in cb.collect()}
+    assert cbl[(0, 0)] == [500000, 500000] and cbl[(1, 1)] == [-500000, -500000]
+
+    codes = {(r.vec_id, r.m): r.code for r in pq_encode(df, cb, 2).collect()}
+    for i in range(8):
+        assert codes[(i, 0)] == i % 2 and codes[(i, 1)] == i % 2
+
+    qdf = spark.createDataFrame(
+        [(0, [0.5, 0.5, 0.5, 0.5])], "q_id long, embedding array<float>"
+    )
+    out = pq_adc_search(qdf, pq_encode(df, cb, 2), cb, k=8, n_sub=2).collect()
+    # label-0 members (identical to their codeword AND the query): adc 0;
+    # label-1 members: 4 dims x (1e6)^2
+    d = {r.neighbor_id: r.adc_d2 for r in out}
+    for i in range(8):
+        want = 0 if i % 2 == 0 else 4 * 1_000_000**2
+        if i in d:
+            assert d[i] == want
+    # self (q_id==vec_id==0) excluded
+    assert 0 not in d and len(d) == 7
+
+
+def test_pq_train_mean_floor_determinism(spark):
+    """Codeword = floor of the exact mean of quantized elements, stable
+    across partitionings."""
+    from fink_filters_spark.operators.similarity import pq_train
+
+    rows = [(0, [0.1, 0.2], 0), (1, [0.2, 0.5], 0), (2, [0.9, -0.3], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cb = {(r.code, r.m): r.cw for r in pq_train(df, 2, label_col="label").collect()}
+    assert cb[(0, 0)] == [150000]   # floor((100000+200000)/2)
+    assert cb[(0, 1)] == [350000]   # floor((200000+500000)/2)
+    assert cb[(1, 0)] == [900000] and cb[(1, 1)] == [-300000]
+    cb2 = {(r.code, r.m): r.cw
+           for r in pq_train(df.repartition(5), 2, label_col="label").collect()}
+    assert cb == cb2
+
+
+def test_source_cap_and_outlier_mad_shapes(spark):
+    """Per-source cap keeps at most SOURCE_CAP docs per source and exactly
+    min(cap, group size); MAD profile flags a known outlier."""
+    from fink_filters_spark.queries.curation import (
+        SOURCE_CAP, pipe_outlier_mad, pipe_source_cap,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"  # cap binds only at 5000-doc scale
+    out = pipe_source_cap(spark, sf_dir)
+    per = out.groupBy("source").count().collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    for r in per:
+        assert r["count"] == min(SOURCE_CAP, sizes[r.source])
+
+    rows = [(i, "t", "en", "s", 100) for i in range(9)] + [(9, "t", "en", "s", 10000)]
+    toy = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import fink_filters_spark.queries.curation as cur
+    from unittest import mock
+
+    with mock.patch.object(cur, "load_table", lambda s, d, t: toy):
+        prof = pipe_outlier_mad(spark, "ignored").collect()
+    assert len(prof) == 1 and prof[0].n_outliers == 1 and prof[0].med_chars == 100.0

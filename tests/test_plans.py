@@ -25,6 +25,7 @@ NESTED_LOOP_ALLOWED = {
     "q22_idle_customers",  # 1-row scalar-aggregate cross join (broadcast NLJ is the right plan)
     "q11_important_stock",  # 1-row scalar-aggregate cross join (fraction-of-total HAVING)
     "pipe_group_split",  # 1-row leakage-audit aggregate cross join (broadcast NLJ)
+    "text_pmi",  # 1-row unigram/bigram-total cross joins (broadcast NLJ)
 }
 
 
