@@ -54,6 +54,10 @@ HEADLINERS = [
     "dedup_components_distributed",
     "pipe_contamination_frac",
     "pipe_mixture",
+    "sim_pq_adc",
+    "text_pmi",
+    "pipe_source_cap",
+    "pipe_outlier_mad",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

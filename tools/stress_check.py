@@ -67,6 +67,9 @@ HEADLINERS = [
     "q_asof_attribution",
     "pipe_contamination_frac",
     "pipe_mixture",
+    "sim_pq_adc",
+    "text_pmi",
+    "pipe_source_cap",
 ]
 
 
