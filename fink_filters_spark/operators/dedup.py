@@ -285,6 +285,23 @@ def jaccard_pairs(
     # array_intersect verification is far costlier than counting. On a
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
+    grp, co = _cooccurrence(df, id_col, text_col, n)
+    verified = (
+        co.withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("__ra", "__rb", "jaccard")
+    )
+    return _expand_rep_pairs(grp, verified)
+
+
+def _cooccurrence(df: DataFrame, id_col: str, text_col: str, n: int):
+    """Shared inverted-index core of ``jaccard_pairs`` / ``containment_pairs``:
+    the representative-collapse table and the per-rep-pair co-occurrence
+    counts (__ra < __rb, set sizes __na/__nb, |A∩B| __inter)."""
     sh = _hashed_shingled(df, id_col, text_col, n, with_key=True)
     grp = (
         sh.groupBy("__k")
@@ -311,16 +328,36 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
+    return grp, co
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, tau: float = 0.8
+) -> DataFrame:
+    """Shingle-set CONTAINMENT near-dup pairs (id_a < id_b, containment >=
+    tau): containment = |A∩B| / min(|A|, |B|) — the asymmetric-duplication
+    signal Jaccard misses. A short document quoted wholesale inside a long
+    one has tiny Jaccard (the union is dominated by the long doc) but
+    containment ~1; curation pipelines drop the contained copy. The
+    min-side normalization makes the value symmetric in (a, b), so member
+    expansion through the shared representative collapse is direction-free
+    (identical sets expand at containment exactly 1).
+
+    Scale: identical to ``jaccard_pairs`` — same collapse, same inverted
+    index, same output-sized expansion; only the verification expression
+    differs. No reference parity claim: fink-filters has no text-dedup
+    surface; this serves the engine's LLM-curation mandate."""
+    grp, co = _cooccurrence(df, id_col, text_col, n)
     verified = (
         co.withColumn(
-            "jaccard",
+            "containment",
             F.col("__inter").cast("double")
-            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+            / F.least("__na", "__nb").cast("double"),
         )
-        .filter(F.col("jaccard") >= tau)
-        .select("__ra", "__rb", "jaccard")
+        .filter(F.col("containment") >= tau)
+        .select("__ra", "__rb", "containment")
     )
-    return _expand_rep_pairs(grp, verified)
+    return _expand_rep_pairs(grp, verified, value_col="containment")
 
 
 def _expand_rep_pairs(

@@ -358,6 +358,101 @@ SELECT component, survivor_id, survivor_chars, cluster_size FROM (
 """
 
 
+CONTAIN_TAU = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-duplication detection: pairs whose smaller shingle set is
+    >= {CONTAIN_TAU} contained in the other — quotes/subsets that Jaccard
+    under-scores (the union washes out a short doc quoted inside a long
+    one). Same inverted-index + representative-collapse machinery as
+    ``dedup_ngram_jaccard``."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, tau=CONTAIN_TAU)
+
+
+DEDUP_CONTAIN_SQL = f"""
+WITH d AS ({SHH3_SQL}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6) AS containment
+FROM p
+WHERE CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) >= {CONTAIN_TAU}
+"""
+
+
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup pair graph — the cluster-
+    density signal that separates tight duplicate cliques (every pair
+    agrees: safe to keep one survivor) from weak chains bridged by one
+    noisy pair (review before collapsing). Triangles (a<b<c) are found by
+    joining the ordered edge list to itself on the shared endpoint and
+    semi-joining the closing edge; each node in a triangle gets credit.
+
+    Scale: edge lists are output-sized (pairs, not corpus); both joins are
+    equi joins on node ids, partial-aggregated. The standard distributed
+    triangle-count shape (node-iterator on an ordered edge list)."""
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the edge list feeds three plan branches (both wedge sides + the
+    # closing-edge semi join); cache it so the jaccard pipeline executes
+    # once — edges are output-sized (pairs, not corpus). Same
+    # cache-lifetime note as jaccard_pairs (clearCache between passes).
+    e = (
+        jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    wedge = e1.join(e2, "b").filter(F.col("b") < F.col("c"))
+    closing = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = wedge.join(closing, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+DEDUP_TRIANGLES_SQL = f"""
+WITH d AS ({SHH3_SQL}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+e AS (
+  SELECT id_a, id_b FROM p
+  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (
+    SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+    FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
+    WHERE e1.id_b < e2.id_b
+  ) w
+  JOIN e ce ON ce.id_a = w.a AND ce.id_b = w.c
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+GROUP BY node
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
     QuerySpec("dedup_survivors_quality", q_dedup_survivors_quality,
@@ -378,4 +473,8 @@ SPECS = [
               "SimHash-48 Hamming<=3 via lossless band join"),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding, DEDUP_EMBED_SQL,
               "embedding cosine near-dup pairs"),
+    QuerySpec("dedup_containment", q_dedup_containment, DEDUP_CONTAIN_SQL,
+              "shingle-set containment pairs (asymmetric quote/subset dedup)"),
+    QuerySpec("dedup_triangles", q_dedup_triangles, DEDUP_TRIANGLES_SQL,
+              "per-node triangle counts over the near-dup pair graph"),
 ]

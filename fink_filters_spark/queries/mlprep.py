@@ -19,6 +19,39 @@ from ..tables import cents, load_table, milli
 from . import QuerySpec
 from .dedup import TOKS_SQL, _hash_sql
 
+# ---- equi-depth range boundaries -------------------------------------------
+
+RANGE_BUCKETS = 8
+
+
+def pipe_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundaries: the 7 interior exact
+    percentiles of lineitem's extended price (cents) that split the table
+    into {RANGE_BUCKETS} equal-row ranges — what a range-partitioned/
+    sorted write (or a skew-aware repartitionByRange) computes before
+    laying out files at 100 TB. Exact interpolated percentiles over exact
+    integer cents; one aggregate, one 7-row explode."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("v")
+    )
+    probs = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
+    qs = li.agg(F.percentile("v", F.lit(probs)).alias("qs"))
+    return qs.select(F.posexplode("qs").alias("pos", "bound")).select(
+        (F.col("pos") + 1).cast("integer").alias("bucket"),
+        F.round("bound", 6).alias("bound"),
+    )
+
+
+RANGE_BOUNDS_SQL = f"""
+WITH q AS (
+  SELECT quantile_cont(v, [{", ".join(str(i / RANGE_BUCKETS) for i in range(1, RANGE_BUCKETS))}]) AS qs
+  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem)
+)
+SELECT CAST(i AS INTEGER) AS bucket, round(qs[i], 6) AS bound
+FROM q, (SELECT unnest(generate_series(1, {RANGE_BUCKETS - 1})) AS i) g
+"""
+
+
 # ---- PMI collocations -------------------------------------------------------
 
 PMI_TOPK = 40
@@ -487,6 +520,8 @@ SPECS = [
               "balanced inverse-frequency class weights (one grouped count)"),
     QuerySpec("agg_histogram", agg_histogram, HISTOGRAM_SQL,
               "fixed-width numeric histogram profile (exact cents mass)"),
+    QuerySpec("pipe_range_bounds", pipe_range_bounds, RANGE_BOUNDS_SQL,
+              "equi-depth range-partition boundaries (exact percentiles)"),
     QuerySpec("text_pmi", text_pmi, PMI_SQL,
               "PMI collocations (log-domain, vocab-bounded tables)"),
     QuerySpec("text_bigrams", text_bigrams, BIGRAMS_SQL,

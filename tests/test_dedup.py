@@ -453,3 +453,25 @@ def test_simhash_collapse_matches_naive_band_join(spark):
                 if h <= 3:
                     want.add((a, b, h))
     assert got == want and len(want) >= 40  # within-group pairs present
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment 1.0
+    even though Jaccard is far below its tau — the asymmetric signal the
+    operator exists for. Identical docs expand at containment 1 through
+    the representative collapse."""
+    from fink_filters_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, short + " " + filler), (3, short)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in containment_pairs(df, "doc_id", "text", n=3, tau=0.8).collect()}
+    assert cont[(1, 2)] == 1.0  # short's shingles all inside long
+    assert cont[(1, 3)] == 1.0 and cont[(2, 3)] == 1.0  # identical + quote
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_pairs(df, "doc_id", "text", n=3, tau=0.5).collect()}
+    assert (1, 2) not in jac  # union washes the quote out below tau
+    assert jac[(1, 3)] == 1.0
