@@ -190,6 +190,57 @@ GROUP BY win_start_us, user_mod
 """
 
 
+def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM self join under readStream: each event joins every
+    LATER event of the same user within one hour — state lives on BOTH
+    sides (each side buffers rows until the other side's watermark passes
+    the join range), the capability that separates stream-stream joins
+    from stream-static enrichment. Users are sampled (id % 10 == 0) so
+    the pair set stays result-set-sized; the time-range predicate plus
+    both watermarks lets Spark evict state instead of buffering the whole
+    stream. availableNow processes every file, so the append-mode output
+    equals the batch self-join the oracle runs."""
+    ev = _events_stream(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    a = (
+        ev.select(
+            F.col("user_id").alias("ua"),
+            F.timestamp_micros(F.col("ts_us")).alias("ta"),
+        )
+        .withWatermark("ta", "2 hours")
+    )
+    b = (
+        ev.select(
+            F.col("user_id").alias("ub"),
+            F.timestamp_micros(F.col("ts_us")).alias("tb"),
+        )
+        .withWatermark("tb", "2 hours")
+    )
+    joined = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("tb") > F.col("ta"))
+        & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("ua").alias("user_id"),
+        F.unix_micros("ta").alias("ts_a_us"),
+        F.unix_micros("tb").alias("ts_b_us"),
+    )
+    _run_to_memory(joined, "stream_event_pairs_sink", "append")
+    return spark.table("stream_event_pairs_sink")
+
+
+STREAM_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events WHERE user_id % 10 = 0
+)
+SELECT a.user_id AS user_id, a.tus AS ts_a_us, b.tus AS ts_b_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.tus > a.tus
+ AND b.tus <= a.tus + {US_PER_HOUR}
+"""
+
+
 SPECS = [
     QuerySpec(
         "stream_hourly_stats",
@@ -208,5 +259,11 @@ SPECS = [
         stream_sliding_stats,
         STREAM_SLIDING_SQL,
         "§2.J: real streaming sliding-window agg (1h / 30min overlap)",
+    ),
+    QuerySpec(
+        "stream_event_pairs",
+        stream_event_pairs,
+        STREAM_PAIRS_SQL,
+        "§2.J: real stream-stream time-range self join vs batch oracle",
     ),
 ]
