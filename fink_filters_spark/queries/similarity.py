@@ -388,7 +388,10 @@ def q_sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_encode, pq_train
 
     em = load_table(spark, sf_dir, "embeddings")
-    cb = pq_train(em, PQ_M, label_col="label")
+    # codebook is codes x subspaces rows (tiny) but feeds several plan
+    # branches; cache it so training runs once (clearCache between passes,
+    # as bench/stress do)
+    cb = pq_train(em, PQ_M, label_col="label").cache()
     return pq_encode(em, cb, PQ_M)
 
 
@@ -443,7 +446,7 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_adc_search, pq_encode, pq_train
 
     em = load_table(spark, sf_dir, "embeddings")
-    cb = pq_train(em, PQ_M, label_col="label")
+    cb = pq_train(em, PQ_M, label_col="label").cache()  # see q_sim_pq_encode
     codes = pq_encode(em, cb, PQ_M)
     queries = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "embedding"
