@@ -435,3 +435,76 @@ def pq_adc_search(
             "q_id", F.col("vec_id").alias("neighbor_id"), "adc_d2", "rank"
         )
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    n_iter: int,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid_vec",
+) -> DataFrame:
+    """``n_iter`` full Lloyd iterations of k-means from deterministic seed
+    centroids: assign every vector to its max-cosine centroid (ties to the
+    smallest id, zero-norm vectors order last), update each centroid to
+    the element-wise FLOORED mean of its members' quantized vectors (exact
+    integer math, same convention as ``pq_train``), empty clusters keep
+    their previous centroid. Returns the final assignment
+    (vec_id, centroid_id, cosine).
+
+    The loop unrolls into one lazy plan (n_iter is small and fixed — the
+    production pattern for bounded-iteration refinement); every step is
+    deterministic, so the whole trajectory is oracle-replayable in SQL.
+    Scale per iteration: one broadcast of the k-row centroid table onto
+    the corpus + one corpus-element shuffle for the means — the textbook
+    distributed Lloyd shape (centroids broadcast, data never moves)."""
+    q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq")
+    cents = _quantized(seeds, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(_cos("__v", "__kv", "__nsq", "__kn")), F.asc("centroid_id")
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            q.join(F.broadcast(cents_df))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "vec_id", "centroid_id",
+                _cos("__v", "__kv", "__nsq", "__kn").alias("cosine"), "__v",
+            )
+        )
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        elem = a.select("centroid_id", F.posexplode("__v").alias("pos", "val"))
+        means = (
+            elem.groupBy("centroid_id", "pos")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long").alias("mv")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("__nv")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("__nv", "__kv").alias("__kv"),
+            )
+            .select(
+                "centroid_id", "__kv",
+                norm_sq_q(F.col("__kv")).cast("double").alias("__kn"),
+            )
+        )
+    return assign(cents).select(
+        "vec_id", "centroid_id", F.round("cosine", 6).alias("cosine")
+    )

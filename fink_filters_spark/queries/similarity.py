@@ -479,6 +479,78 @@ SELECT q_id, neighbor_id, adc_d2, rank FROM (
 """
 
 
+KMEANS_ITER = 2
+
+
+def q_sim_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative k-means, oracle-replayed: {KMEANS_ITER} Lloyd
+    iterations from the same {N_CENTROIDS} seed vectors as IVF — assign
+    (max cosine, deterministic ties) then floored-integer-mean update,
+    empty clusters keeping their centroid — with the FINAL assignment
+    checked against a DuckDB oracle that replays the identical trajectory
+    CTE by CTE. The iterative-refinement counterpart to the single update
+    step ``sim_centroid_train`` pins."""
+    from ..operators.similarity import kmeans_lloyd
+
+    em = load_table(spark, sf_dir, "embeddings")
+    seeds = em.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return kmeans_lloyd(em, seeds, n_iter=KMEANS_ITER)
+
+
+def _kmeans_oracle_sql(n_iter: int = KMEANS_ITER) -> str:
+    """Generate the Lloyd-trajectory oracle: one assign CTE + one
+    floored-mean update CTE per iteration, then the final assignment."""
+
+    def cos(qv: str, cv: str) -> str:
+        dot = (f"CAST(CAST(list_sum(list_transform(generate_series(1, len({qv})), "
+               f"i -> {qv}[i] * {cv}[i])) AS BIGINT) AS DOUBLE)")
+        nx = f"CAST(CAST(list_sum(list_transform({qv}, x -> x * x)) AS BIGINT) AS DOUBLE)"
+        ny = f"CAST(CAST(list_sum(list_transform({cv}, x -> x * x)) AS BIGINT) AS DOUBLE)"
+        return (f"(CASE WHEN {nx} > 0 AND {ny} > 0 THEN "
+                f"{dot} / sqrt({nx}) / sqrt({ny}) END)")
+
+    parts = [f"q AS ({QVEC_SQL})",
+             f"c0 AS (SELECT vec_id AS centroid_id, qv AS cv FROM q "
+             f"WHERE vec_id < {N_CENTROIDS})"]
+    for k in range(1, n_iter + 1):
+        c = cos("q.qv", "c.cv")
+        parts.append(f"""a{k} AS (
+  SELECT vec_id, centroid_id, cosine, qv FROM (
+    SELECT q.vec_id, c.centroid_id, {c} AS cosine, q.qv AS qv,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {c} DESC, c.centroid_id ASC
+           ) AS rn
+    FROM q CROSS JOIN c{k - 1} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""m{k} AS (
+  SELECT centroid_id, list(mv ORDER BY pos) AS nv FROM (
+    SELECT a.centroid_id, i.pos,
+           CAST(floor(CAST(sum(a.qv[i.pos]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+    FROM a{k} a, LATERAL (SELECT unnest(generate_series(1, len(a.qv))) AS pos) i
+    GROUP BY a.centroid_id, i.pos
+  ) GROUP BY centroid_id
+)""")
+        parts.append(f"""c{k} AS (
+  SELECT c.centroid_id, coalesce(m.nv, c.cv) AS cv
+  FROM c{k - 1} c LEFT JOIN m{k} m ON c.centroid_id = m.centroid_id
+)""")
+    fc = cos("q.qv", "c.cv")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT vec_id, centroid_id, round(cosine, 6) AS cosine FROM (
+  SELECT q.vec_id, c.centroid_id, {fc} AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id ORDER BY {fc} DESC, c.centroid_id ASC
+         ) AS rn
+  FROM q CROSS JOIN c{n_iter} c
+) WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
     QuerySpec("dedup_semantic", q_dedup_semantic, SEMDEDUP_SQL,
@@ -496,4 +568,6 @@ SPECS = [
               "product-quantization train + encode (compressed corpus)"),
     QuerySpec("sim_pq_adc", q_sim_pq_adc, SIM_PQ_ADC_SQL,
               "PQ asymmetric-distance top-k over the encoded corpus"),
+    QuerySpec("sim_kmeans2", q_sim_kmeans2, _kmeans_oracle_sql(),
+              "2 full Lloyd k-means iterations, trajectory oracle-replayed"),
 ]

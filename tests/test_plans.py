@@ -26,6 +26,7 @@ NESTED_LOOP_ALLOWED = {
     "q11_important_stock",  # 1-row scalar-aggregate cross join (fraction-of-total HAVING)
     "pipe_group_split",  # 1-row leakage-audit aggregate cross join (broadcast NLJ)
     "text_pmi",  # 1-row unigram/bigram-total cross joins (broadcast NLJ)
+    "sim_kmeans2",  # corpus x centroids broadcast NLJ per Lloyd iteration
 }
 
 
