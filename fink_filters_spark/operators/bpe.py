@@ -115,11 +115,21 @@ def bpe_token_stats(
     merges. Merge table broadcast once; inside each Arrow batch every
     DISTINCT word is segmented once (vocab ≪ token count, same skew the
     shingle kernel exploits) and per-document token counts come from a
-    numpy aggregation — no per-token Python loop over the corpus."""
+    numpy aggregation — no per-token Python loop over the corpus.
+
+    Tokenization matches the TRAINER's ``split(lower(trim(text)), '\\s+')``
+    exactly for ASCII text: the kernel splits on the ASCII whitespace
+    class (Java's ``\\s`` is ASCII-only, Python's ``str.split`` is not —
+    a NBSP-joined pair would otherwise be one trained word but two
+    applied words) and lowercases with ``str.lower`` (locale-free; agrees
+    with the JVM on ASCII, the engine-wide caveat of ``_shingle_flat``
+    applies to exotic casings). The id column keeps its input type."""
+    import re
     from collections.abc import Iterator
 
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast({tuple(m): i for i, m in enumerate(merges)})
+    ws_re = re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as _np
@@ -130,7 +140,8 @@ def bpe_token_stats(
         for pdf in batches:
             ids, n_words, n_tokens = [], [], []
             for did, text in zip(pdf["__id"], pdf["__t"]):
-                toks = text.strip().lower().split() if text else []
+                toks = [t for t in ws_re.split(text.strip(" \t\n\x0b\f\r").lower())
+                        if t] if text else []
                 total = 0
                 for w in toks:
                     n = seg_cache.get(w)
@@ -142,7 +153,7 @@ def bpe_token_stats(
                 n_words.append(len(toks))
                 n_tokens.append(total)
             yield _pd.DataFrame(
-                {"__id": _np.asarray(ids, dtype="int64"),
+                {"__id": _pd.Series(ids, dtype=id_dtype),
                  "n_words": _np.asarray(n_words, dtype="int64"),
                  "n_tokens": _np.asarray(n_tokens, dtype="int64")}
             )
@@ -152,5 +163,9 @@ def bpe_token_stats(
     src = _spread(df).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
-    out = src.mapInPandas(kernel, "__id long, n_words long, n_tokens long")
+    id_type = src.schema["__id"].dataType.simpleString()
+    id_dtype = "object" if id_type == "string" else "int64"
+    out = src.mapInPandas(
+        kernel, f"__id {id_type}, n_words long, n_tokens long"
+    )
     return out.withColumnRenamed("__id", id_col)

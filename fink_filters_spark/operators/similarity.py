@@ -325,7 +325,6 @@ def _pq_subvectors(
 def pq_train(
     corpus: DataFrame,
     n_sub: int,
-    c_id: str = "vec_id",
     c_vec: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
@@ -341,15 +340,7 @@ def pq_train(
     oracle. Scale: one narrow subvector pass + one groupBy of
     (labels x n_sub x sublen) rows — codebook-sized output, corpus-sized
     scan, exactly one shuffle."""
-    qv = quantize_vec(c_vec)
-    sublen = (F.size(qv) / n_sub).cast("int")
-    slices = F.transform(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda j: F.slice(qv, j * sublen + F.lit(1), sublen),
-    )
-    sub = corpus.select(
-        F.col(label_col).alias("code"), F.posexplode(slices).alias("m", "sv")
-    )
+    sub = _pq_subvectors(corpus, label_col, c_vec, n_sub, "code")
     elem = sub.select("code", "m", F.posexplode("sv").alias("pos", "v"))
     cbe = elem.groupBy("code", "m", "pos").agg(
         F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).cast("long").alias("cv")
@@ -454,12 +445,17 @@ def kmeans_lloyd(
     their previous centroid. Returns the final assignment
     (vec_id, centroid_id, cosine).
 
-    The loop unrolls into one lazy plan (n_iter is small and fixed — the
-    production pattern for bounded-iteration refinement); every step is
-    deterministic, so the whole trajectory is oracle-replayable in SQL.
-    Scale per iteration: one broadcast of the k-row centroid table onto
-    the corpus + one corpus-element shuffle for the means — the textbook
-    distributed Lloyd shape (centroids broadcast, data never moves)."""
+    Like MLlib's k-means (and unlike the plan-only operators here), each
+    iteration MATERIALIZES the k-row centroid table on the driver and
+    re-broadcasts it as literals — centroids are model state, not data,
+    and keeping them lazy would nest the previous iteration's whole plan
+    inside both the next assignment and the mean update (O(2^n_iter) plan
+    growth and corpus re-scans). With materialization each iteration is
+    exactly one job: corpus scan + k-row broadcast NLJ + one
+    corpus-element shuffle for the means — linear in n_iter, and every
+    step stays deterministic, so the whole trajectory remains
+    oracle-replayable in SQL."""
+    spark = corpus.sparkSession
     q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq")
     cents = _quantized(seeds, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
     w = Window.partitionBy("vec_id").orderBy(
@@ -475,6 +471,14 @@ def kmeans_lloyd(
                 "vec_id", "centroid_id",
                 _cos("__v", "__kv", "__nsq", "__kn").alias("cosine"), "__v",
             )
+        )
+
+    def as_literal(cents_df: DataFrame) -> DataFrame:
+        rows = [(r["centroid_id"], list(r["__kv"])) for r in cents_df.collect()]
+        lit = spark.createDataFrame(rows, "centroid_id long, __kv array<long>")
+        return lit.select(
+            "centroid_id", "__kv",
+            norm_sq_q(F.col("__kv")).cast("double").alias("__kn"),
         )
 
     for _ in range(n_iter):
@@ -494,15 +498,9 @@ def kmeans_lloyd(
                 ).alias("__nv")
             )
         )
-        cents = (
-            cents.join(means, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce("__nv", "__kv").alias("__kv"),
-            )
-            .select(
-                "centroid_id", "__kv",
-                norm_sq_q(F.col("__kv")).cast("double").alias("__kn"),
+        cents = as_literal(
+            cents.join(means, "centroid_id", "left").select(
+                "centroid_id", F.coalesce("__nv", "__kv").alias("__kv")
             )
         )
     return assign(cents).select(

@@ -1,9 +1,10 @@
 """Structured Streaming queries in the ORACLE-CHECKED surface (SURVEY §2.J).
 
 The rest of §2.J is pytest-verified (``streaming/``, ``tests/test_streaming*``);
-these two entries run the REAL streaming machinery — file-stream source,
-event-time window aggregation, stateful ``dropDuplicates`` — inside the
-driver's correctness gate: the collected memory-sink output hash-matches a
+these four entries run the REAL streaming machinery — file-stream source,
+event-time tumbling and sliding window aggregation, stateful
+``dropDuplicates``, and a watermarked stream-stream time-range self join
+— inside the driver's correctness gate: the collected memory-sink output hash-matches a
 batch DuckDB oracle. Reference precedent: every fink filter runs under
 ``readStream`` in production (``fink_filters/tester.py`` drives them with
 a streaming harness); here the streaming result itself is the checked value,
@@ -198,8 +199,12 @@ def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream-static enrichment. Users are sampled (id % 10 == 0) so
     the pair set stays result-set-sized; the time-range predicate plus
     both watermarks lets Spark evict state instead of buffering the whole
-    stream. availableNow processes every file, so the append-mode output
-    equals the batch self-join the oracle runs."""
+    stream. Batch equality holds here because the gate source stages ONE
+    file (see ``_stream_dir``), so all rows share a micro-batch and no
+    watermark eviction can precede a late row; a production multi-file
+    landing directory with out-of-order files keeps the same semantics
+    only for rows inside the watermark delay — pairs older than the
+    2-hour watermark are dropped, by design."""
     ev = _events_stream(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
     a = (
         ev.select(
