@@ -514,3 +514,90 @@ def test_mixture_sample_matches_python_md5(spark, ids):
 
     want = {i for i in ids if bucket(i) < (300 if i % 2 == 0 else 650)}
     assert got == want
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=3, max_size=20,
+    ),
+)
+def test_pq_adc_is_exact_for_codeword_members_property(spark, vecs):
+    """PQ invariants on arbitrary corpora: every code is a valid label;
+    the ADC distance between a query and a vector equals the exact summed
+    subspace distance from the query's subvectors to the vector's
+    ASSIGNED codewords (recomputed independently in numpy from the
+    returned codebook and codes)."""
+    from fink_filters_spark.operators.similarity import (
+        pq_adc_search, pq_encode, pq_train,
+    )
+
+    rows = [(i, v, i % 2) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cb_df = pq_train(df, 2, label_col="label")
+    cb = {(r.code, r.m): np.array(r.cw, dtype=np.int64) for r in cb_df.collect()}
+    codes = {(r.vec_id, r.m): r.code for r in pq_encode(df, cb_df, 2).collect()}
+    labels = {lab for _, lab in cb}
+    assert set(c for c in codes.values()) <= labels
+
+    qdf = spark.createDataFrame([(0, vecs[0])], "q_id long, embedding array<float>")
+    out = pq_adc_search(qdf, pq_encode(df, cb_df, 2), cb_df, k=50, n_sub=2).collect()
+    qv = np.round(np.array(vecs[0], dtype=np.float64) * 1_000_000).astype(np.int64)
+    for r in out:
+        want = 0
+        for m in range(2):
+            sub = qv[m * 2:(m + 1) * 2]
+            cw = cb[(codes[(r.neighbor_id, m)], m)]
+            want += int(((sub - cw) ** 2).sum())
+        assert r.adc_d2 == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=10
+    ),
+)
+def test_containment_bounds_and_superset_of_jaccard(spark, texts):
+    """containment in (0, 1]; containment >= jaccard for every pair (the
+    min-normalizer can only shrink the denominator); identical docs hit
+    exactly 1."""
+    from fink_filters_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in containment_pairs(df, "doc_id", "text", n=2, tau=0.0).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_pairs(df, "doc_id", "text", n=2, tau=0.0).collect()}
+    for k, c in cont.items():
+        assert 0.0 < c <= 1.0
+        assert c >= jac[k] - 1e-9
+    assert set(cont) == set(jac)
+
+
+@SLOW
+@given(
+    chars=st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=40),
+)
+def test_outlier_mad_matches_numpy_property(spark, chars):
+    """Per-source median/MAD/outlier counts equal an independent numpy
+    computation (interpolated medians, 3*MAD rule, exact-integer compare)."""
+    from unittest import mock
+
+    import fink_filters_spark.queries.curation as cur
+
+    rows = [(i, "t", "en", "s", c) for i, c in enumerate(chars)]
+    toy = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(cur, "load_table", lambda s, d, t: toy):
+        r = cur.pipe_outlier_mad(spark, "ignored").collect()[0]
+    arr = np.array(chars, dtype=np.float64)
+    med = np.median(arr)
+    mad = np.median(np.abs(arr - med))
+    n_out = int((np.round(np.abs(arr - med) * 1e6) > np.round(mad * 3e6)).sum())
+    assert r.med_chars == pytest.approx(med, abs=1e-6)
+    assert r.mad_chars == pytest.approx(mad, abs=1e-6)
+    assert r.n_outliers == n_out and r.n_docs == len(chars)
