@@ -269,6 +269,62 @@ FROM (
 """
 
 
+SPARSE_COS_TAU = 0.85
+SPARSE_COS_SOURCES = ("src0", "src1", "src2")
+
+
+def q_text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words TF-IDF cosine pairs (word-REORDERING-robust, the
+    complement of shingle Jaccard) over a fixed source slice. The slice —
+    not ``max_df_frac`` — bounds the posting join here because the
+    synthetic corpus has a ~31-word vocabulary where every term is a
+    stopword by df; on a real corpus the operator's df-fraction pruning
+    is the scale lever (see ``sparse_cosine_pairs``)."""
+    from ..operators.dedup import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*SPARSE_COS_SOURCES)
+    )
+    return sparse_cosine_pairs(docs, "doc_id", "text", tau=SPARSE_COS_TAU)
+
+
+def _sparse_cosine_sql() -> str:
+    from .dedup import _hash_sql
+
+    srcs = ", ".join(f"'{s}'" for s in SPARSE_COS_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_hash_sql('w')} AS w
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND source IN ({srcs})
+  )
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS dfr FROM tf GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+wt AS (
+  SELECT tf.doc_id, tf.w,
+         tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / dfr) * 1000) AS BIGINT) AS wgt
+  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sum(wgt * wgt) AS nn FROM wt GROUP BY doc_id),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wgt * b.wgt) AS d
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+  SELECT id_a, id_b,
+         CASE WHEN na.nn > 0 AND nb.nn > 0 THEN
+           CAST(d AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE)) / sqrt(CAST(nb.nn AS DOUBLE))
+         END AS c
+  FROM dot JOIN nrm na ON na.doc_id = dot.id_a JOIN nrm nb ON nb.doc_id = dot.id_b
+) WHERE c >= {SPARSE_COS_TAU}
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL, "token/length stats"),
     QuerySpec("text_normalize", q_text_normalize, TEXT_NORMALIZE_SQL,
@@ -279,4 +335,6 @@ SPECS = [
     QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FP_SQL, "rolling-hash fingerprint"),
     QuerySpec("text_quality", q_text_quality, _quality_sql(), "composite quality score"),
     QuerySpec("mm_binary_meta", q_mm_binary_meta, MM_META_SQL, "binary column metadata"),
+    QuerySpec("text_sparse_cosine", q_text_sparse_cosine, _sparse_cosine_sql(),
+              "sparse TF-IDF cosine similarity join (bag-of-words pairs)"),
 ]

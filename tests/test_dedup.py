@@ -475,3 +475,32 @@ def test_containment_catches_quote_jaccard_misses(spark):
            for r in jaccard_pairs(df, "doc_id", "text", n=3, tau=0.5).collect()}
     assert (1, 2) not in jac  # union washes the quote out below tau
     assert jac[(1, 3)] == 1.0
+
+
+def test_sparse_cosine_df_pruning_and_reordering_robustness(spark):
+    """max_df_frac drops ubiquitous terms from the vectors (changing
+    cosines exactly as recomputing without those terms would), and word
+    REORDERING leaves sparse cosine at 1.0 where 3-gram Jaccard finds
+    nothing."""
+    from fink_filters_spark.operators.dedup import jaccard_pairs, sparse_cosine_pairs
+
+    rows = [
+        (1, "red green blue cyan common"),
+        (2, "cyan blue green red common"),   # reordered copy of 1
+        (3, "zeta eta theta iota common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cos = {(r.id_a, r.id_b): r.cosine
+           for r in sparse_cosine_pairs(df, "doc_id", "text", tau=0.0).collect()}
+    assert cos[(1, 2)] == 1.0  # identical bags, any order
+    jac = jaccard_pairs(df, "doc_id", "text", n=3, tau=0.01).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+
+    # 'common' is in every doc: df-fraction pruning removes it, making
+    # docs 1/3 fully orthogonal (no shared terms -> no pair at all)
+    pruned = {(r.id_a, r.id_b): r.cosine
+              for r in sparse_cosine_pairs(
+                  df, "doc_id", "text", tau=0.0, max_df_frac=0.9).collect()}
+    assert (1, 3) not in pruned and (2, 3) not in pruned
+    assert pruned[(1, 2)] == 1.0
+    assert (1, 3) in cos  # unpruned they DO share the stopword

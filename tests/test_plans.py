@@ -27,6 +27,7 @@ NESTED_LOOP_ALLOWED = {
     "pipe_group_split",  # 1-row leakage-audit aggregate cross join (broadcast NLJ)
     "text_pmi",  # 1-row unigram/bigram-total cross joins (broadcast NLJ)
     "sim_kmeans2",  # corpus x centroids broadcast NLJ per Lloyd iteration
+    "text_sparse_cosine",  # 1-row corpus-count cross join (broadcast NLJ)
 }
 
 
