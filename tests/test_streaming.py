@@ -728,3 +728,65 @@ def test_kafka_wire_encoding_round_trip(spark):
         (2, "ZTF2", (None, 2), []),
         (3, None, None, None),
     ]
+
+
+def test_drop_duplicates_within_watermark_reemits_expired_keys(spark, tmp_path):
+    """§2.J state-expiry dedup: ``dropDuplicatesWithinWatermark`` keeps one
+    row per key only WITHIN the watermark horizon — a key recurring after
+    its state expired is re-emitted (bounded state, the production dedup
+    for infinite streams), where classic ``dropDuplicates`` suppresses it
+    forever. Two sequential runs against one checkpoint deliver the two
+    micro-batches in order; the second file's event times sit 10 hours
+    past the first, far beyond the 1-hour watermark."""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck_wmdedup")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):  # rows: [(key, hours_offset)]
+        # micro-precision timestamps: pandas defaults to nanos, which the
+        # session's nanosAsLong conf would surface as long, not timestamp
+        pd.DataFrame({
+            "k": pd.Series([k for k, _ in rows], dtype="int64"),
+            "ts": pd.Series([t0 + dt.timedelta(hours=h) for _, h in rows]),
+        }).to_parquet(str(src / f"{name}.parquet"), coerce_timestamps="us")
+
+    got = []
+
+    def run_once():
+        stream = spark.readStream.schema("k long, ts timestamp").parquet(str(src))
+        out = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: got.extend((r.k, r.ts) for r in df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("a", [(1, 0.0), (1, 0.1), (2, 0.0)])  # dup of 1 in-horizon
+    run_once()
+    assert sorted(k for k, _ in got) == [1, 2]
+
+    # watermark advances only at batch END: a fresh key 10h out moves it
+    # to t0+9h, which expires key 1's state (kept only to ts + 1h delay)
+    write_batch("b", [(3, 10.0)])
+    run_once()
+    assert sorted(k for k, _ in got) == [1, 2, 3]
+
+    # key 1 recurs past its expired state -> re-emitted (classic
+    # dropDuplicates would suppress it forever)
+    write_batch("c", [(1, 10.2)])
+    run_once()
+    assert sorted(k for k, _ in got) == [1, 1, 2, 3], (
+        "expired key was not re-emitted (or was double-suppressed)"
+    )
