@@ -100,6 +100,12 @@ def main() -> None:
         "q_upsert_merge",
         "sim_ivf_recall",
         "ev_variant_parse",
+        "sim_pq_adc",
+        "sim_kmeans2",
+        "text_sparse_cosine",
+        "text_pmi",
+        "dedup_containment",
+        "stream_event_pairs",
     ]
     compact = {k: times[k] for k in headliners if k in times}
     failed = sorted(k for k, v in times.items() if v is not None and v < 0)

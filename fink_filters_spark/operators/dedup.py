@@ -1330,3 +1330,61 @@ def sparse_cosine_pairs(
         F.col("__idb").alias("id_b"),
         F.round("cosine", 6).alias("cosine"),
     )
+
+
+def minhash_lookup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup lookup: match a (small) new batch against an
+    existing corpus through the MinHash-LSH band index — the daily-ingest
+    shape at 100 TB, where the corpus index is persisted (bands bucketed
+    by key at rest) and only the new batch is shingled fresh; nothing
+    corpus-sized is rebuilt per batch and the band probe is an equi join
+    that prunes to matching buckets. Returns (new_id, match_id, jaccard)
+    for band-sharing pairs with exact Jaccard >= tau.
+
+    Both sides run the same fused signature kernel here (the persisted
+    form of the corpus side is exactly ``minhash_signatures`` output —
+    write it once, reuse every batch). The corpus signature table feeds
+    both its band explode and the verification join: cached, with the
+    usual clearCache-between-passes lifetime note."""
+    nperm = len(MINHASH_AB)
+
+    def bands_of(sig: DataFrame, idn: str) -> DataFrame:
+        cols = []
+        for j in range(MINHASH_BANDS):
+            parts = [F.col(f"m{j * MINHASH_ROWS + r}").cast("string")
+                     for r in range(MINHASH_ROWS)]
+            cols.append(F.concat_ws("_", F.lit(str(j)), *parts))
+        return sig.select(F.col("__id").alias(idn), F.explode(F.array(*cols)).alias("__bk"))
+
+    sig_new = minhash_signatures(new_df, id_col, text_col, n).cache()
+    sig_old = minhash_signatures(corpus_df, id_col, text_col, n).cache()
+    cand = (
+        bands_of(sig_new, "__idn").join(bands_of(sig_old, "__ido"), "__bk")
+        .select("__idn", "__ido")
+        .distinct()
+    )
+    sh_n = sig_new.select(F.col("__id").alias("__idn"), F.col("__sh").alias("__shn"))
+    sh_o = sig_old.select(F.col("__id").alias("__ido"), F.col("__sh").alias("__sho"))
+    return (
+        cand.join(sh_n, "__idn")
+        .join(sh_o, "__ido")
+        .withColumn("__inter", F.size(F.array_intersect("__shn", "__sho")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.size("__shn") + F.size("__sho") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select(
+            F.col("__idn").alias("new_id"),
+            F.col("__ido").alias("match_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -453,6 +453,58 @@ GROUP BY node
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 20% "new batch" (doc_id % 5 == 0)
+    probed against the 80% existing corpus through the LSH band index —
+    the per-batch production shape (persisted index, only new docs
+    shingled). Oracle replays signatures, band candidacy, and exact
+    verification on both sides."""
+    from ..operators.dedup import minhash_lookup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_lookup(new, old, "doc_id", "text", n=3, tau=JACCARD_TAU)
+
+
+def _minhash_lookup_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {FP_MOD})) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    bks = ", ".join(
+        "'" + str(j) + "_' || "
+        + " || '_' || ".join(
+            f"CAST(m{j * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        )
+        for j in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, sh, sh AS hs FROM ({SHH3_SQL}) WHERE len(sh) > 0
+),
+sig AS (SELECT doc_id, sh, {mins} FROM h),
+bands AS (SELECT doc_id, unnest([{bks}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
+  FROM bands a JOIN bands b ON a.bk = b.bk
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+),
+v AS (
+  SELECT new_id, match_id,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand
+  JOIN sig sa ON sa.doc_id = new_id
+  JOIN sig sb ON sb.doc_id = match_id
+)
+SELECT new_id, match_id,
+       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+FROM v
+WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
     QuerySpec("dedup_survivors_quality", q_dedup_survivors_quality,
@@ -477,4 +529,6 @@ SPECS = [
               "shingle-set containment pairs (asymmetric quote/subset dedup)"),
     QuerySpec("dedup_triangles", q_dedup_triangles, DEDUP_TRIANGLES_SQL,
               "per-node triangle counts over the near-dup pair graph"),
+    QuerySpec("dedup_incremental", q_dedup_incremental, _minhash_lookup_sql(),
+              "incremental new-batch vs corpus LSH lookup (daily-ingest shape)"),
 ]

@@ -58,6 +58,10 @@ HEADLINERS = [
     "text_pmi",
     "pipe_source_cap",
     "pipe_outlier_mad",
+    "text_sparse_cosine",
+    "sim_kmeans2",
+    "dedup_incremental",
+    "dedup_containment",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

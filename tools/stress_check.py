@@ -70,6 +70,8 @@ HEADLINERS = [
     "sim_pq_adc",
     "text_pmi",
     "pipe_source_cap",
+    "text_sparse_cosine",
+    "dedup_incremental",
 ]
 
 
