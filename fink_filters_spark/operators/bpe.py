@@ -123,7 +123,9 @@ def bpe_token_stats(
     a NBSP-joined pair would otherwise be one trained word but two
     applied words) and lowercases with ``str.lower`` (locale-free; agrees
     with the JVM on ASCII, the engine-wide caveat of ``_shingle_flat``
-    applies to exotic casings). The id column keeps its input type."""
+    applies to exotic casings). Integer and string id columns keep their
+    input type; other id types are rejected up front (the kernel builds
+    the id Series with a fixed dtype)."""
     import re
     from collections.abc import Iterator
 
@@ -164,7 +166,15 @@ def bpe_token_stats(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
     id_type = src.schema["__id"].dataType.simpleString()
-    id_dtype = "object" if id_type == "string" else "int64"
+    if id_type == "string":
+        id_dtype = "object"
+    elif id_type in ("tinyint", "smallint", "int", "bigint"):
+        id_dtype = "int64"
+    else:
+        raise ValueError(
+            f"bpe_token_stats: unsupported id column type {id_type!r} "
+            "(integer or string required)"
+        )
     out = src.mapInPandas(
         kernel, f"__id {id_type}, n_words long, n_tokens long"
     )

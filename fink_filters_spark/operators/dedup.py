@@ -751,6 +751,19 @@ def minhash_signature(sh_col: Column) -> list[Column]:
     return [F.array_min(F.transform(hashes, _perm(a, b))) for a, b in MINHASH_AB]
 
 
+def _band_key_cols() -> list[Column]:
+    """The canonical MinHash band keys over signature columns m0..m15:
+    one string key per band, "<band>_<m..>_<m..>". SINGLE source of truth
+    for the band layout — the LSH pair join, the incremental lookup, and
+    the SQL oracles (queries/dedup._minhash_band_sql) must all agree."""
+    cols = []
+    for j in range(MINHASH_BANDS):
+        parts = [F.col(f"m{j * MINHASH_ROWS + r}").cast("string")
+                 for r in range(MINHASH_ROWS)]
+        cols.append(F.concat_ws("_", F.lit(str(j)), *parts))
+    return cols
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, tau: float = 0.5
 ) -> DataFrame:
@@ -800,11 +813,7 @@ def minhash_lsh_pairs(
         )
         .cache()
     )
-    band_cols = []
-    for j in range(MINHASH_BANDS):
-        parts = [F.col(f"m{j * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
-        band_cols.append(F.concat_ws("_", F.lit(str(j)), *parts))
-    bands = grp.select("__rid", F.explode(F.array(*band_cols)).alias("__bk"))
+    bands = grp.select("__rid", F.explode(F.array(*_band_key_cols())).alias("__bk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.__bk") == F.col("b.__bk")) & (F.col("a.__rid") < F.col("b.__rid")))
@@ -1262,6 +1271,11 @@ def sparse_cosine_pairs(
     Weights are exact integers (tf x round(ln(N/df) * idf_scale)), so the
     per-term posting join + sum is order-free and bit-identical to the
     SQL oracle; the one double expression is the final normalized cosine.
+    Residual cross-libm caveat (the engine-wide ln note, cf.
+    ``text_tfidf``): Java Math.log and DuckDB ln may differ by 1 ulp,
+    which flips a weight only when ln(N/df)*idf_scale lands within 1 ulp
+    of a .5 rounding boundary (~1e-13 per distinct term; none in the
+    gate corpora).
 
     Scale: this is the inverted-index self-join — cost is sum over terms
     of df(t)^2. The lever at corpus scale is ``max_df_frac``: terms in
@@ -1353,15 +1367,12 @@ def minhash_lookup(
     write it once, reuse every batch). The corpus signature table feeds
     both its band explode and the verification join: cached, with the
     usual clearCache-between-passes lifetime note."""
-    nperm = len(MINHASH_AB)
 
     def bands_of(sig: DataFrame, idn: str) -> DataFrame:
-        cols = []
-        for j in range(MINHASH_BANDS):
-            parts = [F.col(f"m{j * MINHASH_ROWS + r}").cast("string")
-                     for r in range(MINHASH_ROWS)]
-            cols.append(F.concat_ws("_", F.lit(str(j)), *parts))
-        return sig.select(F.col("__id").alias(idn), F.explode(F.array(*cols)).alias("__bk"))
+        return sig.select(
+            F.col("__id").alias(idn),
+            F.explode(F.array(*_band_key_cols())).alias("__bk"),
+        )
 
     sig_new = minhash_signatures(new_df, id_col, text_col, n).cache()
     sig_old = minhash_signatures(corpus_df, id_col, text_col, n).cache()

@@ -104,7 +104,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
 
 
-def _minhash_sql() -> str:
+def _minhash_band_sql() -> str:
+    """Shared oracle CTE prefix: shingles -> 16-permutation signatures ->
+    exploded band keys (h/sig/bands). The SQL dual of
+    ``operators.dedup._band_key_cols`` + ``minhash_signatures`` — edit in
+    lockstep with them."""
     mins = ", ".join(
         f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {FP_MOD})) AS m{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -116,12 +120,16 @@ def _minhash_sql() -> str:
         )
         for j in range(MINHASH_BANDS)
     )
-    return f"""
-WITH h AS (
+    return f"""h AS (
   SELECT doc_id, sh, sh AS hs FROM ({SHH3_SQL}) WHERE len(sh) > 0
 ),
 sig AS (SELECT doc_id, sh, {mins} FROM h),
-bands AS (SELECT doc_id, unnest([{bks}]) AS bk FROM sig),
+bands AS (SELECT doc_id, unnest([{bks}]) AS bk FROM sig)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_band_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
@@ -468,23 +476,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lookup_sql() -> str:
-    mins = ", ".join(
-        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {FP_MOD})) AS m{i}"
-        for i, (a, b) in enumerate(MINHASH_AB)
-    )
-    bks = ", ".join(
-        "'" + str(j) + "_' || "
-        + " || '_' || ".join(
-            f"CAST(m{j * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
-        )
-        for j in range(MINHASH_BANDS)
-    )
     return f"""
-WITH h AS (
-  SELECT doc_id, sh, sh AS hs FROM ({SHH3_SQL}) WHERE len(sh) > 0
-),
-sig AS (SELECT doc_id, sh, {mins} FROM h),
-bands AS (SELECT doc_id, unnest([{bks}]) AS bk FROM sig),
+WITH {_minhash_band_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
   FROM bands a JOIN bands b ON a.bk = b.bk

@@ -10,9 +10,11 @@ batch DuckDB oracle. Reference precedent: every fink filter runs under
 a streaming harness); here the streaming result itself is the checked value,
 not a batch re-expression.
 
-Determinism: both queries end in aggregations/distinct whose results are
-independent of file-split order and trigger batching, so the streaming
-output is stable row-set-wise (the driver's compare is order-insensitive).
+Determinism: the aggregation/distinct queries end in operators whose
+results are independent of file-split order and trigger batching; the
+stream-stream join additionally relies on the single-file gate source
+(one micro-batch, see its docstring) — every entry's output is stable
+row-set-wise (the driver's compare is order-insensitive).
 
 Scale note (100 TB): the windowed agg carries partial state per
 (window, key) group — bounded by key cardinality, not input rows; the

@@ -538,12 +538,15 @@ def test_pq_adc_is_exact_for_codeword_members_property(spark, vecs):
     cb_df = pq_train(df, 2, label_col="label")
     cb = {(r.code, r.m): np.array(r.cw, dtype=np.int64) for r in cb_df.collect()}
     codes = {(r.vec_id, r.m): r.code for r in pq_encode(df, cb_df, 2).collect()}
-    labels = {lab for _, lab in cb}
+    labels = {code for code, _ in cb}
     assert set(c for c in codes.values()) <= labels
 
     qdf = spark.createDataFrame([(0, vecs[0])], "q_id long, embedding array<float>")
     out = pq_adc_search(qdf, pq_encode(df, cb_df, 2), cb_df, k=50, n_sub=2).collect()
-    qv = np.round(np.array(vecs[0], dtype=np.float64) * 1_000_000).astype(np.int64)
+    # HALF_UP like Spark's F.round (np.round is half-to-even: 7812.5 differs)
+    scaled = np.array(vecs[0], dtype=np.float64) * 1_000_000
+    qv = np.where(scaled >= 0, np.floor(scaled + 0.5),
+                  np.ceil(scaled - 0.5)).astype(np.int64)
     for r in out:
         want = 0
         for m in range(2):
