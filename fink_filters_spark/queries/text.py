@@ -270,20 +270,24 @@ FROM (
 
 
 SPARSE_COS_TAU = 0.85
-SPARSE_COS_SOURCES = ("src0", "src1", "src2")
+SPARSE_COS_MAX_ID = 1000
 
 
 def q_text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words TF-IDF cosine pairs (word-REORDERING-robust, the
-    complement of shingle Jaccard) over a fixed source slice. The slice —
-    not ``max_df_frac`` — bounds the posting join here because the
-    synthetic corpus has a ~31-word vocabulary where every term is a
-    stopword by df; on a real corpus the operator's df-fraction pruning
-    is the scale lever (see ``sparse_cosine_pairs``)."""
+    complement of shingle Jaccard) over an ABSOLUTE-bounded working set
+    (doc_id < 1000). The bound — not ``max_df_frac`` — caps the
+    posting join here because the synthetic corpus has a ~31-word
+    vocabulary where every term is in >half the docs (a stopword by df),
+    so all-pairs similarity is inherently quadratic in the slice: a
+    corpus-fraction slice measured 56x wall-clock at 10x replication in
+    STRESS, the absolute bound stays flat. On a real corpus the
+    operator's df-fraction pruning is the scale lever
+    (see ``sparse_cosine_pairs``)."""
     from ..operators.dedup import sparse_cosine_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isin(*SPARSE_COS_SOURCES)
+        F.col("doc_id") < SPARSE_COS_MAX_ID
     )
     return sparse_cosine_pairs(docs, "doc_id", "text", tau=SPARSE_COS_TAU)
 
@@ -291,14 +295,13 @@ def q_text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sparse_cosine_sql() -> str:
     from .dedup import _hash_sql
 
-    srcs = ", ".join(f"'{s}'" for s in SPARSE_COS_SOURCES)
     return f"""
 WITH toks AS (
   SELECT doc_id, {_hash_sql('w')} AS w
   FROM (
     SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
     FROM documents
-    WHERE text IS NOT NULL AND source IN ({srcs})
+    WHERE text IS NOT NULL AND doc_id < {SPARSE_COS_MAX_ID}
   )
 ),
 tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
