@@ -1,7 +1,7 @@
 """Structured Streaming queries in the ORACLE-CHECKED surface (SURVEY §2.J).
 
 The rest of §2.J is pytest-verified (``streaming/``, ``tests/test_streaming*``);
-these four entries run the REAL streaming machinery — file-stream source,
+these six entries run the REAL streaming machinery — file-stream source,
 event-time tumbling and sliding window aggregation, stateful
 ``dropDuplicates``, and a watermarked stream-stream time-range self join
 — inside the driver's correctness gate: the collected memory-sink output hash-matches a
@@ -248,6 +248,90 @@ FROM e a JOIN e b
 """
 
 
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows under readStream: variable-length
+    windows that grow while events keep arriving within a 30-minute gap —
+    the state store merges overlapping session fragments per key (a
+    dedicated stateful-operator path, unlike fixed windows). The batch
+    dual is ``q_sessionize``; here the per-(user, session) rows
+    themselves are the checked value, with the oracle replaying
+    gaps-and-islands sessionization in SQL."""
+    ev = _events_stream(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    out = (
+        ev.withColumn("evt", F.timestamp_micros(F.col("ts_us")))
+        .groupBy(F.session_window("evt", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            "n_events",
+        )
+    )
+    _run_to_memory(out, "stream_session_stats_sink", "complete")
+    return spark.table("stream_session_stats_sink")
+
+
+STREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE user_id % 10 = 0
+),
+g AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   >= 1800000000 OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, min(t) AS sess_start_us, count(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+def stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation with a real watermark: a window row
+    is emitted exactly once, when the watermark (max event time seen minus
+    the 1-hour delay) passes its end — the late-data finalization contract
+    production pipelines rely on (complete mode re-emits everything;
+    append emits finalized windows only). Windows still open at
+    end-of-stream are NOT emitted, so the oracle replays the same cutoff:
+    batch aggregation restricted to windows whose end <= max(ts) - delay.
+    The trailing no-data micro-batch (on by default) is what lets the
+    final watermark advance and flush the last finalized windows."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.withColumn("evt", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("evt", "1 hour")
+        .withColumn("user_mod", F.col("user_id") % 10)
+        .groupBy(F.window("evt", "1 hour").alias("w"), F.col("user_mod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            "user_mod",
+            "n",
+        )
+    )
+    _run_to_memory(out, "stream_hourly_append_sink", "append")
+    return spark.table("stream_hourly_append_sink")
+
+
+STREAM_HOURLY_APPEND_SQL = f"""
+WITH cutoff AS (SELECT max(epoch_us(ts)) - {US_PER_HOUR} AS wm FROM events)
+SELECT (epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR} AS hour_start_us,
+       user_id % 10 AS user_mod,
+       count(*) AS n
+FROM events, cutoff
+GROUP BY 1, 2, cutoff.wm
+HAVING hour_start_us + {US_PER_HOUR} <= cutoff.wm
+"""
+
+
 SPECS = [
     QuerySpec(
         "stream_hourly_stats",
@@ -272,5 +356,17 @@ SPECS = [
         stream_event_pairs,
         STREAM_PAIRS_SQL,
         "§2.J: real stream-stream time-range self join vs batch oracle",
+    ),
+    QuerySpec(
+        "stream_session_stats",
+        stream_session_stats,
+        STREAM_SESSION_SQL,
+        "§2.J: real streaming session windows (merging state) vs islands oracle",
+    ),
+    QuerySpec(
+        "stream_hourly_append",
+        stream_hourly_append,
+        STREAM_HOURLY_APPEND_SQL,
+        "§2.J: append-mode watermark finalization vs cutoff-replay oracle",
     ),
 ]
