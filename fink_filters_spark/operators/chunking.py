@@ -1,0 +1,226 @@
+"""Document chunking and data-layout operators (LLM-pipeline surface).
+
+The reference engine has no chunking — this module extends the engine for
+the training-data-pipeline mandate: fixed-size overlapping chunks (the
+RAG/window-attention prep step), content-defined chunking (CDC — the
+shift-invariant boundary scheme deduplicating storage systems and
+long-document splitters use, cf. the FastCDC/LBFS rolling-hash family),
+Z-order (Morton) interleaved layout keys for multi-dimensional data
+clustering, and the UniMax water-filling mixture allocation
+(Chung et al. 2023, "UniMax: Fairer and More Effective Language Sampling
+for Large-Scale Multilingual Pretraining").
+
+Scale design: both chunkers are NARROW — every chunk boundary is computed
+row-locally from the document's own token array with higher-order
+functions (no explode + window cumsum, hence no shuffle at all before the
+caller's own aggregation); at 100 TB the chunk table is produced at scan
+speed. Z-order keys are a pure expression (unrolled bit interleave inside
+whole-stage codegen) feeding ``repartitionByRange`` for layout. UniMax
+runs two tiny aggregations over the per-source stats table (sources
+number in the hundreds, not billions).
+
+Tokenization follows the engine-wide convention
+``split(lower(trim(text)), '\\s+')`` (functions/text.py) so chunk hashes
+agree byte-for-byte with the dedup/curation oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import FP_MOD, TOKEN_SPLIT_RE, word_hashes
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+
+
+def chunk_fixed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Fixed-size token chunks with overlap (stride < size ⇒ each chunk
+    shares ``size - stride`` tokens with its successor) — the standard
+    retrieval / context-window prep step. Returns
+    ``(id, chunk_idx, start_pos, n_tokens, chunk_md5)`` where ``chunk_md5``
+    pins the space-joined token span (the engine's dedup normalization;
+    NOT the original bytes — see ``trim_duplicated_spans`` for the same
+    caveat).
+
+    Scale: chunk starts are a row-local ``sequence(0, n-1, stride)`` and
+    the explode multiplies rows by ~n/stride — no shuffle; partition count
+    and pushdown are those of the input scan.
+    """
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+    toks = _toks(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+    out = base.select(
+        "id", "__t", F.posexplode(starts).alias("chunk_idx", "start_pos")
+    )
+    chunk = F.slice("__t", F.col("start_pos") + 1, size)
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# CDC boundary rule: a token ENDS its chunk when its polynomial char-fold
+# hash is 0 mod this divisor (~1/8 of tokens on random text). Shared with
+# the DuckDB oracle via queries/layout.py.
+CDC_BOUNDARY_MOD = 8
+
+
+def chunk_cdc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = CDC_BOUNDARY_MOD,
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER every token
+    whose char-fold hash ≡ 0 (mod ``boundary_mod``) — boundaries depend
+    only on local content, so inserting or deleting a token reshuffles at
+    most the two chunks it touches while every other chunk keeps its
+    identity (the property that makes CDC the right unit for incremental
+    dedup of edited documents; fixed-size chunks lose ALL downstream
+    identities after one insertion). Returns
+    ``(id, chunk_idx, start_pos, n_tokens, chunk_md5)``.
+
+    Scale: entirely row-local — boundary positions are a ``filter`` over
+    the token-hash array, chunk spans a ``transform`` over consecutive
+    boundary pairs; zero shuffles, runs at scan speed on any partition
+    layout. The expected chunk length is ``boundary_mod`` tokens with a
+    geometric tail; callers needing hard min/max bounds compose with
+    ``chunk_fixed`` on the oversized chunks.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _toks(text_col).alias("__t"),
+        word_hashes(text_col).alias("__h"),
+    )
+    n = F.size("__t")
+    # 1-based start of every chunk: position 1 plus each position just
+    # after an interior boundary token (a trailing boundary at pos n must
+    # not open an empty chunk)
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.element_at("__h", i) % boundary_mod == 0,
+            ),
+            lambda i: i + 1,
+        ),
+    )
+    ends = F.concat(F.slice(starts, 2, 2_000_000_000), F.array(n + 1))
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.struct(
+            s.alias("s"), (e - s).alias("len")
+        )
+    )
+    out = base.select("id", "__t", F.posexplode(chunks).alias("chunk_idx", "c"))
+    span = F.slice("__t", F.col("c.s"), F.col("c.len"))
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("c.s") - 1).cast("long").alias("start_pos"),
+        F.col("c.len").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", span)).alias("chunk_md5"),
+    )
+
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of two non-negative ints (``bits`` low
+    bits each) into one long: ``z = Σ_b ((x>>b)&1)<<2b | ((y>>b)&1)<<(2b+1)``.
+    Sorting or range-partitioning by ``z`` co-locates rows that are close
+    in BOTH dimensions — the layout trick behind Delta/Iceberg Z-order
+    clustering: a 2-D range predicate then prunes contiguous z-ranges
+    instead of scanning one dimension's stripes.
+
+    The interleave is unrolled into ``2*bits`` codegen-friendly
+    shift/mask/add terms (a pure expression — no UDF, no shuffle); feed it
+    to ``repartitionByRange(n, z)`` + ``sortWithinPartitions(z)`` to
+    materialize the layout.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    xc, yc = xc.cast("long"), yc.cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xc, b).bitwiseAND(1), 2 * b)
+            + F.shiftleft(F.shiftright(yc, b).bitwiseAND(1), 2 * b + 1)
+        )
+    return z
+
+
+def unimax_allocation(
+    per_source: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): split a total token
+    ``budget`` across sources so every source is sampled as uniformly as
+    possible without repeating any source more than ``max_epochs`` times.
+    Water-filling closed form: sources sorted ascending by their cap
+    ``cap_i = max_epochs * n_i``; a source is SATURATED (gets its full
+    cap) while ``cap_k * (N-k+1) <= budget - Σ_{j<k} cap_j`` — both sides
+    exact integers — and every unsaturated source gets the common level
+    ``u = (budget - Σ_sat cap) / n_unsat``. Returns
+    ``(source, n_tokens, cap, alloc_tokens, epochs)`` with ``epochs``
+    rounded to 6 dp.
+
+    Scale: two aggregations over the per-source stats table (rows =
+    number of sources — thousands at most), then one broadcastable join
+    of the scalar level back. The 100 TB corpus is touched only by the
+    caller computing ``per_source``; allocation itself is metadata-sized.
+    """
+    w = Window.orderBy("cap", "source")
+    stats = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (F.col(tokens_col).cast("long") * max_epochs).alias("cap"),
+    )
+    ranked = stats.withColumn("k", F.row_number().over(w)).withColumn(
+        "cum", F.sum("cap").over(w)
+    )
+    n_src = ranked.withColumn("n_src", F.count(F.lit(1)).over(
+        Window.partitionBy()
+    ))
+    # saturated iff capping this source (and implicitly all smaller ones)
+    # still leaves >= cap for each remaining source
+    sat = n_src.withColumn(
+        "saturated",
+        F.col("cap") * (F.col("n_src") - F.col("k") + 1)
+        <= F.lit(budget) - (F.col("cum") - F.col("cap")),
+    )
+    level = sat.groupBy().agg(
+        F.coalesce(F.sum(F.when(F.col("saturated"), F.col("cap"))), F.lit(0)).alias("sat_tok"),
+        F.sum(F.when(~F.col("saturated"), 1).otherwise(0)).alias("n_unsat"),
+    ).select(
+        F.when(
+            F.col("n_unsat") > 0,
+            (F.lit(budget) - F.col("sat_tok")).cast("double") / F.col("n_unsat"),
+        ).otherwise(F.lit(float("inf"))).alias("u")
+    )
+    out = sat.crossJoin(F.broadcast(level))
+    alloc = F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(
+        F.least(F.col("cap").cast("double"), F.col("u"))
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    )

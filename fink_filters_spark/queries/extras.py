@@ -325,16 +325,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle: classic lag/gap/cumulative-sum sessionization — a new session
-# starts when the gap from the previous event is >= 30 minutes (Spark's
-# session_window closes a session at start + gap when no event lands
-# strictly inside the window).
-SESSIONIZE_SQL = """
-WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+SESSION_GAP_US = 1_800_000_000  # 30 minutes, the session_window gap
+
+
+def sessionize_islands_cte(where: str = "") -> str:
+    """Shared gaps-and-islands oracle CTEs (e/g/s): per-user session ids
+    over the events table. A new session starts when the gap from the
+    previous event EXCEEDS the 30-minute inactivity gap — Spark's
+    session_window extends a window to last_event + gap and an event
+    landing exactly ON that bound still merges (empirically pinned by
+    test_session_window_exact_gap_boundary), so the split condition is
+    strictly ``>``, never ``>=``."""
+    return f"""e AS (SELECT user_id, epoch_us(ts) AS t FROM events {where}),
 g AS (
   SELECT user_id, t,
          CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                   >= 1800000000 OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                   > {SESSION_GAP_US} OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM e
 ),
@@ -343,7 +349,11 @@ s AS (
          sum(new_session) OVER (PARTITION BY user_id ORDER BY t
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
-),
+)"""
+
+
+SESSIONIZE_SQL = f"""
+WITH {sessionize_islands_cte()},
 per AS (
   SELECT user_id, session_id, count(*) AS n_events
   FROM s GROUP BY user_id, session_id

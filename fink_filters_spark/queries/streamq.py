@@ -1,10 +1,10 @@
 """Structured Streaming queries in the ORACLE-CHECKED surface (SURVEY §2.J).
 
 The rest of §2.J is pytest-verified (``streaming/``, ``tests/test_streaming*``);
-these six entries run the REAL streaming machinery — file-stream source,
-event-time tumbling and sliding window aggregation, stateful
-``dropDuplicates``, and a watermarked stream-stream time-range self join
-— inside the driver's correctness gate: the collected memory-sink output hash-matches a
+these six entries run the REAL streaming machinery — file-stream source;
+event-time tumbling, sliding, and session window aggregation; append-mode
+watermark finalization; stateful ``dropDuplicates``; and a watermarked
+stream-stream time-range self join — inside the driver's correctness gate: the collected memory-sink output hash-matches a
 batch DuckDB oracle. Reference precedent: every fink filter runs under
 ``readStream`` in production (``fink_filters/tester.py`` drives them with
 a streaming harness); here the streaming result itself is the checked value,
@@ -271,23 +271,11 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_session_stats_sink")
 
 
-STREAM_SESSION_SQL = """
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS t FROM events WHERE user_id % 10 = 0
-),
-g AS (
-  SELECT user_id, t,
-         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                   >= 1800000000 OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM e
-),
-s AS (
-  SELECT user_id, t,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
-                                ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM g
-)
+def _stream_session_sql() -> str:
+    from .extras import sessionize_islands_cte
+
+    return f"""
+WITH {sessionize_islands_cte(where="WHERE user_id % 10 = 0")}
 SELECT user_id, min(t) AS sess_start_us, count(*) AS n_events
 FROM s
 GROUP BY user_id, session_id
@@ -360,7 +348,7 @@ SPECS = [
     QuerySpec(
         "stream_session_stats",
         stream_session_stats,
-        STREAM_SESSION_SQL,
+        _stream_session_sql(),
         "§2.J: real streaming session windows (merging state) vs islands oracle",
     ),
     QuerySpec(

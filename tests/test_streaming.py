@@ -790,3 +790,29 @@ def test_drop_duplicates_within_watermark_reemits_expired_keys(spark, tmp_path):
     assert sorted(k for k, _ in got) == [1, 1, 2, 3], (
         "expired key was not re-emitted (or was double-suppressed)"
     )
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin the boundary the sessionize oracles depend on: two events
+    EXACTLY 30 minutes apart merge into one session (Spark extends a
+    session to last_event + gap; an event landing on that bound still
+    merges), one microsecond beyond splits. The gaps-and-islands oracle
+    therefore uses strictly '>' as its split condition."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 0), (1, 1_800_000_000),                  # exactly the gap: merge
+        (2, 0), (2, 1_800_000_001),                  # 1 us beyond: split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t_us long").withColumn(
+        "evt", F.timestamp_micros("t_us")
+    )
+    per = {
+        (r.user_id,): r.n
+        for r in df.groupBy(F.session_window("evt", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per[(1,)] == 1 and per[(2,)] == 2
