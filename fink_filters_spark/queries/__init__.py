@@ -60,6 +60,7 @@ def all_specs() -> list[QuerySpec]:
         dedup,
         extras,
         filters,
+        layout,
         mlprep,
         pipeline,
         relational,
@@ -76,7 +77,8 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (relational, relational2, relational3, filters, timeseries,
                 xmatch, dedup, similarity, text, extras, pipeline, analytic,
-                curation, sql_surface, mlprep, approx, advanced, streamq):
+                curation, sql_surface, mlprep, approx, advanced, streamq,
+                layout):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

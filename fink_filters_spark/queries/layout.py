@@ -1,0 +1,219 @@
+"""Chunking & data-layout queries (LLM-data-pipeline surface, part 3):
+fixed-overlap chunking, content-defined chunking, Z-order layout keys,
+and UniMax mixture allocation — the steps between curation and
+tokenization that decide what a training shard physically contains.
+
+Oracle parity: chunk hashes reuse the engine-wide tokenization
+(``split(lower(trim(text)), '\\s+')`` via queries/dedup.TOKS_SQL) and the
+shared polynomial char-fold (``_hash_sql``), so DuckDB reproduces every
+boundary and md5 exactly; Z-order and UniMax are exact integer math with
+one final double division (round-6 on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.chunking import (
+    CDC_BOUNDARY_MOD,
+    chunk_cdc,
+    chunk_fixed,
+    unimax_allocation,
+    zorder_key,
+)
+from ..tables import load_table
+from . import QuerySpec
+from .dedup import TOKS_SQL, _hash_sql
+
+CHUNK_SIZE, CHUNK_STRIDE = 16, 12
+
+
+def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 16-token chunks, stride 12 (4-token overlap) over documents —
+    the retrieval/window prep step as a narrow, shuffle-free explode
+    (operators/chunking.chunk_fixed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_fixed(docs, "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+CHUNK_FIXED_SQL = f"""
+WITH t AS ({TOKS_SQL})
+SELECT doc_id,
+       CAST(u.i / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(u.i AS BIGINT) AS start_pos,
+       CAST(least({CHUNK_SIZE}, len(toks) - u.i) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[u.i + 1 : u.i + {CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM t, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS u(i)
+"""
+
+
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: boundary after every token whose char-fold
+    hash is 0 mod 8 — edit-stable chunk identities for incremental dedup
+    (operators/chunking.chunk_cdc; row-local, zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_cdc(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+CHUNK_CDC_SQL = f"""
+WITH t AS (
+  SELECT doc_id, toks, list_transform(toks, s -> {_hash_sql('s')}) AS wh
+  FROM ({TOKS_SQL})
+),
+b AS (
+  SELECT doc_id, toks,
+         list_concat(
+           [CAST(1 AS BIGINT)],
+           list_transform(
+             list_filter(range(1, len(toks)), i -> wh[i] % {CDC_BOUNDARY_MOD} = 0),
+             i -> CAST(i + 1 AS BIGINT)
+           )
+         ) AS starts
+  FROM t
+)
+SELECT doc_id,
+       CAST(u.ci - 1 AS BIGINT) AS chunk_idx,
+       CAST(starts[u.ci] - 1 AS BIGINT) AS start_pos,
+       CAST(coalesce(starts[u.ci + 1], len(toks) + 1) - starts[u.ci] AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         toks[starts[u.ci] : coalesce(starts[u.ci + 1], len(toks) + 1) - 1], ' '
+       )) AS chunk_md5
+FROM b, unnest(generate_series(1, len(starts))) AS u(ci)
+"""
+
+
+Z_BITS = 10
+Z_GRID = 1 << Z_BITS
+Z_BUCKET_SHIFT = 12
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (l_partkey, l_suppkey) mod
+    1024 into a 20-bit key, bucket by the top 8 bits (the
+    ``repartitionByRange`` split a Z-clustered table layout would use) and
+    report per-bucket row counts and key ranges — the pruning-granularity
+    histogram of the layout (operators/chunking.zorder_key, pure codegen
+    expression)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % Z_GRID).alias("x"),
+        (F.col("l_suppkey") % Z_GRID).alias("y"),
+    )
+    z = zorder_key("x", "y", Z_BITS)
+    return (
+        li.select(F.shiftright(z, Z_BUCKET_SHIFT).alias("z_bucket"), z.alias("z"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
+def _zorder_sql_expr(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({xe}) // {1 << b} % 2) * {1 << (2 * b)}")
+        terms.append(f"(({ye}) // {1 << b} % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+LAYOUT_ZORDER_SQL = f"""
+WITH z AS (
+  SELECT CAST({_zorder_sql_expr(f'l_partkey % {Z_GRID}', f'l_suppkey % {Z_GRID}', Z_BITS)}
+         AS BIGINT) AS z
+  FROM lineitem
+)
+SELECT CAST(z // {1 << Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+       count(*) AS n, min(z) AS z_min, max(z) AS z_max
+FROM z
+GROUP BY 1
+"""
+
+UNIMAX_BUDGET = 100_000
+UNIMAX_MAX_EPOCHS = 4
+
+
+def q_pipe_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): split a 100k-token
+    budget across the documents table's sources, each capped at 4 epochs —
+    water-filling closed form over the per-source token counts
+    (operators/chunking.unimax_allocation; exact-integer saturation test,
+    one double division for the common level)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("n_tok")
+    )
+    return unimax_allocation(
+        per_source, "source", "n_tok", UNIMAX_BUDGET, UNIMAX_MAX_EPOCHS
+    )
+
+
+UNIMAX_SQL = f"""
+WITH s AS (
+  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         CAST(sum(len(toks)) * {UNIMAX_MAX_EPOCHS} AS BIGINT) AS cap
+  FROM ({TOKS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")})
+  GROUP BY source
+),
+r AS (
+  SELECT source, n_tokens, cap,
+         row_number() OVER w AS k,
+         sum(cap) OVER w AS cum,
+         count(*) OVER () AS n_src
+  FROM s
+  WINDOW w AS (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
+),
+f AS (
+  SELECT *, cap * (n_src - k + 1) <= {UNIMAX_BUDGET} - (cum - cap) AS saturated
+  FROM r
+),
+lvl AS (
+  SELECT coalesce(sum(CASE WHEN saturated THEN cap END), 0) AS sat_tok,
+         sum(CASE WHEN saturated THEN 0 ELSE 1 END) AS n_unsat
+  FROM f
+),
+j AS (
+  SELECT f.*,
+         CASE WHEN lvl.n_unsat > 0
+              THEN CAST({UNIMAX_BUDGET} - lvl.sat_tok AS DOUBLE) / lvl.n_unsat
+              ELSE CAST('inf' AS DOUBLE) END AS u
+  FROM f, lvl
+)
+SELECT source, n_tokens, cap,
+       round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                  ELSE least(CAST(cap AS DOUBLE), u) END, 6) AS alloc_tokens,
+       round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                  ELSE least(CAST(cap AS DOUBLE), u) END / n_tokens, 6) AS epochs
+FROM j
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "chunk_fixed_overlap",
+        q_chunk_fixed,
+        CHUNK_FIXED_SQL,
+        "LLM-pipeline: fixed-size overlapping token chunks, shuffle-free",
+    ),
+    QuerySpec(
+        "chunk_cdc",
+        q_chunk_cdc,
+        CHUNK_CDC_SQL,
+        "LLM-pipeline: content-defined chunking (rolling-hash boundaries)",
+    ),
+    QuerySpec(
+        "layout_zorder",
+        q_layout_zorder,
+        LAYOUT_ZORDER_SQL,
+        "data layout: Morton/Z-order key histogram for 2-D clustering",
+    ),
+    QuerySpec(
+        "pipe_unimax_epochs",
+        q_pipe_unimax_epochs,
+        UNIMAX_SQL,
+        "LLM-pipeline: UniMax water-filling mixture allocation",
+    ),
+]

@@ -1,0 +1,126 @@
+"""Chunking & layout operators: the properties the gate's hash-match
+cannot see — CDC edit stability, Z-order locality, UniMax feasibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fink_filters_spark.operators.chunking import (
+    chunk_cdc,
+    chunk_fixed,
+    unimax_allocation,
+    zorder_key,
+)
+
+
+def _chunks(spark, rows):
+    df = spark.createDataFrame(rows, "id long, text string")
+    return {
+        (r.id, r.chunk_md5)
+        for r in chunk_cdc(df, "id", "text").collect()
+    }
+
+
+def test_cdc_edit_stability(spark):
+    """The CDC property: inserting one token near the front changes only
+    the chunk(s) containing the edit — every later chunk keeps its md5
+    identity (fixed-size chunking loses all of them)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    edited = "alpha beta NEWTOKEN gamma delta epsilon zeta eta theta iota kappa " + (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 7
+    )
+    a = _chunks(spark, [(1, base)])
+    b = _chunks(spark, [(1, edited)])
+    shared = {h for _, h in a} & {h for _, h in b}
+    # all chunks after the edited one survive: the two sets differ in at
+    # most the edited chunk on each side
+    assert len(a - b) <= 1 and len(b - a) <= 1
+    assert len(shared) >= len(a) - 1 > 0
+
+    # fixed-size chunking, same edit: downstream identities are destroyed
+    df_a = spark.createDataFrame([(1, base)], "id long, text string")
+    df_b = spark.createDataFrame([(1, edited)], "id long, text string")
+    fa = {r.chunk_md5 for r in chunk_fixed(df_a, "id", "text", 16, 16).collect()}
+    fb = {r.chunk_md5 for r in chunk_fixed(df_b, "id", "text", 16, 16).collect()}
+    assert len(fa & fb) < len(shared)
+
+
+def test_cdc_chunks_reassemble_exactly(spark):
+    """Chunk spans partition the token stream: start positions chain
+    (start_{k+1} = start_k + len_k), cover 0..n, never overlap."""
+    text = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame([(7, text)], "id long, text string")
+    rows = sorted(
+        chunk_cdc(df, "id", "text").collect(), key=lambda r: r.chunk_idx
+    )
+    pos = 0
+    for r in rows:
+        assert r.start_pos == pos
+        assert r.n_tokens >= 1
+        pos += r.n_tokens
+    assert pos == len(text.split())
+
+
+def test_zorder_locality(spark):
+    """Morton keys: z(0,0)=0, z(1,0)=1, z(0,1)=2, z(3,3)=15; and a 2x2
+    square of neighbors spans a z-range of exactly 4 (perfect pruning
+    granularity at even alignments)."""
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key("x", "y", 2).alias("z")).collect()
+    }
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+    assert got[(0, 1)] == 2 and got[(1, 1)] == 3 and got[(3, 3)] == 15
+    quad = [got[(x, y)] for x in (2, 3) for y in (0, 1)]
+    assert max(quad) - min(quad) == 3  # one contiguous z-run of 4
+
+
+def test_unimax_water_fill_invariants(spark):
+    """Skewed sources, budget below total cap: small sources saturate at
+    max_epochs, large ones share one common level, total == budget."""
+    per = spark.createDataFrame(
+        [("tiny", 10), ("small", 50), ("big", 1000), ("huge", 5000)],
+        "source string, n_tok long",
+    )
+    out = {
+        r.source: r
+        for r in unimax_allocation(per, "source", "n_tok", 2000, 4).collect()
+    }
+    assert out["tiny"].alloc_tokens == 40.0 and out["tiny"].epochs == 4.0
+    assert out["small"].alloc_tokens == 200.0 and out["small"].epochs == 4.0
+    # remaining 1760 split evenly between big and huge
+    assert out["big"].alloc_tokens == out["huge"].alloc_tokens == 880.0
+    assert sum(r.alloc_tokens for r in out.values()) == 2000.0
+    assert all(r.epochs <= 4.0 for r in out.values())
+
+
+def test_unimax_budget_exceeds_caps(spark):
+    """Budget above the total cap: every source saturates (UniMax never
+    over-repeats), leftover budget is reported by under-allocation."""
+    per = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "source string, n_tok long"
+    )
+    out = {
+        r.source: r
+        for r in unimax_allocation(per, "source", "n_tok", 10_000, 4).collect()
+    }
+    assert out["a"].alloc_tokens == 40.0 and out["b"].alloc_tokens == 80.0
+
+
+def test_zorder_feeds_range_partitioning(spark):
+    """Layout materialization: repartitionByRange on the z key compiles to
+    a single range Exchange (the write-side clustering plan)."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") % 17).alias("y")
+    )
+    plan = (
+        df.repartitionByRange(8, zorder_key("x", "y", 5))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" in plan

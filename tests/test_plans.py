@@ -28,6 +28,7 @@ NESTED_LOOP_ALLOWED = {
     "text_pmi",  # 1-row unigram/bigram-total cross joins (broadcast NLJ)
     "sim_kmeans2",  # corpus x centroids broadcast NLJ per Lloyd iteration
     "text_sparse_cosine",  # 1-row corpus-count cross join (broadcast NLJ)
+    "pipe_unimax_epochs",  # 1-row water-fill-level aggregate cross join (broadcast NLJ)
 }
 
 
