@@ -191,6 +191,146 @@ FROM j
 """
 
 
+def q_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document dedup — the storage-system composition
+    CDC exists for: chunk every document content-defined, drop every chunk
+    whose content appears in >= 2 distinct documents, and pin each
+    document's surviving rewrite by an order-preserving signature over the
+    kept chunk hashes. Unlike the span-based ExactSubstr profile
+    (``dedup_substring``), identity lives at chunk granularity, so an
+    edited re-upload of a document re-ships only its touched chunks.
+
+    Scale: one shuffle to count distinct docs per chunk hash (16-byte
+    keys, partial-agg combined), one hash anti-join of the chunk stream
+    against the dup set (output-sized; AQE broadcasts it when small), one
+    per-doc aggregation. No text ever shuffles — only hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_cdc(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    dup = (
+        ch.groupBy("chunk_md5")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_md5")
+    )
+    kept = ch.join(dup, "chunk_md5", "left_anti")
+    sig = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_md5"))),
+                lambda x: x["chunk_md5"],
+            ),
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        sig.alias("rewrite_sig"),
+    )
+
+
+DEDUP_CHUNK_CDC_SQL = f"""
+WITH c AS ({CHUNK_CDC_SQL}),
+dup AS (
+  SELECT chunk_md5 FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM c WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM dup))
+SELECT doc_id,
+       count(*) AS kept_chunks,
+       sum(n_tokens) AS kept_tokens,
+       md5(string_agg(chunk_md5, '' ORDER BY chunk_idx)) AS rewrite_sig
+FROM kept
+GROUP BY doc_id
+"""
+
+
+COVERAGE_PCTS = [50, 90, 95, 99]
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: for each target coverage percentage, the
+    smallest frequency-ranked vocabulary covering that share of all token
+    OCCURRENCES, plus the achieved coverage and implied UNK rate — the
+    number a vocab/BPE budget decision actually needs. Saturation test is
+    exact integers (``cum * 100 >= pct * total``); the reported fractions
+    are one final round-6 division.
+
+    Scale: token counting is a partial-agg'd groupBy; the rank/cumsum
+    window runs over the DISTINCT-token table, which is vocabulary-sized
+    (millions of rows at 100 TB, not corpus-sized) — same justification
+    as the bigram LM's vocabulary-sized table."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in COVERAGE_PCTS])).alias("pct")
+    )
+    hit = ranked.join(
+        F.broadcast(pcts), F.col("cum") * 100 >= F.col("pct") * F.col("total")
+    )
+    return (
+        hit.groupBy("pct")
+        .agg(
+            F.min("rank").alias("vocab_size"),
+            F.max("total").alias("total_tokens"),
+        )
+        .join(ranked.select("rank", "cum"), F.col("vocab_size") == F.col("rank"))
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            "total_tokens",
+            F.round(F.col("cum").cast("double") / F.col("total_tokens"), 6).alias(
+                "covered_frac"
+            ),
+            F.round(
+                (F.col("total_tokens") - F.col("cum")).cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("unk_rate"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH tk AS (SELECT unnest(toks) AS tok FROM ({TOKS_SQL})),
+counts AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+ranked AS (
+  SELECT c,
+         row_number() OVER w AS rank,
+         sum(c) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS total
+  FROM counts
+  WINDOW w AS (ORDER BY c DESC, tok)
+),
+hit AS (
+  SELECT p.pct, min(r.rank) AS vocab_size, max(r.total) AS total_tokens
+  FROM (SELECT unnest([{", ".join(str(p) for p in COVERAGE_PCTS)}]) AS pct) p
+  JOIN ranked r ON r.cum * 100 >= p.pct * r.total
+  GROUP BY p.pct
+)
+SELECT CAST(h.pct AS BIGINT) AS pct,
+       CAST(h.vocab_size AS BIGINT) AS vocab_size,
+       h.total_tokens,
+       round(CAST(r.cum AS DOUBLE) / h.total_tokens, 6) AS covered_frac,
+       round(CAST(h.total_tokens - r.cum AS DOUBLE) / h.total_tokens, 6) AS unk_rate
+FROM hit h JOIN ranked r ON h.vocab_size = r.rank
+"""
+
+
 SPECS = [
     QuerySpec(
         "chunk_fixed_overlap",
@@ -215,5 +355,17 @@ SPECS = [
         q_pipe_unimax_epochs,
         UNIMAX_SQL,
         "LLM-pipeline: UniMax water-filling mixture allocation",
+    ),
+    QuerySpec(
+        "dedup_chunk_cdc",
+        q_dedup_chunk_cdc,
+        DEDUP_CHUNK_CDC_SQL,
+        "LLM-pipeline: cross-doc chunk-level dedup with rewrite signatures",
+    ),
+    QuerySpec(
+        "text_vocab_coverage",
+        q_text_vocab_coverage,
+        VOCAB_COVERAGE_SQL,
+        "LLM-pipeline: frequency-ranked vocabulary coverage / UNK-rate curve",
     ),
 ]

@@ -124,3 +124,39 @@ def test_zorder_feeds_range_partitioning(spark):
         .toString()
     )
     assert "Exchange rangepartitioning" in plan
+
+
+def test_chunk_dedup_cross_doc(spark):
+    """A chunk shared verbatim by two docs is dropped from BOTH; each
+    doc's unique chunks survive with an order-preserving signature.
+    Within-doc repetition alone (one distinct doc) is NOT a drop."""
+    from fink_filters_spark.queries.layout import q_dedup_chunk_cdc  # noqa: F401  (gate query)
+    from fink_filters_spark.operators.chunking import chunk_cdc
+    from pyspark.sql import functions as F
+
+    # 'merge' char-folds to 0 mod 8 (a CDC boundary), so the shared
+    # prefix provably closes at least one complete shared chunk
+    shared = "lorem ipsum dolor sit amet merge consectetur adipiscing elit sed do merge "
+    df = spark.createDataFrame(
+        [
+            (1, shared + "unique one content here alpha beta gamma delta"),
+            (2, shared + "different tail entirely zeta eta theta iota kappa"),
+            (3, "standalone document with its own words only mu nu xi"),
+        ],
+        "id long, text string",
+    )
+    ch = chunk_cdc(df, "id", "text")
+    dup = (
+        ch.groupBy("chunk_md5")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    kept = ch.join(dup.select("chunk_md5"), "chunk_md5", "left_anti")
+    per = {r.id: r.n for r in kept.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r.id: r.n for r in ch.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # doc 3 shares nothing: all chunks kept
+    assert per[3] == tot[3]
+    # docs 1 and 2 lost at least their shared leading chunk(s), kept their tails
+    assert 0 < per[1] < tot[1] and 0 < per[2] < tot[2]
+    dropped = ch.join(dup.select("chunk_md5"), "chunk_md5").select("id").distinct().count()
+    assert dropped == 2
