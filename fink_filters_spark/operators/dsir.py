@@ -1,0 +1,94 @@
+"""DSIR-style importance-weighted data selection (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+The published recipe: estimate target and raw data distributions over
+HASHED n-gram buckets (cheap, fixed-width features), weight every raw
+document by the log-likelihood ratio of its features under the two
+distributions, and keep the highest-weighted documents — selecting raw
+data that "looks like" the target domain without training a classifier.
+
+Engine mapping, 100 TB shape: bucket counting is one partial-agg'd
+groupBy per side over the exploded token stream; the weight table is
+BUCKETS rows (1024 here — always broadcastable); scoring is a broadcast
+equi-join of the candidate token stream against it plus one per-doc sum.
+No all-pairs stage, no model, no iteration.
+
+Cross-engine determinism: the per-bucket log-ratio is quantized ONCE to
+an integer micro-log (``round(ln(ratio) * 1e6)``) computed from exact
+integer counts, so each document's score is an order-independent integer
+SUM — the float appears only in the final ``score = micro_sum / 1e6``
+display division (the repo-wide oracle-parity convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import TOKEN_SPLIT_RE, _char_fold
+
+DSIR_BUCKETS = 1024
+MICRO = 1_000_000
+
+
+def hashed_token_buckets(df: DataFrame, id_col: str, text_col: str,
+                         n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Explode the engine-standard token stream and map each token to its
+    char-fold hash bucket. Returns (id, bucket) with one row per token
+    OCCURRENCE (DSIR counts occurrences, not distinct types)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("__tok")
+    ).select("id", (_char_fold(F.col("__tok")) % n_buckets).alias("bucket"))
+
+
+def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,
+                        text_col: str, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-bucket integer micro-log importance weights
+    ``w_b = round(ln( ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)) ) * 1e6)``
+    with add-one smoothing over ``B`` buckets (both unseen-bucket cases
+    finite). Exact integer counts feed one double ``ln`` per bucket.
+    The result is at most ``n_buckets`` rows — broadcast it."""
+    t = (
+        hashed_token_buckets(target, id_col, text_col, n_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    )
+    r = (
+        hashed_token_buckets(raw, id_col, text_col, n_buckets)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    )
+    joined = t.join(r, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+    )
+    tot = joined.groupBy().agg(
+        F.sum("tc").alias("T"), F.sum("rc").alias("R")
+    )
+    ratio = (
+        (F.col("tc") + 1).cast("double") / (F.col("T") + n_buckets)
+    ) / ((F.col("rc") + 1).cast("double") / (F.col("R") + n_buckets))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(F.log(ratio) * MICRO).cast("long").alias("w_micro"),
+    )
+
+
+def dsir_scores(raw: DataFrame, weights: DataFrame, id_col: str,
+                text_col: str, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-document importance score: SUM of its tokens' bucket
+    micro-weights (integer, order-independent) — returned as
+    ``(id, n_tok, micro_sum, score)`` with ``score`` the single final
+    double division, rounded to 6 dp."""
+    occ = hashed_token_buckets(raw, id_col, text_col, n_buckets)
+    return (
+        occ.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("w_micro").alias("micro_sum"),
+        )
+        .select(
+            "id", "n_tok", "micro_sum",
+            F.round(F.col("micro_sum").cast("double") / MICRO, 6).alias("score"),
+        )
+    )

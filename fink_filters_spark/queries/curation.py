@@ -455,6 +455,70 @@ GROUP BY d.source
 """
 
 
+
+DSIR_TOP_K = 50
+
+
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): weight every non-src0
+    document by the hashed-unigram log-likelihood ratio against the src0
+    target slice and keep the top 50 — domain-targeted data selection
+    without a trained classifier (operators/dsir.py: bucket counting is
+    two partial-agg'd groupBys, the 1024-row weight table broadcasts, the
+    per-doc score is an order-independent integer sum)."""
+    from ..operators.dsir import dsir_bucket_weights, dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    w = dsir_bucket_weights(target, raw, "doc_id", "text")
+    scored = dsir_scores(raw, w, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    win = Window.orderBy(F.desc("micro_sum"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= DSIR_TOP_K)
+        .select("doc_id", "n_tok", "micro_sum", "score")
+    )
+
+
+_DSIR_B = 1024
+DSIR_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, source, {_hash_sql('tok')} % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, source, unnest(toks) AS tok
+        FROM ({TOKS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")}))
+),
+t AS (SELECT bucket, count(*) AS tc FROM occ WHERE source = 'src0' GROUP BY bucket),
+r AS (SELECT bucket, count(*) AS rc FROM occ WHERE source <> 'src0' GROUP BY bucket),
+j AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+  FROM t FULL OUTER JOIN r ON t.bucket = r.bucket
+),
+tot AS (SELECT sum(tc) AS T, sum(rc) AS R FROM j),
+w AS (
+  SELECT bucket,
+         CAST(round(ln((CAST(tc + 1 AS DOUBLE) / (T + {_DSIR_B}))
+                       / (CAST(rc + 1 AS DOUBLE) / (R + {_DSIR_B}))) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM j, tot
+),
+sc AS (
+  SELECT occ.doc_id, count(*) AS n_tok, sum(w.w_micro) AS micro_sum
+  FROM occ JOIN w ON occ.bucket = w.bucket
+  WHERE occ.source <> 'src0'
+  GROUP BY occ.doc_id
+)
+SELECT doc_id, n_tok, micro_sum,
+       round(CAST(micro_sum AS DOUBLE) / 1000000, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY micro_sum DESC, doc_id ASC) AS rk
+  FROM sc
+)
+WHERE rk <= {DSIR_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("pipe_decontaminate", pipe_decontaminate, DECONTAM_SQL,
               "benchmark n-gram decontamination (broadcast semi + anti join)"),
@@ -468,6 +532,8 @@ SPECS = [
               "deterministic md5 shuffle-sharding (no sort, no shuffle)"),
     QuerySpec("pipe_contamination_frac", pipe_contamination_frac, CONTAM_FRAC_SQL,
               "per-doc eval-overlap fraction (graded decontamination)"),
+    QuerySpec("pipe_dsir_select", pipe_dsir_select, DSIR_SQL,
+              "DSIR hashed-ngram importance resampling (top-k selection)"),
     QuerySpec("dedup_substring", dedup_substring, DEDUP_SUBSTR_SQL,
               "cross-doc duplicated 5-token spans + trim coverage (ExactSubstr)"),
     QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite,

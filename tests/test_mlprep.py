@@ -114,3 +114,28 @@ def test_drift_psi_terms_finite_and_signed_consistently(spark):
         assert math.isfinite(r["psi_term_e6"])
         # (p-q)*ln(p/q) >= 0 always
         assert r["psi_term_e6"] >= 0
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR invariant: among raw candidates, the one sharing the target
+    slice's vocabulary outscores the one that doesn't, and the weight
+    table never exceeds the bucket count (broadcastable by construction)."""
+    from fink_filters_spark.operators.dsir import (
+        DSIR_BUCKETS, dsir_bucket_weights, dsir_scores,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "quantum flux lattice boson fermion hadron") for i in range(5)],
+        "id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "quantum flux lattice boson fermion hadron"),
+            (101, "recipe butter sugar flour oven whisk"),
+        ],
+        "id long, text string",
+    )
+    w = dsir_bucket_weights(target, raw, "id", "text")
+    assert w.count() <= DSIR_BUCKETS
+    scores = {r.id: r.micro_sum for r in dsir_scores(raw, w, "id", "text").collect()}
+    assert scores[100] > scores[101]

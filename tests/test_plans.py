@@ -30,6 +30,7 @@ NESTED_LOOP_ALLOWED = {
     "text_sparse_cosine",  # 1-row corpus-count cross join (broadcast NLJ)
     "pipe_unimax_epochs",  # 1-row water-fill-level aggregate cross join (broadcast NLJ)
     "text_vocab_coverage",  # 4-row threshold table x ranked vocab non-equi broadcast NLJ
+    "pipe_dsir_select",  # 1-row corpus-total aggregate cross join (broadcast NLJ)
 }
 
 
