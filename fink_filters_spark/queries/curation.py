@@ -519,6 +519,90 @@ WHERE rk <= {DSIR_TOP_K}
 """
 
 
+
+def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining curation pipeline as ONE query — the
+    per-stage survivor funnel a dataset card reports: raw -> quality
+    filter -> language filter -> exact dedup -> benchmark-holdout split ->
+    n-gram decontamination. Every stage reuses the engine's own operator
+    definition (quality_expr, exact-dedup group, decontaminate), so the
+    funnel IS the composition, not a re-implementation.
+
+    Scale: stages 1-3 are narrow filters on one corpus scan; exact dedup
+    is one shuffle on the normalized-text hash; decontamination broadcasts
+    the eval shingle set (pipe_decontaminate's 100 TB shape). The result
+    is 6 rows of counts."""
+    from .text import QUALITY_THRESHOLD, quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.withColumn("__ok", quality_expr() >= QUALITY_THRESHOLD)
+    s2 = q.filter("__ok")
+    s3 = s2.filter(F.col("lang") == "en")
+    # exact dedup: one survivor (min doc_id) per normalized text
+    s4 = s3.groupBy(F.lower(F.trim(F.col("text"))).alias("ntext")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s5 = s4.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    s6 = decontaminate(
+        s5.select("doc_id", F.col("ntext").alias("text")), ev, "doc_id", "text", n=3
+    )
+    stages = [
+        ("raw", docs), ("quality", s2), ("lang_en", s3),
+        ("exact_dedup", s4), ("train_split", s5), ("decontaminated", s6),
+    ]
+    parts = [
+        df.groupBy().agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
+def _funnel_sql() -> str:
+    from .dedup import shh3_sql
+    from .text import QUALITY_THRESHOLD, quality_sql_expr
+
+    surv_toks = (
+        "SELECT doc_id, string_split_regex(ntext, '\\s+') AS toks FROM s5"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, lang,
+         {quality_sql_expr()} >= {QUALITY_THRESHOLD} AS ok
+  FROM (SELECT doc_id, text, lang,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+),
+s2 AS (SELECT * FROM q WHERE ok),
+s3 AS (SELECT * FROM s2 WHERE lang = 'en'),
+s4 AS (SELECT lower(trim(text)) AS ntext, min(doc_id) AS doc_id
+       FROM s3 GROUP BY lower(trim(text))),
+s5 AS (SELECT * FROM s4 WHERE doc_id % {EVAL_MOD} <> 0),
+ssh AS ({shh3_sql(surv_toks)}),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM ({shh3_sql()}) WHERE doc_id % {EVAL_MOD} = 0
+),
+bad AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(sh) AS g FROM ssh)
+  WHERE g IN (SELECT g FROM ev)
+),
+s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs FROM documents
+  UNION ALL SELECT 1, 'quality', count(*) FROM s2
+  UNION ALL SELECT 2, 'lang_en', count(*) FROM s3
+  UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s4
+  UNION ALL SELECT 4, 'train_split', count(*) FROM s5
+  UNION ALL SELECT 5, 'decontaminated', count(*) FROM s6
+)
+"""
+
+
 SPECS = [
     QuerySpec("pipe_decontaminate", pipe_decontaminate, DECONTAM_SQL,
               "benchmark n-gram decontamination (broadcast semi + anti join)"),
@@ -534,6 +618,8 @@ SPECS = [
               "per-doc eval-overlap fraction (graded decontamination)"),
     QuerySpec("pipe_dsir_select", pipe_dsir_select, DSIR_SQL,
               "DSIR hashed-ngram importance resampling (top-k selection)"),
+    QuerySpec("pipe_curation_funnel", pipe_curation_funnel, _funnel_sql(),
+              "full curation pipeline funnel (quality->lang->dedup->decontam)"),
     QuerySpec("dedup_substring", dedup_substring, DEDUP_SUBSTR_SQL,
               "cross-doc duplicated 5-token spans + trim coverage (ExactSubstr)"),
     QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite,

@@ -47,7 +47,15 @@ def _hash_sql(s: str) -> str:
 # distinct HASHED word 3-gram shingles via the word-hash combine scheme
 # (mirrors functions.text.word_hashes + combine_word_hashes exactly)
 WB = 37  # functions.text.WORD_COMBINE_BASE
-SHH3_SQL = f"""
+
+
+def shh3_sql(toks_src: str | None = None) -> str:
+    """Hashed word-3-gram shingle CTE over any ``(doc_id, toks)`` source
+    (defaults to the documents table) — the ONE source of truth for the
+    oracle-side shingle scheme, parameterized so composite pipelines
+    (queries/curation.py funnel) shingle intermediate doc sets without
+    copying the combine expression."""
+    return f"""
 SELECT doc_id,
        CASE WHEN len(wh) - 2 >= 1 THEN
          list_distinct(list_transform(
@@ -57,9 +65,12 @@ SELECT doc_id,
        ELSE CAST([] AS BIGINT[]) END AS sh
 FROM (
   SELECT doc_id, list_transform(toks, s -> {_hash_sql('s')}) AS wh
-  FROM ({TOKS_SQL})
+  FROM ({toks_src or TOKS_SQL})
 )
 """
+
+
+SHH3_SQL = shh3_sql()
 
 
 # ---- exact dedup ------------------------------------------------------------

@@ -107,10 +107,14 @@ FROM documents
 """
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score: stopword ratio + punctuation penalty + length
-    credit (weights fixed; deterministic double tree)."""
-    docs = load_table(spark, sf_dir, "documents")
+QUALITY_THRESHOLD = 0.35
+
+
+def quality_expr():
+    """The composite quality score Column (stopword ratio + punctuation
+    penalty + length credit, fixed weights, round-6) over a frame with
+    ``text`` — the ONE Spark-side definition, shared by the quality query
+    and the curation funnel so the score cannot drift between them."""
     toks = TOKS()
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     n_tok = F.size(toks)
@@ -119,24 +123,38 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
     punct_ratio = n_punct.cast("double") / F.length("text").cast("double")
     len_credit = F.least(F.lit(1.0), n_tok.cast("double") / 100.0)
-    quality = F.round(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + len_credit * 0.2, 6)
+    return F.round(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + len_credit * 0.2, 6)
+
+
+def quality_sql_expr() -> str:
+    """DuckDB mirror of ``quality_expr`` as an expression string over a
+    source providing ``text`` and ``toks``."""
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return (
+        f"round(CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5\n"
+        "             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3\n"
+        "             + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.2, 6)"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: stopword ratio + punctuation penalty + length
+    credit (weights fixed; deterministic double tree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = quality_expr()
     return docs.select(
         "doc_id",
         quality.alias("quality"),
-        (quality >= 0.35).alias("is_good"),
+        (quality >= QUALITY_THRESHOLD).alias("is_good"),
     )
 
 
 def _quality_sql() -> str:
-    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    qe = quality_sql_expr()
     return f"""
 SELECT doc_id,
-       round(CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
-             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3
-             + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.2, 6) AS quality,
-       round(CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
-             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3
-             + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.2, 6) >= 0.35 AS is_good
+       {qe} AS quality,
+       {qe} >= {QUALITY_THRESHOLD} AS is_good
 FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
 """
 
