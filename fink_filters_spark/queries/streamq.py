@@ -1,9 +1,9 @@
 """Structured Streaming queries in the ORACLE-CHECKED surface (SURVEY §2.J).
 
 The rest of §2.J is pytest-verified (``streaming/``, ``tests/test_streaming*``);
-these six entries run the REAL streaming machinery — file-stream source;
+these seven entries run the REAL streaming machinery — file-stream source;
 event-time tumbling, sliding, and session window aggregation; append-mode
-watermark finalization; stateful ``dropDuplicates``; and a watermarked
+watermark finalization; stateful ``dropDuplicates`` (including the chunk-hash dedup ledger); and a watermarked
 stream-stream time-range self join — inside the driver's correctness gate: the collected memory-sink output hash-matches a
 batch DuckDB oracle. Reference precedent: every fink filter runs under
 ``readStream`` in production (``fink_filters/tester.py`` drives them with
@@ -33,17 +33,17 @@ from . import QuerySpec
 US_PER_HOUR = 3_600_000_000
 
 
-def _stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """FileStreamSource requires a DIRECTORY source; the testdata tables are
     single files. Stage a per-sf symlink directory under /tmp (in production
     the stream watches the landing directory directly)."""
     import hashlib
     import os
 
-    d = f"/tmp/fink_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    d = f"/tmp/fink_stream_src_{hashlib.md5((sf_dir + table).encode()).hexdigest()[:12]}"
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    target = os.path.join(sf_dir, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
+    target = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(target, link)
     elif os.path.realpath(link) != os.path.realpath(target):
@@ -320,7 +320,48 @@ HAVING hour_start_us + {US_PER_HOUR} <= cutoff.wm
 """
 
 
+
+def stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup at CHUNK granularity: the documents table
+    arrives as a file stream, every micro-batch is content-defined-chunked
+    by the same narrow kernel the batch pipeline uses
+    (operators/chunking.chunk_cdc — HOFs only, fully stream-safe), and a
+    stateful ``dropDuplicates`` on the chunk hash admits each distinct
+    chunk exactly once across batches — the arrival-order-independent
+    dedup ledger an incremental corpus build maintains. Emits the chunk
+    hash only, so the append-mode output is set-deterministic regardless
+    of file arrival order. State is one entry per distinct chunk
+    (unwatermarked by design here: a corpus ledger never expires; a
+    deployment bounding state would add a watermark on an ingest-time
+    column)."""
+    from ..operators.chunking import chunk_cdc
+
+    batch = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    out = chunk_cdc(stream, "doc_id", "text").select("chunk_md5").dropDuplicates(
+        ["chunk_md5"]
+    )
+    _run_to_memory(out, "stream_chunk_dedup_sink", "append")
+    return spark.table("stream_chunk_dedup_sink")
+
+
+def _stream_chunk_sql() -> str:
+    from .layout import CHUNK_CDC_SQL
+
+    return f"SELECT DISTINCT chunk_md5 FROM ({CHUNK_CDC_SQL})"
+
+
 SPECS = [
+    QuerySpec(
+        "stream_chunk_dedup",
+        stream_chunk_dedup,
+        _stream_chunk_sql(),
+        "§2.J + LLM-pipeline: stateful chunk-hash dedup ledger under readStream",
+    ),
     QuerySpec(
         "stream_hourly_stats",
         stream_hourly_stats,

@@ -62,6 +62,14 @@ HEADLINERS = [
     "sim_kmeans2",
     "dedup_incremental",
     "dedup_containment",
+    "chunk_fixed_overlap",
+    "chunk_cdc",
+    "dedup_chunk_cdc",
+    "layout_zorder",
+    "pipe_unimax_epochs",
+    "text_vocab_coverage",
+    "pipe_dsir_select",
+    "pipe_curation_funnel",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

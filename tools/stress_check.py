@@ -72,6 +72,10 @@ HEADLINERS = [
     "pipe_source_cap",
     "text_sparse_cosine",
     "dedup_incremental",
+    "chunk_cdc",
+    "dedup_chunk_cdc",
+    "pipe_dsir_select",
+    "pipe_curation_funnel",
 ]
 
 
