@@ -603,6 +603,72 @@ SELECT * FROM (
 """
 
 
+
+def pipe_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria data selection: the Pareto front of documents over
+    (quality, length) — every document not strictly dominated by another
+    on both axes, i.e. the frontier a curation budget walks when trading
+    quality against token yield. Exact integer micro-quality; dominance
+    resolved in two window steps that need NO all-pairs join: (1) within
+    equal quality keep only the longest, (2) down the now-distinct
+    quality ranks keep documents longer than every higher-quality one
+    (running max over preceding rows). O(n log n) sort-based, one narrow
+    scan + two vocabulary-of-quality-sized windows.
+
+    Ties: equal (quality, length) pairs do not dominate each other, so
+    all docs sharing a surviving (q, n) pair are on the front."""
+    from .text import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_expr() * 1000000).cast("long").alias("q_micro"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    per_q = scored.groupBy("q_micro").agg(F.max("n_tok").alias("max_n"))
+    w = (
+        Window.orderBy(F.desc("q_micro"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front_pairs = (
+        per_q.withColumn("prev_max", F.max("max_n").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("max_n") > F.col("prev_max")))
+        .select("q_micro", F.col("max_n").alias("n_tok"))
+    )
+    return scored.join(front_pairs, ["q_micro", "n_tok"]).select(
+        "doc_id", "q_micro", "n_tok"
+    )
+
+
+def _pareto_sql() -> str:
+    from .text import quality_sql_expr
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(round({quality_sql_expr()} * 1000000) AS BIGINT) AS q_micro,
+         CAST(len(toks) AS BIGINT) AS n_tok
+  FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+),
+per_q AS (SELECT q_micro, max(n_tok) AS max_n FROM scored GROUP BY q_micro),
+fp AS (
+  SELECT q_micro, max_n AS n_tok
+  FROM (
+    SELECT q_micro, max_n,
+           max(max_n) OVER (ORDER BY q_micro DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM per_q
+  )
+  WHERE prev_max IS NULL OR max_n > prev_max
+)
+SELECT s.doc_id, s.q_micro, s.n_tok
+FROM scored s JOIN fp ON s.q_micro = fp.q_micro AND s.n_tok = fp.n_tok
+"""
+
+
 SPECS = [
     QuerySpec("pipe_decontaminate", pipe_decontaminate, DECONTAM_SQL,
               "benchmark n-gram decontamination (broadcast semi + anti join)"),
@@ -620,6 +686,8 @@ SPECS = [
               "DSIR hashed-ngram importance resampling (top-k selection)"),
     QuerySpec("pipe_curation_funnel", pipe_curation_funnel, _funnel_sql(),
               "full curation pipeline funnel (quality->lang->dedup->decontam)"),
+    QuerySpec("pipe_pareto_front", pipe_pareto_front, _pareto_sql(),
+              "Pareto front over (quality, length) — multi-criteria selection"),
     QuerySpec("dedup_substring", dedup_substring, DEDUP_SUBSTR_SQL,
               "cross-doc duplicated 5-token spans + trim coverage (ExactSubstr)"),
     QuerySpec("dedup_substring_rewrite", dedup_substring_rewrite,

@@ -139,3 +139,33 @@ def test_dsir_prefers_target_like_documents(spark):
     assert w.count() <= DSIR_BUCKETS
     scores = {r.id: r.micro_sum for r in dsir_scores(raw, w, "id", "text").collect()}
     assert scores[100] > scores[101]
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    """Frontier equals the brute-force dominance definition, including
+    equal-pair ties (mutual non-domination)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 8), rng.randint(0, 8)) for i in range(60)]
+    df = spark.createDataFrame(pts, "doc_id long, q long, n long")
+
+    from pyspark.sql import Window, functions as F
+
+    per_q = df.groupBy("q").agg(F.max("n").alias("max_n"))
+    w = Window.orderBy(F.desc("q")).rowsBetween(Window.unboundedPreceding, -1)
+    fp = (
+        per_q.withColumn("pm", F.max("max_n").over(w))
+        .filter(F.col("pm").isNull() | (F.col("max_n") > F.col("pm")))
+        .select("q", F.col("max_n").alias("n"))
+    )
+    got = {r.doc_id for r in df.join(fp, ["q", "n"]).collect()}
+
+    def dominated(a, b):  # b strictly dominates a
+        return b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+
+    want = {
+        a[0] for a in pts if not any(dominated(a, b) for b in pts if b[0] != a[0])
+    }
+    assert got == want
