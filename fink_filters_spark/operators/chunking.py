@@ -108,9 +108,11 @@ def chunk_cdc(
     n = F.size("__t")
     # 1-based start of every chunk: position 1 plus each position just
     # after an interior boundary token (a trailing boundary at pos n must
-    # not open an empty chunk)
-    starts = F.concat(
-        F.array(F.lit(1)),
+    # not open an empty chunk). Guard n == 1: sequence(1, 0) DESCENDS in
+    # Spark, and element_at(_, 0) throws — a single-token document has no
+    # interior positions at all.
+    interior = F.when(
+        n >= 2,
         F.transform(
             F.filter(
                 F.sequence(F.lit(1), n - 1),
@@ -118,7 +120,8 @@ def chunk_cdc(
             ),
             lambda i: i + 1,
         ),
-    )
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), interior)
     ends = F.concat(F.slice(starts, 2, 2_000_000_000), F.array(n + 1))
     chunks = F.zip_with(
         starts, ends, lambda s, e: F.struct(

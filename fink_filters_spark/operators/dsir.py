@@ -22,9 +22,9 @@ display division (the repo-wide oracle-parity convention).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import TOKEN_SPLIT_RE, _char_fold
+from ..functions.text import word_hashes
 
 DSIR_BUCKETS = 1024
 MICRO = 1_000_000
@@ -32,13 +32,14 @@ MICRO = 1_000_000
 
 def hashed_token_buckets(df: DataFrame, id_col: str, text_col: str,
                          n_buckets: int = DSIR_BUCKETS) -> DataFrame:
-    """Explode the engine-standard token stream and map each token to its
-    char-fold hash bucket. Returns (id, bucket) with one row per token
-    OCCURRENCE (DSIR counts occurrences, not distinct types)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    """Map each token of the engine-standard token stream to its char-fold
+    hash bucket via the shared ``word_hashes`` kernel (one hash per token
+    before the explode — the cheaper evaluation order). Returns
+    (id, bucket) with one row per token OCCURRENCE (DSIR counts
+    occurrences, not distinct types)."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("__tok")
-    ).select("id", (_char_fold(F.col("__tok")) % n_buckets).alias("bucket"))
+        F.col(id_col).alias("id"), F.explode(word_hashes(text_col)).alias("__h")
+    ).select("id", (F.col("__h") % n_buckets).alias("bucket"))
 
 
 def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,

@@ -17,7 +17,7 @@ from ..operators.dedup import contamination_fraction, decontaminate, duplicated_
 from ..operators.sample import mixture_sample
 from ..tables import load_table
 from . import QuerySpec
-from .dedup import SHH3_SQL, TOKS_SQL, _hash_sql
+from .dedup import SHH3_SQL, TOKS_SQL, _hash_sql, toks_sql
 
 EVAL_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
 
@@ -486,7 +486,7 @@ DSIR_SQL = f"""
 WITH occ AS (
   SELECT doc_id, source, {_hash_sql('tok')} % {_DSIR_B} AS bucket
   FROM (SELECT doc_id, source, unnest(toks) AS tok
-        FROM ({TOKS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")}))
+        FROM ({toks_sql("source")}))
 ),
 t AS (SELECT bucket, count(*) AS tc FROM occ WHERE source = 'src0' GROUP BY bucket),
 r AS (SELECT bucket, count(*) AS rc FROM occ WHERE source <> 'src0' GROUP BY bucket),
@@ -547,18 +547,34 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s6 = decontaminate(
         s5.select("doc_id", F.col("ntext").alias("text")), ev, "doc_id", "text", n=3
     )
-    stages = [
-        ("raw", docs), ("quality", s2), ("lang_en", s3),
-        ("exact_dedup", s4), ("train_split", s5), ("decontaminated", s6),
-    ]
+    # the three filter stages are conditional aggregates over ONE corpus
+    # scan (Spark does not dedupe common subplans across union branches,
+    # so per-stage count branches would each rescan the parquet)
+    head = (
+        q.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(F.col("__ok") & (F.col("lang") == "en"), 1).otherwise(0)
+            ).alias("n2"),
+        )
+        .selectExpr(
+            "stack(3, 0, 'raw', n0, 1, 'quality', n1, 2, 'lang_en', n2)"
+            " AS (stage_idx, stage, n_docs)"
+        )
+    )
     parts = [
         df.groupBy().agg(F.count(F.lit(1)).alias("n_docs")).select(
             F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
         )
-        for i, (name, df) in enumerate(stages)
+        for i, (name, df) in enumerate(
+            [("exact_dedup", s4), ("train_split", s5), ("decontaminated", s6)],
+            start=3,
+        )
     ]
-    out = parts[0]
-    for pdf in parts[1:]:
+    out = head
+    for pdf in parts:
         out = out.unionByName(pdf)
     return out
 

@@ -31,9 +31,18 @@ SIMHASH_MAX_HAMMING = 3
 
 # ---- shared oracle fragments ------------------------------------------------
 
-TOKS_SQL = (
-    "SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents"
-)
+def toks_sql(extra_cols: str = "") -> str:
+    """The oracle-side engine-wide tokenizer over the documents table,
+    optionally carrying extra passthrough columns — parameterized so
+    consumers (DSIR, UniMax) never patch the literal by string surgery."""
+    cols = f"doc_id, {extra_cols}," if extra_cols else "doc_id,"
+    return (
+        f"SELECT {cols} string_split_regex(lower(trim(text)), '\\s+') AS toks"
+        " FROM documents"
+    )
+
+
+TOKS_SQL = toks_sql()
 
 # polynomial char hash of a string s (matches functions.text.shingle_hash)
 def _hash_sql(s: str) -> str:

@@ -12,10 +12,11 @@ one final double division (round-6 on both sides).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.chunking import (
     CDC_BOUNDARY_MOD,
+    _toks,
     chunk_cdc,
     chunk_fixed,
     unimax_allocation,
@@ -23,7 +24,7 @@ from ..operators.chunking import (
 )
 from ..tables import load_table
 from . import QuerySpec
-from .dedup import TOKS_SQL, _hash_sql
+from .dedup import TOKS_SQL, _hash_sql, toks_sql
 
 CHUNK_SIZE, CHUNK_STRIDE = 16, 12
 
@@ -144,7 +145,7 @@ def q_pipe_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one double division for the common level)."""
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("n_tok")
+        F.sum(F.size(_toks("text"))).alias("n_tok")
     )
     return unimax_allocation(
         per_source, "source", "n_tok", UNIMAX_BUDGET, UNIMAX_MAX_EPOCHS
@@ -155,7 +156,7 @@ UNIMAX_SQL = f"""
 WITH s AS (
   SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
          CAST(sum(len(toks)) * {UNIMAX_MAX_EPOCHS} AS BIGINT) AS cap
-  FROM ({TOKS_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")})
+  FROM ({toks_sql("source")})
   GROUP BY source
 ),
 r AS (
@@ -261,14 +262,10 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the bigram LM's vocabulary-sized table."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
-        docs.select(
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
-        )
+        docs.select(F.explode(_toks("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.desc("c"), "tok")
     ranked = counts.select(
         "c",

@@ -126,13 +126,13 @@ def test_zorder_feeds_range_partitioning(spark):
     assert "Exchange rangepartitioning" in plan
 
 
-def test_chunk_dedup_cross_doc(spark):
+def test_chunk_dedup_cross_doc(spark, tmp_path):
     """A chunk shared verbatim by two docs is dropped from BOTH; each
     doc's unique chunks survive with an order-preserving signature.
     Within-doc repetition alone (one distinct doc) is NOT a drop."""
-    from fink_filters_spark.queries.layout import q_dedup_chunk_cdc  # noqa: F401  (gate query)
-    from fink_filters_spark.operators.chunking import chunk_cdc
-    from pyspark.sql import functions as F
+    import hashlib
+
+    from fink_filters_spark.queries.layout import q_dedup_chunk_cdc
 
     # 'merge' char-folds to 0 mod 8 (a CDC boundary), so the shared
     # prefix provably closes at least one complete shared chunk
@@ -160,3 +160,41 @@ def test_chunk_dedup_cross_doc(spark):
     assert 0 < per[1] < tot[1] and 0 < per[2] < tot[2]
     dropped = ch.join(dup.select("chunk_md5"), "chunk_md5").select("id").distinct().count()
     assert dropped == 2
+
+    # drive the actual gate query end-to-end and pin its rewrite_sig
+    # contract: md5 over the kept chunk hashes in chunk order
+    df.withColumnRenamed("id", "doc_id").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.doc_id: r for r in q_dedup_chunk_cdc(spark, str(tmp_path)).collect()}
+    assert out[3].kept_chunks == tot[3]
+    kept3 = sorted(
+        (r.chunk_idx, r.chunk_md5)
+        for r in ch.collect()
+        if r.id == 3
+    )
+    want_sig = hashlib.md5("".join(h for _, h in kept3).encode()).hexdigest()
+    assert out[3].rewrite_sig == want_sig
+    assert out[1].kept_chunks == per[1] and out[2].kept_chunks == per[2]
+
+
+def test_cdc_single_token_and_empty_documents(spark):
+    """Regression: a single-token or empty/whitespace document has no
+    interior boundary positions — sequence(1, 0) must never descend into
+    element_at(_, 0). One whole-text chunk comes back; oracle parity is
+    the 1-chunk row DuckDB's range(1, 1) (empty) produces."""
+    from fink_filters_spark.operators.chunking import chunk_cdc, chunk_fixed
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "   "), (4, "two tokens")],
+        "id long, text string",
+    )
+    rows = chunk_cdc(df, "id", "text").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0].n_tokens == 1
+    assert len(by_id[2]) == 1 and len(by_id[3]) == 1  # [''] token stream
+    assert sum(r.n_tokens for r in by_id[4]) == 2
+    # fixed chunking on the same degenerate inputs
+    assert chunk_fixed(df, "id", "text", 16, 12).count() == 4
