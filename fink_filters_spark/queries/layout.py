@@ -328,6 +328,62 @@ FROM hit h JOIN ranked r ON h.vocab_size = r.rank
 """
 
 
+
+N_BALANCED_SHARDS = 16
+
+
+def q_pipe_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: documents sorted by token count
+    descending and dealt to 16 shards in a SNAKE (boustrophedon) pattern —
+    shard 0..15 then 15..0 — so every shard receives one doc per cycle
+    and the big-doc head spreads evenly; per-shard totals land within a
+    few percent without any sequential greedy state. The deterministic,
+    window-expressible stand-in for greedy longest-processing-time
+    packing a shard writer uses to equalize training-shard token budgets.
+
+    Scale: one narrow token count, one global sort (rank window) over
+    doc-count rows, then a 16-group aggregate. At 100 TB the rank sort is
+    the same range-partitioned sort a sorted write already pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(_toks("text")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy(F.desc("n_tok"), "doc_id")
+    S = N_BALANCED_SHARDS
+    pos = F.row_number().over(w) - 1
+    within = pos % S
+    shard = F.when((pos / S).cast("long") % 2 == 0, within).otherwise(
+        S - 1 - within
+    )
+    return (
+        sized.withColumn("shard", shard.cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+    )
+
+
+SHARD_BALANCE_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM ({TOKS_SQL})
+),
+ranked AS (
+  SELECT n_tok,
+         row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS pos
+  FROM sized
+)
+SELECT CAST(CASE WHEN (pos // {N_BALANCED_SHARDS}) % 2 = 0
+            THEN pos % {N_BALANCED_SHARDS}
+            ELSE {N_BALANCED_SHARDS} - 1 - pos % {N_BALANCED_SHARDS} END AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       sum(n_tok) AS tok_sum
+FROM ranked
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec(
         "chunk_fixed_overlap",
@@ -358,6 +414,12 @@ SPECS = [
         q_dedup_chunk_cdc,
         DEDUP_CHUNK_CDC_SQL,
         "LLM-pipeline: cross-doc chunk-level dedup with rewrite signatures",
+    ),
+    QuerySpec(
+        "pipe_shard_balance",
+        q_pipe_shard_balance,
+        SHARD_BALANCE_SQL,
+        "LLM-pipeline: snake-balanced equal-token shard assignment",
     ),
     QuerySpec(
         "text_vocab_coverage",

@@ -198,3 +198,16 @@ def test_cdc_single_token_and_empty_documents(spark):
     assert sum(r.n_tokens for r in by_id[4]) == 2
     # fixed chunking on the same degenerate inputs
     assert chunk_fixed(df, "id", "text", 16, 12).count() == 4
+
+
+def test_shard_balance_near_equal_tokens(spark):
+    """Snake dealing bounds imbalance: on heavy-tailed sizes the max/min
+    per-shard token totals stay within a few percent, every doc assigned
+    exactly once."""
+    from fink_filters_spark.queries.layout import q_pipe_shard_balance
+
+    rows = q_pipe_shard_balance(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 16
+    assert sum(r.n_docs for r in rows) == 500
+    toks = [r.tok_sum for r in rows]
+    assert (max(toks) - min(toks)) / min(toks) < 0.05
