@@ -106,6 +106,11 @@ def main() -> None:
         "text_pmi",
         "dedup_containment",
         "stream_event_pairs",
+        "chunk_cdc",
+        "dedup_chunk_cdc",
+        "pipe_dsir_select",
+        "pipe_curation_funnel",
+        "pipe_shard_balance",
     ]
     compact = {k: times[k] for k in headliners if k in times}
     failed = sorted(k for k, v in times.items() if v is not None and v < 0)

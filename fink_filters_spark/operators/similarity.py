@@ -506,3 +506,46 @@ def kmeans_lloyd(
     return assign(cents).select(
         "vec_id", "centroid_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+def maxdot_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product search (MIPS): top-k corpus vectors per
+    query by RAW dot product — the recommender/two-tower retrieval
+    objective, where a vector's norm carries signal (popularity, recency)
+    that cosine deliberately discards. Same broadcast-queries shape as
+    ``knn_bruteforce``; the score is an exact integer over the shared
+    1e6 quantization (sum of i64 products — order-independent), divided
+    back to float once for display. The classic norm-augmentation
+    reduction (append sqrt(M^2 - |x|^2) so MIPS becomes cosine ANN) then
+    reuses ``lsh_ann``/IVF unchanged as the approximate path at scale."""
+    q = queries.select(
+        F.col(q_id).alias("__qid"), quantize_vec(q_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(c_id).alias("__cid"), quantize_vec(c_vec).alias("__cv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("__qid") != F.col("__cid")).select(
+        F.col("__qid").alias("q_id"),
+        F.col("__cid").alias("neighbor_id"),
+        dot_q(F.col("__qv"), F.col("__cv")).alias("__dq"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("__dq"), F.asc("neighbor_id"))
+    scale2 = 1_000_000_000_000  # VEC_SCALE^2: quantized dot -> float dot
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.col("__dq").cast("double") / scale2, 6).alias("dot"),
+            "rank",
+        )
+    )

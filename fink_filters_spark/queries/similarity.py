@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.similarity import ivf_assign, knn_bruteforce
+from ..operators.similarity import ivf_assign, knn_bruteforce, maxdot_topk
 from ..tables import load_table
 from . import QuerySpec
 from .dedup import QVEC_SQL
@@ -551,8 +551,37 @@ SELECT vec_id, centroid_id, round(cosine, 6) AS cosine FROM (
 """
 
 
+
+def q_sim_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MIPS baseline (operators/similarity.maxdot_topk): top-k by
+    raw inner product for the first 20 vectors as queries — ranks differ
+    from the cosine kNN wherever norms differ, which is the point."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return maxdot_topk(queries, em, k=K, q_id="q_id", q_vec="embedding")
+
+
+SIM_MAXDOT_SQL = f"""
+WITH q AS ({QVEC_SQL}),
+p AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dq
+  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id
+),
+r AS (
+  SELECT q_id, neighbor_id, dq,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dq DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM p
+)
+SELECT q_id, neighbor_id, round(CAST(dq AS DOUBLE) / 1000000000000, 6) AS dot, rank
+FROM r WHERE rank <= {K}
+"""
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
+    QuerySpec("sim_maxdot", q_sim_maxdot, SIM_MAXDOT_SQL, "exact MIPS top-k (raw inner product)"),
     QuerySpec("dedup_semantic", q_dedup_semantic, SEMDEDUP_SQL,
               "SemDeDup cluster-then-prune embedding dedup (shuffle on centroid)"),
     QuerySpec("sim_centroid_train", q_sim_centroids, SIM_CENTROID_SQL,

@@ -18,6 +18,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_embedding_cosine",  # block-pair nested-loop join over B block rows (matmul kernel)
     "text_tfidf",  # 1-row corpus-count cross join (broadcast NLJ is the right plan)
     "sim_knn_bruteforce",  # query-set x corpus broadcast NLJ
+    "sim_maxdot",  # query-set x corpus broadcast NLJ (exact MIPS baseline)
     "sim_ivf_assign",  # corpus x centroids broadcast NLJ
     "dedup_semantic",  # composes sim_ivf_assign's corpus x centroids broadcast NLJ
     "sim_ivf_search",  # probe join includes a non-equi condition
