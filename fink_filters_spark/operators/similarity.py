@@ -549,3 +549,72 @@ def maxdot_topk(
             "rank",
         )
     )
+
+
+def mips_lsh_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    planes: list[list[int]],
+    band_bits: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate MIPS via the norm-augmentation reduction: append
+    ``sqrt(M^2 - |x|^2)`` to every corpus vector (M = max corpus norm) and
+    0 to every query, and maximum-inner-product search becomes angular
+    search — the asymmetric transform of Bachrach et al. 2014 / Neyshabur
+    & Srebro 2015 — so the existing sign-projection band machinery probes
+    candidates unchanged. Because the query's augmented coordinate is 0,
+    the augmented dot product IS the original dot product: candidate
+    scoring needs no un-augmentation and stays an exact integer.
+
+    ``planes`` must span ``dim + 1`` coordinates. The augmented coordinate
+    is quantized on the shared 1e6 grid: ``round(sqrt(M2q - nsq))`` where
+    both operands are exact integers, and sqrt of an exact integer-valued
+    double is correctly rounded — deterministic across engines.
+
+    Scale: one extra max-aggregate (broadcast back as a 1-row scalar) on
+    top of ``lsh_search``'s shape — signatures in one codegen pass, the
+    candidate probe a plain equi join on (band, sig)."""
+    c = corpus.select(F.col(c_id).alias("__cid"), quantize_vec(c_vec).alias("__cq"))
+    c = c.withColumn("__nsq", norm_sq_q(F.col("__cq")))
+    m2 = c.groupBy().agg(F.max("__nsq").alias("__m2"))
+    c_aug = c.crossJoin(F.broadcast(m2)).select(
+        "__cid",
+        F.concat(
+            "__cq",
+            F.array(F.round(F.sqrt((F.col("__m2") - F.col("__nsq")).cast("double"))).cast("long")),
+        ).alias("__cv"),
+    )
+    q_aug = queries.select(
+        F.col(q_id).alias("__qid"),
+        F.concat(quantize_vec(q_vec), F.array(F.lit(0).cast("long"))).alias("__qv"),
+    )
+    sc = _band_signatures(c_aug, "__cv", planes, band_bits)
+    sq = _band_signatures(q_aug, "__qv", planes, band_bits)
+    cand = (
+        sc.join(sq, ["band", "sig"])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__qv", "__cid", "__cv")
+        .dropDuplicates(["__qid", "__cid"])
+    )
+    scale2 = 1_000_000_000_000  # VEC_SCALE^2
+    pairs = cand.select(
+        F.col("__qid").alias("q_id"),
+        F.col("__cid").alias("neighbor_id"),
+        dot_q(F.col("__qv"), F.col("__cv")).alias("__dq"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("__dq"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.col("__dq").cast("double") / scale2, 6).alias("dot"),
+            "rank",
+        )
+    )

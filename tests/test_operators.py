@@ -1400,3 +1400,16 @@ def test_source_cap_and_outlier_mad_shapes(spark):
     with mock.patch.object(cur, "load_table", lambda s, d, t: toy):
         prof = pipe_outlier_mad(spark, "ignored").collect()
     assert len(prof) == 1 and prof[0].n_outliers == 1 and prof[0].med_chars == 100.0
+
+
+def test_mips_lsh_recall_floor(spark):
+    """Norm-augmented sign-LSH MIPS: deterministic planes + data pin the
+    recall vs exact MIPS at sf0.001 — 0.47 on isotropic gaussian vectors
+    (the no-structure worst case). A floor of 0.40 catches any silent
+    degradation of the augmentation or banding math."""
+    from fink_filters_spark.queries.similarity import q_sim_maxdot, q_sim_maxdot_lsh
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.q_id, r.neighbor_id) for r in q_sim_maxdot(spark, sf).collect()}
+    approx = {(r.q_id, r.neighbor_id) for r in q_sim_maxdot_lsh(spark, sf).collect()}
+    assert len(exact & approx) / len(exact) >= 0.40

@@ -32,6 +32,7 @@ NESTED_LOOP_ALLOWED = {
     "pipe_unimax_epochs",  # 1-row water-fill-level aggregate cross join (broadcast NLJ)
     "text_vocab_coverage",  # 4-row threshold table x ranked vocab non-equi broadcast NLJ
     "pipe_dsir_select",  # 1-row corpus-total aggregate cross join (broadcast NLJ)
+    "sim_maxdot_lsh",  # 1-row max-norm aggregate cross join (MIPS augmentation)
 }
 
 
