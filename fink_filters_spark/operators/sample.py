@@ -100,3 +100,91 @@ def stratified_mod_sample(df: DataFrame, key: str, strata: Column, moduli: dict)
     for stratum, modulus in moduli.items():
         cond = cond | ((strata == stratum) & (F.pmod(F.col(key), F.lit(modulus)) == 0))
     return df.filter(cond)
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    budget_num: int,
+    budget_den: int,
+    bucket_hex: int = 5,
+) -> DataFrame:
+    """Temperature-rebalanced group sampling at alpha = 0.5: allocate a
+    corpus-wide row budget across groups (languages, domains) proportional
+    to ``n_g ** alpha`` instead of ``n_g`` — the multilingual rebalance of
+    XLM-R / mT5, which upsamples tail languages relative to the head so a
+    model doesn't see only the majority group. ``budget = floor(N *
+    budget_num / budget_den)`` rows total; group ``g``'s target share is
+    ``w_g / S`` with ``w_g = floor(sqrt(n_g))`` and ``S = sum(w_g)``.
+
+    alpha is pinned at 0.5 because ``sqrt`` of an integer-valued double is
+    correctly rounded by IEEE-754 — ``floor(sqrt(n))`` is deterministic
+    across engines, where a general ``pow(n, alpha)`` is not required to
+    be. Other temperatures work numerically but lose the bit-exactness
+    this engine's oracle gate demands.
+
+    The per-row verdict is division-free exact integer arithmetic: accept
+    iff ``bucket * S * n_g < budget * w_g * B`` with ``bucket =
+    md5_bucket(key, B)``, ``B = 16 ** bucket_hex`` (2^20 at the default —
+    the modulus equals the hex range, so the bucket is bias-free). Both
+    product sides are computed in decimal(38,0): at 1e12 rows the larger
+    side is ~2^81, past BIGINT but 24 digits into decimal's 38. A group
+    whose fair rate exceeds 1 is kept whole (the inequality is then
+    vacuous for every bucket), matching the ``min(1, .)`` cap of the
+    published scheme. The verdict is retry-stable and allocator-agnostic
+    like ``mixture_sample``; unlike it, thresholds depend on the corpus'
+    group counts, so a row's fate is stable only for a fixed corpus
+    snapshot (inherent to any count-proportional allocation).
+
+    Output: surviving rows plus ``temp_rate`` — the group's effective
+    acceptance rate ``min(1, budget*w_g / (S*n_g))`` rounded to 1e-6
+    (one double division over exact integer products, deterministic).
+
+    Scale: group stats are a one-shuffle aggregate to a groups-sized table
+    (tens of rows), the global (N, S) reduce is over that tiny table, and
+    the verdict is a broadcast join + per-row predicate over the corpus
+    scan — the same two-pass shape as ``pipe_dsir_select``.
+    """
+    B = 16 ** bucket_hex
+    stats = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    stats = stats.withColumn(
+        "__w", F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
+    )
+    # (N, S) as a whole-table window over the groups-sized stats table —
+    # one lineage, so the corpus is not re-scanned for a separate global
+    # reduce (a scalar-agg self-join would recompute stats); the
+    # single-partition WindowExec holds tens of rows
+    from pyspark.sql import Window
+
+    w0 = Window.partitionBy()
+    # floor(N*num/den) as exact integer arithmetic (subtract the pmod
+    # remainder before dividing — no float division on the row budget)
+    nn = F.sum("__n").over(w0) * budget_num
+    dim = stats.select(
+        "__grp",
+        "__n",
+        "__w",
+        F.sum("__w").over(w0).alias("__S"),
+        ((nn - F.pmod(nn, F.lit(budget_den))) / budget_den)
+        .cast("long")
+        .alias("__budget"),
+    )
+    bucket = md5_bucket(key, B, n_hex=bucket_hex)
+    lhs = bucket.cast("decimal(38,0)") * F.col("__S") * F.col("__n")
+    rhs = F.col("__budget").cast("decimal(38,0)") * F.col("__w") * F.lit(B)
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.col("__budget") * F.col("__w")).cast("double")
+            / (F.col("__S") * F.col("__n")).cast("double"),
+        ),
+        6,
+    )
+    return (
+        df.join(F.broadcast(dim), df[group_col] == F.col("__grp"))
+        .filter(lhs < rhs)
+        .select(*df.columns, rate.alias("temp_rate"))
+    )

@@ -685,7 +685,52 @@ FROM scored s JOIN fp ON s.q_micro = fp.q_micro AND s.n_tok = fp.n_tok
 """
 
 
+TEMP_BUDGET = (2, 5)  # 40% corpus-wide row budget
+TEMP_B = 16 ** 5
+
+
+def pipe_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language sampling (alpha = 0.5, XLM-R/mT5
+    style): allocate a 40% corpus budget across languages proportional to
+    sqrt(n_lang) instead of n_lang, so tail languages are upsampled
+    relative to English (44% of this corpus, sampled at ~0.28 vs ~0.46
+    for the tail). operators/sample.py ``temperature_sample``: the accept
+    test is division-free exact integer arithmetic on an md5 bucket —
+    one tiny lang-stats shuffle, broadcast verdict over the corpus scan."""
+    from ..operators.sample import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        docs, key="doc_id", group_col="lang",
+        budget_num=TEMP_BUDGET[0], budget_den=TEMP_BUDGET[1],
+    )
+    return kept.select("doc_id", "lang", F.col("temp_rate").alias("rate"))
+
+
+TEMP_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT lang, count(*) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY lang
+),
+g AS (SELECT sum(n) AS N, sum(w) AS S FROM s),
+d AS (
+  SELECT s.lang, s.n, s.w, g.S,
+         (g.N * {TEMP_BUDGET[0]}) // {TEMP_BUDGET[1]} AS budget
+  FROM s, g
+)
+SELECT doc_id, documents.lang,
+       round(least(1.0,
+             CAST(budget * w AS DOUBLE) / CAST(S * n AS DOUBLE)), 6) AS rate
+FROM documents JOIN d ON documents.lang = d.lang
+WHERE CAST({md5_bucket_sql('doc_id', TEMP_B)} AS HUGEINT) * S * n
+      < CAST(budget AS HUGEINT) * w * {TEMP_B}
+"""
+
+
 SPECS = [
+    QuerySpec("pipe_temperature_sample", pipe_temperature_sample, TEMP_SAMPLE_SQL,
+              "alpha=0.5 temperature language rebalance (exact-integer verdict)"),
     QuerySpec("pipe_decontaminate", pipe_decontaminate, DECONTAM_SQL,
               "benchmark n-gram decontamination (broadcast semi + anti join)"),
     QuerySpec("text_repetition", text_repetition, REPETITION_SQL,

@@ -1413,3 +1413,40 @@ def test_mips_lsh_recall_floor(spark):
     exact = {(r.q_id, r.neighbor_id) for r in q_sim_maxdot(spark, sf).collect()}
     approx = {(r.q_id, r.neighbor_id) for r in q_sim_maxdot_lsh(spark, sf).collect()}
     assert len(exact & approx) / len(exact) >= 0.40
+
+
+def test_temperature_sample_allocation_and_cap(spark):
+    """alpha=0.5 temperature sampling: (a) realized per-group counts track
+    the integer-exact thresholds within binomial noise, (b) temperature
+    inverts the head/tail rate ordering (tail groups sampled at a higher
+    RATE than the head group), (c) a group whose fair share exceeds its
+    size is kept whole (the min(1,.) cap), (d) the verdict is retry-stable."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.sample import temperature_sample
+
+    # skewed corpus: head group 8000, tail 1000 / 50 (tiny -> capped)
+    rows = (
+        [(i, "head") for i in range(8000)]
+        + [(10_000 + i, "mid") for i in range(1000)]
+        + [(20_000 + i, "tiny") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = temperature_sample(df, "doc_id", "grp", budget_num=1, budget_den=2)
+    got = {r.grp: (r.n, r.rate) for r in kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.first("temp_rate").alias("rate")
+    ).collect()}
+
+    # w: head=89, mid=31, tiny=7; S=127; budget=4525
+    # rates: head 4525*89/(127*8000)=0.3964, mid 4525*31/(127*1000)=1.104->cap 1,
+    # tiny 4525*7/(127*50)=4.99->cap 1
+    assert got["mid"] == (1000, 1.0) and got["tiny"] == (50, 1.0)
+    assert abs(got["head"][1] - 0.396383) < 1e-6
+    exp = 8000 * got["head"][1]
+    assert abs(got["head"][0] - exp) < 4 * (exp * (1 - got["head"][1])) ** 0.5
+    # tail rate > head rate: the rebalance upsamples minority groups
+    assert got["mid"][1] > got["head"][1]
+    # retry-stable: same verdict set on a second evaluation
+    again = {r.doc_id for r in temperature_sample(
+        df, "doc_id", "grp", budget_num=1, budget_den=2).select("doc_id").collect()}
+    assert again == {r.doc_id for r in kept.select("doc_id").collect()}
