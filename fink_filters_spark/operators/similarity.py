@@ -202,12 +202,25 @@ def _band_signatures_arrow(
     id_alias: str,
     vec_alias: str,
     nsq_alias: str,
+    aug_m2_col: str | None = None,
 ) -> DataFrame:
     """Arrow fast path for quantize + norm + P-bit signatures: one NumPy
     int64 matmul per batch replaces P interpreted ``aggregate`` folds per
     row (~6x on this box; bit-identical — quantization uses the engine's
     half-away-from-zero convention ``sign(x)*floor(|x|*scale + 0.5)``).
-    Output: one row per (input row, band) after a native posexplode."""
+    Output: one row per (input row, band) after a native posexplode.
+
+    ``aug_m2_col``: MIPS norm-augmentation. Names a column holding the
+    corpus-max quantized norm-square M2 (a broadcast scalar); the planes
+    must then span dim+1 coordinates, and the signature matmul appends
+    ``round(sqrt(M2 - |q|^2))`` to each quantized vector. Exactness: the
+    norm-squares are int64 (exact), their difference is an exact-integer
+    double below 2^53, sqrt of it is correctly rounded, and the rounded
+    value can never be a .5 tie (that would need M2 - |q|^2 =
+    (k + 0.5)^2, not an integer) — so numpy's banker's rounding equals
+    the engines' HALF_UP here. The OUTPUT vector stays un-augmented: a
+    query's augmented coordinate is 0, so candidate scoring is the plain
+    original-dimension dot product."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -232,18 +245,27 @@ def _band_signatures_arrow(
                 continue
             mat = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["__v"]])
             q = (_np.sign(mat) * _np.floor(_np.abs(mat) * VEC_SCALE + 0.5)).astype(_np.int64)
-            bits = (q @ pmat.T >= 0).astype(_np.int64)
+            nsq = (q * q).sum(axis=1)
+            sig_in = q
+            if aug_m2_col is not None:
+                m2 = pdf["__m2"].to_numpy().astype(_np.int64)
+                aug = _np.round(_np.sqrt((m2 - nsq).astype(_np.float64)))
+                sig_in = _np.concatenate([q, aug.astype(_np.int64)[:, None]], axis=1)
+            bits = (sig_in @ pmat.T >= 0).astype(_np.int64)
             sigs = (bits.reshape(len(q), n_bands, band_bits) @ weights).astype(_np.int32)
             yield _pd.DataFrame(
                 {
                     "__i": pdf["__id"].to_numpy(),
                     "__q": list(q),
-                    "__n": (q * q).sum(axis=1).astype("float64"),
+                    "__n": nsq.astype("float64"),
                     "__s": list(sigs),
                 }
             )
 
-    src = _spread(df).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    if aug_m2_col is not None:
+        cols.append(F.col(aug_m2_col).alias("__m2"))
+    src = _spread(df).select(*cols)
     out = src.mapInPandas(kernel, "__i long, __q array<long>, __n double, __s array<int>")
     return out.select(
         F.col("__i").alias(id_alias),
@@ -577,24 +599,24 @@ def mips_lsh_search(
     double is correctly rounded — deterministic across engines.
 
     Scale: one extra max-aggregate (broadcast back as a 1-row scalar) on
-    top of ``lsh_search``'s shape — signatures in one codegen pass, the
-    candidate probe a plain equi join on (band, sig)."""
-    c = corpus.select(F.col(c_id).alias("__cid"), quantize_vec(c_vec).alias("__cq"))
-    c = c.withColumn("__nsq", norm_sq_q(F.col("__cq")))
-    m2 = c.groupBy().agg(F.max("__nsq").alias("__m2"))
-    c_aug = c.crossJoin(F.broadcast(m2)).select(
-        "__cid",
-        F.concat(
-            "__cq",
-            F.array(F.round(F.sqrt((F.col("__m2") - F.col("__nsq")).cast("double"))).cast("long")),
-        ).alias("__cv"),
+    top of ``lsh_search``'s shape — signatures via the Arrow matmul
+    kernel (the 60-plane x 65-dim expression tree was ~10x slower as
+    interpreted per-row folds), the candidate probe a plain equi join on
+    (band, sig). Candidate scoring uses the un-augmented vectors: the
+    query's augmented coordinate is 0, so the augmented dot product IS
+    the original dot product."""
+    dim = len(planes[0]) - 1
+    c = corpus.select(F.col(c_id).alias("__cid0"), F.col(c_vec).alias("__cv0"))
+    m2 = c.groupBy().agg(
+        F.max(norm_sq_q(quantize_vec("__cv0")).cast("long")).alias("__m2s")
     )
-    q_aug = queries.select(
-        F.col(q_id).alias("__qid"),
-        F.concat(quantize_vec(q_vec), F.array(F.lit(0).cast("long"))).alias("__qv"),
+    c_aug = c.crossJoin(F.broadcast(m2))
+    sc = _band_signatures_arrow(c_aug, "__cid0", "__cv0", planes, band_bits,
+                                "__cid", "__cv", "__cn", aug_m2_col="__m2s")
+    sq = _band_signatures_arrow(
+        queries, q_id, q_vec, [p[:dim] for p in planes], band_bits,
+        "__qid", "__qv", "__qn",
     )
-    sc = _band_signatures(c_aug, "__cv", planes, band_bits)
-    sq = _band_signatures(q_aug, "__qv", planes, band_bits)
     cand = (
         sc.join(sq, ["band", "sig"])
         .filter(F.col("__qid") != F.col("__cid"))

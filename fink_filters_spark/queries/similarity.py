@@ -684,8 +684,72 @@ SELECT q_id, neighbor_id, round(CAST(dq AS DOUBLE) / 1000000000000, 6) AS dot, r
 FROM r WHERE rank <= {K}
 """
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion: merge the cosine top-k and MIPS top-k
+    lists per query with reciprocal-rank fusion — score(d) = sum over
+    lists of 1/(60 + rank_list(d)) (Cormack et al. 2009), the standard
+    way to combine retrieval signals whose raw scores aren't comparable
+    (cosine in [-1,1] vs unbounded inner product). Parity: each RRF term
+    is one exact-integer division and the two-term sum is written in a
+    fixed order on both engines, so the double is bit-identical; ranking
+    uses the UNROUNDED score (ties broken by neighbor_id).
+
+    Scale: composes the two top-k lists (already per-query-bounded, k
+    rows each) — the fusion join and re-rank touch k*|queries| rows, not
+    the corpus."""
+    cos = q_sim_knn(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("__rc")
+    )
+    mip = q_sim_maxdot(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("__rm")
+    )
+    from pyspark.sql import Window
+
+    fused = cos.join(mip, ["q_id", "neighbor_id"], "full")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("__rc")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("__rm")), F.lit(0.0))
+    w = Window.partitionBy("q_id").orderBy(F.desc("__s"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("__s", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("q_id", "neighbor_id", F.round("__s", 6).alias("rrf"), "rank")
+    )
+
+
+SIM_RRF_SQL = f"""
+WITH cosl AS ({SIM_KNN_SQL}),
+mipl AS ({SIM_MAXDOT_SQL}),
+u AS (
+  SELECT q_id, neighbor_id FROM cosl
+  UNION
+  SELECT q_id, neighbor_id FROM mipl
+),
+f AS (
+  SELECT u.q_id, u.neighbor_id,
+         coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + c.rank), 0)
+         + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + m.rank), 0) AS s
+  FROM u
+  LEFT JOIN cosl c ON u.q_id = c.q_id AND u.neighbor_id = c.neighbor_id
+  LEFT JOIN mipl m ON u.q_id = m.q_id AND u.neighbor_id = m.neighbor_id
+),
+r AS (
+  SELECT q_id, neighbor_id, s,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM f
+)
+SELECT q_id, neighbor_id, round(s, 6) AS rrf, rank FROM r WHERE rank <= {K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_knn_bruteforce", q_sim_knn, SIM_KNN_SQL, "exact top-k cosine ANN baseline"),
+    QuerySpec("sim_rrf_fusion", q_sim_rrf_fusion, SIM_RRF_SQL,
+              "reciprocal-rank fusion of cosine and MIPS retrieval lists"),
     QuerySpec("sim_maxdot", q_sim_maxdot, SIM_MAXDOT_SQL, "exact MIPS top-k (raw inner product)"),
     QuerySpec("sim_maxdot_lsh", q_sim_maxdot_lsh, _maxdot_lsh_oracle_sql(),
               "approximate MIPS: norm-augmented sign-LSH probe"),

@@ -33,6 +33,7 @@ NESTED_LOOP_ALLOWED = {
     "text_vocab_coverage",  # 4-row threshold table x ranked vocab non-equi broadcast NLJ
     "pipe_dsir_select",  # 1-row corpus-total aggregate cross join (broadcast NLJ)
     "sim_maxdot_lsh",  # 1-row max-norm aggregate cross join (MIPS augmentation)
+    "sim_rrf_fusion",  # composes the sim_knn_bruteforce + sim_maxdot NLJ baselines
 }
 
 
