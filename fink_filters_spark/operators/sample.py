@@ -188,3 +188,63 @@ def temperature_sample(
         .filter(lhs < rhs)
         .select(*df.columns, rate.alias("temp_rate"))
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    budget_num: int,
+    budget_den: int,
+    min_per_group: int = 0,
+    bucket_hex: int = 5,
+) -> DataFrame:
+    """Exact-count stratified quota sampling: keep EXACTLY
+    ``min(n_g, max(min_per_group, floor(n_g * budget_num / budget_den)))``
+    rows per group, chosen as the group's lowest md5-bucket ranks — the
+    deterministic form of "proportional allocation with a minimum
+    representation floor" (survey-sampling quota design; the floor keeps
+    tiny strata from rounding to zero). A proportional share of an
+    ``N * num/den`` corpus budget is just ``n_g * num/den``, so quotas
+    need no global aggregate at all.
+
+    Complements ``temperature_sample``: that one is a probabilistic
+    per-row accept (counts are binomial around the target), this one
+    ranks within each group so realized counts hit the quota exactly —
+    the right tool when a downstream contract needs exact split sizes.
+    The rank order (md5 bucket, then key as tie-break) is
+    retry-stable and allocator-agnostic like every md5-keyed verdict
+    here; quotas depend on group counts, so fates are stable per corpus
+    snapshot.
+
+    Exactness: quotas are pure integer arithmetic (pmod-subtract floor
+    division); ranking uses ``row_number`` over (bucket, key) — no
+    floats anywhere.
+
+    Scale: one shuffle for group counts (tiny output), broadcast quota
+    dim, then ONE rank window partitioned by group over the corpus — the
+    same shuffle a grouped write would pay. A group bigger than one
+    executor's window partition is the classic skew case: at 100 TB
+    pre-filter to ~2x the quota with the temperature-style accept test
+    first, then rank the survivors."""
+    from pyspark.sql import Window
+
+    B = 16 ** bucket_hex
+    stats = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    raw = F.col("__n") * budget_num
+    prop = ((raw - F.pmod(raw, F.lit(budget_den))) / budget_den).cast("long")
+    quota = F.least(
+        F.col("__n"),
+        F.greatest(F.lit(min_per_group).cast("long"), prop),
+    )
+    dim = stats.select("__grp", quota.alias("__quota"))
+    bucket = md5_bucket(key, B, n_hex=bucket_hex)
+    wg = Window.partitionBy("__grp").orderBy(bucket.asc(), F.col(key).asc())
+    return (
+        df.join(F.broadcast(dim), df[group_col] == F.col("__grp"))
+        .withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .select(*df.columns)
+    )

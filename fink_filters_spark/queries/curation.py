@@ -728,7 +728,53 @@ WHERE CAST({md5_bucket_sql('doc_id', TEMP_B)} AS HUGEINT) * S * n
 """
 
 
+QUOTA_BUDGET = (3, 10)  # keep 30% of each source...
+QUOTA_FLOOR = 30  # ...but never fewer than 30 docs (or the whole source)
+
+
+def pipe_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified quota sampling by source: keep exactly
+    max(30, floor(0.3*n_src)) docs per source, the lowest md5-bucket
+    ranks (operators/sample.py ``quota_sample``) — proportional
+    allocation with a minimum-representation floor, for contracts that
+    need exact split sizes rather than binomial ones. One tiny stats
+    shuffle + one rank window on source."""
+    from ..operators.sample import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quota_sample(
+        docs, key="doc_id", group_col="source",
+        budget_num=QUOTA_BUDGET[0], budget_den=QUOTA_BUDGET[1],
+        min_per_group=QUOTA_FLOOR,
+    )
+    return kept.select("doc_id", "source")
+
+
+QUOTA_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+d AS (
+  SELECT source,
+         least(n, greatest({QUOTA_FLOOR},
+               (n * {QUOTA_BUDGET[0]}) // {QUOTA_BUDGET[1]})) AS quota
+  FROM s
+),
+r AS (
+  SELECT doc_id, documents.source, quota,
+         row_number() OVER (
+           PARTITION BY documents.source
+           ORDER BY {md5_bucket_sql('doc_id', 16 ** 5)} ASC, doc_id ASC
+         ) AS rn
+  FROM documents JOIN d ON documents.source = d.source
+)
+SELECT doc_id, source FROM r WHERE rn <= quota
+"""
+
+
 SPECS = [
+    QuerySpec("pipe_quota_sample", pipe_quota_sample, QUOTA_SAMPLE_SQL,
+              "exact-count per-source quota sampling with representation floor"),
     QuerySpec("pipe_temperature_sample", pipe_temperature_sample, TEMP_SAMPLE_SQL,
               "alpha=0.5 temperature language rebalance (exact-integer verdict)"),
     QuerySpec("pipe_decontaminate", pipe_decontaminate, DECONTAM_SQL,

@@ -478,7 +478,73 @@ FROM (
 """
 
 
+US_PER_DAY = 24 * US_PER_HOUR
+RETENTION_OFFSETS = (1, 7)
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis: group users by first-active day (the
+    cohort), then report how many return exactly 1 and 7 days later —
+    the standard product-analytics D1/D7 retention table.
+
+    Scale: ONE shuffle on user_id builds the per-user profile
+    (min(day) + collect_set(day); the set is bounded by the corpus'
+    calendar span, not its row count, and collect_set combines
+    map-side), then a groups-sized aggregate on cohort_day. No
+    self-join of events against events."""
+    from ..tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select("user_id", F.expr(f"ts_us div {US_PER_DAY}").alias("day"))
+    prof = days.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day"), F.collect_set("day").alias("__ds")
+    )
+    flags = [
+        F.array_contains("__ds", F.col("cohort_day") + d).cast("long").alias(f"__r{d}")
+        for d in RETENTION_OFFSETS
+    ]
+    prof = prof.select("cohort_day", *flags)
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for d in RETENTION_OFFSETS:
+        aggs.append(F.sum(f"__r{d}").alias(f"d{d}_retained"))
+    out = prof.groupBy("cohort_day").agg(*aggs)
+    for d in RETENTION_OFFSETS:
+        out = out.withColumn(
+            f"d{d}_rate",
+            F.round(
+                F.col(f"d{d}_retained").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ),
+        )
+    return out
+
+
+RETENTION_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+),
+u AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+p AS (
+  SELECT u.user_id, u.cohort_day,
+         max(CASE WHEN e.day = u.cohort_day + 1 THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN e.day = u.cohort_day + 7 THEN 1 ELSE 0 END) AS r7
+  FROM u JOIN e ON u.user_id = e.user_id
+  GROUP BY u.user_id, u.cohort_day
+)
+SELECT cohort_day,
+       count(*) AS n_users,
+       sum(r1) AS d1_retained,
+       sum(r7) AS d7_retained,
+       round(CAST(sum(r1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS d1_rate,
+       round(CAST(sum(r7) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS d7_rate
+FROM p GROUP BY cohort_day
+"""
+
+
 SPECS = [
+    QuerySpec("ev_retention_cohorts", ev_retention_cohorts, RETENTION_SQL,
+              "D1/D7 retention cohort table (one user-keyed shuffle)"),
     QuerySpec("w_topn_per_user", w_topn_per_user, W_TOPN_SQL, "ranking window (§2.F/G)"),
     QuerySpec("w_rolling_median", w_rolling_median, W_ROLLING_MEDIAN_SQL,
               "exact rolling median over a bounded trailing frame"),

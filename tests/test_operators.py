@@ -1450,3 +1450,48 @@ def test_temperature_sample_allocation_and_cap(spark):
     again = {r.doc_id for r in temperature_sample(
         df, "doc_id", "grp", budget_num=1, budget_den=2).select("doc_id").collect()}
     assert again == {r.doc_id for r in kept.select("doc_id").collect()}
+
+
+def test_quota_sample_exact_counts(spark):
+    """Quota sampling keeps EXACTLY min(n, max(floor, n*num/den)) rows per
+    group: proportional path, floor path, and whole-tiny-group path — and
+    the kept set is retry-stable."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.sample import quota_sample
+
+    rows = (
+        [(i, "big") for i in range(1000)]        # 30% -> 300
+        + [(5000 + i, "small") for i in range(60)]   # floor 30 > 18
+        + [(9000 + i, "tiny") for i in range(10)]    # n < floor -> all 10
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = quota_sample(df, "doc_id", "grp", 3, 10, min_per_group=30)
+    got = {r.grp: r.n for r in kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"big": 300, "small": 30, "tiny": 10}
+    again = {r.doc_id for r in quota_sample(
+        df, "doc_id", "grp", 3, 10, min_per_group=30).collect()}
+    assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_retention_cohorts_toy(spark):
+    """D1/D7 retention on a hand-built event log: user A active on days
+    0,1,7 (retained both), user B on 0 only, user C first active day 1,
+    returns day 2 (D1) but not day 8."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    import fink_filters_spark.tables as tbl
+    from fink_filters_spark.queries.timeseries import US_PER_DAY, ev_retention_cohorts
+
+    rows = []
+    for uid, days in [(1, [0, 1, 7]), (2, [0]), (3, [1, 2])]:
+        rows += [(uid, d * US_PER_DAY + 1000) for d in days]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    with mock.patch.object(tbl, "load_events", lambda s, d: ev):
+        out = {r.cohort_day: r for r in ev_retention_cohorts(spark, "x").collect()}
+    assert out[0].n_users == 2 and out[0].d1_retained == 1 and out[0].d7_retained == 1
+    assert out[1].n_users == 1 and out[1].d1_retained == 1 and out[1].d7_retained == 0
+    assert abs(out[0].d1_rate - 0.5) < 1e-9
