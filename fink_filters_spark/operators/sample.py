@@ -102,6 +102,17 @@ def stratified_mod_sample(df: DataFrame, key: str, strata: Column, moduli: dict)
     return df.filter(cond)
 
 
+def _int_floor_div(num: Column, den: int) -> Column:
+    """Exact ``floor(num / den)`` for a non-negative integral column: strip
+    the remainder with pmod, then divide in decimal(38,0) (BigDecimal —
+    exact for an exactly-divisible quotient). Plain ``/`` on longs is a
+    DOUBLE division, which rounds once the numerator passes 2^53 and can
+    truncate to quotient-1 — a silent cross-engine divergence at the
+    1e12-row scale these samplers claim."""
+    exact = num - F.pmod(num, F.lit(den))
+    return (exact.cast("decimal(38,0)") / den).cast("long")
+
+
 def temperature_sample(
     df: DataFrame,
     key: str,
@@ -160,21 +171,6 @@ def temperature_sample(
     from pyspark.sql import Window
 
     w0 = Window.partitionBy()
-    # floor(N*num/den) as exact integer arithmetic (subtract the pmod
-    # remainder before dividing — no float division on the row budget)
-    nn = F.sum("__n").over(w0) * budget_num
-    dim = stats.select(
-        "__grp",
-        "__n",
-        "__w",
-        F.sum("__w").over(w0).alias("__S"),
-        ((nn - F.pmod(nn, F.lit(budget_den))) / budget_den)
-        .cast("long")
-        .alias("__budget"),
-    )
-    bucket = md5_bucket(key, B, n_hex=bucket_hex)
-    lhs = bucket.cast("decimal(38,0)") * F.col("__S") * F.col("__n")
-    rhs = F.col("__budget").cast("decimal(38,0)") * F.col("__w") * F.lit(B)
     rate = F.round(
         F.least(
             F.lit(1.0),
@@ -183,10 +179,23 @@ def temperature_sample(
         ),
         6,
     )
+    # rate is a pure function of the dim columns — evaluate it here, per
+    # GROUP (tens of rows), not per corpus row in the post-join projection
+    dim = stats.select(
+        "__grp",
+        "__n",
+        "__w",
+        F.sum("__w").over(w0).alias("__S"),
+        _int_floor_div(F.sum("__n").over(w0) * budget_num, budget_den)
+        .alias("__budget"),
+    ).withColumn("__rate", rate)
+    bucket = md5_bucket(key, B, n_hex=bucket_hex)
+    lhs = bucket.cast("decimal(38,0)") * F.col("__S") * F.col("__n")
+    rhs = F.col("__budget").cast("decimal(38,0)") * F.col("__w") * F.lit(B)
     return (
         df.join(F.broadcast(dim), df[group_col] == F.col("__grp"))
         .filter(lhs < rhs)
-        .select(*df.columns, rate.alias("temp_rate"))
+        .select(*df.columns, F.col("__rate").alias("temp_rate"))
     )
 
 
@@ -233,8 +242,7 @@ def quota_sample(
     stats = df.groupBy(F.col(group_col).alias("__grp")).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    raw = F.col("__n") * budget_num
-    prop = ((raw - F.pmod(raw, F.lit(budget_den))) / budget_den).cast("long")
+    prop = _int_floor_div(F.col("__n") * budget_num, budget_den)
     quota = F.least(
         F.col("__n"),
         F.greatest(F.lit(min_per_group).cast("long"), prop),

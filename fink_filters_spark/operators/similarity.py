@@ -251,6 +251,15 @@ def _band_signatures_arrow(
                 m2 = pdf["__m2"].to_numpy().astype(_np.int64)
                 aug = _np.round(_np.sqrt((m2 - nsq).astype(_np.float64)))
                 sig_in = _np.concatenate([q, aug.astype(_np.int64)[:, None]], axis=1)
+            if sig_in.shape[1] != pmat.shape[1]:
+                # clear message instead of an opaque matmul shape error —
+                # the natural misuse is dim-wide lsh_search planes passed
+                # to the MIPS path, which needs dim+1 (norm augmentation)
+                raise ValueError(
+                    f"sign planes span {pmat.shape[1]} coordinates but "
+                    f"vectors have {sig_in.shape[1]} "
+                    f"({'dim+1, norm-augmented' if aug_m2_col else 'dim'})"
+                )
             bits = (sig_in @ pmat.T >= 0).astype(_np.int64)
             sigs = (bits.reshape(len(q), n_bands, band_bits) @ weights).astype(_np.int32)
             yield _pd.DataFrame(
@@ -530,6 +539,26 @@ def kmeans_lloyd(
     )
 
 
+def _topk_by_dot(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared MIPS tail: rank (q_id, neighbor_id, __dq exact-integer dot)
+    per query by dot desc (neighbor_id tie-break), keep top-k, divide the
+    quantized dot back to float once for display."""
+    from ..functions.vectors import VEC_SCALE
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("__dq"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.col("__dq").cast("double") / (VEC_SCALE * VEC_SCALE), 6)
+            .alias("dot"),
+            "rank",
+        )
+    )
+
+
 def maxdot_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -559,18 +588,7 @@ def maxdot_topk(
         F.col("__cid").alias("neighbor_id"),
         dot_q(F.col("__qv"), F.col("__cv")).alias("__dq"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("__dq"), F.asc("neighbor_id"))
-    scale2 = 1_000_000_000_000  # VEC_SCALE^2: quantized dot -> float dot
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(F.col("__dq").cast("double") / scale2, 6).alias("dot"),
-            "rank",
-        )
-    )
+    return _topk_by_dot(pairs, k)
 
 
 def mips_lsh_search(
@@ -605,6 +623,7 @@ def mips_lsh_search(
     (band, sig). Candidate scoring uses the un-augmented vectors: the
     query's augmented coordinate is 0, so the augmented dot product IS
     the original dot product."""
+    assert len(planes) % band_bits == 0, "n_planes must be a multiple of band_bits"
     dim = len(planes[0]) - 1
     c = corpus.select(F.col(c_id).alias("__cid0"), F.col(c_vec).alias("__cv0"))
     m2 = c.groupBy().agg(
