@@ -70,6 +70,14 @@ HEADLINERS = [
     "text_vocab_coverage",
     "pipe_dsir_select",
     "pipe_curation_funnel",
+    "sim_maxdot",
+    "sim_maxdot_lsh",
+    "sim_rrf_fusion",
+    "pipe_temperature_sample",
+    "pipe_quota_sample",
+    "ev_retention_cohorts",
+    "pipe_pareto_front",
+    "pipe_shard_balance",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

@@ -76,6 +76,10 @@ HEADLINERS = [
     "dedup_chunk_cdc",
     "pipe_dsir_select",
     "pipe_curation_funnel",
+    "sim_maxdot_lsh",
+    "pipe_temperature_sample",
+    "pipe_quota_sample",
+    "ev_retention_cohorts",
 ]
 
 
