@@ -513,7 +513,54 @@ GROUP BY event_type
 """
 
 
+def pipe_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (z-score): scale each document's
+    length to zero-mean/unit-variance within its source — the distributed
+    form of a fitted StandardScaler, where "fit" is one Σ-statistics
+    shuffle (n, Σx, Σx² per group, map-side combined) and "transform" is
+    a broadcast join + per-row arithmetic over the corpus scan.
+
+    Parity: z = (n·x − Σx)·sqrt(n·(n−1)) / (n·sqrt(n·Σx² − (Σx)²)) —
+    every operand an exact integer, three correctly-rounded double ops
+    in a fixed order on both engines, round-6 display. Zero-variance or
+    single-row groups yield NULL."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy(F.col("source").alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_chars").alias("__sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("__sxx"),
+    )
+    j = docs.join(F.broadcast(s), docs["source"] == F.col("__src"))
+    a = (F.col("__n") * F.col("n_chars") - F.col("__sx")).cast("double")
+    b = (F.col("__n") * (F.col("__n") - 1)).cast("double")
+    c = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    z = F.when(
+        (F.col("__n") >= 2) & (c > 0),
+        F.round(a * F.sqrt(b) / F.col("__n").cast("double") / F.sqrt(c), 6),
+    )
+    return j.select("doc_id", "source", "n_chars", z.alias("z_chars"))
+
+
+STANDARDIZE_SQL = """
+WITH s AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS sx,
+         sum(n_chars * n_chars) AS sxx
+  FROM documents GROUP BY source
+)
+SELECT doc_id, documents.source, n_chars,
+       CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 THEN
+         round(CAST(n * n_chars - sx AS DOUBLE)
+               * sqrt(CAST(n * (n - 1) AS DOUBLE))
+               / CAST(n AS DOUBLE)
+               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)), 6)
+       END AS z_chars
+FROM documents JOIN s ON documents.source = s.source
+"""
+
+
 SPECS = [
+    QuerySpec("pipe_standardize", pipe_standardize, STANDARDIZE_SQL,
+              "per-source z-score scaling (Σ-stats fit, broadcast transform)"),
     QuerySpec("pipe_kfold", pipe_kfold, KFOLD_SQL,
               "deterministic k-fold CV assignment summary (multiplicative hash)"),
     QuerySpec("pipe_class_weights", pipe_class_weights, CLASS_WEIGHTS_SQL,
