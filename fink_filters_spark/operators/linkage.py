@@ -1,0 +1,183 @@
+"""Entity resolution / record linkage: multi-pass blocking, banded edit-
+distance scoring, transitive entity clustering, survivorship.
+
+The record-matching counterpart of the text near-dup family
+(operators/dedup.py): dedup asks "are these two DOCUMENTS the same
+content", linkage asks "are these two RECORDS the same real-world entity"
+— dirty copies with typos, field drift, and partial agreement. The
+classic pipeline (Fellegi & Sunter 1969; Christen, *Data Matching* 2012)
+is blocking -> pairwise comparison -> classification -> clustering ->
+survivorship, and every stage maps onto a scale-correct Spark shape:
+
+- **multi-pass blocking** (``multi_pass_candidates``): each pass is a
+  self equi-join on a cheap derived key (phonetic code, attribute pair,
+  name suffix) — a hash join shuffled on the block key, NEVER a cross
+  join. Multiple passes catch pairs a single dirty key would miss; the
+  union is deduplicated so each candidate is scored exactly once. At
+  100 TB the candidate set, not the corpus, is the working set — block
+  sizes bound the pair explosion and AQE splits skewed blocks (a
+  too-frequent key is the classic ER hot spot).
+- **banded scoring** (``levenshtein_matches``): ``levenshtein(a, b,
+  threshold)`` — Spark's bounded-band DP (O(threshold * len), not
+  O(len^2)) evaluated JVM-side inside codegen; candidates above the
+  threshold report -1 and drop without computing the full matrix.
+- **clustering**: match pairs feed ``dedup.connected_components`` (the
+  same adaptive union-find / min-label-propagation used by the near-dup
+  graph) — matching is not transitive but entities are, so the component
+  closure IS the entity.
+- **survivorship** (``golden_records``): one aggregate per entity with a
+  deterministic keep rule (longest value, ties broken lexicographically,
+  encoded as an order-preserving padded sort key so the rule is a plain
+  ``max``) — the "golden record" a downstream consumer reads.
+
+No reference parity claim: fink-filters has no record-linkage surface
+(its crossmatch family, operators/crossmatch.py, is the spatial analogue
+— nearest-neighbour within a radius); this family serves the engine's
+large-scale data-curation mandate.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def multi_pass_candidates(
+    records: DataFrame,
+    id_col: str,
+    passes: dict[str, list[str]],
+) -> DataFrame:
+    """(id_a, id_b, n_passes) — unordered candidate pairs (id_a < id_b)
+    from the union of one blocking pass per entry of ``passes``
+    (pass name -> list of key column names). A pair is a candidate when
+    ALL key columns of at least one pass agree; ``n_passes`` counts how
+    many independent passes proposed it (a cheap confidence prior).
+
+    Records with a NULL in any key column of a pass sit out that pass
+    (standard ER practice — a missing key blocks with nothing), falling
+    through to the other passes.
+
+    Scale: each pass is one shuffle keyed by its block key; the final
+    dedup is one aggregation on the pair. Nothing here is quadratic in
+    the corpus — only within blocks, which is the knob the caller tunes
+    by choosing selective keys.
+    """
+    per_pass = []
+    for pass_name, key_cols in passes.items():
+        keyed = records.select(
+            F.col(id_col).alias("__id"), *[F.col(c) for c in key_cols]
+        ).dropna(subset=key_cols)
+        a, b = keyed.alias("a"), keyed.alias("b")
+        same_keys = reduce(
+            lambda x, y: x & y,
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols],
+        )
+        per_pass.append(
+            a.join(b, same_keys & (F.col("a.__id") < F.col("b.__id"))).select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                F.lit(pass_name).alias("__pass"),
+            )
+        )
+    candidates = reduce(DataFrame.unionByName, per_pass)
+    return candidates.groupBy("id_a", "id_b").agg(
+        F.count_distinct("__pass").alias("n_passes")
+    )
+
+
+def levenshtein_matches(
+    records: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Candidate pairs scored by edit distance on ``text_col``, kept when
+    ``distance <= max_dist``: (id_a, id_b, <carried candidate cols>,
+    name_dist).
+
+    The distance runs through ``levenshtein(l, r, threshold)`` — the
+    banded early-exit form: cost O(max_dist * len) per pair instead of
+    O(len^2), evaluated in the JVM inside whole-stage codegen (no Python
+    in the hot path). Two broadcast-or-hash joins pull the strings onto
+    the candidate stream; at scale the candidate set is far smaller than
+    the record table, so the joins shuffle the candidates, not the
+    corpus.
+    """
+    txt = records.select(F.col(id_col).alias("__rid"), F.col(text_col).alias("__t"))
+    scored = (
+        candidates.join(txt, candidates.id_a == txt.__rid)
+        .withColumnRenamed("__t", "__ta")
+        .drop("__rid")
+        .join(txt, candidates.id_b == txt.__rid)
+        .withColumnRenamed("__t", "__tb")
+        .drop("__rid")
+        .withColumn(
+            "name_dist", F.levenshtein("__ta", "__tb", max_dist)
+        )
+    )
+    return scored.filter(
+        (F.col("name_dist") >= 0) & (F.col("name_dist") <= max_dist)
+    ).drop("__ta", "__tb")
+
+
+def length_lex_max_key(col: str | F.Column, pad: int = 4) -> F.Column:
+    """Order-preserving sort key for the "longest value wins, ties break
+    to the lexicographically LARGEST" survivorship rule: zero-padded
+    length prefix + the value, so a plain ``max`` aggregate implements
+    the rule identically in Spark and any SQL oracle (all-ASCII values;
+    ``pad`` digits cap the representable length at 10^pad - 1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lpad(F.length(c).cast("string"), pad, "0"), c)
+
+
+def resolve_entities(
+    matches: DataFrame,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(node, entity_id) — transitive closure of the match-pair graph;
+    entity_id = min record id in the connected set. Thin wrapper over
+    ``dedup.connected_components`` (same adaptive driver union-find /
+    distributed min-label propagation, same exactness guarantees) so the
+    linkage pipeline reads end-to-end in one module."""
+    from .dedup import connected_components
+
+    return connected_components(
+        matches, driver_threshold=driver_threshold
+    ).withColumnRenamed("component", "entity_id")
+
+
+def golden_records(
+    records: DataFrame,
+    matches: DataFrame,
+    id_col: str,
+    name_col: str,
+    sum_cols: list[str] | None = None,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Survivorship: every record labeled with its entity (unmatched
+    records are their own singleton entity), one golden row per entity:
+    (entity_id, n_members, survivor_<name_col>, sum_<c>...).
+
+    Survivor rule: longest ``name_col`` value, ties to the
+    lexicographically largest (see ``length_lex_max_key``) — "keep the
+    most complete variant", the same policy as the near-dup
+    ``dedup_survivors_quality`` query. One aggregate per entity; the
+    label join shuffles on the record id.
+    """
+    comp = resolve_entities(matches, driver_threshold=driver_threshold)
+    labeled = (
+        records.join(comp, records[id_col] == comp.node, "left")
+        .withColumn("entity_id", F.coalesce("entity_id", F.col(id_col)))
+        .drop("node")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_members"),
+        F.substring(F.max(length_lex_max_key(name_col)), 5, 10_000).alias(
+            f"survivor_{name_col}"
+        ),
+    ]
+    for c in sum_cols or []:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+    return labeled.groupBy("entity_id").agg(*aggs)

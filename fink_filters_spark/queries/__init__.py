@@ -61,6 +61,7 @@ def all_specs() -> list[QuerySpec]:
         extras,
         filters,
         layout,
+        linkage,
         mlprep,
         pipeline,
         relational,
@@ -78,7 +79,7 @@ def all_specs() -> list[QuerySpec]:
     for mod in (relational, relational2, relational3, filters, timeseries,
                 xmatch, dedup, similarity, text, extras, pipeline, analytic,
                 curation, sql_surface, mlprep, approx, advanced, streamq,
-                layout):
+                layout, linkage):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

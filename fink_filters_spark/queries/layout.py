@@ -384,6 +384,63 @@ GROUP BY 1
 """
 
 
+COMPACTION_CAP = 16_384  # target compacted-file payload (chars here)
+
+
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: within each table partition
+    (``source``), assign documents to fixed-capacity compaction bins by
+    size-descending cumulative sum — bin = floor(chars_before / cap), the
+    deterministic next-fit plan an OPTIMIZE/compaction job executes.
+    Output: per (source, bin_id) the file count, payload, and largest
+    member.
+
+    Scale: the window partitions by ``source``, so every partition plans
+    its own bins in parallel — exactly how table-format compaction
+    (Iceberg/Delta OPTIMIZE) schedules work; no global sort, one shuffle
+    on the partition key. The size-descending order packs large files
+    first so tail bins collect the small-file long tail."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")).cast("double")
+            / F.lit(COMPACTION_CAP)
+        ),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bin_chars"),
+        F.max("n_chars").alias("max_doc_chars"),
+    )
+
+
+LAYOUT_COMPACTION_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT source,
+       CAST(floor(CAST(cum - n_chars AS DOUBLE) / {COMPACTION_CAP}) AS BIGINT)
+           AS bin_id,
+       count(*) AS n_docs,
+       sum(n_chars) AS bin_chars,
+       max(n_chars) AS max_doc_chars
+FROM sized
+GROUP BY source, bin_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "chunk_fixed_overlap",
@@ -420,6 +477,12 @@ SPECS = [
         q_pipe_shard_balance,
         SHARD_BALANCE_SQL,
         "LLM-pipeline: snake-balanced equal-token shard assignment",
+    ),
+    QuerySpec(
+        "layout_compaction_bins",
+        q_layout_compaction,
+        LAYOUT_COMPACTION_SQL,
+        "data layout: per-partition fixed-capacity compaction bin plan",
     ),
     QuerySpec(
         "text_vocab_coverage",

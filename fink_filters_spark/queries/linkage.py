@@ -1,0 +1,203 @@
+"""Entity-resolution / record-linkage queries (operators/linkage.py).
+
+The ER demo needs dirty near-duplicate records, so both sides synthesize
+them DETERMINISTICALLY from the customer table with pure integer
+arithmetic (the same cross-engine-reproducible style as the sampling
+queries' md5 buckets): every even customer gets one "dirty copy" with a
+single character deleted from its name at a key-derived position, every
+sixth customer a second copy at a different position. Blocking, banded
+levenshtein scoring, transitive clustering, and survivorship then run on
+the combined table, and the DuckDB oracle replays the identical pipeline
+(DuckDB's ``levenshtein`` computes the same unit-cost edit distance as
+Spark's).
+
+Cross-entity false positives are PART of the fixture: two different
+customers whose names differ in <= 2 digits can share the name-tail
+block and match — exactly the noise a real matcher produces — so the
+entity closure is a genuine graph problem, not a star expansion, and
+golden-record counts exercise multi-record merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.linkage import (
+    golden_records,
+    levenshtein_matches,
+    multi_pass_candidates,
+)
+from ..tables import load_table
+from . import QuerySpec
+
+DUP1_OFF = 1_000_000
+DUP2_OFF = 2_000_000
+MAX_NAME_DIST = 2
+
+# char-deletion positions: 1 + ((key * A) % M) % (length - 1)
+_P1 = "1 + ((rec_id * 40503559) % 1000003) % (length(name) - 1)"
+_P2 = "1 + ((rec_id * 61201223) % 1000033) % (length(name) - 1)"
+
+
+def _del_at(pos_expr: str) -> str:
+    return (
+        f"substr(name, 1, ({pos_expr}) - 1) || "
+        f"substr(name, ({pos_expr}) + 1, 100)"
+    )
+
+
+def _dirty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base customers + deterministic dirty copies, with the blocking
+    keys: (rec_id, name, nat, seg, bal_c, suf3)."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    dup1 = base.filter("rec_id % 2 = 0").selectExpr(
+        f"rec_id + {DUP1_OFF} AS rec_id",
+        f"{_del_at(_P1)} AS name",
+        "nat", "seg", "bal_c",
+    )
+    dup2 = base.filter("rec_id % 6 = 0").selectExpr(
+        f"rec_id + {DUP2_OFF} AS rec_id",
+        f"{_del_at(_P2)} AS name",
+        "nat", "seg", "bal_c",
+    )
+    return (
+        base.unionByName(dup1)
+        .unionByName(dup2)
+        .withColumn("suf3", F.expr("substr(name, length(name) - 2, 3)"))
+    )
+
+
+# the two blocking passes: exact attribute agreement (nation + balance
+# cents ride unchanged onto dirty copies) and segment + name 3-suffix
+# (survives any deletion before the last three characters)
+_PASSES = {"attrs": ["nat", "bal_c"], "name_tail": ["seg", "suf3"]}
+
+
+def _matches(recs: DataFrame) -> DataFrame:
+    cand = multi_pass_candidates(recs, "rec_id", _PASSES)
+    return levenshtein_matches(recs, cand, "rec_id", "name", MAX_NAME_DIST)
+
+
+def q_er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER match pairs: multi-pass blocking (attribute pass + name-tail
+    pass, unioned and deduped) scored with banded ``levenshtein(a, b,
+    threshold)`` — (id_a, id_b, n_passes, name_dist) for every candidate
+    within edit distance {MAX_NAME_DIST}. operators/linkage.py
+    ``multi_pass_candidates`` + ``levenshtein_matches``: per-pass hash
+    self-joins on the block keys, one pair-dedup aggregation, JVM-side
+    banded DP — no cross join anywhere."""
+    return _matches(_dirty_records(spark, sf_dir)).select(
+        "id_a", "id_b", "n_passes", F.col("name_dist").cast("long").alias("name_dist")
+    )
+
+
+def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER end-to-end: match pairs -> transitive entity closure (adaptive
+    connected components, same engine as the near-dup graph) ->
+    survivorship (longest name wins, ties lexicographically largest, via
+    an order-preserving padded sort key so the rule is one ``max``):
+    (entity_id, n_members, survivor_name, sum_bal_c). Unmatched records
+    survive as singleton entities. operators/linkage.py
+    ``golden_records``."""
+    recs = _dirty_records(spark, sf_dir)
+    m = _matches(recs).select("id_a", "id_b")
+    return golden_records(recs, m, "rec_id", "name", sum_cols=["bal_c"])
+
+
+_RECS_SQL = f"""
+SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+       CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+FROM customer
+UNION ALL
+SELECT rec_id + {DUP1_OFF}, {_del_at(_P1)}, nat, seg, bal_c
+FROM (SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+             CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer) WHERE rec_id % 2 = 0
+UNION ALL
+SELECT rec_id + {DUP2_OFF}, {_del_at(_P2)}, nat, seg, bal_c
+FROM (SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+             CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer) WHERE rec_id % 6 = 0
+"""
+
+_MATCH_CTES = f"""
+recs AS ({_RECS_SQL}),
+r AS (SELECT rec_id, name, nat, seg, bal_c,
+             substr(name, length(name) - 2, 3) AS suf3
+      FROM recs),
+cand AS (
+  SELECT id_a, id_b, count(DISTINCT p) AS n_passes FROM (
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b, 'attrs' AS p
+    FROM r a JOIN r b
+      ON a.nat = b.nat AND a.bal_c = b.bal_c AND a.rec_id < b.rec_id
+    UNION ALL
+    SELECT a.rec_id, b.rec_id, 'name_tail'
+    FROM r a JOIN r b
+      ON a.seg = b.seg AND a.suf3 = b.suf3 AND a.rec_id < b.rec_id
+  ) GROUP BY id_a, id_b
+),
+m AS (
+  SELECT c.id_a, c.id_b, c.n_passes,
+         CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS name_dist
+  FROM cand c
+  JOIN r ra ON c.id_a = ra.rec_id
+  JOIN r rb ON c.id_b = rb.rec_id
+  WHERE levenshtein(ra.name, rb.name) <= {MAX_NAME_DIST}
+)"""
+
+ER_PAIRS_SQL = f"""
+WITH {_MATCH_CTES}
+SELECT id_a, id_b, n_passes, name_dist FROM m
+"""
+
+ER_GOLDEN_SQL = f"""
+WITH RECURSIVE {_MATCH_CTES},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM m
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM m
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT rc.src, e.dst FROM reach rc JOIN e ON rc.dst = e.src
+),
+lab AS (
+  SELECT rr.rec_id, rr.name, rr.bal_c,
+         coalesce((SELECT least(min(rc.dst), rr.rec_id) FROM reach rc
+                   WHERE rc.src = rr.rec_id), rr.rec_id) AS entity_id
+  FROM r rr
+)
+SELECT entity_id,
+       count(*) AS n_members,
+       substr(max(lpad(CAST(length(name) AS VARCHAR), 4, '0') || name),
+              5, 10000) AS survivor_name,
+       sum(bal_c) AS sum_bal_c
+FROM lab
+GROUP BY entity_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "er_candidate_pairs",
+        q_er_candidate_pairs,
+        ER_PAIRS_SQL,
+        "entity resolution: multi-pass blocking + banded levenshtein match",
+    ),
+    QuerySpec(
+        "er_golden_record",
+        q_er_golden_record,
+        ER_GOLDEN_SQL,
+        "entity resolution: transitive closure + survivorship golden records",
+    ),
+]

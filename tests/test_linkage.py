@@ -1,0 +1,86 @@
+"""Record-linkage operator tests (operators/linkage.py): multi-pass
+blocking, banded levenshtein scoring, transitive entity closure,
+survivorship — on a hand-built dirty-record fixture with known truth."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fink_filters_spark.operators.linkage import (
+    golden_records,
+    length_lex_max_key,
+    levenshtein_matches,
+    multi_pass_candidates,
+)
+
+# Five records, two real-world entities plus a loner:
+#   1/2: same person, name typo, share (nat, bal) AND name tail
+#   3:   dirty copy of 2 (chains 1-2-3 transitively via 2)
+#   4:   different entity that shares ONLY the attrs block with 1 (noise)
+#   5:   loner, blocks with nothing
+_ROWS = [
+    (1, "alice cooper", 10, 500),
+    (2, "alice coopr", 10, 500),
+    (3, "alic coopr", 11, 777),
+    (4, "zebra quagga", 10, 500),
+    (5, "solo person", 99, 1),
+]
+
+
+@pytest.fixture(scope="module")
+def recs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(_ROWS, columns=["rid", "name", "nat", "bal"])
+    )
+    return df.withColumn("suf3", F.expr("substr(name, length(name) - 2, 3)"))
+
+
+_PASSES = {"attrs": ["nat", "bal"], "tail": ["suf3"]}
+
+
+def test_multi_pass_candidates_union_and_count(spark, recs):
+    got = {
+        (r.id_a, r.id_b): r.n_passes
+        for r in multi_pass_candidates(recs, "rid", _PASSES).collect()
+    }
+    # attrs pass: {1,2,4} pairwise; tail pass: only (2,3) share "opr"
+    assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 1, (2, 3): 1}
+
+
+def test_levenshtein_matches_bands_and_filters(spark, recs):
+    cand = multi_pass_candidates(recs, "rid", _PASSES)
+    m = levenshtein_matches(recs, cand, "rid", "name", max_dist=2)
+    got = {(r.id_a, r.id_b): r.name_dist for r in m.collect()}
+    # (1,2) dist 1; (2,3) dist 1 (drop "e"); (1,4)/(2,4) exceed the band
+    assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_golden_records_transitive_and_survivor(spark, recs):
+    cand = multi_pass_candidates(recs, "rid", _PASSES)
+    m = levenshtein_matches(recs, cand, "rid", "name", max_dist=2).select(
+        "id_a", "id_b"
+    )
+    gold = {
+        r.entity_id: (r.n_members, r.survivor_name, r.sum_bal)
+        for r in golden_records(
+            recs, m, "rid", "name", sum_cols=["bal"]
+        ).collect()
+    }
+    # 1-2-3 close transitively (1-3 never matched directly); longest name wins
+    assert gold == {
+        1: (3, "alice cooper", 1777),
+        4: (1, "zebra quagga", 500),
+        5: (1, "solo person", 1),
+    }
+
+
+def test_length_lex_max_key_orders_by_length_then_lex(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": ["bb", "az", "aaa", "z"]})
+    )
+    top = df.agg(
+        F.substring(F.max(length_lex_max_key("v")), 5, 100).alias("s")
+    ).collect()[0].s
+    assert top == "aaa"  # longest beats lexicographically-larger "z"/"bb"
