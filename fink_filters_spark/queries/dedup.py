@@ -169,6 +169,93 @@ WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 """
 
 
+# ---- LSH recall audit ---------------------------------------------------------
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the approximate dedup path: how many of the exact
+    Jaccard >= tau pairs does MinHash(16)+LSH(8x2) banding recover?
+    One summary row: (n_true, n_found, n_hit, recall_pct).
+
+    ``minhash_lsh_pairs`` verifies candidates with exact Jaccard, so found
+    pairs are a SUBSET of true pairs (n_hit == n_found == the semi-join
+    count; precision is 1 by construction) — the audit measures the
+    banding's candidate-recall, the number every production LSH
+    deployment must monitor before trusting the cheap path at corpus
+    scale (band/row geometry sets the miss probability at the threshold:
+    P[candidate] = 1-(1-j^rows)^bands).
+
+    Scale: both pair sets are the already-scale-shaped operators
+    (inverted index / banded join); the audit adds one pair-keyed
+    semi-join and three single-row aggregates combined by broadcast
+    cross joins — output is one row regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    true_p = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
+        "id_a", "id_b", F.lit(1).alias("__t")
+    )
+    found = minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
+        "id_a", "id_b", F.lit(1).alias("__f")
+    )
+    # ONE full-outer join on the pair key + ONE aggregate: each heavy pair
+    # pipeline evaluates exactly once (three separate count() branches would
+    # re-run them per branch)
+    j = true_p.join(found, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum("__t").cast("long").alias("n_true"),
+        F.sum("__f").cast("long").alias("n_found"),
+        F.sum(F.col("__t") * F.col("__f")).cast("long").alias("n_hit"),
+    ).select(
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_found", F.lit(0)).alias("n_found"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.when(F.coalesce("n_true", F.lit(0)) == 0, F.lit(100.0))
+        .otherwise(
+            F.round(
+                F.col("n_hit").cast("double") * 100.0 / F.col("n_true").cast("double"),
+                4,
+            )
+        )
+        .alias("recall_pct"),
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH {_minhash_band_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+found AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh)) AS inter,
+           len(sa.sh) AS na, len(sb.sh) AS nb
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+  ) WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+),
+truep AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+  ) WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+),
+hit AS (SELECT f.* FROM found f WHERE EXISTS (
+  SELECT 1 FROM truep t WHERE t.id_a = f.id_a AND t.id_b = f.id_b
+))
+SELECT (SELECT count(*) FROM truep) AS n_true,
+       (SELECT count(*) FROM found) AS n_found,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM truep) = 0 THEN 100.0
+            ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE) * 100.0
+                       / CAST((SELECT count(*) FROM truep) AS DOUBLE), 4)
+       END AS recall_pct
+"""
+
+
 # ---- SimHash ----------------------------------------------------------------
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,4 +631,6 @@ SPECS = [
               "per-node triangle counts over the near-dup pair graph"),
     QuerySpec("dedup_incremental", q_dedup_incremental, _minhash_lookup_sql(),
               "incremental new-batch vs corpus LSH lookup (daily-ingest shape)"),
+    QuerySpec("dedup_lsh_recall", q_dedup_lsh_recall, _lsh_recall_sql(),
+              "MinHash-LSH recall audit vs exact-Jaccard ground truth"),
 ]

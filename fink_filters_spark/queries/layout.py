@@ -441,6 +441,86 @@ GROUP BY source, bin_id
 """
 
 
+ZONE_KEYS = 128  # key-range zone width (rows per zone scales with the file)
+ZONE_LO, ZONE_HI = "1996-01-01", "1996-04-01"  # the scan predicate audited
+
+
+def q_layout_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping audit — the min-max statistics a parquet
+    row group or Delta/Iceberg file footer keeps, and the pruning decision
+    the scanner makes from them, computed for the SAME rows under two
+    physical layouts:
+
+    - ``keyrange``: zones of {ZONE_KEYS} consecutive order keys (ingest
+      order — dates land everywhere, min/max spans the whole history, the
+      ship-date predicate prunes ~nothing);
+    - ``datecluster``: zones = calendar months of ``l_shipdate`` (the
+      layout a ``layout_zorder``/OPTIMIZE pass produces — min/max is tight
+      and the predicate prunes every zone outside [{ZONE_LO}, {ZONE_HI})).
+
+    Output per (layout, zone_id): row count, min/max ship date, and
+    ``pruned`` — whether a scan for the predicate skips the zone entirely.
+    The two layouts side by side quantify WHY clustering matters at
+    100 TB: the same query reads two orders of magnitude fewer zones.
+
+    Scale: one aggregation shuffled on (layout, zone_id); zone stats are
+    output-sized (one row per zone), the pruning decision is a map over
+    them. This is exactly the metadata pass a table-format scan planner
+    runs — no data movement beyond the stats aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_shipdate").alias("d"),
+    )
+    keyrange = li.select(
+        F.lit("keyrange").alias("layout"),
+        F.expr(f"okey DIV {ZONE_KEYS}").alias("zone_id"),
+        "d",
+    )
+    datecluster = li.select(
+        F.lit("datecluster").alias("layout"),
+        (F.year("d") * 12 + F.month("d") - 1).cast("long").alias("zone_id"),
+        "d",
+    )
+    zones = (
+        keyrange.unionByName(datecluster)
+        .groupBy("layout", "zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d").alias("min_ship"),
+            F.max("d").alias("max_ship"),
+        )
+    )
+    return zones.withColumn(
+        "pruned",
+        (F.col("max_ship") < F.lit(ZONE_LO).cast("timestamp_ntz"))
+        | (F.col("min_ship") >= F.lit(ZONE_HI).cast("timestamp_ntz")),
+    )
+
+
+ZONE_MAP_SQL = f"""
+WITH rows_z AS (
+  SELECT 'keyrange' AS layout,
+         CAST(l_orderkey AS BIGINT) // {ZONE_KEYS} AS zone_id,
+         l_shipdate AS d
+  FROM lineitem
+  UNION ALL
+  SELECT 'datecluster',
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT),
+         l_shipdate
+  FROM lineitem
+),
+zones AS (
+  SELECT layout, zone_id, count(*) AS n_rows,
+         min(d) AS min_ship, max(d) AS max_ship
+  FROM rows_z GROUP BY layout, zone_id
+)
+SELECT layout, zone_id, n_rows, min_ship, max_ship,
+       (max_ship < TIMESTAMP '{ZONE_LO}' OR min_ship >= TIMESTAMP '{ZONE_HI}')
+           AS pruned
+FROM zones
+"""
+
+
 SPECS = [
     QuerySpec(
         "chunk_fixed_overlap",
@@ -483,6 +563,12 @@ SPECS = [
         q_layout_compaction,
         LAYOUT_COMPACTION_SQL,
         "data layout: per-partition fixed-capacity compaction bin plan",
+    ),
+    QuerySpec(
+        "layout_zone_map",
+        q_layout_zone_map,
+        ZONE_MAP_SQL,
+        "data layout: zone-map min/max stats + predicate pruning audit",
     ),
     QuerySpec(
         "text_vocab_coverage",

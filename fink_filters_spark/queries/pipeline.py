@@ -213,6 +213,57 @@ FROM tagged GROUP BY split
 """
 
 
+K_ANON = 5
+BAL_OFFSET_C = 100_000   # shift cents non-negative before exact int division
+BAL_BUCKET_C = 500_000   # 5000-unit balance generalization buckets
+
+
+def pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) — the privacy gate a training-data
+    release runs before shipping records with quasi-identifiers: group by
+    the QI tuple (nation, market segment, generalized balance bucket),
+    emit every equivalence class with its size and an ``at_risk`` flag
+    (class smaller than k={K_ANON} re-identifies its members). The
+    released-or-suppressed decision downstream is a filter on this output.
+
+    Balance is generalized by exact integer arithmetic — cents shifted
+    non-negative then integer-divided into {BAL_BUCKET_C}-cent buckets —
+    so the bucketing is bit-identical cross-engine (no float division;
+    same discipline as the samplers' ``_int_floor_div``).
+
+    Scale: one aggregation shuffled on the QI tuple; class cardinality is
+    bounded by the QI domain product, not the corpus, so the output stays
+    tiny at any scale. A skewed QI class is just a big count (map-side
+    partials absorb it)."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            f"(CAST(round(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_C})"
+            f" DIV {BAL_BUCKET_C}"
+        ).alias("bal_bucket"),
+    )
+    return (
+        qi.groupBy("nat", "seg", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < K_ANON)
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT nat, seg, bal_bucket, class_size, class_size < {K_ANON} AS at_risk
+FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_C}) // {BAL_BUCKET_C}
+             AS bal_bucket,
+         count(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+"""
+
+
 SPECS = [
     QuerySpec("pipe_sample_stratified", pipe_sample_stratified, SAMPLE_STRAT_SQL,
               "per-stratum deterministic modulus sampling"),
@@ -224,4 +275,6 @@ SPECS = [
               "deterministic 80/20 split by key"),
     QuerySpec("pipe_pack_sequences", pipe_pack_sequences, PACK_SQL,
               "greedy token packing via exclusive cumsum window"),
+    QuerySpec("pipe_k_anonymity", pipe_k_anonymity, K_ANONYMITY_SQL,
+              "k-anonymity equivalence-class audit over quasi-identifiers"),
 ]

@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.text import (
     FP_BASE,
@@ -346,6 +346,122 @@ SELECT id_a, id_b, round(c, 6) AS cosine FROM (
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "merge", "window")  # the retrieval query terms
+BM25_TOPK = 20
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the classic lexical
+    ranking TF-IDF cosine lacks): top-{BM25_TOPK} documents for a fixed
+    query, scored sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with idf = ln(1 + (N-df+0.5)/(df+0.5)), k1={BM25_K1}, b={BM25_B}.
+
+    Determinism: per-doc tf for each query term is PIVOTED into fixed
+    columns by conditional aggregation, so the 3-term score is ONE fixed
+    arithmetic expression (no float sum whose order can differ between
+    engines); ranking compares the rounded score with doc_id tiebreak.
+
+    Scale: one explode -> one (doc) aggregation for lengths+pivoted tf;
+    corpus stats (N, avgdl, per-term df) reduce to a single row broadcast
+    back via cross join — the whole query is two shuffles and a top-k,
+    no per-term join against a vocabulary table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TOKS()).alias("term")).filter(
+        F.length("term") > 0
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == q, 1).otherwise(0)).alias(f"tf{i}")
+            for i, q in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    norm = F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("__avgdl")
+    )
+    contribs = [
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        * (F.col(f"tf{i}").cast("double") * F.lit(BM25_K1 + 1.0))
+        / (F.col(f"tf{i}").cast("double") + norm)
+        for i in range(len(BM25_QUERY))
+    ]
+    score = F.round(contribs[0] + contribs[1] + contribs[2], 6)
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    # no global-sort shuffle); the rank window then runs on <= TOPK rows
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "dl",
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def _bm25_sql() -> str:
+    nq = len(BM25_QUERY)
+    tfs = ", ".join(
+        f"sum(CASE WHEN term = '{q}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, q in enumerate(BM25_QUERY)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(nq)
+    )
+    contribs = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+        for i in range(nq)
+    )
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl, {tfs}
+  FROM terms WHERE length(term) > 0 GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {dfs} FROM per_doc
+),
+scored AS (
+  SELECT doc_id, dl, round({contribs}, 6) AS score
+  FROM per_doc CROSS JOIN stats
+)
+SELECT doc_id, dl, score, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored WHERE score > 0
+)
+WHERE rank <= {BM25_TOPK}
+"""
+
+
 SPECS = [
     QuerySpec("text_stats", q_text_stats, TEXT_STATS_SQL, "token/length stats"),
     QuerySpec("text_normalize", q_text_normalize, TEXT_NORMALIZE_SQL,
@@ -358,4 +474,6 @@ SPECS = [
     QuerySpec("mm_binary_meta", q_mm_binary_meta, MM_META_SQL, "binary column metadata"),
     QuerySpec("text_sparse_cosine", q_text_sparse_cosine, _sparse_cosine_sql(),
               "sparse TF-IDF cosine similarity join (bag-of-words pairs)"),
+    QuerySpec("text_bm25", q_text_bm25, _bm25_sql(),
+              "BM25 ranked retrieval: pivoted tf + single-row corpus stats"),
 ]

@@ -30,6 +30,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_kmeans2",  # corpus x centroids broadcast NLJ per Lloyd iteration
     "text_sparse_cosine",  # 1-row corpus-count cross join (broadcast NLJ)
     "pipe_unimax_epochs",  # 1-row water-fill-level aggregate cross join (broadcast NLJ)
+    "text_bm25",  # 1-row corpus-stats (N/avgdl/df) cross join (broadcast NLJ)
     "text_vocab_coverage",  # 4-row threshold table x ranked vocab non-equi broadcast NLJ
     "pipe_dsir_select",  # 1-row corpus-total aggregate cross join (broadcast NLJ)
     "sim_maxdot_lsh",  # 1-row max-norm aggregate cross join (MIPS augmentation)
