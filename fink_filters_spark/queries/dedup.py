@@ -256,6 +256,83 @@ SELECT (SELECT count(*) FROM truep) AS n_true,
 """
 
 
+# ---- train/test split leakage -------------------------------------------------
+
+def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit: after the engine's deterministic
+    80/20 split (``doc_id % 10 < 8`` — same rule as pipe_split_train_test),
+    which TEST documents have a near-duplicate (MinHash-LSH candidate with
+    exact Jaccard >= tau) in TRAIN? Those rows inflate every benchmark run
+    on the split — the leakage variant of decontamination, where the eval
+    set is your own held-out split rather than an external benchmark.
+
+    One row per leaked test doc: how many train near-dups it has, and the
+    strongest one (max Jaccard, doc_id ascending tiebreak) for triage.
+
+    Scale: rides the minhash_lsh_pairs pipeline unchanged (representative
+    collapse, banded candidate join — the scale-shaped path), then two
+    broadcast-sized joins against the split map and a test-doc-keyed
+    aggregate. At 100 TB the split tag is a pure function of the id, so
+    the "join" is really a projection — no extra shuffle beyond the pair
+    pipeline itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    is_test = lambda c: F.col(c) % 10 >= 8  # noqa: E731 — split rule, shared w/ SQL
+    crossed = pairs.filter(is_test("id_a") != is_test("id_b")).select(
+        F.when(is_test("id_a"), F.col("id_a")).otherwise(F.col("id_b")).alias("test_id"),
+        F.when(is_test("id_a"), F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+        F.round("jaccard", 6).alias("j"),
+    )
+    best = F.max(F.struct(F.col("j"), (-F.col("train_id")).alias("nt")))
+    return (
+        crossed.groupBy("test_id")
+        .agg(F.count(F.lit(1)).alias("n_train_dups"), best.alias("__b"))
+        .select(
+            "test_id",
+            "n_train_dups",
+            F.col("__b.j").alias("best_jaccard"),
+            (-F.col("__b.nt")).alias("best_train_id"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+WITH {_minhash_band_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS j
+  FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh)) AS inter,
+           len(sa.sh) AS na, len(sb.sh) AS nb
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+  ) WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
+),
+crossed AS (
+  SELECT CASE WHEN id_a % 10 >= 8 THEN id_a ELSE id_b END AS test_id,
+         CASE WHEN id_a % 10 >= 8 THEN id_b ELSE id_a END AS train_id,
+         j
+  FROM pairs
+  WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)
+)
+SELECT test_id, n_train_dups,
+       struct_extract(b, 'j') AS best_jaccard,
+       0 - struct_extract(b, 'nt') AS best_train_id
+FROM (
+  SELECT test_id, count(*) AS n_train_dups,
+         max({{'j': j, 'nt': 0 - train_id}}) AS b
+  FROM crossed GROUP BY test_id
+)
+"""
+
+
 # ---- SimHash ----------------------------------------------------------------
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,4 +710,6 @@ SPECS = [
               "incremental new-batch vs corpus LSH lookup (daily-ingest shape)"),
     QuerySpec("dedup_lsh_recall", q_dedup_lsh_recall, _lsh_recall_sql(),
               "MinHash-LSH recall audit vs exact-Jaccard ground truth"),
+    QuerySpec("dedup_split_leakage", q_dedup_split_leakage, _split_leakage_sql(),
+              "train/test split near-dup leakage audit (per leaked test doc)"),
 ]

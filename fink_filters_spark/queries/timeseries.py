@@ -542,9 +542,68 @@ FROM p GROUP BY cohort_day
 """
 
 
+EMA_ALPHA = 0.25  # dyadic: 0.25/0.75 are exact binary doubles
+
+
+def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponential moving average (the smoothing estimator every
+    monitoring/forecasting pipeline keeps per series): for each user the
+    fold ``ema <- alpha*x + (1-alpha)*ema`` over events in (t, event_id)
+    order, seeded with the first value. Emits the final EMA, the last raw
+    value, and the event count per key.
+
+    Determinism: an EMA is an inherently sequential fold, so parity comes
+    from pinning the FOLD ORDER, not from integer math — both engines fold
+    the identical (t, event_id)-sorted sequence of exact milli-unit
+    integers, and with a dyadic alpha ({EMA_ALPHA}) each step is two IEEE
+    multiplies and one add in the same order: bit-identical doubles,
+    rounded to 6dp at the edge anyway.
+
+    Scale: one shuffle on user_id; per-key history rides as one array
+    (same bounded-state argument as ts_hist_array — at 100 TB the key
+    would be (series, day-shard) so no array outgrows a task). The fold
+    is a native higher-order ``aggregate`` — whole-stage codegen, no
+    Python. A streaming deployment keeps (ema, last_t) as 16 bytes of
+    state per key (see streaming/), which is why EMA — unlike a rolling
+    median — survives unbounded series."""
+    ev = _evq(spark, sf_dir)
+    hist = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "event_id", "v"))).alias("__h")
+    )
+    vals = F.transform("__h", lambda s: s["v"].cast("double"))
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: x * F.lit(EMA_ALPHA) + acc * F.lit(1.0 - EMA_ALPHA),
+    )
+    return hist.select(
+        "user_id",
+        F.size("__h").cast("long").alias("n_events"),
+        F.round(ema, 6).alias("ema_milli"),
+        F.element_at(vals, -1).alias("last_milli"),
+    )
+
+
+W_EMA_SQL = f"""
+SELECT user_id,
+       CAST(len(l) AS BIGINT) AS n_events,
+       round(list_reduce(l, (acc, x) -> x * {EMA_ALPHA} + acc * {1.0 - EMA_ALPHA}),
+             6) AS ema_milli,
+       l[-1] AS last_milli
+FROM (
+  SELECT user_id,
+         list(CAST(v AS DOUBLE) ORDER BY t, event_id) AS l
+  FROM ({EVQ_SQL})
+  GROUP BY user_id
+)
+"""
+
+
 SPECS = [
     QuerySpec("ev_retention_cohorts", ev_retention_cohorts, RETENTION_SQL,
               "D1/D7 retention cohort table (one user-keyed shuffle)"),
+    QuerySpec("w_ema", w_ema, W_EMA_SQL,
+              "per-key exponential moving average (order-pinned sequential fold)"),
     QuerySpec("w_topn_per_user", w_topn_per_user, W_TOPN_SQL, "ranking window (§2.F/G)"),
     QuerySpec("w_rolling_median", w_rolling_median, W_ROLLING_MEDIAN_SQL,
               "exact rolling median over a bounded trailing frame"),
