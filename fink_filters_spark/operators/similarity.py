@@ -477,66 +477,81 @@ def kmeans_lloyd(
     (vec_id, centroid_id, cosine).
 
     Like MLlib's k-means (and unlike the plan-only operators here), each
-    iteration MATERIALIZES the k-row centroid table on the driver and
-    re-broadcasts it as literals — centroids are model state, not data,
-    and keeping them lazy would nest the previous iteration's whole plan
-    inside both the next assignment and the mean update (O(2^n_iter) plan
-    growth and corpus re-scans). With materialization each iteration is
-    exactly one job: corpus scan + k-row broadcast NLJ + one
-    corpus-element shuffle for the means — linear in n_iter, and every
-    step stays deterministic, so the whole trajectory remains
-    oracle-replayable in SQL."""
-    spark = corpus.sparkSession
+    iteration MATERIALIZES the k centroids on the driver — centroids are
+    model state, not data, and keeping them lazy would nest the previous
+    iteration's whole plan inside the next one (O(2^n_iter) plan growth).
+    They come back NOT as a joined table but as literal arrays inside the
+    assignment expression: best-centroid is ``array_max`` over k
+    (cosine, -centroid_id) structs, a pure per-row map — so assignment
+    adds ZERO shuffle and no corpus x k row blowup (the previous
+    broadcast-NLJ + per-vector rank window shuffled k copies of the
+    corpus per iteration — the term that dominates at 100 TB). The mean
+    update aggregates the d element columns directly (map-side partial
+    combine: each task emits k x (d+1) cells, not its row count), and the
+    floored mean runs on the driver over exact int64 sums with the SAME
+    double-division semantics as the SQL oracle. Each iteration is
+    exactly one job and one k x (d+1)-cell shuffle; every step stays
+    deterministic, so the whole trajectory remains oracle-replayable."""
     q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq")
-    cents = _quantized(seeds, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc(_cos("__v", "__kv", "__nsq", "__kn")), F.asc("centroid_id")
-    )
+    cents: list[tuple[int, list[int]]] = [
+        (r["centroid_id"], list(r["__kv"]))
+        for r in _quantized(seeds, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
+        .select("centroid_id", "__kv")
+        .collect()
+    ]
+    dim = len(cents[0][1]) if cents else 0
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        return (
-            q.join(F.broadcast(cents_df))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "vec_id", "centroid_id",
-                _cos("__v", "__kv", "__nsq", "__kn").alias("cosine"), "__v",
-            )
-        )
-
-    def as_literal(cents_df: DataFrame) -> DataFrame:
-        rows = [(r["centroid_id"], list(r["__kv"])) for r in cents_df.collect()]
-        lit = spark.createDataFrame(rows, "centroid_id long, __kv array<long>")
-        return lit.select(
-            "centroid_id", "__kv",
-            norm_sq_q(F.col("__kv")).cast("double").alias("__kn"),
-        )
+    def assign_cols(cent_list: list[tuple[int, list[int]]]):
+        """(centroid_id, cosine) columns: array_max over k literal-centroid
+        structs — ties to the smaller id via the negated-id field, NULL
+        cosine (zero norm on either side) structs order below any non-NULL
+        cosine, matching the rank-window semantics this replaced. Built as
+        ONE parsed SQL expression: element-by-element Column construction
+        costs a py4j round trip per literal (k x d of them — seconds of
+        driver time per iteration before any job runs)."""
+        entries = []
+        for cid, kv in cent_list:
+            kn = sum(x * x for x in kv)  # exact python int
+            if kn == 0:
+                cos = "CAST(NULL AS DOUBLE)"
+            else:
+                arr = ",".join(f"{int(x)}L" for x in kv)
+                cos = (
+                    "CASE WHEN __nsq > 0 THEN "
+                    "CAST(aggregate(zip_with(__v, array({arr}), (x, y) -> x * y), "
+                    "0L, (acc, v) -> acc + v) AS DOUBLE) "
+                    "/ sqrt(__nsq) / sqrt(CAST({kn!r} AS DOUBLE)) END"
+                ).format(arr=arr, kn=float(kn))
+            entries.append(f"struct({cos} AS c, {-cid}L AS nid)")
+        best = F.expr(f"array_max(array({', '.join(entries)}))")
+        return (-best["nid"]).alias("centroid_id"), best["c"].alias("cosine")
 
     for _ in range(n_iter):
-        a = assign(cents)
-        elem = a.select("centroid_id", F.posexplode("__v").alias("pos", "val"))
-        means = (
-            elem.groupBy("centroid_id", "pos")
-            .agg(
-                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
-                .cast("long").alias("mv")
+        cid_col, cos_col = assign_cols(cents)
+        sums = (
+            q.select(
+                cid_col,
+                *[F.element_at("__v", i + 1).alias(f"__e{i}") for i in range(dim)],
             )
             .groupBy("centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                    lambda s: s["mv"],
-                ).alias("__nv")
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(f"__e{i}").alias(f"__s{i}") for i in range(dim)],
             )
+            .collect()
         )
-        cents = as_literal(
-            cents.join(means, "centroid_id", "left").select(
-                "centroid_id", F.coalesce("__nv", "__kv").alias("__kv")
-            )
-        )
-    return assign(cents).select(
-        "vec_id", "centroid_id", F.round("cosine", 6).alias("cosine")
-    )
+        import math
+
+        new_means = {
+            r["centroid_id"]: [
+                int(math.floor(float(r[f"__s{i}"]) / r["__n"])) for i in range(dim)
+            ]
+            for r in sums
+        }
+        # empty clusters keep their previous centroid
+        cents = [(cid, new_means.get(cid, kv)) for cid, kv in cents]
+    cid_col, cos_col = assign_cols(cents)
+    return q.select("vec_id", cid_col, F.round(cos_col, 6).alias("cosine"))
 
 
 def _topk_by_dot(pairs: DataFrame, k: int) -> DataFrame:

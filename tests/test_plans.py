@@ -27,7 +27,6 @@ NESTED_LOOP_ALLOWED = {
     "q11_important_stock",  # 1-row scalar-aggregate cross join (fraction-of-total HAVING)
     "pipe_group_split",  # 1-row leakage-audit aggregate cross join (broadcast NLJ)
     "text_pmi",  # 1-row unigram/bigram-total cross joins (broadcast NLJ)
-    "sim_kmeans2",  # corpus x centroids broadcast NLJ per Lloyd iteration
     "text_sparse_cosine",  # 1-row corpus-count cross join (broadcast NLJ)
     "pipe_unimax_epochs",  # 1-row water-fill-level aggregate cross join (broadcast NLJ)
     "text_bm25",  # 1-row corpus-stats (N/avgdl/df) cross join (broadcast NLJ)
