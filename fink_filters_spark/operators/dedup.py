@@ -1112,9 +1112,14 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
+    # cached PRE-PARTITIONED on dst: every propagation round joins on
+    # und.dst, so hash-partitioning the cached blocks once lets each
+    # round's sort-merge/hash join reuse the layout instead of
+    # re-exchanging the (unchanging) edge list per round
     und = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
         .cache()
     )
     labels = ckpt(
@@ -1129,19 +1134,24 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "nbr_node")
         )
+        # the changed flag rides the SAME select that computes the new
+        # label — convergence is then a filter-count over the checkpointed
+        # generation, not a second labels-vs-labels shuffle join per round
         nxt = ckpt(
             labels.join(nbr, labels.node == nbr.nbr_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "__new"
+                ),
+                (
+                    F.least(F.col("label"), F.coalesce("nbr_label", "label"))
+                    != F.col("label")
+                ).alias("__chg"),
             )
+            .withColumnRenamed("__new", "label")
         )
-        changed = (
-            nxt.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        changed = nxt.filter(F.col("__chg")).count()
         # dropping the last Python reference releases the superseded
         # generation's JVM frame; the context cleaner then frees its
         # checkpoint blocks (DataFrame.unpersist would be a no-op here —

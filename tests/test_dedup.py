@@ -553,3 +553,28 @@ def test_minhash_index_bucketed_at_rest_probe_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_band_index")
+
+
+def test_split_leakage_flags_known_clone(spark):
+    """A test-split doc (id%10>=8) cloning a train doc must be reported
+    with jaccard 1.0 and the right best_train_id; unrelated test docs
+    must not appear."""
+    from unittest import mock
+
+    import fink_filters_spark.queries.dedup as dq
+
+    clone = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (8, clone),                       # test (8 % 10 >= 8)
+        (10, clone),                      # train clone source
+        (20, clone + " eta"),             # train near-dup (high jaccard)
+        (18, "totally different words nothing shared here at all"),  # test, clean
+        (31, "another unrelated train document with its own tokens"),
+    ]
+    toy = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(dq, "load_table", lambda s, d, t: toy):
+        out = {r["test_id"]: r for r in dq.q_dedup_split_leakage(spark, "x").collect()}
+    assert set(out) == {8}
+    assert out[8]["best_train_id"] == 10
+    assert out[8]["best_jaccard"] == pytest.approx(1.0)
+    assert out[8]["n_train_dups"] == 2  # ids 10 and 20 both >= tau

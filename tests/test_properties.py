@@ -604,3 +604,32 @@ def test_outlier_mad_matches_numpy_property(spark, chars):
     assert r.med_chars == pytest.approx(med, abs=1e-6)
     assert r.mad_chars == pytest.approx(mad, abs=1e-6)
     assert r.n_outliers == n_out and r.n_docs == len(chars)
+
+
+@SLOW
+@given(
+    vs=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60),
+)
+def test_ema_matches_python_fold_property(spark, vs):
+    """w_ema's HOF fold equals the sequential python EMA over the same
+    (t, event_id)-ordered values — including the first-value seed."""
+    from unittest import mock
+
+    import fink_filters_spark.queries.timeseries as tsq
+
+    rows = [
+        (i, 1, i * 3_600_000_000, float(v) / 1000.0) for i, v in enumerate(vs)
+    ]
+    toy = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    with mock.patch.object(tsq, "load_events", lambda s, d: toy):
+        r = tsq.w_ema(spark, "ignored").collect()[0]
+    # round(v/1000*1000) recovers v exactly (product within 1e-12 of the int)
+    seq = [float(v) for v in vs]
+    ema = seq[0]
+    for x in seq[1:]:
+        ema = x * 0.25 + ema * 0.75
+    assert r.n_events == len(vs)
+    assert r.ema_milli == pytest.approx(round(ema, 6), abs=1e-9)
+    assert r.last_milli == seq[-1]

@@ -78,6 +78,16 @@ HEADLINERS = [
     "ev_retention_cohorts",
     "pipe_pareto_front",
     "pipe_shard_balance",
+    "er_candidate_pairs",
+    "er_golden_record",
+    "pipe_standardize",
+    "layout_compaction_bins",
+    "dedup_lsh_recall",
+    "layout_zone_map",
+    "pipe_k_anonymity",
+    "text_bm25",
+    "w_ema",
+    "dedup_split_leakage",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
@@ -95,6 +105,11 @@ def main() -> None:
     for name in HEADLINERS:
         per_sf = []
         for sf in SFS:
+            # drop caches left by previous queries/SFs: accumulated operator
+            # caches (dedup collapse tables etc.) distort later rows via GC
+            # and storage pressure; min-of-2 below still rides a query's OWN
+            # cache on its second run, same as bench.py
+            spark.catalog.clearCache()
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()

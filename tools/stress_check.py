@@ -80,6 +80,15 @@ HEADLINERS = [
     "pipe_temperature_sample",
     "pipe_quota_sample",
     "ev_retention_cohorts",
+    "sim_kmeans2",
+    "er_candidate_pairs",
+    "pipe_standardize",
+    "dedup_lsh_recall",
+    "layout_zone_map",
+    "pipe_k_anonymity",
+    "text_bm25",
+    "w_ema",
+    "dedup_split_leakage",
 ]
 
 
