@@ -52,6 +52,24 @@ MINHASH_ROWS = 2  # per band
 SIMHASH_BITS = 48
 SIMHASH_BAND_BITS = 12  # 4 bands -> lossless for Hamming <= 3
 
+# Per-bit affine rehash constants: fingerprint bit j is the low bit of
+# (h * a_j + b_j) % FP_MOD, NOT raw bit j of h. Raw bits are unusable:
+# shingle hashes live in [0, FP_MOD) with FP_MOD ~ 6.7e10 < 2^36, so raw
+# bits 36-47 are 0 for EVERY shingle, the majority vote fixes the top 12
+# fingerprint bits to 0 for every document, and the top LSH band becomes
+# one bucket holding the whole corpus — a quadratic candidate join that a
+# 100x token-shifted stress exposed (1.25e11 candidate pairs at 500k
+# docs; replicated-text stress had masked it via the representative
+# collapse). Affine-mod rehashes give every bit ~uniform signal; a < 1.3e8
+# keeps h*a + b < 2^63 (same overflow discipline as MINHASH_AB).
+SIMHASH_AB: list[tuple[int, int]] = [
+    (
+        (40503559 + 2_000_003 * j) % 99_999_989 or 1,
+        (23411011 + 1_000_003 * j) % 99_999_989,
+    )
+    for j in range(SIMHASH_BITS)
+]
+
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized text: survivor = min id per group.
@@ -224,8 +242,11 @@ def simhash_fingerprints(
         import numpy as _np
         import pandas as _pd
 
-        jshift = _np.arange(bits, dtype=_np.int64)
-        weights = (_np.int64(1) << jshift)
+        from ..functions.text import FP_MOD as _P
+
+        ab = _np.array(SIMHASH_AB[:bits], dtype=_np.int64)
+        av, bv = ab[:, 0][None, :], ab[:, 1][None, :]
+        weights = (_np.int64(1) << _np.arange(bits, dtype=_np.int64))
         for pdf in batches:
             flat = _shingle_flat(pdf, n)
             if flat is None:
@@ -233,7 +254,9 @@ def simhash_fingerprints(
                                      "__sim": _pd.Series([], dtype="int64")})
                 continue
             ids, dd, ss, bounds, ends = flat
-            bitmat = (ss[:, None] >> jshift[None, :]) & 1
+            # per-bit affine rehash (see SIMHASH_AB): h < FP_MOD and
+            # a < 1.3e8 keep h*a+b < 2^63 — exact int64, no wraparound
+            bitmat = ((ss[:, None] * av + bv) % _P) & 1
             counts = _np.add.reduceat(bitmat, bounds, axis=0)
             nsh = (ends - bounds)[:, None]
             sim = ((counts * 2 > nsh) * weights[None, :]).sum(axis=1)
@@ -889,21 +912,32 @@ def minhash_signatures(
     return src.mapInPandas(kernel, schema)
 
 
+def _bit_of(h, j: int):
+    """Fingerprint bit j of a feature hash: low bit of the affine rehash
+    (h * a_j + b_j) % FP_MOD — see SIMHASH_AB for why raw bits of h are
+    NOT usable (top bits carry no signal below FP_MOD)."""
+    from ..functions.text import FP_MOD
+
+    a, b = SIMHASH_AB[j]
+    return (
+        (h * F.lit(a).cast("long") + F.lit(b).cast("long")) % F.lit(FP_MOD)
+    ).bitwiseAND(F.lit(1))
+
+
 def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint from distinct word hashes (unit weights).
 
-    bit_j = 1  iff  2 * |{w : hash(w) has bit j set}| > |words|.
+    bit_j = 1  iff  2 * |{w : rehash_j(hash(w)) odd}| > |words|.
     """
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     hashes = shingle_hash(words)
     nwords = F.size(hashes).cast("long")
 
-    def _bit_fold(j: int):
-        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1))
-
     out = F.lit(0).cast("long")
     for j in range(bits):
-        bitsum = F.aggregate(hashes, F.lit(0).cast("long"), _bit_fold(j))
+        bitsum = F.aggregate(
+            hashes, F.lit(0).cast("long"), lambda acc, h, j=j: acc + _bit_of(h, j)
+        )
         out = out + F.when(bitsum * 2 > nwords, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -914,12 +948,11 @@ def simhash_from_hashes(hashes_col: str, bits: int = SIMHASH_BITS):
     """SimHash over a pre-materialized array<long> word-hash column."""
     nwords = F.size(hashes_col).cast("long")
 
-    def _bit_fold(j: int):
-        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1))
-
     out = F.lit(0).cast("long")
     for j in range(bits):
-        bitsum = F.aggregate(hashes_col, F.lit(0).cast("long"), _bit_fold(j))
+        bitsum = F.aggregate(
+            hashes_col, F.lit(0).cast("long"), lambda acc, h, j=j: acc + _bit_of(h, j)
+        )
         out = out + F.when(bitsum * 2 > nwords, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -943,7 +976,7 @@ def simhash_agg(hashed: DataFrame, hashes_col: str = "__hs",
     agg = ex.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__nw"),
         *[
-            F.sum(F.shiftright("__h", j).bitwiseAND(F.lit(1))).alias(f"__b{j}")
+            F.sum(_bit_of(F.col("__h"), j)).alias(f"__b{j}")
             for j in range(bits)
         ],
     )
@@ -964,7 +997,17 @@ def simhash_pairs(
     corpora: every doc's bit-majorities agree and all pairs collapse to
     Hamming 0). Candidates via 4 x 12-bit band equi-join (lossless for
     Hamming <= 3: 3 differing bits cannot touch all 4 bands), then exact
-    popcount verify. Fingerprints come from the fused Arrow kernel
+    popcount verify.
+
+    Scale lever: with uniform fingerprint bits (see SIMHASH_AB) random
+    band collisions run at the birthday bound ~N^2/2^band_bits per band
+    (measured: 32M candidates/band at N=500k, 12-bit bands, 19s on 32
+    cores) — so band_bits must grow ~2*log2(N): at larger corpora raise
+    SIMHASH_BITS to 64 and use 4 x 16-bit bands (still lossless for
+    Hamming <= 3), or require 2-of-4 band agreement. The pre-fix raw-bit
+    fingerprints were far worse than the birthday bound: every bit above
+    log2(FP_MOD) was constant, one band held the ENTIRE corpus in one
+    bucket. Fingerprints come from the fused Arrow kernel
     (``simhash_fingerprints``); ``simhash_agg`` is the all-Catalyst
     explode+aggregate alternative (equality-tested).
 

@@ -341,11 +341,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    from ..operators.dedup import SIMHASH_BITS
+    from ..functions.text import FP_MOD
+    from ..operators.dedup import SIMHASH_AB, SIMHASH_BITS
 
+    # fingerprint bit j = low bit of the affine rehash (x*a_j+b_j) % P —
+    # raw bits of x above log2(FP_MOD) carry no signal (see SIMHASH_AB)
     bit_terms = " + ".join(
-        f"(CASE WHEN 2 * CAST(list_sum(list_transform(hs, x -> (x >> {j}) & 1)) AS BIGINT)"
-        f" > nw THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN 2 * CAST(list_sum(list_transform(hs,"
+        f" x -> ((x * {SIMHASH_AB[j][0]} + {SIMHASH_AB[j][1]}) % {FP_MOD}) & 1))"
+        f" AS BIGINT) > nw THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
     return f"""
