@@ -41,6 +41,16 @@ HEADLINERS = [
     "text_tfidf",
     "text_quality",
     "dedup_split_leakage",
+    "text_bigrams",
+    "text_pmi",
+    "text_lm_score",
+    "text_bm25",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_containment",
+    "chunk_cdc",
+    "dedup_chunk_cdc",
+    "pipe_curation_funnel",
 ]
 
 
