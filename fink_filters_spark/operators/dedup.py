@@ -232,10 +232,11 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(__id, __sim): SimHash fingerprints in ONE fused Arrow pass — the
     shingle-hash kernel's flat arrays feed a vectorized bit-majority
-    (``(ss >> j) & 1`` summed per doc via ``np.add.reduceat``), so no
-    explode, no shuffle, no 48-buffer aggregate. Identical integer
-    semantics to ``simhash_agg`` (majority rule 2·bitsum > n_shingles) and
-    the DuckDB oracle."""
+    (per-bit affine rehashes ``((ss*a_j+b_j) % P) & 1`` summed per doc via
+    ``np.add.reduceat``; see SIMHASH_AB for why raw hash bits are NOT
+    usable), so no explode, no shuffle, no 48-buffer aggregate. Identical
+    integer semantics to ``simhash_agg`` (majority rule
+    2·bitsum > n_shingles) and the DuckDB oracle."""
     from collections.abc import Iterator
 
     def kernel(batches: Iterator) -> Iterator:
@@ -1002,12 +1003,13 @@ def simhash_pairs(
     Scale lever: with uniform fingerprint bits (see SIMHASH_AB) random
     band collisions run at the birthday bound ~N^2/2^band_bits per band
     (measured: 32M candidates/band at N=500k, 12-bit bands, 19s on 32
-    cores) — so band_bits must grow ~2*log2(N): at larger corpora raise
-    SIMHASH_BITS to 64 and use 4 x 16-bit bands (still lossless for
-    Hamming <= 3), or require 2-of-4 band agreement. The pre-fix raw-bit
-    fingerprints were far worse than the birthday bound: every bit above
-    log2(FP_MOD) was constant, one band held the ENTIRE corpus in one
-    bucket. Fingerprints come from the fused Arrow kernel
+    cores) — so band_bits must grow ~2*log2(N): at larger corpora widen
+    the bands, e.g. SIMHASH_BITS=60 with 4 x 15-bit bands (still lossless
+    for Hamming <= 3; stay <= 63 bits — bit 63 is the int64 sign bit, and
+    1 << 63 overflows the long weights in every path), or require 2-of-4
+    band agreement. The pre-fix raw-bit fingerprints were far worse than
+    the birthday bound: every bit above log2(FP_MOD) was constant, one
+    band held the ENTIRE corpus in one bucket. Fingerprints come from the fused Arrow kernel
     (``simhash_fingerprints``); ``simhash_agg`` is the all-Catalyst
     explode+aggregate alternative (equality-tested).
 

@@ -526,8 +526,10 @@ def kmeans_lloyd(
         best = F.expr(f"array_max(array({', '.join(entries)}))")
         return (-best["nid"]).alias("centroid_id"), best["c"].alias("cosine")
 
+    import math
+
     for _ in range(n_iter):
-        cid_col, cos_col = assign_cols(cents)
+        cid_col, _ = assign_cols(cents)
         sums = (
             q.select(
                 cid_col,
@@ -540,8 +542,6 @@ def kmeans_lloyd(
             )
             .collect()
         )
-        import math
-
         new_means = {
             r["centroid_id"]: [
                 int(math.floor(float(r[f"__s{i}"]) / r["__n"])) for i in range(dim)

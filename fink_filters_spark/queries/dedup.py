@@ -200,15 +200,23 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline evaluates exactly once (three separate count() branches would
     # re-run them per branch)
     j = true_p.join(found, ["id_a", "id_b"], "full_outer")
-    return j.agg(
+    counts = j.agg(
         F.sum("__t").cast("long").alias("n_true"),
         F.sum("__f").cast("long").alias("n_found"),
         F.sum(F.col("__t") * F.col("__f")).cast("long").alias("n_hit"),
     ).select(
+        # coalesce BEFORE deriving recall: an all-missed banding makes
+        # sum(__t*__f) aggregate only NULLs, and NULL n_hit must read as
+        # 0 hits (0% recall), not a NULL percentage
         F.coalesce("n_true", F.lit(0)).alias("n_true"),
         F.coalesce("n_found", F.lit(0)).alias("n_found"),
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        F.when(F.coalesce("n_true", F.lit(0)) == 0, F.lit(100.0))
+    )
+    return counts.select(
+        "n_true",
+        "n_found",
+        "n_hit",
+        F.when(F.col("n_true") == 0, F.lit(100.0))
         .otherwise(
             F.round(
                 F.col("n_hit").cast("double") * 100.0 / F.col("n_true").cast("double"),

@@ -403,7 +403,10 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col(f"tf{i}").cast("double") + norm)
         for i in range(len(BM25_QUERY))
     ]
-    score = F.round(contribs[0] + contribs[1] + contribs[2], 6)
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    score = F.round(_reduce(_add, contribs), 6)
     scored = (
         per_doc.crossJoin(F.broadcast(stats))
         .withColumn("score", score)

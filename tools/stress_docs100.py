@@ -57,9 +57,20 @@ HEADLINERS = [
 def build(spark) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.isdir(f"{DST}/documents.parquet"):
+    # reuse only a COMPLETE build: the Spark write must have committed
+    # (_SUCCESS) and every side table must have been copied — a killed run
+    # leaves a partial directory that would otherwise silently poison
+    # every later run
+    complete = os.path.exists(f"{DST}/documents.parquet/_SUCCESS") and all(
+        os.path.exists(f"{DST}/{t}.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings")
+    )
+    if complete:
         print(f"# reusing existing {DST}", file=sys.stderr)
         return
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -102,6 +113,13 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_session("stress_docs100")
+    try:
+        _run(spark, entry)
+    finally:
+        shutil.rmtree(DST, ignore_errors=True)
+
+
+def _run(spark, entry) -> None:
     build(spark)
     qs = entry.queries()
     rows = []
@@ -142,7 +160,6 @@ def main() -> None:
     with open("STRESS100.md", "w") as f:
         f.write("\n".join(lines))
     print("STRESS100.md written", file=sys.stderr)
-    shutil.rmtree(DST, ignore_errors=True)
 
 
 if __name__ == "__main__":
