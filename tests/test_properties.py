@@ -630,6 +630,13 @@ def test_ema_matches_python_fold_property(spark, vs):
     ema = seq[0]
     for x in seq[1:]:
         ema = x * 0.25 + ema * 0.75
+    # Spark's round() is BigDecimal(double) HALF_UP — python's round() is
+    # half-EVEN and disagrees on exact dyadic ties (e.g. ema = m/2^7 puts
+    # .5 exactly at the 6th decimal; hypothesis found one). Decimal(float)
+    # converts the binary value exactly, so this matches Spark bit-for-bit.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(Decimal(ema).quantize(Decimal("0.000001"), ROUND_HALF_UP))
     assert r.n_events == len(vs)
-    assert r.ema_milli == pytest.approx(round(ema, 6), abs=1e-9)
+    assert r.ema_milli == pytest.approx(want, abs=0)
     assert r.last_milli == seq[-1]
