@@ -48,7 +48,11 @@ def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,
     ``w_b = round(ln( ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)) ) * 1e6)``
     with add-one smoothing over ``B`` buckets (both unseen-bucket cases
     finite). Exact integer counts feed one double ``ln`` per bucket.
-    The result is at most ``n_buckets`` rows — broadcast it."""
+    The result is EXACTLY ``n_buckets`` rows — one per possible bucket,
+    including buckets unseen in both corpora (their smoothed weight
+    ln((R+B)/(T+B)) is finite and well-defined) — so a persisted weight
+    table scores ANY later candidate corpus without dropping tokens that
+    hash to buckets the fit never saw. Broadcast it."""
     t = (
         hashed_token_buckets(target, id_col, text_col, n_buckets)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
@@ -57,7 +61,10 @@ def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,
         hashed_token_buckets(raw, id_col, text_col, n_buckets)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
     )
-    joined = t.join(r, "bucket", "full_outer").select(
+    spine = target.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    joined = spine.join(t, "bucket", "left").join(r, "bucket", "left").select(
         "bucket",
         F.coalesce("tc", F.lit(0)).alias("tc"),
         F.coalesce("rc", F.lit(0)).alias("rc"),
@@ -81,6 +88,9 @@ def dsir_scores(raw: DataFrame, weights: DataFrame, id_col: str,
     ``(id, n_tok, micro_sum, score)`` with ``score`` the single final
     double division, rounded to 6 dp."""
     occ = hashed_token_buckets(raw, id_col, text_col, n_buckets)
+    # inner join is lossless: the weight table carries every possible
+    # bucket (see dsir_bucket_weights), and bucket = hash % n_buckets
+    # always lands inside it
     return (
         occ.join(F.broadcast(weights), "bucket")
         .groupBy("id")

@@ -341,9 +341,21 @@ def _pq_subvectors(
 ) -> DataFrame:
     """(id, m, sv) — every vector quantized and split into ``n_sub`` equal
     contiguous subvectors (PQ's subspace decomposition). Narrow: one
-    transform + posexplode, no shuffle. Dimension must divide evenly."""
+    transform + posexplode, no shuffle. Dimension must divide evenly —
+    enforced per row (a flooring split would silently drop the trailing
+    ``dim % n_sub`` coordinates from training, encoding, and ADC
+    distances)."""
     qv = quantize_vec(vec_col)
-    sublen = (F.size(qv) / n_sub).cast("int")
+    sublen = F.when(
+        F.size(qv) % n_sub == 0, (F.size(qv) / n_sub).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"_pq_subvectors: dimension must divide n_sub={n_sub}, got "),
+                F.size(qv).cast("string"),
+            )
+        ).cast("int")
+    )
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         lambda j: F.slice(qv, j * sublen + F.lit(1), sublen),
@@ -492,7 +504,12 @@ def kmeans_lloyd(
     double-division semantics as the SQL oracle. Each iteration is
     exactly one job and one k x (d+1)-cell shuffle; every step stays
     deterministic, so the whole trajectory remains oracle-replayable."""
-    q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq")
+    # cached: every Lloyd iteration's sums job AND the final assignment
+    # re-scan the quantized corpus (n_iter+1 jobs) — without the cache the
+    # Arrow quantization kernel and the input scan re-execute per job.
+    # Unpersisted before returning; the returned assignment is a narrow
+    # map over the (re-)scan, not the cache.
+    q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq").cache()
     cents: list[tuple[int, list[int]]] = [
         (r["centroid_id"], list(r["__kv"]))
         for r in _quantized(seeds, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
@@ -551,7 +568,11 @@ def kmeans_lloyd(
         # empty clusters keep their previous centroid
         cents = [(cid, new_means.get(cid, kv)) for cid, kv in cents]
     cid_col, cos_col = assign_cols(cents)
-    return q.select("vec_id", cid_col, F.round(cos_col, 6).alias("cosine"))
+    out = q.select("vec_id", cid_col, F.round(cos_col, 6).alias("cosine"))
+    # the iterations' jobs are done; don't pin the corpus past return
+    # (unpersist is lazy-safe: the returned plan re-reads the source)
+    q.unpersist()
+    return out
 
 
 def _topk_by_dot(pairs: DataFrame, k: int) -> DataFrame:
@@ -657,20 +678,9 @@ def mips_lsh_search(
         .select("__qid", "__qv", "__cid", "__cv")
         .dropDuplicates(["__qid", "__cid"])
     )
-    scale2 = 1_000_000_000_000  # VEC_SCALE^2
     pairs = cand.select(
         F.col("__qid").alias("q_id"),
         F.col("__cid").alias("neighbor_id"),
         dot_q(F.col("__qv"), F.col("__cv")).alias("__dq"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("__dq"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(F.col("__dq").cast("double") / scale2, 6).alias("dot"),
-            "rank",
-        )
-    )
+    return _topk_by_dot(pairs, k)

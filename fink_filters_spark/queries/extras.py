@@ -458,9 +458,13 @@ def q_ts_rising_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's brightening gate (``prefilter.py:69-149`` — last magnitude
     brighter than the faintest by >3 sigma of the combined errors AND
     weighted-LSQ slope negative at 3 sigma) over synthetic per-user light
-    curves. Exact-parity discipline: y is an integer-valued double
-    (distinct within a user via the row number, so the faintest-point
-    argmax has no tie ambiguity) and sigma ∈ {0.5, 1, 2} makes every
+    curves. Exact-parity discipline: y is an integer-valued double,
+    distinct within a user via y = v * 2^20 + row_number — the multiplier
+    must EXCEED the max per-user event count or two (v, rn) pairs can
+    collide and the faintest-point argmax becomes engine-dependent (the
+    original 128 collided once a user had 128+ events); 2^20 keeps
+    v*2^20 + rn exact in a double (v_milli <= ~1e7 -> y <= ~1e13 < 2^53)
+    and bounds per-user histories at 1M events. Sigma ∈ {0.5, 1, 2} makes every
     weight a power of two — all Σ-statistics are exact binary fixed-point
     sums, order-independent across engines."""
     from pyspark.sql import Window
@@ -476,7 +480,7 @@ def q_ts_rising_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "t", "event_id",
         F.expr(f"(t - min(t) OVER (PARTITION BY user_id)) div {US_PER_HOUR}")
         .cast("double").alias("x"),
-        (F.col("v") * 128 + F.row_number().over(wo)).cast("double").alias("y"),
+        (F.col("v") * 1048576 + F.row_number().over(wo)).cast("double").alias("y"),
         F.when(F.col("event_id") % 3 == 0, 0.5)
         .when(F.col("event_id") % 3 == 1, 1.0)
         .otherwise(2.0).alias("s"),
@@ -501,7 +505,7 @@ WITH ev AS ({EVQ_SQL}),
 b AS (
   SELECT user_id, event_id, t,
     CAST((t - min(t) OVER (PARTITION BY user_id)) // {US_PER_HOUR} AS DOUBLE) AS x,
-    CAST(v * 128 + row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+    CAST(v * 1048576 + row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
          AS DOUBLE) AS y,
     CASE event_id % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 ELSE 2.0 END AS s,
     CASE event_id % 3 WHEN 0 THEN 4.0 WHEN 1 THEN 1.0 ELSE 0.25 END AS w
