@@ -169,3 +169,25 @@ def test_pareto_front_matches_bruteforce(spark):
         a[0] for a in pts if not any(dominated(a, b) for b in pts if b[0] != a[0])
     }
     assert got == want
+
+
+def test_dsir_weight_table_complete_and_scores_novel_vocab(spark):
+    """The weight table must carry ALL n_buckets rows (unseen buckets get
+    the finite smoothed weight), so scoring a later corpus with novel
+    vocabulary drops no tokens — n_tok equals the document's token count
+    even when every token hashes to a bucket the fit never saw."""
+    from fink_filters_spark.operators.dsir import (
+        DSIR_BUCKETS, dsir_bucket_weights, dsir_scores,
+    )
+
+    target = spark.createDataFrame([(1, "alpha beta")], "id long, text string")
+    raw = spark.createDataFrame([(2, "gamma delta")], "id long, text string")
+    w = dsir_bucket_weights(target, raw, "id", "text")
+    assert w.count() == DSIR_BUCKETS
+    # a candidate corpus of entirely novel tokens still scores every token
+    novel = spark.createDataFrame(
+        [(9, "zeta01 zeta02 zeta03 zeta04 zeta05")], "id long, text string"
+    )
+    row = dsir_scores(novel, w, "id", "text").collect()[0]
+    assert row.n_tok == 5
+    assert row.micro_sum is not None
