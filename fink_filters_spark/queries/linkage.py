@@ -187,12 +187,129 @@ GROUP BY entity_id
 """
 
 
+# ---- Fellegi-Sunter probabilistic scoring -----------------------------------
+#
+# Per-field conditional agreement probabilities: m = P(agree | same entity),
+# u = P(agree | different entities). The u side reflects the fixture: 25
+# nations, 5 segments, ~uniform balance cents. Log-weights are computed ONCE
+# in Python and embedded as integer micro-log literals in BOTH engines, so
+# the pair score is an exact integer sum — no cross-engine ln() at all.
+import math as _math
+
+_FS_MU = {
+    # field: list of (level_name, m, u); levels are mutually exclusive
+    "name": [("exact", 0.95, 0.001), ("close", 0.04, 0.01),
+             ("disagree", 0.01, 0.989)],
+    "nat": [("agree", 0.98, 0.04), ("disagree", 0.02, 0.96)],
+    "seg": [("agree", 0.97, 0.20), ("disagree", 0.03, 0.80)],
+    "bal": [("agree", 0.90, 0.0001), ("disagree", 0.10, 0.9999)],
+}
+_FS_W = {
+    f: {lvl: round(_math.log(m / u) * 1_000_000) for lvl, m, u in levels}
+    for f, levels in _FS_MU.items()
+}
+FS_UPPER = 10.0   # score >= -> 'match'
+FS_LOWER = 0.0    # score >= -> 'possible_match'; below -> 'non_match'
+
+
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969) over the same
+    blocking candidates as er_candidate_pairs: each pair is scored by the
+    SUM of per-field log likelihood ratios ln(m/u) — name at three
+    agreement levels (exact / within-{MAX_NAME_DIST} edits / disagree),
+    nation, segment, and balance binary — then classified into the
+    classic three-way verdict (match / possible_match / non_match) by
+    fixed thresholds. Unlike the deterministic edit-distance gate, the
+    probabilistic score lets one strong field (balance cents agreeing,
+    u=1e-4) outvote a weak disagreement — the behavior that makes FS the
+    standard for census/master-data linkage.
+
+    Determinism: the ln(m/u) weights are integer micro-logs computed once
+    at module import and embedded as literals in both engines; the score
+    is an exact integer sum divided once for display.
+
+    Scale: candidate generation is the blocking self-join (bounded per
+    block); scoring adds two record-side hash joins and a narrow CASE
+    expression — no new shuffle shape beyond er_candidate_pairs."""
+    recs = _dirty_records(spark, sf_dir)
+    cand = multi_pass_candidates(recs, "rec_id", _PASSES)
+    flds = ["name", "nat", "seg", "bal_c"]
+    ra = recs.select(F.col("rec_id").alias("id_a"),
+                     *[F.col(c).alias(f"{c}_a") for c in flds])
+    rb = recs.select(F.col("rec_id").alias("id_b"),
+                     *[F.col(c).alias(f"{c}_b") for c in flds])
+    j = cand.join(ra, "id_a").join(rb, "id_b")
+    dist = F.levenshtein("name_a", "name_b")
+    w = _FS_W
+    name_w = (
+        F.when(dist == 0, F.lit(w["name"]["exact"]))
+        .when(dist <= MAX_NAME_DIST, F.lit(w["name"]["close"]))
+        .otherwise(F.lit(w["name"]["disagree"]))
+    )
+    nat_w = F.when(F.col("nat_a") == F.col("nat_b"), F.lit(w["nat"]["agree"])) \
+             .otherwise(F.lit(w["nat"]["disagree"]))
+    seg_w = F.when(F.col("seg_a") == F.col("seg_b"), F.lit(w["seg"]["agree"])) \
+             .otherwise(F.lit(w["seg"]["disagree"]))
+    bal_w = F.when(F.col("bal_c_a") == F.col("bal_c_b"), F.lit(w["bal"]["agree"])) \
+             .otherwise(F.lit(w["bal"]["disagree"]))
+    micro = (name_w + nat_w + seg_w + bal_w).cast("long")
+    score = F.round(micro.cast("double") / 1_000_000, 6)
+    return j.select(
+        "id_a", "id_b",
+        dist.cast("long").alias("name_dist"),
+        micro.alias("w_micro"),
+        score.alias("score"),
+        F.when(score >= FS_UPPER, "match")
+        .when(score >= FS_LOWER, "possible_match")
+        .otherwise("non_match")
+        .alias("verdict"),
+    )
+
+
+def _fs_sql() -> str:
+    w = _FS_W
+    name_w = (f"CASE WHEN levenshtein(ra.name, rb.name) = 0 THEN {w['name']['exact']} "
+              f"WHEN levenshtein(ra.name, rb.name) <= {MAX_NAME_DIST} "
+              f"THEN {w['name']['close']} ELSE {w['name']['disagree']} END")
+    nat_w = (f"CASE WHEN ra.nat = rb.nat THEN {w['nat']['agree']} "
+             f"ELSE {w['nat']['disagree']} END")
+    seg_w = (f"CASE WHEN ra.seg = rb.seg THEN {w['seg']['agree']} "
+             f"ELSE {w['seg']['disagree']} END")
+    bal_w = (f"CASE WHEN ra.bal_c = rb.bal_c THEN {w['bal']['agree']} "
+             f"ELSE {w['bal']['disagree']} END")
+    return f"""
+WITH {_MATCH_CTES}
+SELECT id_a, id_b, name_dist, w_micro,
+       round(CAST(w_micro AS DOUBLE) / 1000000, 6) AS score,
+       CASE WHEN round(CAST(w_micro AS DOUBLE) / 1000000, 6) >= {FS_UPPER}
+                THEN 'match'
+            WHEN round(CAST(w_micro AS DOUBLE) / 1000000, 6) >= {FS_LOWER}
+                THEN 'possible_match'
+            ELSE 'non_match' END AS verdict
+FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS name_dist,
+         CAST(({name_w}) + ({nat_w}) + ({seg_w}) + ({bal_w}) AS BIGINT)
+             AS w_micro
+  FROM cand c
+  JOIN r ra ON c.id_a = ra.rec_id
+  JOIN r rb ON c.id_b = rb.rec_id
+)
+"""
+
+
 SPECS = [
     QuerySpec(
         "er_candidate_pairs",
         q_er_candidate_pairs,
         ER_PAIRS_SQL,
         "entity resolution: multi-pass blocking + banded levenshtein match",
+    ),
+    QuerySpec(
+        "er_fellegi_sunter",
+        q_er_fellegi_sunter,
+        _fs_sql(),
+        "entity resolution: Fellegi-Sunter log-likelihood scoring + 3-way verdict",
     ),
     QuerySpec(
         "er_golden_record",

@@ -264,9 +264,59 @@ FROM (
 """
 
 
+L_DIV = 3  # minimum distinct sensitive values per released class
+
+
+def pipe_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the gate k-anonymity
+    misses: a class can be large (k-anonymous) yet have every member
+    share one sensitive value, so membership still discloses it
+    (homogeneity attack). Group by the QI tuple (nation, segment), count
+    members AND distinct generalized balance buckets (the sensitive
+    attribute, same exact-integer bucketing as pipe_k_anonymity); a class
+    with fewer than l={L_DIV} distinct sensitive values is at risk even
+    when its size passes k.
+
+    Scale: one aggregation shuffled on the QI tuple with a distinct-count
+    (partial aggregation applies; the distinct set per class is bounded
+    by the sensitive domain, not the corpus)."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            f"(CAST(round(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_C})"
+            f" DIV {BAL_BUCKET_C}"
+        ).alias("bal_bucket"),
+    )
+    return (
+        qi.groupBy("nat", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct("bal_bucket").alias("l_distinct"),
+        )
+        .withColumn("at_risk", F.col("l_distinct") < L_DIV)
+    )
+
+
+L_DIVERSITY_SQL = f"""
+SELECT nat, seg, class_size, l_distinct, l_distinct < {L_DIV} AS at_risk
+FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         count(*) AS class_size,
+         count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + {BAL_OFFSET_C})
+               // {BAL_BUCKET_C}) AS l_distinct
+  FROM customer
+  GROUP BY 1, 2
+)
+"""
+
+
 SPECS = [
     QuerySpec("pipe_sample_stratified", pipe_sample_stratified, SAMPLE_STRAT_SQL,
               "per-stratum deterministic modulus sampling"),
+    QuerySpec("pipe_l_diversity", pipe_l_diversity, L_DIVERSITY_SQL,
+              "l-diversity audit over QI classes (homogeneity-attack gate)"),
     QuerySpec("pipe_group_split", pipe_group_split, _group_split_sql(),
               "group-aware split with zero cross-split source leakage"),
     QuerySpec("pipe_profile_columns", pipe_profile_columns, PROFILE_SQL,
