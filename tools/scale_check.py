@@ -88,6 +88,8 @@ HEADLINERS = [
     "text_bm25",
     "w_ema",
     "dedup_split_leakage",
+    "er_fellegi_sunter",
+    "pipe_l_diversity",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

@@ -89,6 +89,8 @@ HEADLINERS = [
     "text_bm25",
     "w_ema",
     "dedup_split_leakage",
+    "er_fellegi_sunter",
+    "pipe_l_diversity",
 ]
 
 
