@@ -64,7 +64,7 @@ def main() -> None:
     print(f"upsert-merged order status counts: {up}")
 
     rec = q_sim_ivf_recall(spark, SF_DIR)
-    mean_recall = rec.agg({"recall_at_k": "avg"}).first()[0]
+    mean_recall = rec.agg({"recall_ppm": "avg"}).first()[0] / 1e6
     print(f"IVF ANN mean recall@5 vs brute force: {mean_recall:.2f}")
 
     register(spark)

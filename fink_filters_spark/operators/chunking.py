@@ -220,10 +220,13 @@ def unimax_allocation(
     alloc = F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(
         F.least(F.col("cap").cast("double"), F.col("u"))
     )
+    # hash-stability: e6 integer micro-units (DESIGN.md); alloc is a
+    # bit-identical double in both engines (integer water-level algebra),
+    # so integer rounding agrees incl. exact ties
     return out.select(
         "source",
         "n_tokens",
         "cap",
-        F.round(alloc, 6).alias("alloc_tokens"),
-        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        F.round(alloc * 1e6).cast("long").alias("alloc_tokens_e6"),
+        F.round(alloc / F.col("n_tokens") * 1e6).cast("long").alias("epochs_e6"),
     )

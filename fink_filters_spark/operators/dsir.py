@@ -98,8 +98,7 @@ def dsir_scores(raw: DataFrame, weights: DataFrame, id_col: str,
             F.count(F.lit(1)).alias("n_tok"),
             F.sum("w_micro").alias("micro_sum"),
         )
-        .select(
-            "id", "n_tok", "micro_sum",
-            F.round(F.col("micro_sum").cast("double") / MICRO, 6).alias("score"),
-        )
+        # hash-stability: micro_sum IS the score in exact integer micro
+        # units; no derived double column (DESIGN.md "integer micro-units")
+        .select("id", "n_tok", "micro_sum")
     )

@@ -65,8 +65,8 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
 
 def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
     """Derive the read-time aggregate view from a state: per measure,
-    count/sum/min/max pass through and avg = sum/count (single double
-    expression over exact integers, round 6 — parity convention)."""
+    count/sum/min/max pass through and avg = (sum * 1e6) div count in
+    exact integer ppm (hash-stability: DESIGN.md "integer micro-units")."""
     measures = sorted(
         {c[: -len("_count")] for c in state.columns if c.endswith("_count")}
     )
@@ -77,9 +77,8 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
             F.col(f"{m}_sum"),
             F.col(f"{m}_min"),
             F.col(f"{m}_max"),
-            F.round(
-                F.col(f"{m}_sum").cast("double") / F.col(f"{m}_count").cast("double"),
-                6,
-            ).alias(f"{m}_avg"),
+            F.expr(f"({m}_sum * 1000000L) div {m}_count")
+            .cast("long")
+            .alias(f"{m}_avg_ppm"),
         ]
     return state.select(*cols)

@@ -63,6 +63,11 @@ def multi_pass_candidates(
     the corpus — only within blocks, which is the knob the caller tunes
     by choosing selective keys.
     """
+    if not passes:
+        raise ValueError(
+            "multi_pass_candidates: `passes` must contain at least one "
+            "blocking pass (got an empty dict)"
+        )
     per_pass = []
     for pass_name, key_cols in passes.items():
         keyed = records.select(
@@ -129,7 +134,24 @@ def length_lex_max_key(col: str | F.Column, pad: int = 4) -> F.Column:
     the rule identically in Spark and any SQL oracle (all-ASCII values;
     ``pad`` digits cap the representable length at 10^pad - 1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.concat(F.lpad(F.length(c).cast("string"), pad, "0"), c)
+    # lpad TRUNCATES a longer prefix, which would silently corrupt the
+    # ordering for values >= 10^pad chars — fail the row loudly instead
+    # (mirrors the _pq_subvectors per-row raise_error guard)
+    guarded_len = F.when(
+        F.length(c) < 10 ** pad, F.length(c)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"length_lex_max_key: value length >= 10^{pad} breaks "
+                    "the zero-padded ordering prefix; raise `pad` (len="
+                ),
+                F.length(c).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("int")
+    )
+    return F.concat(F.lpad(guarded_len.cast("string"), pad, "0"), c)
 
 
 def resolve_entities(

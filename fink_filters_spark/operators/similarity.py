@@ -516,7 +516,15 @@ def kmeans_lloyd(
         .select("centroid_id", "__kv")
         .collect()
     ]
-    dim = len(cents[0][1]) if cents else 0
+    if not cents:
+        # empty seeds: degrade to an empty assignment (the pre-literal
+        # implementation's behavior) instead of building array_max(array())
+        # — an analysis error — and a dim=0 update loop
+        q.unpersist()
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, centroid_id long, cosine double"
+        )
+    dim = len(cents[0][1])
 
     def assign_cols(cent_list: list[tuple[int, list[int]]]):
         """(centroid_id, cosine) columns: array_max over k literal-centroid
@@ -590,6 +598,9 @@ def _topk_by_dot(pairs: DataFrame, k: int) -> DataFrame:
             "neighbor_id",
             F.round(F.col("__dq").cast("double") / (VEC_SCALE * VEC_SCALE), 6)
             .alias("dot"),
+            # exact integer dot in scale^2 units — the hash-stable column
+            # the query layer exposes (hash-stability, DESIGN.md)
+            F.col("__dq").cast("long").alias("dot_q12"),
             "rank",
         )
     )

@@ -23,6 +23,25 @@ class QuerySpec:
     doc: str = ""
 
 
+def e6(col, name: str):
+    """hash-stability: wrap a double output column as integer micro-units
+    (``CAST(round(x * 1e6) AS BIGINT)``). Fractional ``round(x, 6)`` is NOT
+    engine-proof — Spark rounds the exact decimal expansion via BigDecimal
+    HALF_UP while a DuckDB build may scale-and-round in double arithmetic,
+    so the two can split by one ulp at a decimal boundary. INTEGER rounding
+    is half-away-from-zero in both engines (verified empirically), and for
+    any rational x = a/b the distance of x*1e6 from a rounding boundary is
+    either exactly 0 (both engines agree on the tie) or >= 1/(2b), orders
+    of magnitude above double error. SQL mirror:
+    ``CAST(round((expr) * 1e6) AS BIGINT) AS name``. See DESIGN.md
+    "integer micro-units"."""
+    from pyspark.sql import functions as F
+
+    c = col if not isinstance(col, str) else F.col(col)
+    out = F.round(c * 1e6).cast("long")
+    return out.alias(name) if name is not None else out
+
+
 # The synthetic events table's 5 event types, standing in for survey bands
 # in the F6/E6 per-band queries and the multiband fit demos.
 BAND_TYPES = ["click", "view", "purchase", "signup", "error"]

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.skew import salted_group_count
 from ..tables import load_events, load_table
-from . import QuerySpec
+from . import QuerySpec, e6
 
 US_30D = 30 * 86_400 * 1_000_000
 
@@ -164,20 +164,21 @@ def q_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        F.round(dxy / F.sqrt(dxx * dyy), 6).alias("corr_qty_price"),
-        F.round(dxy / dxx, 6).alias("slope_price_per_qty"),
+        # hash-stability: e6 integer micro-units (queries/__init__.e6)
+        e6(dxy / F.sqrt(dxx * dyy), "corr_e6"),
+        e6(dxy / dxx, "slope_e6"),
     )
 
 
 STAT_SQL = """
 SELECT l_returnflag, n,
-       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+       CAST(round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
              / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
-                    * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6)
-           AS corr_qty_price,
-       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
-             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6)
-           AS slope_price_per_qty
+                    * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) * 1e6) AS BIGINT)
+           AS corr_e6,
+       CAST(round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * 1e6) AS BIGINT)
+           AS slope_e6
 FROM (
   SELECT l_returnflag, count(*) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
@@ -280,21 +281,21 @@ def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_cents",
         F.row_number().over(w).alias("rn"),
         F.dense_rank().over(w).alias("drank"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        e6(F.percent_rank().over(w), "prank_e6"),
+        e6(F.cume_dist().over(w), "cdist_e6"),
         F.nth_value("bal_cents", 2).over(wf).alias("second_bal_cents"),
     )
     return ranked.filter(F.col("rn") <= 3).drop("rn")
 
 
 RANKF_SQL = """
-SELECT nationkey, c_custkey, bal_cents, drank, prank, cdist, second_bal_cents
+SELECT nationkey, c_custkey, bal_cents, drank, prank_e6, cdist_e6, second_bal_cents
 FROM (
   SELECT c_nationkey AS nationkey, c_custkey, bal_cents,
          row_number() OVER w AS rn,
          dense_rank() OVER w AS drank,
-         round(percent_rank() OVER w, 6) AS prank,
-         round(cume_dist() OVER w, 6) AS cdist,
+         CAST(round(percent_rank() OVER w * 1e6) AS BIGINT) AS prank_e6,
+         CAST(round(cume_dist() OVER w * 1e6) AS BIGINT) AS cdist_e6,
          nth_value(bal_cents, 2) OVER (PARTITION BY c_nationkey
              ORDER BY bal_cents DESC, c_custkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

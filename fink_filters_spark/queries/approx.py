@@ -48,7 +48,9 @@ def agg_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "event_type",
         "n_users",
-        F.round(F.col("p50_v"), 6).alias("p50_v"),
+        # hash-stability: median of ints is an integer or exact .5 — 2x is
+        # an exact BIGINT in every engine (DESIGN.md "integer micro-units")
+        (F.col("p50_v") * 2).cast("long").alias("p50_v_x2"),
         uniq_ok.alias("uniq_ok"),
         p50_ok.alias("p50_ok"),
     )
@@ -57,7 +59,7 @@ def agg_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_SQL = """
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
-       round(quantile_cont(v, 0.5), 6) AS p50_v,
+       CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS p50_v_x2,
        TRUE AS uniq_ok,
        TRUE AS p50_ok
 FROM (SELECT event_type, user_id, CAST(round(value * 1000) AS BIGINT) AS v FROM events)

@@ -54,7 +54,15 @@ def pipe_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
     train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
-    return contamination_fraction(train, ev, "doc_id", "text", n=3)
+    # hash-stability: exact integer ppm on the hash surface (DESIGN.md)
+    return contamination_fraction(train, ev, "doc_id", "text", n=3).select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        F.expr("(n_hit * 1000000L) div n_shingles").cast("long").alias(
+            "contamination_ppm"
+        ),
+    )
 
 
 CONTAM_FRAC_SQL = f"""
@@ -64,8 +72,8 @@ tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} <> 0)
 SELECT tr.doc_id,
        count(*) AS n_shingles,
        count(e.g) AS n_hit,
-       round(CAST(count(e.g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-           AS contamination
+       CAST((count(e.g) * 1000000) // count(*) AS BIGINT)
+           AS contamination_ppm
 FROM tr LEFT JOIN ev e ON tr.g = e.g
 GROUP BY tr.doc_id
 """
@@ -234,9 +242,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         total.alias("n_grams"),
         uniq.alias("n_distinct"),
-        F.round(
-            F.lit(1.0) - uniq.cast("double") / total.cast("double"), 6
-        ).alias("rep_frac"),
+        (
+            F.lit(1000000).cast("long")
+            - ((uniq * 1000000 - (uniq * 1000000) % total) / total).cast("long")
+        ).alias("rep_ppm"),
     )
 
 
@@ -244,8 +253,8 @@ REPETITION_SQL = f"""
 SELECT doc_id,
        CAST(len(g) AS BIGINT) AS n_grams,
        CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
-       round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE), 6)
-           AS rep_frac
+       CAST(1000000 - (CAST(len(list_distinct(g)) AS BIGINT) * 1000000) // CAST(len(g) AS BIGINT) AS BIGINT)
+           AS rep_ppm
 FROM (
   SELECT doc_id,
          list_transform(
@@ -425,8 +434,11 @@ def pipe_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("__out"),
     )
     return flagged.groupBy("source").agg(
-        F.round(F.first("med"), 6).alias("med_chars"),
-        F.round(F.first("mad"), 6).alias("mad_chars"),
+        # hash-stability: a median of integers is an integer or an exact
+        # .5 midpoint, so 2*median is an exact BIGINT in every engine
+        # (DESIGN.md "integer micro-units").
+        (F.first("med") * 2).cast("long").alias("med_chars_x2"),
+        (F.first("mad") * 2).cast("long").alias("mad_chars_x2"),
         F.sum("__out").alias("n_outliers"),
         F.count(F.lit(1)).alias("n_docs"),
     )
@@ -442,8 +454,8 @@ mad AS (
   GROUP BY d.source
 )
 SELECT d.source,
-       round(any_value(m.med), 6) AS med_chars,
-       round(any_value(x.mad), 6) AS mad_chars,
+       CAST(any_value(m.med) * 2 AS BIGINT) AS med_chars_x2,
+       CAST(any_value(x.mad) * 2 AS BIGINT) AS mad_chars_x2,
        sum(CASE WHEN CAST(round(abs(d.n_chars - m.med) * 1e6) AS BIGINT)
                      > CAST(round(x.mad * {MAD_K_E6}) AS BIGINT)
                 THEN 1 ELSE 0 END) AS n_outliers,
@@ -477,7 +489,7 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= DSIR_TOP_K)
-        .select("doc_id", "n_tok", "micro_sum", "score")
+        .select("doc_id", "n_tok", "micro_sum")
     )
 
 
@@ -509,8 +521,7 @@ sc AS (
   WHERE occ.source <> 'src0'
   GROUP BY occ.doc_id
 )
-SELECT doc_id, n_tok, micro_sum,
-       round(CAST(micro_sum AS DOUBLE) / 1000000, 6) AS score
+SELECT doc_id, n_tok, micro_sum
 FROM (
   SELECT *, row_number() OVER (ORDER BY micro_sum DESC, doc_id ASC) AS rk
   FROM sc
@@ -532,10 +543,10 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one shuffle on the normalized-text hash; decontamination broadcasts
     the eval shingle set (pipe_decontaminate's 100 TB shape). The result
     is 6 rows of counts."""
-    from .text import QUALITY_THRESHOLD, quality_expr
+    from .text import QUALITY_THRESHOLD_PPM, quality_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.withColumn("__ok", quality_expr() >= QUALITY_THRESHOLD)
+    q = docs.withColumn("__ok", quality_expr() >= QUALITY_THRESHOLD_PPM)
     s2 = q.filter("__ok")
     s3 = s2.filter(F.col("lang") == "en")
     # exact dedup: one survivor (min doc_id) per normalized text
@@ -581,7 +592,7 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _funnel_sql() -> str:
     from .dedup import shh3_sql
-    from .text import QUALITY_THRESHOLD, quality_sql_expr
+    from .text import QUALITY_THRESHOLD_PPM, quality_sql_expr
 
     surv_toks = (
         "SELECT doc_id, string_split_regex(ntext, '\\s+') AS toks FROM s5"
@@ -589,7 +600,7 @@ def _funnel_sql() -> str:
     return f"""
 WITH q AS (
   SELECT doc_id, text, lang,
-         {quality_sql_expr()} >= {QUALITY_THRESHOLD} AS ok
+         {quality_sql_expr()} >= {QUALITY_THRESHOLD_PPM} AS ok
   FROM (SELECT doc_id, text, lang,
                string_split_regex(lower(trim(text)), '\\s+') AS toks
         FROM documents)
@@ -639,7 +650,7 @@ def pipe_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     scored = docs.select(
         "doc_id",
-        F.round(quality_expr() * 1000000).cast("long").alias("q_micro"),
+        quality_expr().alias("q_micro"),  # already exact integer ppm
         F.size(toks).cast("long").alias("n_tok"),
     )
     per_q = scored.groupBy("q_micro").agg(F.max("n_tok").alias("max_n"))
@@ -663,7 +674,7 @@ def _pareto_sql() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id,
-         CAST(round({quality_sql_expr()} * 1000000) AS BIGINT) AS q_micro,
+         {quality_sql_expr()} AS q_micro,
          CAST(len(toks) AS BIGINT) AS n_tok
   FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
         FROM documents)

@@ -23,7 +23,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, e6
 
 JACCARD_TAU = 0.5
 EMBED_TAU = 0.4
@@ -99,7 +99,10 @@ FROM documents GROUP BY lower(trim(text))
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    # hash-stability: e6 integer micro-units on the hash surface (queries/__init__.e6)
+    return jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
+        "id_a", "id_b", e6("jaccard", "jaccard_e6")
+    )
 
 
 DEDUP_JACCARD_SQL = f"""
@@ -111,7 +114,7 @@ p AS (
   WHERE len(a.sh) > 0 AND len(b.sh) > 0
 )
 SELECT id_a, id_b,
-       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+       CAST(round((CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)) * 1e6) AS BIGINT) AS jaccard_e6
 FROM p
 WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 """
@@ -121,7 +124,9 @@ WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
+        "id_a", "id_b", e6("jaccard", "jaccard_e6")
+    )
 
 
 def _minhash_band_sql() -> str:
@@ -163,7 +168,7 @@ v AS (
   JOIN sig sb ON sb.doc_id = id_b
 )
 SELECT id_a, id_b,
-       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+       CAST(round((CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)) * 1e6) AS BIGINT) AS jaccard_e6
 FROM v
 WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 """
@@ -174,7 +179,7 @@ WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality audit of the approximate dedup path: how many of the exact
     Jaccard >= tau pairs does MinHash(16)+LSH(8x2) banding recover?
-    One summary row: (n_true, n_found, n_hit, recall_pct).
+    One summary row: (n_true, n_found, n_hit, recall_ppm).
 
     ``minhash_lsh_pairs`` verifies candidates with exact Jaccard, so found
     pairs are a SUBSET of true pairs (n_hit == n_found == the semi-join
@@ -216,14 +221,10 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         "n_found",
         "n_hit",
-        F.when(F.col("n_true") == 0, F.lit(100.0))
-        .otherwise(
-            F.round(
-                F.col("n_hit").cast("double") * 100.0 / F.col("n_true").cast("double"),
-                4,
-            )
-        )
-        .alias("recall_pct"),
+        # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
+        F.when(F.col("n_true") == 0, F.lit(1000000).cast("long"))
+        .otherwise(F.expr("(n_hit * 1000000L) div n_true").cast("long"))
+        .alias("recall_ppm"),
     )
 
 
@@ -257,10 +258,10 @@ hit AS (SELECT f.* FROM found f WHERE EXISTS (
 SELECT (SELECT count(*) FROM truep) AS n_true,
        (SELECT count(*) FROM found) AS n_found,
        (SELECT count(*) FROM hit) AS n_hit,
-       CASE WHEN (SELECT count(*) FROM truep) = 0 THEN 100.0
-            ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE) * 100.0
-                       / CAST((SELECT count(*) FROM truep) AS DOUBLE), 4)
-       END AS recall_pct
+       CAST(CASE WHEN (SELECT count(*) FROM truep) = 0 THEN 1000000
+            ELSE ((SELECT count(*) FROM hit) * 1000000)
+                 // (SELECT count(*) FROM truep)
+       END AS BIGINT) AS recall_ppm
 """
 
 
@@ -289,7 +290,7 @@ def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossed = pairs.filter(is_test("id_a") != is_test("id_b")).select(
         F.when(is_test("id_a"), F.col("id_a")).otherwise(F.col("id_b")).alias("test_id"),
         F.when(is_test("id_a"), F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
-        F.round("jaccard", 6).alias("j"),
+        e6("jaccard", "j"),
     )
     best = F.max(F.struct(F.col("j"), (-F.col("train_id")).alias("nt")))
     return (
@@ -298,7 +299,7 @@ def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "test_id",
             "n_train_dups",
-            F.col("__b.j").alias("best_jaccard"),
+            F.col("__b.j").alias("best_jaccard_e6"),
             (-F.col("__b.nt")).alias("best_train_id"),
         )
     )
@@ -313,7 +314,7 @@ cand AS (
 ),
 pairs AS (
   SELECT id_a, id_b,
-         round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS j
+         CAST(round((CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)) * 1e6) AS BIGINT) AS j
   FROM (
     SELECT id_a, id_b,
            len(list_intersect(sa.sh, sb.sh)) AS inter,
@@ -331,7 +332,7 @@ crossed AS (
   WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)
 )
 SELECT test_id, n_train_dups,
-       struct_extract(b, 'j') AS best_jaccard,
+       struct_extract(b, 'j') AS best_jaccard_e6,
        0 - struct_extract(b, 'nt') AS best_train_id
 FROM (
   SELECT test_id, count(*) AS n_train_dups,
@@ -377,7 +378,9 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    return embedding_pairs(em, "vec_id", "embedding", tau=EMBED_TAU)
+    return embedding_pairs(em, "vec_id", "embedding", tau=EMBED_TAU).select(
+        "id_a", "id_b", e6("cosine", "cosine_e6")
+    )
 
 
 QVEC_SQL = (
@@ -394,7 +397,7 @@ p AS (
          CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE) AS nb
   FROM q a JOIN q b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, round(dot / sqrt(na) / sqrt(nb), 6) AS cosine
+SELECT id_a, id_b, CAST(round((dot / sqrt(na) / sqrt(nb)) * 1e6) AS BIGINT) AS cosine_e6
 FROM p
 WHERE na > 0 AND nb > 0 AND dot / sqrt(na) / sqrt(nb) >= {EMBED_TAU}
 """
@@ -574,7 +577,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(docs, "doc_id", "text", n=3, tau=CONTAIN_TAU)
+    return containment_pairs(docs, "doc_id", "text", n=3, tau=CONTAIN_TAU).select(
+        "id_a", "id_b", e6("containment", "containment_e6")
+    )
 
 
 DEDUP_CONTAIN_SQL = f"""
@@ -586,7 +591,7 @@ p AS (
   WHERE len(a.sh) > 0 AND len(b.sh) > 0
 )
 SELECT id_a, id_b,
-       round(CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6) AS containment
+       CAST(round((CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)) * 1e6) AS BIGINT) AS containment_e6
 FROM p
 WHERE CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) >= {CONTAIN_TAU}
 """
@@ -668,7 +673,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
-    return minhash_lookup(new, old, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    return minhash_lookup(new, old, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
+        "new_id", "match_id", e6("jaccard", "jaccard_e6")
+    )
 
 
 def _minhash_lookup_sql() -> str:
@@ -688,7 +695,7 @@ v AS (
   JOIN sig sb ON sb.doc_id = match_id
 )
 SELECT new_id, match_id,
-       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+       CAST(round((CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)) * 1e6) AS BIGINT) AS jaccard_e6
 FROM v
 WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 """

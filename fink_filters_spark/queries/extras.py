@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tables import load_events, load_table
-from . import QuerySpec
+from . import QuerySpec, e6
 from .timeseries import EVQ_SQL, US_PER_HOUR, _evq
 
 
@@ -139,7 +139,11 @@ def q_ts_fit_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = ev.join(t0, "user_id").withColumn(
         "xh", F.expr(f"(t - t0) div {US_PER_HOUR}")
     )
-    return linfit_per_key(x, key="user_id", x_col="xh", y_col="v")
+    # hash-stability: e6 integer micro-units on the hash surface; the
+    # operator keeps its double contract (queries/__init__.e6)
+    return linfit_per_key(x, key="user_id", x_col="xh", y_col="v").select(
+        "user_id", "n", e6("slope", "slope_e6"), e6("r2", "r2_e6")
+    )
 
 
 # same oracle as ts_linfit (identical semantics, different execution path)
@@ -494,8 +498,9 @@ def q_ts_rising_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id",
         F.size("__a").cast("long").alias("n"),
-        F.round(fit["slope"], 6).alias("slope"),
-        F.round(fit["slope_err"], 6).alias("slope_err"),
+        # hash-stability: e6 integer micro-units (queries/__init__.e6)
+        e6(fit["slope"], "slope_e6"),
+        e6(fit["slope_err"], "slope_err_e6"),
         is_rising(ys, ss, xs, 3.0).alias("rising"),
     )
 
@@ -527,9 +532,9 @@ agg AS (
 )
 SELECT a.user_id, CAST(a.cnt AS BIGINT) AS n,
   CASE WHEN (sw*swxx - swx*swx) <> 0
-       THEN round((sw*swxy - swx*swy) / (sw*swxx - swx*swx), 6) END AS slope,
+       THEN CAST(round((sw*swxy - swx*swy) / (sw*swxx - swx*swx) * 1e6) AS BIGINT) END AS slope_e6,
   CASE WHEN (sw*swxx - swx*swx) <> 0
-       THEN round(sqrt(sw / (sw*swxx - swx*swx)), 6) END AS slope_err,
+       THEN CAST(round(sqrt(sw / (sw*swxx - swx*swx)) * 1e6) AS BIGINT) END AS slope_err_e6,
   (a.cnt >= 2
    AND (max_y - last_y) > 3.0 * sqrt(last_s*last_s + faint_s*faint_s)
    AND (sw*swxx - swx*swx) <> 0
@@ -564,14 +569,17 @@ def q_astro_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluxcal = mag2fluxcal(F.col("magpsf"))
     return base.select(
         "event_id",
-        F.round(F.log10(fluxcal), 6).alias("log_fluxcal"),
-        F.round(flux2mag("flux_njy"), 6).alias("ab_mag"),
-        F.round(
-            dc_mag("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos"), 6
-        ).alias("dcmag"),
-        F.round(
-            dc_mag_err("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos"), 6
-        ).alias("dcmag_err"),
+        # hash-stability: e6 integer micro-units (queries/__init__.e6)
+        e6(F.log10(fluxcal), "log_fluxcal_e6"),
+        e6(flux2mag("flux_njy"), "ab_mag_e6"),
+        e6(
+            dc_mag("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos"),
+            "dcmag_e6",
+        ),
+        e6(
+            dc_mag_err("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos"),
+            "dcmag_err_e6",
+        ),
     )
 
 
@@ -591,15 +599,15 @@ f AS (
   FROM base
 )
 SELECT event_id,
-  round(log10(power(10.0, -(magpsf - 25.0)/2.5) * 1000.0), 6) AS log_fluxcal,
+  CAST(round(log10(power(10.0, -(magpsf - 25.0)/2.5) * 1000.0) * 1e6) AS BIGINT) AS log_fluxcal_e6,
   CASE WHEN flux_njy > 0
-       THEN round(-2.5*log10(flux_njy) + 31.4, 6) END AS ab_mag,
+       THEN CAST(round((-2.5*log10(flux_njy) + 31.4) * 1e6) AS BIGINT) END AS ab_mag_e6,
   CASE WHEN fref + sign*fdiff > 0
-       THEN round(-2.5*log10(fref + sign*fdiff), 6) END AS dcmag,
+       THEN CAST(round(-2.5*log10(fref + sign*fdiff) * 1e6) AS BIGINT) END AS dcmag_e6,
   CASE WHEN fref + sign*fdiff > 0
-       THEN round(2.5/ln(10.0)
+       THEN CAST(round(2.5/ln(10.0)
                   * sqrt(power(fref*sigmagnr, 2.0) + power(fdiff*sigmapsf, 2.0))
-                  / (fref + sign*fdiff), 6) END AS dcmag_err
+                  / (fref + sign*fdiff) * 1e6) AS BIGINT) END AS dcmag_err_e6
 FROM f
 """
 
@@ -701,7 +709,7 @@ def q_ev_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return j.select(
         "event_id",
-        F.round(band_mean, 6).alias("band_mean"),
+        e6(band_mean, "band_mean_e6"),
         (F.col("v") > band_mean).alias("rising"),
     )
 
@@ -713,7 +721,7 @@ WITH ev AS (
   FROM events
 )
 SELECT event_id,
-       round(CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w, 6) AS band_mean,
+       CAST(round(CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w * 1e6) AS BIGINT) AS band_mean_e6,
        (CAST(v AS DOUBLE)
         > CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w) AS rising
 FROM ev

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tables import load_events
-from . import QuerySpec
+from . import QuerySpec, e6
 
 # Shared oracle fragment: events with epoch-us timestamp and json k.
 EV_SQL = (
@@ -216,7 +216,8 @@ def f_orphan_grb(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = frame.filter(get_filter("ztf.orphan_grb").builder(frame))
     return sel.select(
         "user_id",
-        F.round("jd", 6).alias("jd"),
+        # hash-stability: e6 integer micro-units (queries/__init__.e6)
+        e6("jd", "jd_e6"),
         F.element_at("cmagpsf", -1).alias("last_mag"),
     )
 
@@ -253,7 +254,7 @@ a AS (
          count(CASE WHEN fid = 2 THEN 1 END) AS r_n
   FROM h GROUP BY user_id
 )
-SELECT user_id, round(jd, 6) AS jd, m_last AS last_mag
+SELECT user_id, CAST(round(jd * 1e6) AS BIGINT) AS jd_e6, m_last AS last_mag
 FROM a
 WHERE (jd - jdstart) <= 30
   AND m_min > 18
@@ -277,8 +278,8 @@ def q_ev_band_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.coalesce(F.col(b), F.lit(-1.0)) for b in BAND_TYPES]
     return stats.select(
         "user_id",
-        F.round(F.greatest(*cols), 6).alias("max_band_mean"),
-        F.round(F.least(*cols), 6).alias("min_band_mean"),
+        e6(F.greatest(*cols), "max_band_mean_e6"),
+        e6(F.least(*cols), "min_band_mean_e6"),
     )
 
 
@@ -298,8 +299,8 @@ p AS (
   FROM m GROUP BY user_id
 )
 SELECT user_id,
-       round(greatest(c, vw, pu, s, e), 6) AS max_band_mean,
-       round(least(c, vw, pu, s, e), 6) AS min_band_mean
+       CAST(round(greatest(c, vw, pu, s, e) * 1e6) AS BIGINT) AS max_band_mean_e6,
+       CAST(round(least(c, vw, pu, s, e) * 1e6) AS BIGINT) AS min_band_mean_e6
 FROM p
 """
 

@@ -184,10 +184,10 @@ j AS (
   FROM f, lvl
 )
 SELECT source, n_tokens, cap,
-       round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
-                  ELSE least(CAST(cap AS DOUBLE), u) END, 6) AS alloc_tokens,
-       round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
-                  ELSE least(CAST(cap AS DOUBLE), u) END / n_tokens, 6) AS epochs
+       CAST(round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                  ELSE least(CAST(cap AS DOUBLE), u) END * 1e6) AS BIGINT) AS alloc_tokens_e6,
+       CAST(round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                  ELSE least(CAST(cap AS DOUBLE), u) END / n_tokens * 1e6) AS BIGINT) AS epochs_e6
 FROM j
 """
 
@@ -290,14 +290,12 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pct").cast("long").alias("pct"),
             F.col("vocab_size").cast("long").alias("vocab_size"),
             "total_tokens",
-            F.round(F.col("cum").cast("double") / F.col("total_tokens"), 6).alias(
-                "covered_frac"
-            ),
-            F.round(
-                (F.col("total_tokens") - F.col("cum")).cast("double")
-                / F.col("total_tokens"),
-                6,
-            ).alias("unk_rate"),
+            # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
+            F.expr("(cum * 1000000L) div total_tokens").cast("long")
+            .alias("covered_ppm"),
+            F.expr("((total_tokens - cum) * 1000000L) div total_tokens")
+            .cast("long")
+            .alias("unk_ppm"),
         )
     )
 
@@ -322,8 +320,8 @@ hit AS (
 SELECT CAST(h.pct AS BIGINT) AS pct,
        CAST(h.vocab_size AS BIGINT) AS vocab_size,
        h.total_tokens,
-       round(CAST(r.cum AS DOUBLE) / h.total_tokens, 6) AS covered_frac,
-       round(CAST(h.total_tokens - r.cum AS DOUBLE) / h.total_tokens, 6) AS unk_rate
+       CAST((r.cum * 1000000) // h.total_tokens AS BIGINT) AS covered_ppm,
+       CAST(((h.total_tokens - r.cum) * 1000000) // h.total_tokens AS BIGINT) AS unk_ppm
 FROM hit h JOIN ranked r ON h.vocab_size = r.rank
 """
 

@@ -208,8 +208,8 @@ _FS_W = {
     f: {lvl: round(_math.log(m / u) * 1_000_000) for lvl, m, u in levels}
     for f, levels in _FS_MU.items()
 }
-FS_UPPER = 10.0   # score >= -> 'match'
-FS_LOWER = 0.0    # score >= -> 'possible_match'; below -> 'non_match'
+FS_UPPER_MICRO = 10_000_000   # w_micro >= -> 'match'
+FS_LOWER_MICRO = 0            # w_micro >= -> 'possible_match'; below
 
 
 def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,14 +253,14 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal_w = F.when(F.col("bal_c_a") == F.col("bal_c_b"), F.lit(w["bal"]["agree"])) \
              .otherwise(F.lit(w["bal"]["disagree"]))
     micro = (name_w + nat_w + seg_w + bal_w).cast("long")
-    score = F.round(micro.cast("double") / 1_000_000, 6)
+    # hash-stability: w_micro IS the score in exact integer micro-log-units;
+    # no derived double column (DESIGN.md "integer micro-units")
     return j.select(
         "id_a", "id_b",
         dist.cast("long").alias("name_dist"),
         micro.alias("w_micro"),
-        score.alias("score"),
-        F.when(score >= FS_UPPER, "match")
-        .when(score >= FS_LOWER, "possible_match")
+        F.when(micro >= FS_UPPER_MICRO, "match")
+        .when(micro >= FS_LOWER_MICRO, "possible_match")
         .otherwise("non_match")
         .alias("verdict"),
     )
@@ -280,10 +280,9 @@ def _fs_sql() -> str:
     return f"""
 WITH {_MATCH_CTES}
 SELECT id_a, id_b, name_dist, w_micro,
-       round(CAST(w_micro AS DOUBLE) / 1000000, 6) AS score,
-       CASE WHEN round(CAST(w_micro AS DOUBLE) / 1000000, 6) >= {FS_UPPER}
+       CASE WHEN w_micro >= {FS_UPPER_MICRO}
                 THEN 'match'
-            WHEN round(CAST(w_micro AS DOUBLE) / 1000000, 6) >= {FS_LOWER}
+            WHEN w_micro >= {FS_LOWER_MICRO}
                 THEN 'possible_match'
             ELSE 'non_match' END AS verdict
 FROM (

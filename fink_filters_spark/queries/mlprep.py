@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.text import FP_MOD, WORD_COMBINE_BASE, combine_word_hashes, word_hashes
 from ..tables import cents, load_table, milli
-from . import QuerySpec
+from . import QuerySpec, e6
 from .dedup import TOKS_SQL, _hash_sql
 
 # ---- equi-depth range boundaries -------------------------------------------
@@ -38,7 +38,8 @@ def pipe_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = li.agg(F.percentile("v", F.lit(probs)).alias("qs"))
     return qs.select(F.posexplode("qs").alias("pos", "bound")).select(
         (F.col("pos") + 1).cast("integer").alias("bucket"),
-        F.round("bound", 6).alias("bound"),
+        # hash-stability: e6 integer micro-units (queries/__init__.e6)
+        e6("bound", "bound_e6"),
     )
 
 
@@ -47,7 +48,7 @@ WITH q AS (
   SELECT quantile_cont(v, [{", ".join(str(i / RANGE_BUCKETS) for i in range(1, RANGE_BUCKETS))}]) AS qs
   FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem)
 )
-SELECT CAST(i AS INTEGER) AS bucket, round(qs[i], 6) AS bound
+SELECT CAST(i AS INTEGER) AS bucket, CAST(round(qs[i] * 1e6) AS BIGINT) AS bound_e6
 FROM q, (SELECT unnest(generate_series(1, {RANGE_BUCKETS - 1})) AS i) g
 """
 
@@ -101,18 +102,18 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot_b))
         .select(
             "wa", "wb", "n_ab",
-            F.round(
+            e6(
                 F.log(F.col("n_ab").cast("double"))
                 + 2 * F.log(F.col("t_uni").cast("double"))
                 - F.log(F.col("t_big").cast("double"))
                 - F.log(F.col("n_a").cast("double"))
                 - F.log(F.col("n_b").cast("double")),
-                6,
-            ).alias("pmi"),
+                "pmi_e6",
+            ),
         )
     )
     return pmi.orderBy(
-        F.col("pmi").desc(), F.col("wa").asc(), F.col("wb").asc()
+        F.col("pmi_e6").desc(), F.col("wa").asc(), F.col("wb").asc()
     ).limit(PMI_TOPK)
 
 
@@ -140,15 +141,15 @@ tot AS (
          (SELECT sum(n_ab) FROM big) AS t_big
 )
 SELECT wa, wb, n_ab,
-       round(ln(CAST(n_ab AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))
+       CAST(round((ln(CAST(n_ab AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))
              - ln(CAST(t_big AS DOUBLE)) - ln(CAST(a.n_w AS DOUBLE))
-             - ln(CAST(b.n_w AS DOUBLE)), 6) AS pmi
+             - ln(CAST(b.n_w AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_e6
 FROM big
 JOIN uni a ON big.wa = a.w
 JOIN uni b ON big.wb = b.w
 CROSS JOIN tot
 WHERE n_ab >= {PMI_MIN_COUNT}
-ORDER BY pmi DESC, wa ASC, wb ASC
+ORDER BY pmi_e6 DESC, wa ASC, wb ASC
 LIMIT {PMI_TOPK}
 """
 
@@ -175,9 +176,7 @@ def pipe_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("avg_chars"),
+        F.expr("(sum(n_chars) * 1000000L) div count(1)").alias("avg_chars_ppm"),
     )
 
 
@@ -188,7 +187,7 @@ def _kfold_sql() -> str:
 SELECT {md5_bucket_sql('doc_id', KFOLD_K)} AS fold,
        count(*) AS n_docs,
        sum(n_chars) AS sum_chars,
-       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+       CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS avg_chars_ppm
 FROM documents
 GROUP BY 1
 """
@@ -212,16 +211,17 @@ def pipe_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "event_type",
         "n_events",
-        F.round(
-            total.cast("double") / (k * F.col("n_events")).cast("double"), 6
-        ).alias("weight"),
+        F.expr(
+            "(sum(n_events) OVER () * 1000000L)"
+            " div (count(1) OVER () * n_events)"
+        ).alias("weight_ppm"),
     )
 
 
 CLASS_WEIGHTS_SQL = """
 SELECT event_type, n_events,
-       round(CAST(sum(n_events) OVER () AS DOUBLE)
-             / CAST(count(*) OVER () * n_events AS DOUBLE), 6) AS weight
+       CAST((sum(n_events) OVER () * 1000000)
+             // (count(*) OVER () * n_events) AS BIGINT) AS weight_ppm
 FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
 """
 
@@ -350,9 +350,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "sum_occ",
-            F.round(
-                F.col("sum_occ").cast("double") / F.col("n_grams").cast("double"), 6
-            ).alias("mean_occ"),
+            F.expr("(sum_occ * 1000000L) div n_grams").alias("mean_occ_ppm"),
         )
     )
 
@@ -374,8 +372,8 @@ c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram)
 SELECT g.doc_id,
        count(*) AS n_grams,
        CAST(sum(c.n_occ) AS BIGINT) AS sum_occ,
-       round(CAST(CAST(sum(c.n_occ) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-           AS mean_occ
+       CAST((CAST(sum(c.n_occ) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+           AS mean_occ_ppm
 FROM g JOIN c ON g.gram = c.gram
 GROUP BY g.doc_id
 """
@@ -405,20 +403,20 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         n.alias("n_dims"),
-        F.round(F.col("__s"), 6).alias("scale"),
-        F.round(sse / n.cast("double") * 1e6, 6).alias("mse_e6"),
+        e6("__s", "scale_e6"),
+        e6(sse / n.cast("double"), "mse_e6"),
     )
 
 
 QUANTIZE_SQL = """
 SELECT vec_id,
        len(e) AS n_dims,
-       round(s, 6) AS scale,
-       round(list_reduce(
+       CAST(round(s * 1e6) AS BIGINT) AS scale_e6,
+       CAST(round(list_reduce(
                list_prepend(CAST(0.0 AS DOUBLE),
                  list_transform(e, x -> (x - round(x * s) / s) * (x - round(x * s) / s))),
                (a, b) -> a + b)
-             / CAST(len(e) AS DOUBLE) * 1e6, 6) AS mse_e6
+             / CAST(len(e) AS DOUBLE) * 1e6) AS BIGINT) AS mse_e6
 FROM (
   SELECT vec_id, e,
          127.0 / list_max(list_transform(e, x -> abs(x))) AS s,
@@ -459,17 +457,23 @@ def pipe_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        F.round((pa - pb) * F.log(pa / pb) * 1e6, 6).alias("psi_term_e6"),
+        # hash-stability: integer-rounded micro-units. The inputs to ln()
+        # are correctly-rounded IEEE quotients (bit-identical in both
+        # engines); libm ln() may differ by ~1 ulp across engines, but the
+        # integer quantum (1e-6 of the raw PSI term) leaves ~1e-13 relative
+        # headroom before a rounding boundary, and the integer tie rule
+        # (half-away-from-zero) is the same in Spark and DuckDB.
+        F.round((pa - pb) * F.log(pa / pb) * 1e6).cast("long").alias("psi_term_e6"),
     )
 
 
 DRIFT_SQL = """
 SELECT event_type, n_a, n_b,
-       round((CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE)
+       CAST(round((CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE)
               - CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE))
              * ln((CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE))
                   / (CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE)))
-             * 1e6, 6) AS psi_term_e6
+             * 1e6) AS BIGINT) AS psi_term_e6
 FROM (
   SELECT event_type,
          sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
@@ -507,7 +511,7 @@ SELECT event_type,
        sum(v) AS val_m_sum,
        min(v) AS val_m_min,
        max(v) AS val_m_max,
-       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS val_m_avg
+       CAST((sum(v) * 1000000) // count(*) AS BIGINT) AS val_m_avg_ppm
 FROM (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v FROM events)
 GROUP BY event_type
 """
@@ -536,9 +540,9 @@ def pipe_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
     z = F.when(
         (F.col("__n") >= 2) & (c > 0),
-        F.round(a * F.sqrt(b) / F.col("__n").cast("double") / F.sqrt(c), 6),
+        e6(a * F.sqrt(b) / F.col("__n").cast("double") / F.sqrt(c), None),
     )
-    return j.select("doc_id", "source", "n_chars", z.alias("z_chars"))
+    return j.select("doc_id", "source", "n_chars", z.alias("z_chars_e6"))
 
 
 STANDARDIZE_SQL = """
@@ -549,11 +553,11 @@ WITH s AS (
 )
 SELECT doc_id, documents.source, n_chars,
        CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 THEN
-         round(CAST(n * n_chars - sx AS DOUBLE)
+         CAST(round(CAST(n * n_chars - sx AS DOUBLE)
                * sqrt(CAST(n * (n - 1) AS DOUBLE))
                / CAST(n AS DOUBLE)
-               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)), 6)
-       END AS z_chars
+               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * 1e6) AS BIGINT)
+       END AS z_chars_e6
 FROM documents JOIN s ON documents.source = s.source
 """
 

@@ -44,12 +44,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_charge_e6"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # hash-stability: exact integer micro-units (DESIGN.md); avg_qty in
+        # ppm of a quantity unit, avg_price in micro-dollars (cents * 1e4)
+        .withColumn("avg_qty_ppm", F.expr("(sum_qty * 1000000L) div count_order"))
         .withColumn(
-            "avg_qty", F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6)
-        )
-        .withColumn(
-            "avg_price",
-            F.round(F.col("sum_base_cents").cast("double") / 100.0 / F.col("count_order"), 6),
+            "avg_price_micro",
+            F.expr("(sum_base_cents * 10000L) div count_order"),
         )
     )
 
@@ -61,8 +61,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(ep_cents * (100 - disc_pct)) AS BIGINT) AS sum_disc_e4,
        CAST(sum(ep_cents * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS sum_charge_e6,
        count(*) AS count_order,
-       round(CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*), 6) AS avg_qty,
-       round(CAST(CAST(sum(ep_cents) AS BIGINT) AS DOUBLE) / 100.0 / count(*), 6) AS avg_price
+       CAST((sum(CAST(l_quantity AS BIGINT)) * 1000000) // count(*) AS BIGINT) AS avg_qty_ppm,
+       CAST((sum(ep_cents) * 10000) // count(*) AS BIGINT) AS avg_price_micro
 FROM (
   SELECT *,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_cents,
@@ -198,7 +198,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("sum_v"),
-        F.round(F.expr("percentile(v, 0.5)"), 6).alias("median_v"),
+        # hash-stability: a median of integers is an integer or exact .5 —
+        # 2*median is an exact BIGINT in every engine (DESIGN.md)
+        (F.expr("percentile(v, 0.5)") * 2).cast("long").alias("median_v_x2"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
@@ -208,7 +210,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_STATS_SQL = """
 SELECT count(*) AS n,
        CAST(sum(v) AS BIGINT) AS sum_v,
-       round(quantile_cont(v, 0.5), 6) AS median_v,
+       CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS median_v_x2,
        min(value) AS min_value,
        max(value) AS max_value,
        count(DISTINCT user_id) AS n_users
@@ -343,17 +345,17 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_e4").alias("total_e4"),
         )
     )
+    # hash-stability: promo share as exact integer ppm (DESIGN.md)
     return agg.withColumn(
-        "promo_share",
-        F.round(F.col("promo_e4").cast("double") * 100.0 / F.col("total_e4").cast("double"), 6),
+        "promo_ppm", F.expr("(promo_e4 * 1000000L) div total_e4")
     )
 
 
 Q14_SQL = """
 SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
        CAST(sum(rev_e4) AS BIGINT) AS total_e4,
-       round(CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_e4 ELSE 0 END) AS BIGINT) AS DOUBLE) * 100.0
-             / CAST(CAST(sum(rev_e4) AS BIGINT) AS DOUBLE), 6) AS promo_share
+       CAST((sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_e4 ELSE 0 END) * 1000000)
+             // sum(rev_e4) AS BIGINT) AS promo_ppm
 FROM (
   SELECT p_type,
          CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4

@@ -347,9 +347,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_e4").alias("total_e4"),
         )
     )
+    # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
     return agg.withColumn(
-        "mkt_share",
-        F.round(F.col("nation_e4").cast("double") / F.col("total_e4").cast("double"), 6),
+        "mkt_share_ppm", F.expr("(nation_e4 * 1000000L) div total_e4")
     )
 
 
@@ -357,8 +357,8 @@ Q8_SQL = f"""
 SELECT o_year,
        CAST(sum(CASE WHEN n_name = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
        CAST(sum(rev_e4) AS BIGINT) AS total_e4,
-       round(CAST(CAST(sum(CASE WHEN n_name = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT) AS DOUBLE)
-             / CAST(CAST(sum(rev_e4) AS BIGINT) AS DOUBLE), 6) AS mkt_share
+       CAST((sum(CASE WHEN n_name = 'NATION_5' THEN rev_e4 ELSE 0 END) * 1000000)
+             // sum(rev_e4) AS BIGINT) AS mkt_share_ppm
 FROM (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, n_name, {_REV_E4} AS rev_e4
   FROM lineitem

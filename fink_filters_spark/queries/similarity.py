@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.similarity import ivf_assign, knn_bruteforce, maxdot_topk, mips_lsh_search
 from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, e6
 from .dedup import QVEC_SQL
 
 N_QUERIES = 20  # vec_id < 20 are the query set
@@ -36,7 +36,12 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return knn_bruteforce(queries, em, k=K, q_id="q_id", q_vec="embedding")
+    # hash-stability: e6 integer micro-units on the hash surface; cosine is
+    # bit-identical in both engines up to rounding (exact-int dot, IEEE
+    # sqrt/div), and INTEGER rounding agrees across engines incl. ties
+    return knn_bruteforce(queries, em, k=K, q_id="q_id", q_vec="embedding").select(
+        "q_id", "neighbor_id", e6("cosine", "cosine_e6"), "rank"
+    )
 
 
 SIM_KNN_SQL = f"""
@@ -50,7 +55,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM p
 )
-SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= {K}
+SELECT q_id, neighbor_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_e6, rank FROM r WHERE rank <= {K}
 """
 
 
@@ -60,7 +65,9 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     return ivf_assign(em, centroids, c_id="vec_id", c_vec="embedding",
-                      cent_id="centroid_id", cent_vec="centroid_vec")
+                      cent_id="centroid_id", cent_vec="centroid_vec").select(
+        "vec_id", "centroid_id", e6("cosine", "cosine_e6")
+    )
 
 
 SIM_IVF_SQL = f"""
@@ -74,7 +81,7 @@ r AS (
          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
   FROM p
 )
-SELECT vec_id, centroid_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+SELECT vec_id, centroid_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_e6 FROM r WHERE rn = 1
 """
 
 
@@ -95,7 +102,9 @@ def q_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = em.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    return ivf_search(queries, em, centroids, k=K, nprobe=NPROBE)
+    return ivf_search(queries, em, centroids, k=K, nprobe=NPROBE).select(
+        "q_id", "neighbor_id", e6("cosine", "cosine_e6"), "rank"
+    )
 
 
 SIM_IVF_SEARCH_SQL = f"""
@@ -133,7 +142,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM pairs
 )
-SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= {K}
+SELECT q_id, neighbor_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_e6, rank FROM r WHERE rank <= {K}
 """
 
 
@@ -153,7 +162,10 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.join(ov, "q_id", "left").select(
         "q_id",
         n_ov.cast("long").alias("n_overlap"),
-        F.round(n_ov.cast("double") / K, 6).alias("recall_at_k"),
+        # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
+        F.expr(f"(CAST(coalesce(n_overlap, 0) AS BIGINT) * 1000000L) div {K}")
+        .cast("long")
+        .alias("recall_ppm"),
     )
 
 
@@ -212,7 +224,7 @@ ov AS (
 )
 SELECT qs.q_id,
        CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-       round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / {K}, 6) AS recall_at_k
+       CAST((CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) * 1000000) // {K} AS BIGINT) AS recall_ppm
 FROM (SELECT DISTINCT q_id FROM bf) qs
 LEFT JOIN ov ON qs.q_id = ov.q_id
 """
@@ -235,7 +247,9 @@ def q_sim_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     planes = sign_planes(N_PLANES, EMB_DIM, seed=0)
-    return lsh_search(queries, em, k=K, planes=planes, band_bits=BAND_BITS)
+    return lsh_search(queries, em, k=K, planes=planes, band_bits=BAND_BITS).select(
+        "q_id", "neighbor_id", e6("cosine", "cosine_e6"), "rank"
+    )
 
 
 def _lsh_oracle_sql() -> str:
@@ -285,7 +299,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM pairs
 )
-SELECT q_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= {K}
+SELECT q_id, neighbor_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_e6, rank FROM r WHERE rank <= {K}
 """
 
 
@@ -496,7 +510,9 @@ def q_sim_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = em.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    return kmeans_lloyd(em, seeds, n_iter=KMEANS_ITER)
+    return kmeans_lloyd(em, seeds, n_iter=KMEANS_ITER).select(
+        "vec_id", "centroid_id", e6("cosine", "cosine_e6")
+    )
 
 
 def _kmeans_oracle_sql(n_iter: int = KMEANS_ITER) -> str:
@@ -541,7 +557,7 @@ def _kmeans_oracle_sql(n_iter: int = KMEANS_ITER) -> str:
     joined = ",\n".join(parts)
     return f"""
 WITH {joined}
-SELECT vec_id, centroid_id, round(cosine, 6) AS cosine FROM (
+SELECT vec_id, centroid_id, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_e6 FROM (
   SELECT q.vec_id, c.centroid_id, {fc} AS cosine,
          row_number() OVER (
            PARTITION BY q.vec_id ORDER BY {fc} DESC, c.centroid_id ASC
@@ -560,7 +576,9 @@ def q_sim_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return maxdot_topk(queries, em, k=K, q_id="q_id", q_vec="embedding")
+    return maxdot_topk(queries, em, k=K, q_id="q_id", q_vec="embedding").select(
+        "q_id", "neighbor_id", "dot_q12", "rank"
+    )
 
 
 SIM_MAXDOT_SQL = f"""
@@ -575,7 +593,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY dq DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM p
 )
-SELECT q_id, neighbor_id, round(CAST(dq AS DOUBLE) / 1000000000000, 6) AS dot, rank
+SELECT q_id, neighbor_id, CAST(dq AS BIGINT) AS dot_q12, rank
 FROM r WHERE rank <= {K}
 """
 
@@ -602,7 +620,9 @@ def q_sim_maxdot_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = sign_planes(MAXDOT_PLANES, EMB_DIM + 1, seed=1)
     return mips_lsh_search(queries, em, k=K, planes=planes,
-                           band_bits=MAXDOT_BAND_BITS)
+                           band_bits=MAXDOT_BAND_BITS).select(
+        "q_id", "neighbor_id", "dot_q12", "rank"
+    )
 
 
 def _maxdot_lsh_oracle_sql() -> str:
@@ -680,7 +700,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY dq DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM scored
 )
-SELECT q_id, neighbor_id, round(CAST(dq AS DOUBLE) / 1000000000000, 6) AS dot, rank
+SELECT q_id, neighbor_id, CAST(dq AS BIGINT) AS dot_q12, rank
 FROM r WHERE rank <= {K}
 """
 
@@ -717,7 +737,7 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("__s", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
-        .select("q_id", "neighbor_id", F.round("__s", 6).alias("rrf"), "rank")
+        .select("q_id", "neighbor_id", e6("__s", "rrf_e6"), "rank")
     )
 
 
@@ -742,7 +762,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
   FROM f
 )
-SELECT q_id, neighbor_id, round(s, 6) AS rrf, rank FROM r WHERE rank <= {K}
+SELECT q_id, neighbor_id, CAST(round(s * 1e6) AS BIGINT) AS rrf_e6, rank FROM r WHERE rank <= {K}
 """
 
 

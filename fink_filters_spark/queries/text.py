@@ -13,7 +13,7 @@ from ..functions.text import (
     char_fingerprint,
 )
 from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, e6
 
 TOKS = lambda: F.split(F.lower(F.trim(F.col("text"))), r"\s+")  # noqa: E731
 
@@ -29,9 +29,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            sum_len.cast("double") / F.size(toks).cast("double"), 6
-        ).alias("mean_word_len"),
+        # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
+        _idiv(sum_len * 1000000, F.size(toks).cast("long")).alias(
+            "mean_word_len_ppm"
+        ),
     )
 
 
@@ -39,8 +40,8 @@ TEXT_STATS_SQL = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       round(CAST(CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS DOUBLE)
-             / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len
+       (CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS BIGINT) * 1000000)
+             // CAST(len(toks) AS BIGINT) AS mean_word_len_ppm
 FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
 """
 
@@ -107,33 +108,49 @@ FROM documents
 """
 
 
-QUALITY_THRESHOLD = 0.35
+QUALITY_THRESHOLD_PPM = 350000
+
+
+def _idiv(a, b):
+    """Exact integer floor-division for non-negative BIGINT Columns:
+    subtracting ``a % b`` makes the numerator an exact multiple of ``b``,
+    so the double division is exact for magnitudes < 2^53 (hash-stability:
+    DESIGN.md "integer micro-units" — no engine-dependent rounding)."""
+    return ((a - a % b) / b).cast("long")
 
 
 def quality_expr():
-    """The composite quality score Column (stopword ratio + punctuation
-    penalty + length credit, fixed weights, round-6) over a frame with
-    ``text`` — the ONE Spark-side definition, shared by the quality query
-    and the curation funnel so the score cannot drift between them."""
+    """The composite quality score Column in exact integer parts-per-million
+    (stopword ratio * 0.5 + punctuation penalty * 0.3 + length credit * 0.2,
+    fixed weights) over a frame with ``text`` — the ONE Spark-side
+    definition, shared by the quality query and the curation funnel so the
+    score cannot drift between them. Pure integer arithmetic end to end, so
+    the value is bit-identical in any engine."""
     toks = TOKS()
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
-    n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
-    stop_ratio = stop_hits.cast("double") / n_tok.cast("double")
-    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
-    punct_ratio = n_punct.cast("double") / F.length("text").cast("double")
-    len_credit = F.least(F.lit(1.0), n_tok.cast("double") / 100.0)
-    return F.round(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + len_credit * 0.2, 6)
+    n_tok = F.size(toks).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*all_stop))).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    ).cast("long")
+    return (
+        _idiv(stop_hits * 500000, n_tok)
+        + F.lit(300000).cast("long")
+        - _idiv(n_punct * 300000, n_chars)
+        + F.least(F.lit(200000).cast("long"), n_tok * 2000)
+    )
 
 
 def quality_sql_expr() -> str:
     """DuckDB mirror of ``quality_expr`` as an expression string over a
-    source providing ``text`` and ``toks``."""
+    source providing ``text`` and ``toks`` (integer ppm; ``//`` truncates
+    toward zero on non-negative ints exactly like the Spark-side _idiv)."""
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     return (
-        f"round(CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5\n"
-        "             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.3\n"
-        "             + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.2, 6)"
+        f"((CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS BIGINT) * 500000) // CAST(len(toks) AS BIGINT)\n"
+        "             + 300000 - (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) * 300000) // CAST(length(text) AS BIGINT)\n"
+        "             + least(200000, CAST(len(toks) AS BIGINT) * 2000))"
     )
 
 
@@ -144,8 +161,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = quality_expr()
     return docs.select(
         "doc_id",
-        quality.alias("quality"),
-        (quality >= QUALITY_THRESHOLD).alias("is_good"),
+        quality.alias("quality_ppm"),
+        (quality >= QUALITY_THRESHOLD_PPM).alias("is_good"),
     )
 
 
@@ -153,8 +170,8 @@ def _quality_sql() -> str:
     qe = quality_sql_expr()
     return f"""
 SELECT doc_id,
-       {qe} AS quality,
-       {qe} >= {QUALITY_THRESHOLD} AS is_good
+       {qe} AS quality_ppm,
+       {qe} >= {QUALITY_THRESHOLD_PPM} AS is_good
 FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
 """
 
@@ -206,19 +223,19 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
-            "score",
-            F.round(
+            "score_e6",
+            e6(
                 F.col("tf").cast("double")
                 * F.log(F.col("__n") / F.col("df_t").cast("double")),
-                6,
+                None,
             ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf", "df_t", "score", "rn")
+        .select("doc_id", "term", "tf", "df_t", "score_e6", "rn")
     )
 
 
@@ -234,15 +251,15 @@ tf AS (
 df_t AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
 scored AS (
   SELECT doc_id, tf.term, tf, df_t,
-         round(CAST(tf AS DOUBLE) *
-               ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / CAST(df_t AS DOUBLE)), 6)
-           AS score
+         CAST(round(CAST(tf AS DOUBLE) *
+               ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / CAST(df_t AS DOUBLE)) * 1e6) AS BIGINT)
+           AS score_e6
   FROM tf JOIN df_t ON tf.term = df_t.term
 )
-SELECT doc_id, term, tf, df_t, score,
+SELECT doc_id, term, tf, df_t, score_e6,
        CAST(rn AS INTEGER) AS rn
 FROM (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rn
   FROM scored
 )
 WHERE rn <= 3
@@ -307,7 +324,9 @@ def q_text_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < SPARSE_COS_MAX_ID
     )
-    return sparse_cosine_pairs(docs, "doc_id", "text", tau=SPARSE_COS_TAU)
+    return sparse_cosine_pairs(docs, "doc_id", "text", tau=SPARSE_COS_TAU).select(
+        "id_a", "id_b", e6("cosine", "cosine_e6")
+    )
 
 
 def _sparse_cosine_sql() -> str:
@@ -336,7 +355,7 @@ dot AS (
   FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+SELECT id_a, id_b, CAST(round(c * 1e6) AS BIGINT) AS cosine_e6 FROM (
   SELECT id_a, id_b,
          CASE WHEN na.nn > 0 AND nb.nn > 0 THEN
            CAST(d AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE)) / sqrt(CAST(nb.nn AS DOUBLE))
@@ -406,20 +425,20 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce as _reduce
     from operator import add as _add
 
-    score = F.round(_reduce(_add, contribs), 6)
+    score = e6(_reduce(_add, contribs), None)
     scored = (
         per_doc.crossJoin(F.broadcast(stats))
-        .withColumn("score", score)
-        .filter(F.col("score") > 0)
+        .withColumn("score_e6", score)
+        .filter(F.col("score_e6") > 0)
     )
     # top-k via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
     # no global-sort shuffle); the rank window then runs on <= TOPK rows
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    top = scored.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
     return top.select(
         "doc_id",
         "dl",
-        "score",
+        "score_e6",
         F.row_number().over(w).cast("long").alias("rank"),
     )
 
@@ -453,13 +472,13 @@ stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {dfs} FROM per_doc
 ),
 scored AS (
-  SELECT doc_id, dl, round({contribs}, 6) AS score
+  SELECT doc_id, dl, CAST(round(({contribs}) * 1e6) AS BIGINT) AS score_e6
   FROM per_doc CROSS JOIN stats
 )
-SELECT doc_id, dl, score, CAST(rank AS BIGINT) AS rank
+SELECT doc_id, dl, score_e6, CAST(rank AS BIGINT) AS rank
 FROM (
-  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scored WHERE score > 0
+  SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank
+  FROM scored WHERE score_e6 > 0
 )
 WHERE rank <= {BM25_TOPK}
 """

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.arrays import linfit_r2, linfit_slope
 from ..tables import load_events
-from . import QuerySpec
+from . import QuerySpec, e6
 
 US_PER_HOUR = 3_600_000_000
 
@@ -81,12 +81,13 @@ def ts_rate_last2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pivoted.filter(F.col("npts") == 2).select(
         "user_id",
-        F.round(
+        # hash-stability: e6 integer micro-units (queries/__init__.e6)
+        e6(
             (F.col("v1") - F.col("v2")).cast("double")
             * F.lit(float(US_PER_HOUR))
             / (F.col("t1") - F.col("t2")).cast("double"),
-            6,
-        ).alias("rate_per_hour"),
+            "rate_per_hour_e6",
+        ),
     )
 
 
@@ -105,7 +106,7 @@ WITH r AS (
   FROM r WHERE rn <= 2 GROUP BY user_id
 )
 SELECT user_id,
-       round(CAST(v1 - v2 AS DOUBLE) * {US_PER_HOUR}.0 / CAST(t1 - t2 AS DOUBLE), 6) AS rate_per_hour
+       CAST(round(CAST(v1 - v2 AS DOUBLE) * {US_PER_HOUR}.0 / CAST(t1 - t2 AS DOUBLE) * 1e6) AS BIGINT) AS rate_per_hour_e6
 FROM p WHERE npts = 2
 """
 
@@ -138,15 +139,15 @@ def ts_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "user_id",
         F.col("n").cast("long").alias("n"),
-        F.when(den_x != 0, F.round(cov.cast("double") / den_x.cast("double"), 6)).alias("slope"),
+        F.when(den_x != 0, e6(cov.cast("double") / den_x.cast("double"), None)).alias("slope_e6"),
         F.when(
             (den_x != 0) & (den_y != 0),
-            F.round(
+            e6(
                 cov.cast("double") * cov.cast("double")
                 / (den_x.cast("double") * den_y.cast("double")),
-                6,
+                None,
             ),
-        ).alias("r2"),
+        ).alias("r2_e6"),
     )
 
 
@@ -166,10 +167,10 @@ s AS (
 )
 SELECT user_id, n,
        CASE WHEN n*sxx - sx*sx != 0
-            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope,
+            THEN CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * 1e6) AS BIGINT) END AS slope_e6,
        CASE WHEN n*sxx - sx*sx != 0 AND n*syy - sy*sy != 0
-            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
-                       / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) END AS r2
+            THEN CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) * 1e6) AS BIGINT) END AS r2_e6
 FROM s
 """
 
@@ -194,14 +195,14 @@ def ts_hist_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vs, -1).alias("last_v"),
         F.element_at(vs, 1).alias("first_v"),
         (F.element_at(ts, -1) - F.element_at(ts, -2)).alias("gap_last2_us"),
-        F.round(
+        e6(
             (F.element_at(vs, -1) - F.element_at(vs, -2)).cast("double")
             * F.lit(float(US_PER_HOUR))
             / (F.element_at(ts, -1) - F.element_at(ts, -2)).cast("double"),
-            6,
-        ).alias("rate_per_hour"),
-        F.round(linfit_slope(xh, vs), 6).alias("slope"),
-        F.round(linfit_r2(xh, vs), 6).alias("r2"),
+            "rate_per_hour_e6",
+        ),
+        e6(linfit_slope(xh, vs), "slope_e6"),
+        e6(linfit_r2(xh, vs), "r2_e6"),
     )
 
 
@@ -235,12 +236,12 @@ l AS (
 )
 SELECT s.user_id, n, last_v, first_v,
        l.t1 - l.t2 AS gap_last2_us,
-       round(CAST(l.v1 - l.v2 AS DOUBLE) * {US_PER_HOUR}.0 / CAST(l.t1 - l.t2 AS DOUBLE), 6) AS rate_per_hour,
+       CAST(round(CAST(l.v1 - l.v2 AS DOUBLE) * {US_PER_HOUR}.0 / CAST(l.t1 - l.t2 AS DOUBLE) * 1e6) AS BIGINT) AS rate_per_hour_e6,
        CASE WHEN n*sxx - sx*sx != 0
-            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope,
+            THEN CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * 1e6) AS BIGINT) END AS slope_e6,
        CASE WHEN n*sxx - sx*sx != 0 AND n*syy - sy*sy != 0
-            THEN round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
-                       / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) END AS r2
+            THEN CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) * 1e6) AS BIGINT) END AS r2_e6
 FROM s JOIN l USING (user_id)
 """
 
@@ -508,14 +509,15 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in RETENTION_OFFSETS:
         aggs.append(F.sum(f"__r{d}").alias(f"d{d}_retained"))
     out = prof.groupBy("cohort_day").agg(*aggs)
+    # Rates as exact integer parts-per-million: floor((retained*1e6)/n) in
+    # 64-bit integer arithmetic is bit-identical in every engine, unlike
+    # round(double-ratio, 6) which can split by one ulp between Spark's
+    # BigDecimal HALF_UP and a DuckDB build's double-path round()
+    # (DESIGN.md, "integer micro-units" convention).
     for d in RETENTION_OFFSETS:
         out = out.withColumn(
-            f"d{d}_rate",
-            F.round(
-                F.col(f"d{d}_retained").cast("double")
-                / F.col("n_users").cast("double"),
-                6,
-            ),
+            f"d{d}_rate_ppm",
+            F.expr(f"(d{d}_retained * 1000000L) div n_users").cast("long"),
         )
     return out
 
@@ -536,8 +538,8 @@ SELECT cohort_day,
        count(*) AS n_users,
        sum(r1) AS d1_retained,
        sum(r7) AS d7_retained,
-       round(CAST(sum(r1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS d1_rate,
-       round(CAST(sum(r7) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS d7_rate
+       CAST((sum(r1) * 1000000) // count(*) AS BIGINT) AS d1_rate_ppm,
+       CAST((sum(r7) * 1000000) // count(*) AS BIGINT) AS d7_rate_ppm
 FROM p GROUP BY cohort_day
 """
 
@@ -557,7 +559,7 @@ def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical (t, event_id)-sorted sequence of exact milli-unit
     integers, and with a dyadic alpha ({EMA_ALPHA}) each step is two IEEE
     multiplies and one add in the same order: bit-identical doubles,
-    rounded to 6dp at the edge anyway.
+    emitted as e6 integer micro-units at the edge (hash-stability).
 
     Scale: one shuffle on user_id; per-key history rides as one array
     (same bounded-state argument as ts_hist_array — at 100 TB the key
@@ -579,7 +581,7 @@ def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id",
         F.size("__h").cast("long").alias("n_events"),
-        F.round(ema, 6).alias("ema_milli"),
+        e6(ema, "ema_milli_e6"),
         F.element_at(vals, -1).alias("last_milli"),
     )
 
@@ -587,8 +589,8 @@ def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 W_EMA_SQL = f"""
 SELECT user_id,
        CAST(len(l) AS BIGINT) AS n_events,
-       round(list_reduce(l, (acc, x) -> x * {EMA_ALPHA} + acc * {1.0 - EMA_ALPHA}),
-             6) AS ema_milli,
+       CAST(round(list_reduce(l, (acc, x) -> x * {EMA_ALPHA} + acc * {1.0 - EMA_ALPHA})
+             * 1e6) AS BIGINT) AS ema_milli_e6,
        l[-1] AS last_milli
 FROM (
   SELECT user_id,

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.astro import _D2R, _R2D
 from ..operators.crossmatch import crossmatch
 from ..tables import load_table
-from . import QuerySpec
+from . import QuerySpec, e6
 
 # Deterministic pseudo-coordinates (integer ops -> exact /100.0).
 PTS_SQL = (
@@ -72,7 +72,8 @@ def xmatch_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
         radius_deg=2.0, df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
         tiebreak="s_suppkey",
     )
-    return res.select("event_id", "s_name", F.round("sep_deg", 6).alias("sep_deg"))
+    # hash-stability: e6 integer micro-units (queries/__init__.e6)
+    return res.select("event_id", "s_name", e6("sep_deg", "sep_e6"))
 
 
 XMATCH_CONE_SQL = f"""
@@ -85,7 +86,7 @@ m AS (
   SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY sep_deg, s_suppkey) AS rn
   FROM pairs WHERE sep_deg < 2.0
 )
-SELECT event_id, s_name, round(sep_deg, 6) AS sep_deg FROM m WHERE rn = 1
+SELECT event_id, s_name, CAST(round(sep_deg * 1e6) AS BIGINT) AS sep_e6 FROM m WHERE rn = 1
 """
 
 
@@ -98,7 +99,7 @@ def xmatch_variable_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
         tiebreak="s_suppkey",
     )
-    return res.select("event_id", "s_suppkey", F.round("sep_deg", 6).alias("sep_deg"))
+    return res.select("event_id", "s_suppkey", e6("sep_deg", "sep_e6"))
 
 
 XMATCH_VAR_SQL = f"""
@@ -111,7 +112,7 @@ m AS (
   SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY sep_deg, s_suppkey) AS rn
   FROM pairs WHERE sep_deg < cradius
 )
-SELECT event_id, s_suppkey, round(sep_deg, 6) AS sep_deg FROM m WHERE rn = 1
+SELECT event_id, s_suppkey, CAST(round(sep_deg * 1e6) AS BIGINT) AS sep_e6 FROM m WHERE rn = 1
 """
 
 
@@ -174,10 +175,11 @@ def astro_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _pts(spark, sf_dir)
     return pts.select(
         "event_id",
-        F.round(gal_b("ra", "dec"), 6).alias("gal_b"),
-        F.round(ecl_lat("ra", "dec"), 6).alias("ecl_lat"),
-        F.round(sky_sep(F.col("ra"), F.col("dec"), F.lit(180.0), F.lit(0.0)), 6).alias(
-            "sep_from_origin"
+        e6(gal_b("ra", "dec"), "gal_b_e6"),
+        e6(ecl_lat("ra", "dec"), "ecl_lat_e6"),
+        e6(
+            sky_sep(F.col("ra"), F.col("dec"), F.lit(180.0), F.lit(0.0)),
+            "sep_from_origin_e6",
         ),
     )
 
@@ -206,9 +208,9 @@ def _astro_sql() -> str:
     return f"""
 WITH pts AS ({PTS_SQL})
 SELECT event_id,
-       round({galb}, 6) AS gal_b,
-       round({ecl}, 6) AS ecl_lat,
-       round({sep}, 6) AS sep_from_origin
+       CAST(round(({galb}) * 1e6) AS BIGINT) AS gal_b_e6,
+       CAST(round(({ecl}) * 1e6) AS BIGINT) AS ecl_lat_e6,
+       CAST(round(({sep}) * 1e6) AS BIGINT) AS sep_from_origin_e6
 FROM pts
 """
 

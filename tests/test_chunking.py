@@ -90,12 +90,14 @@ def test_unimax_water_fill_invariants(spark):
         r.source: r
         for r in unimax_allocation(per, "source", "n_tok", 2000, 4).collect()
     }
-    assert out["tiny"].alloc_tokens == 40.0 and out["tiny"].epochs == 4.0
-    assert out["small"].alloc_tokens == 200.0 and out["small"].epochs == 4.0
+    assert out["tiny"].alloc_tokens_e6 == 40_000_000
+    assert out["tiny"].epochs_e6 == 4_000_000
+    assert out["small"].alloc_tokens_e6 == 200_000_000
+    assert out["small"].epochs_e6 == 4_000_000
     # remaining 1760 split evenly between big and huge
-    assert out["big"].alloc_tokens == out["huge"].alloc_tokens == 880.0
-    assert sum(r.alloc_tokens for r in out.values()) == 2000.0
-    assert all(r.epochs <= 4.0 for r in out.values())
+    assert out["big"].alloc_tokens_e6 == out["huge"].alloc_tokens_e6 == 880_000_000
+    assert sum(r.alloc_tokens_e6 for r in out.values()) == 2_000_000_000
+    assert all(r.epochs_e6 <= 4_000_000 for r in out.values())
 
 
 def test_unimax_budget_exceeds_caps(spark):
@@ -108,7 +110,8 @@ def test_unimax_budget_exceeds_caps(spark):
         r.source: r
         for r in unimax_allocation(per, "source", "n_tok", 10_000, 4).collect()
     }
-    assert out["a"].alloc_tokens == 40.0 and out["b"].alloc_tokens == 80.0
+    assert out["a"].alloc_tokens_e6 == 40_000_000
+    assert out["b"].alloc_tokens_e6 == 80_000_000
 
 
 def test_zorder_feeds_range_partitioning(spark):

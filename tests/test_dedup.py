@@ -576,5 +576,5 @@ def test_split_leakage_flags_known_clone(spark):
         out = {r["test_id"]: r for r in dq.q_dedup_split_leakage(spark, "x").collect()}
     assert set(out) == {8}
     assert out[8]["best_train_id"] == 10
-    assert out[8]["best_jaccard"] == pytest.approx(1.0)
+    assert out[8]["best_jaccard_e6"] == 1000000
     assert out[8]["n_train_dups"] == 2  # ids 10 and 20 both >= tau

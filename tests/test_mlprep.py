@@ -24,7 +24,7 @@ def test_kfold_partitions_all_docs(spark, docs_count):
     assert {r["fold"] for r in rows} <= set(range(KFOLD_K))
     assert sum(r["n_docs"] for r in rows) == docs_count
     for r in rows:
-        assert abs(r["avg_chars"] - r["sum_chars"] / r["n_docs"]) < 1e-5
+        assert r["avg_chars_ppm"] == r["sum_chars"] * 1000000 // r["n_docs"]
 
 
 def test_class_weights_balanced_formula(spark):
@@ -34,9 +34,9 @@ def test_class_weights_balanced_formula(spark):
     total = sum(r["n_events"] for r in rows)
     k = len(rows)
     for r in rows:
-        assert r["weight"] == pytest.approx(total / (k * r["n_events"]), abs=1e-5)
+        assert r["weight_ppm"] == total * 1000000 // (k * r["n_events"])
     # weighted event mass is uniform across classes by construction
-    masses = [r["n_events"] * r["weight"] for r in rows]
+    masses = [r["n_events"] * r["weight_ppm"] / 1e6 for r in rows]
     assert max(masses) - min(masses) < 1e-2
 
 
@@ -70,10 +70,12 @@ def test_quantize_int8_error_bound(spark):
     rows = sim_quantize_int8(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert r["scale"] > 0
-        # per-dim |err| <= 0.5/scale  =>  mse <= (0.5/scale)^2
-        bound_e6 = (0.5 / r["scale"]) ** 2 * 1e6
-        assert 0 <= r["mse_e6"] <= bound_e6 + 1e-6
+        assert r["scale_e6"] > 0
+        scale = r["scale_e6"] / 1e6
+        # per-dim |err| <= 0.5/scale  =>  mse <= (0.5/scale)^2 (+1 for the
+        # integer rounding of both scale_e6 and mse_e6)
+        bound_e6 = (0.5 / scale) ** 2 * 1e6
+        assert 0 <= r["mse_e6"] <= bound_e6 + 1
 
 
 def test_incremental_merge_handles_disjoint_and_overlapping_keys(spark):
@@ -98,7 +100,7 @@ def test_incremental_merge_handles_disjoint_and_overlapping_keys(spark):
     assert got["x"]["v_count"] == 2 and got["x"]["v_sum"] == 4
     assert got["x"]["v_min"] == 1 and got["x"]["v_max"] == 3
     assert got["y"]["v_count"] == 2 and got["y"]["v_sum"] == 30  # overlapping key
-    assert got["z"]["v_count"] == 1 and got["z"]["v_avg"] == 5.0  # disjoint key
+    assert got["z"]["v_count"] == 1 and got["z"]["v_avg_ppm"] == 5_000_000  # disjoint
     # merge of partials == one-shot aggregate over the union
     oneshot = finalize(partial_state(a.unionByName(b), ["k"], m), ["k"])
     assert {tuple(r) for r in oneshot.collect()} == {tuple(r) for r in merged.collect()}

@@ -1399,7 +1399,7 @@ def test_source_cap_and_outlier_mad_shapes(spark):
 
     with mock.patch.object(cur, "load_table", lambda s, d, t: toy):
         prof = pipe_outlier_mad(spark, "ignored").collect()
-    assert len(prof) == 1 and prof[0].n_outliers == 1 and prof[0].med_chars == 100.0
+    assert len(prof) == 1 and prof[0].n_outliers == 1 and prof[0].med_chars_x2 == 200
 
 
 def test_mips_lsh_recall_floor(spark):
@@ -1494,4 +1494,4 @@ def test_retention_cohorts_toy(spark):
         out = {r.cohort_day: r for r in ev_retention_cohorts(spark, "x").collect()}
     assert out[0].n_users == 2 and out[0].d1_retained == 1 and out[0].d7_retained == 1
     assert out[1].n_users == 1 and out[1].d1_retained == 1 and out[1].d7_retained == 0
-    assert abs(out[0].d1_rate - 0.5) < 1e-9
+    assert out[0].d1_rate_ppm == 500000 and out[1].d1_rate_ppm == 1000000

@@ -467,4 +467,4 @@ def test_nightly_state_update_is_rerun_safe_and_merges(spark, tmp_path):
     }
     assert got["a"]["flux_count"] == 2 and got["a"]["flux_sum"] == 3
     assert got["b"]["flux_sum"] == 30 and got["b"]["flux_min"] == 10
-    assert got["c"]["flux_avg"] == 5.0
+    assert got["c"]["flux_avg_ppm"] == 5_000_000

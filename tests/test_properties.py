@@ -601,8 +601,8 @@ def test_outlier_mad_matches_numpy_property(spark, chars):
     med = np.median(arr)
     mad = np.median(np.abs(arr - med))
     n_out = int((np.round(np.abs(arr - med) * 1e6) > np.round(mad * 3e6)).sum())
-    assert r.med_chars == pytest.approx(med, abs=1e-6)
-    assert r.mad_chars == pytest.approx(mad, abs=1e-6)
+    assert r.med_chars_x2 == int(round(med * 2))
+    assert r.mad_chars_x2 == int(round(mad * 2))
     assert r.n_outliers == n_out and r.n_docs == len(chars)
 
 
@@ -630,13 +630,14 @@ def test_ema_matches_python_fold_property(spark, vs):
     ema = seq[0]
     for x in seq[1:]:
         ema = x * 0.25 + ema * 0.75
-    # Spark's round() is BigDecimal(double) HALF_UP — python's round() is
-    # half-EVEN and disagrees on exact dyadic ties (e.g. ema = m/2^7 puts
-    # .5 exactly at the 6th decimal; hypothesis found one). Decimal(float)
-    # converts the binary value exactly, so this matches Spark bit-for-bit.
+    # e6 integer micro-units: Spark's integer round() is BigDecimal(double)
+    # HALF_UP = half-away-from-zero — python's round() is half-EVEN and
+    # disagrees on exact dyadic ties (e.g. ema = m/2^7; hypothesis found
+    # one). Decimal(float) converts the binary value exactly, so this
+    # matches Spark bit-for-bit.
     from decimal import ROUND_HALF_UP, Decimal
 
-    want = float(Decimal(ema).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    want = int(Decimal(ema * 1e6).quantize(Decimal("1"), ROUND_HALF_UP))
     assert r.n_events == len(vs)
-    assert r.ema_milli == pytest.approx(want, abs=0)
+    assert r.ema_milli_e6 == want
     assert r.last_milli == seq[-1]

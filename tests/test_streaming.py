@@ -433,7 +433,7 @@ def test_incremental_state_sink_matches_batch_aggregate(spark, tmp_path):
         for r in finalize(read_state(spark, state, ["k"]), ["k"]).collect()
     }
     assert got["a"] == {"k": "a", "v_count": 2, "v_sum": 3, "v_min": 1,
-                        "v_max": 2, "v_avg": 1.5}
+                        "v_max": 2, "v_avg_ppm": 1_500_000}
     assert got["b"]["v_count"] == 2 and got["b"]["v_sum"] == 30
     assert got["c"]["v_sum"] == 5
 

@@ -113,10 +113,13 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_session("stress_docs100")
-    try:
-        _run(spark, entry)
-    finally:
+    # DST is kept across clean runs so build()'s _SUCCESS reuse branch is
+    # reachable (a crash leaves no _SUCCESS, so a partial build is rebuilt
+    # from scratch on the next invocation anyway); pass --fresh to force a
+    # rebuild
+    if "--fresh" in sys.argv:
         shutil.rmtree(DST, ignore_errors=True)
+    _run(spark, entry)
 
 
 def _run(spark, entry) -> None:
