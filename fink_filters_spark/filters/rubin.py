@@ -1,12 +1,27 @@
 """Rubin/LSST blocks and topics (SURVEY §2.C C36-C38) as composable Column
 expressions — the Spark-native version of ``rubin/blocks.py``'s reusable
-boolean blocks.
+boolean blocks, replicated block-by-block against the reference
+(``fink_filters/rubin/blocks.py``, ``rubin/utils.py``, and each
+``rubin/livestream/filter_*/filter.py``) on its REAL alert layout
+(``datatest/rubin_test_data_10_0.parquet``).
 
-Column model: flattened ``diaSource.*`` leaves (psfFlux, psfFluxErr, snr,
-band, midpointMjdTai, diaSourceId, ra, dec, 16 pixel/psf quality flags),
-``diaObject.*`` per-band running statistics ({band}_psfFluxMean etc. —
-F6's struct-carried state), crossmatch struct ``xm.*`` leaves, and
-classifier scores ``clf.*``.
+Column model (what ``schemas.flatten_rubin`` produces from a real alert):
+``diaSource.*`` leaves unprefixed (psfFlux, psfFluxErr, snr, band,
+midpointMjdTai, ra, dec, the 16 quality-mask flags, isNegative, …),
+``diaObject.*`` per-band running statistics unprefixed
+({band}_psfFluxMean/MeanErr/Max/Min/Ndata, nDiaSources — F6's
+struct-carried state), ``misc.*`` Fink-added leaves unprefixed
+(firstDiaSourceMjdTaiFink), ``pred.is_sso`` as is_sso, crossmatch leaves
+as ``xm_<field>`` (xm_simbad_otype, xm_gaiadr3_Plx, xm_vsx_Type,
+xm_mangrove_lum_dist, xm_legacydr8_zphot, …), classifier scores as
+``clf_<field>`` (clf_snnSnVsOthers_score, clf_cats_class, clf_cats_score,
+clf_earlySNIa_score, clf_elephant_kstest_template).
+
+NULL semantics: the reference evaluates blocks in pandas, where a
+comparison against NaN/None yields False; each block therefore wraps its
+raw predicate in ``coalesce(expr, false)`` (``_f``) so a missing
+crossmatch or per-band statistic behaves exactly like the reference —
+never a three-valued NULL that silently drops through an outer negation.
 """
 
 from __future__ import annotations
@@ -15,239 +30,377 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.astro import flux2mag, gal_b
 from .registry import register
+from .ztf import EG_HOST_CLASSES
 
-QUALITY_FLAGS = [
+# blocks.py:29 — values treated as "no match" in string crossmatch columns
+# (None/NaN are handled via explicit isNull branches below).
+BAD_VALUES = ["Unknown", "Fail", "Fail 504"]
+
+# blocks.py:372-418 b_good_quality: the exact 16-flag mask (NOT the
+# centered/suspect variants — those are deliberately absent from the
+# reference's mask).
+QUALITY_MASK_FLAGS = [
+    "isDipole",
+    "pixelFlags",
     "pixelFlags_bad",
-    "pixelFlags_cr",
-    "pixelFlags_crCenter",
-    "pixelFlags_edge",
-    "pixelFlags_interpolatedCenter",
-    "pixelFlags_nodataCenter",
     "pixelFlags_saturated",
-    "pixelFlags_saturatedCenter",
-    "pixelFlags_suspect",
-    "pixelFlags_suspectCenter",
-    "centroid_flag",
-    "apFlux_flag",
-    "apFlux_flag_apertureTruncated",
-    "isNegative",
+    "pixelFlags_streakCenter",
+    "pixelFlags_interpolated",
+    "pixelFlags_cr",
+    "pixelFlags_nodata",
+    "pixelFlags_streak",
+    "pixelFlags_edge",
     "psfFlux_flag",
-    "psfFlux_flag_noGoodPixels",
+    "apFlux_flag",
+    "forced_PsfFlux_flag",
+    "forced_PsfFlux_flag_edge",
+    "shape_flag",
+    "centroid_flag",
 ]
 
 BANDS = ["u", "g", "r", "i", "z", "y"]
 
 
+def _f(expr: Column) -> Column:
+    """pandas NaN-comparison semantics: NULL -> False (see module doc)."""
+    return F.coalesce(expr, F.lit(False))
+
+
+def _d(col: str) -> Column:
+    """Read a possibly-missing double column with pandas semantics: Spark
+    orders NaN ABOVE every value (NaN > x is true), pandas yields False —
+    nanvl folds NaN to NULL so downstream comparisons go NULL -> _f False."""
+    return F.nanvl(F.col(col), F.lit(None))
+
+
 # ---- blocks (C36, rubin/blocks.py:32-418) -----------------------------------
 
 def b_is_solar_system(df: DataFrame) -> Column:
-    """blocks.py: ssSource association present."""
-    return F.col("is_sso")
+    """blocks.py:32-47: pred.is_sso passthrough."""
+    return _f(F.col("is_sso"))
 
 
 def b_outside_galactic_plane(df: DataFrame, deg: float) -> Column:
-    """blocks.py:70-75: |galactic b| > deg (native trig, no astropy)."""
-    return F.abs(gal_b("ra", "dec")) > deg
+    """blocks.py:50-103 (_20_deg / _5_deg): |galactic b| > deg, computed
+    natively (no astropy) from diaSource ra/dec."""
+    return _f(F.abs(gal_b("ra", "dec")) > deg)
 
 
 def b_xmatched_simbad_galaxy(df: DataFrame) -> Column:
-    return F.col("xm_simbad_otype").isin(
-        "Galaxy", "EmG", "Seyfert_1", "Seyfert_2", "AGN", "QSO", "RadioG", "LINER"
-    )
+    """blocks.py:106-127: simbad_otype in fink-utils' extragalactic-host
+    allowlist (vendored as EG_HOST_CLASSES, filters/ztf.py:26)."""
+    return _f(F.col("xm_simbad_otype").isin(EG_HOST_CLASSES))
 
 
 def b_xmatched_simbad_unknown(df: DataFrame) -> Column:
-    return F.col("xm_simbad_otype").isNull() | (F.col("xm_simbad_otype") == "Unknown")
+    """blocks.py:130-151: simbad_otype in BAD_VALUES (None/NaN included)."""
+    return F.col("xm_simbad_otype").isNull() | F.col("xm_simbad_otype").isin(
+        BAD_VALUES
+    )
 
 
 def b_xmatched_mangrove(df: DataFrame) -> Column:
-    return F.col("xm_mangrove_name").isNotNull()
+    """blocks.py:154-175: mangrove_lum_dist > 0 (NaN -> False)."""
+    return _f(_d("xm_mangrove_lum_dist") > 0)
 
 
 def b_xmatched_gaia_star(df: DataFrame) -> Column:
-    """blocks.py: significant Gaia parallax => star (Plx/e_Plx > 5)."""
-    return (F.col("xm_gaia_plx") / F.col("xm_gaia_e_plx")) > 5
+    """blocks.py:178-210: named in Gaia DR3 AND significant parallax
+    (Plx/e_Plx > 5); a NaN parallax ratio is False, as in pandas."""
+    named = F.col("xm_gaiadr3_DR3Name").isNotNull() & ~F.col(
+        "xm_gaiadr3_DR3Name"
+    ).isin(BAD_VALUES)
+    return named & _f(_d("xm_gaiadr3_Plx") / _d("xm_gaiadr3_e_Plx") > 5)
+
+
+def b_xmatched_vsx_star(df: DataFrame) -> Column:
+    """blocks.py:213-235: vsx_Type in fink-utils' stellar class list.
+    Offline approximation: ANY VSX match counts as stellar — the public
+    fink-utils stellar list covers the overwhelming majority of VSX
+    variability classes, and the nonstellar remainder is not separable
+    without the package."""
+    return F.col("xm_vsx_Type").isNotNull() & ~F.col("xm_vsx_Type").isin(
+        BAD_VALUES
+    )
 
 
 def b_xmatched_vsx(df: DataFrame) -> Column:
-    return F.col("xm_vsx_type").isNotNull()
+    """blocks.py:238-259: stellar + nonstellar == any catalogued VSX type."""
+    return F.col("xm_vsx_Type").isNotNull() & ~F.col("xm_vsx_Type").isin(
+        BAD_VALUES
+    )
 
 
 def _band_stat(stat: str) -> Column:
     """F6: per-band struct-carried statistic lookup — chained CASE on the
-    band column over the 6 {band}_{stat} columns (rubin/utils.py:49-112)."""
+    band column over the 6 {band}_{stat} columns. The Spark-native version
+    of ``rubin/utils.py:48-86`` (safe_diaobject_extract + per-row format)."""
     expr = F.lit(None).cast("double")
     for b in BANDS:
-        expr = F.when(F.col("band") == b, F.col(f"{b}_{stat}")).otherwise(expr)
+        expr = F.when(F.col("band") == b, F.nanvl(F.col(f"{b}_{stat}"), F.lit(None))).otherwise(expr)
     return expr
 
 
 def b_is_rising(df: DataFrame) -> Column:
-    """blocks.py:262-339: flux significantly above the per-band running mean."""
-    mean = _band_stat("psfFluxMean")
-    mean_err = _band_stat("psfFluxMeanErr")
-    return (F.col("psfFlux") - mean > mean_err) & (F.col("psfFlux") > mean)
+    """blocks.py:262-299 via utils.py:88-112: diff = psfFlux − per-band
+    running mean; significant iff |diff| > meanErr; rising = significant ∧
+    diff > 0 (NaN mean for SSO/new objects -> False)."""
+    diff = _d("psfFlux") - _band_stat("psfFluxMean")
+    significant = F.abs(diff) > _band_stat("psfFluxMeanErr")
+    return _f(significant & (diff > 0))
 
 
 def b_is_fading(df: DataFrame) -> Column:
-    mean = _band_stat("psfFluxMean")
-    mean_err = _band_stat("psfFluxMeanErr")
-    return (mean - F.col("psfFlux") > mean_err) & (F.col("psfFlux") < mean)
+    """blocks.py:302-339: significant ∧ diff < 0."""
+    diff = _d("psfFlux") - _band_stat("psfFluxMean")
+    significant = F.abs(diff) > _band_stat("psfFluxMeanErr")
+    return _f(significant & (diff < 0))
 
 
-def b_is_new(df: DataFrame, days: float = 1.0) -> Column:
-    """blocks.py: first seen within ``days``."""
-    return (F.col("midpointMjdTai") - F.col("firstSeenMjdTai")) < days
+def b_is_new(df: DataFrame) -> Column:
+    """blocks.py:342-369: this alert IS the first detection
+    (midpointMjdTai == firstDiaSourceMjdTaiFink, the Fink-added misc leaf)."""
+    return _f(F.col("midpointMjdTai") == _d("firstDiaSourceMjdTaiFink"))
 
 
 def b_good_quality(df: DataFrame) -> Column:
-    """blocks.py:396-415: all 16 pixel/psf flags clean ∧ psfFlux>=0 ∧ SNR>=6."""
-    cond = (F.col("psfFlux") >= 0) & (F.col("snr") >= 6)
-    for flag in QUALITY_FLAGS:
-        cond = cond & ~F.col(flag)
-    return cond
+    """blocks.py:372-418: NOT (any of the 16 mask flags ∨ psfFlux < 0 ∨
+    psfFlux/psfFluxErr < 6). Uses the flux ratio, not the snr column.
+
+    Planner hazard note: Catalyst's ``getAllValidConstraints`` re-
+    canonicalizes a filter condition once per project alias; with this
+    18-term mask under a ~70-alias flatten projection the streaming
+    micro-batch re-optimization loops for seconds and OOMs the driver
+    (jstack: UnaryNode.getAllValidConstraints -> semanticEquals ->
+    buildCanonicalizedPlan, on a 27-row fixture). The engine session
+    therefore disables constraint propagation (session.DYNAMIC_CONF
+    ``spark.sql.constraintPropagation.enabled=false``) — plan-budget
+    tests confirm no query loses pushdown or gains a shuffle from it."""
+    flagged = F.lit(False)
+    for flag in QUALITY_MASK_FLAGS:
+        flagged = flagged | _f(F.col(flag))
+    flagged = flagged | _f(_d("psfFlux") < 0)
+    flagged = flagged | _f(_d("psfFlux") / _d("psfFluxErr") < 6)
+    return ~flagged
+
+
+def b_has_two_points_same_band(df: DataFrame) -> Column:
+    """filter_extragalactic_new_candidate/filter.py:26-53: current band has
+    >= 2 detections ({band}_psfFluxNdata >= 2)."""
+    return _f(_band_stat("psfFluxNdata") >= 2)
+
+
+# ---- extragalactic base (blocks.py:421-531) ----------------------------------
+
+def extragalactic_base(df: DataFrame, flavor: str) -> Column:
+    """blocks.py:421-531: good quality ∧ host evidence ∧ |b|>20° ∧ ¬SSO ∧
+    not a catalogued star. ``loose`` also admits SIMBAD-unknown sources;
+    ``near_galaxy`` requires positive host evidence."""
+    galaxy = b_xmatched_simbad_galaxy(df)
+    unknown = b_xmatched_simbad_unknown(df)
+    mangrove = b_xmatched_mangrove(df)
+    # photo-z counts only if SIMBAD did not catalogue the source as a star
+    legacy_valid = _f(_d("xm_legacydr8_zphot") > 0) & (unknown | galaxy)
+    not_star = ~b_xmatched_gaia_star(df) & ~b_xmatched_vsx_star(df)
+    common = (
+        b_good_quality(df)
+        & b_outside_galactic_plane(df, 20)
+        & ~b_is_solar_system(df)
+        & not_star
+    )
+    if flavor == "near_galaxy":
+        return common & (galaxy | mangrove | legacy_valid)
+    if flavor == "loose":
+        return common & (galaxy | mangrove | legacy_valid | unknown)
+    raise ValueError(f"extragalactic_base: unknown flavor {flavor!r}")
+
+
+# distance modulus mu(z) for flat LambdaCDM H0=70, Om0=0.3 (the reference's
+# compute_peak_absolute_magnitude cosmology, rubin/utils.py:215-260) as a
+# degree-8 polynomial in log10(z), max |error| 0.005 mag over z in
+# [1e-4, 2] — a pure codegen expression, no astropy, no UDF, no join.
+_MU_COEFFS = [
+    -0.0002736360945069047,
+    -0.005897708986764081,
+    -0.05206066585946296,
+    -0.24084165866071355,
+    -0.6059821276196005,
+    -0.7023590270499394,
+    0.12228007321020372,
+    6.198309239984632,
+    44.100271201176994,
+]
+
+
+def distance_modulus(z: Column) -> Column:
+    """mu(z) = 5 log10(D_L / 10pc) via the packaged polynomial (see above)."""
+    x = F.log10(z)
+    mu = F.lit(_MU_COEFFS[0])
+    for c in _MU_COEFFS[1:]:
+        mu = mu * x + F.lit(c)
+    return mu
+
+
+def peak_absolute_magnitude(df: DataFrame) -> Column:
+    """utils.py:215-260 compute_peak_absolute_magnitude: max psfFluxMax
+    across bands -> apparent AB mag -> absolute mag via photo-z."""
+    max_flux = F.greatest(*[F.nanvl(F.col(f"{b}_psfFluxMax"), F.lit(None)) for b in BANDS])
+    apparent = flux2mag(F.when(max_flux > 0, max_flux))
+    z = F.when(_d("xm_legacydr8_zphot") > 0, _d("xm_legacydr8_zphot"))
+    return apparent - distance_modulus(z)
 
 
 # ---- topics (C37/C38) -------------------------------------------------------
 
 @register(
     "rubin.extragalactic_loose",
-    reference="rubin/blocks.py:534-602",
+    reference="rubin/blocks.py:603-668 (b_extragalactic_loose_candidate)",
 )
 def extragalactic_loose(df: DataFrame) -> Column:
-    """C37: off-plane, not SSO, not a known star, galaxy-or-unknown host."""
-    return (
-        b_good_quality(df)
-        & ~b_is_solar_system(df)
-        & b_outside_galactic_plane(df, 5)
-        & ~b_xmatched_gaia_star(df)
-        & ~b_xmatched_vsx(df)
-        & (b_xmatched_simbad_galaxy(df) | b_xmatched_simbad_unknown(df))
-    )
+    """C37: extragalactic_base(flavor='loose')."""
+    return extragalactic_base(df, "loose")
 
 
 @register(
     "rubin.near_galaxy_candidate",
-    reference="rubin/blocks.py:603-668",
+    reference="rubin/blocks.py:534-600 (b_extragalactic_near_galaxy_candidate)",
 )
 def near_galaxy_candidate(df: DataFrame) -> Column:
-    """C37: extragalactic ∧ matched to a Mangrove galaxy."""
-    return extragalactic_loose(df) & b_xmatched_mangrove(df)
+    """C37: extragalactic_base(flavor='near_galaxy')."""
+    return extragalactic_base(df, "near_galaxy")
 
 
 @register(
     "rubin.sn_near_galaxy_candidate",
-    reference="rubin/livestream/filter_sn_near_galaxy_candidate/filter.py",
+    reference="rubin/livestream/filter_sn_near_galaxy_candidate/filter.py:88-118",
 )
 def sn_near_galaxy_candidate(df: DataFrame) -> Column:
-    """C37: the livestream topic name for the near-galaxy candidate block
-    composition."""
-    return near_galaxy_candidate(df)
+    """C37: near-galaxy ∧ nDiaSources > 5 ∧ peak absolute magnitude in
+    (−23, −13) — the SN luminosity range."""
+    mabs = peak_absolute_magnitude(df)
+    return (
+        near_galaxy_candidate(df)
+        & _f(F.col("nDiaSources") > 5)
+        & _f((mabs > -23) & (mabs < -13))
+    )
 
 
 @register(
     "rubin.extragalactic_lt20mag",
-    reference="rubin/livestream/filter_extragalactic_lt20mag_candidate/filter.py:86-110",
+    reference="rubin/livestream/filter_extragalactic_lt20mag_candidate/filter.py:85-110",
 )
 def extragalactic_lt20mag(df: DataFrame) -> Column:
-    """C37: bright (mag<20), rising, sampled (>4 sources), older than 1 day."""
+    """C37: loose extragalactic ∧ mag<20 ∧ rising ∧ sampled (>4 sources,
+    older than 1 day since first Fink detection)."""
     return (
         extragalactic_loose(df)
-        & (flux2mag("psfFlux") < 20)
+        & _f(flux2mag("psfFlux") < 20)
         & b_is_rising(df)
-        & (F.col("nDiaSources") > 4)
-        & ((F.col("midpointMjdTai") - F.col("firstSeenMjdTai")) > 1)
+        & _f(F.col("nDiaSources") > 4)
+        & _f(
+            F.col("midpointMjdTai") - _d("firstDiaSourceMjdTaiFink") > 1
+        )
     )
 
 
 @register(
     "rubin.extragalactic_new",
-    reference="rubin/livestream/filter_extragalactic_new_candidate/filter.py:142-190",
+    reference="rubin/livestream/filter_extragalactic_new_candidate/filter.py:139-195",
 )
 def extragalactic_new(df: DataFrame) -> Column:
-    """C37: young (<5d), mag<24, per-band rate gates: rising fast and young,
-    or fading at band-dependent thresholds (rate from F9's
-    latest-same-band lookup upstream)."""
-    age = F.col("midpointMjdTai") - F.col("firstSeenMjdTai")
-    rising_gate = (F.col("mag_rate") < -0.2) & (age < 3)
-    fading_gate = (
-        (F.col("band").isin("r", "i") & (F.col("mag_rate") > 0.2))
-        | (F.col("band").isin("g", "u") & (F.col("mag_rate") > 0.5))
+    """C37: near-galaxy ∧ young (<5d) ∧ ≥2 points in band ∧ mag<24 ∧
+    per-band rate gates. ``mag_rate`` (mag/day vs the latest same-band
+    previous source) is the F9 latest-same-band enrichment computed
+    upstream from prvDiaSources (functions/arrays.py HOFs) — the Spark
+    split of the reference's per-row get_latest_source_same_band loop."""
+    age = F.col("midpointMjdTai") - _d("firstDiaSourceMjdTaiFink")
+    rising_gate = _f((_d("mag_rate") < -0.2) & (age < 3))
+    fading_gate = _f(
+        (F.col("band").isin("r", "i") & (_d("mag_rate") > 0.2))
+        | (F.col("band").isin("g", "u") & (_d("mag_rate") > 0.5))
     )
     return (
-        extragalactic_loose(df)
-        & (age < 5)
-        & (flux2mag("psfFlux") < 24)
+        near_galaxy_candidate(df)
+        & _f(age < 5)
+        & b_has_two_points_same_band(df)
+        & _f(flux2mag("psfFlux") < 24)
         & (rising_gate | fading_gate)
     )
 
 
 @register(
     "rubin.extragalactic_svom",
-    reference="rubin/livestream/filter_extragalactic_svom/filter.py:89-108",
+    reference="rubin/livestream/filter_extragalactic_svom/filter.py:85-110",
 )
 def extragalactic_svom(df: DataFrame) -> Column:
-    """C37: extragalactic, young and bright — SVOM follow-up shortlist."""
+    """C37: near-galaxy ∧ young (<5d) ∧ mag<24 — SVOM follow-up shortlist."""
     return (
-        extragalactic_loose(df)
-        & ((F.col("midpointMjdTai") - F.col("firstSeenMjdTai")) < 5)
-        & (flux2mag("psfFlux") < 22)
+        near_galaxy_candidate(df)
+        & _f(
+            F.col("midpointMjdTai") - _d("firstDiaSourceMjdTaiFink") < 5
+        )
+        & _f(flux2mag("psfFlux") < 24)
     )
 
 
 @register(
     "rubin.hostless_candidate",
-    reference="rubin/livestream/filter_hostless_candidate/filter.py:57-67",
+    reference="rubin/livestream/filter_hostless_candidate/filter.py:55-67",
 )
 def hostless_candidate(df: DataFrame) -> Column:
     """C37: hostless image statistic ∧ bright ∧ quality ∧ off-plane."""
     return (
-        (F.col("kstest_template") < 0.95)
-        & (flux2mag("psfFlux") <= 21.5)
-        & b_good_quality(df)
+        b_good_quality(df)
+        & _f(_d("clf_elephant_kstest_template") < 0.95)
         & b_outside_galactic_plane(df, 20)
+        & _f(flux2mag("psfFlux") <= 21.5)
     )
 
 
 @register(
     "rubin.in_tns",
-    reference="rubin/livestream/filter_in_tns/filter.py:49",
+    reference="rubin/livestream/filter_in_tns/filter.py:23-49",
     hbase_support=True,
 )
 def in_tns(df: DataFrame) -> Column:
-    """C37: already reported to TNS."""
+    """C37: already reported to TNS (tns_fullname injected upstream — the
+    reference doctest itself does withColumn('tns_fullname', ...))."""
     return F.col("tns_fullname").isNotNull()
 
 
 @register(
     "rubin.most_likely_sn",
-    reference="rubin/livestream/filter_most_likely_sn/filter.py:69-85",
+    reference="rubin/livestream/filter_most_likely_sn/filter.py:66-85",
 )
 def most_likely_sn(df: DataFrame) -> Column:
     """C37: high-SNR multi-detection with concordant classifiers. NOTE the
-    reference conjoins ``~f_good_quality`` (filter.py:75-83) — surprising but
-    replicated as written (SURVEY §7 'replicate as written')."""
+    reference conjoins ``~(b_good_quality ∧ ~isNegative)`` (filter.py:75-83)
+    — surprising but replicated as written (SURVEY §7)."""
+    good = b_good_quality(df) & ~_f(F.col("isNegative"))
     return (
-        (F.col("snr") > 10)
-        & (F.col("nDiaSources") >= 2)
-        & (F.col("clf_snn_score") >= 0.7)
-        & (F.col("clf_cats_class") == 11)
-        & (F.col("clf_cats_score") >= 0.9)
-        & ~b_good_quality(df)
+        _f(_d("snr") > 10)
+        & _f(F.col("nDiaSources") >= 2)
+        & _f(_d("clf_snnSnVsOthers_score") >= 0.7)
+        & _f(F.col("clf_cats_class") == 11)
+        & _f(_d("clf_cats_score") >= 0.9)
+        & ~b_is_solar_system(df)
+        & ~good
     )
 
 
 @register(
     "rubin.remove_unlikely_transients",
-    reference="rubin/livestream/filter_remove_unlikely_transients/filter.py:59-68",
+    reference="rubin/livestream/filter_remove_unlikely_transients/filter.py:55-75",
 )
 def remove_unlikely_transients(df: DataFrame) -> Column:
-    """C37: keep plausible transients (quality ∧ not star ∧ not SSO)."""
+    """C37: keep ¬SSO ∧ snr>10 ∧ ≥2 sources ∧ ¬(good ∧ ¬negative) — same
+    inverted-quality composition as most_likely_sn, replicated as written."""
+    good = b_good_quality(df) & ~_f(F.col("isNegative"))
     return (
-        b_good_quality(df)
-        & ~b_is_solar_system(df)
-        & ~b_xmatched_gaia_star(df)
-        & ~b_xmatched_vsx(df)
+        ~b_is_solar_system(df)
+        & _f(_d("snr") > 10)
+        & _f(F.col("nDiaSources") >= 2)
+        & ~good
     )
 
 
@@ -258,13 +411,13 @@ def remove_unlikely_transients(df: DataFrame) -> Column:
 def early_snia_candidate(df: DataFrame) -> Column:
     """C37 (attic): score>0.76, or score>0.5 with a large flux rise."""
     ratio = F.log10(_flux_max(df) / _flux_min(df))
-    return (F.col("clf_snia_score") > 0.76) | (
-        (F.col("clf_snia_score") > 0.5) & (ratio > 0.5)
+    return _f(_d("clf_earlySNIa_score") > 0.76) | (
+        _f(_d("clf_earlySNIa_score") > 0.5) & _f(ratio > 0.5)
     )
 
 
 def _flux_max(df: DataFrame) -> Column:
-    """E6: cross-column max over the 6 per-band maxima (rubin/utils.py:137-190)."""
+    """E6: cross-column max over the 6 per-band maxima (utils.py:137-190)."""
     return F.greatest(*[F.col(f"{b}_psfFluxMax") for b in BANDS])
 
 
@@ -279,3 +432,30 @@ def _flux_min(df: DataFrame) -> Column:
 def uniform_sample(df: DataFrame) -> Column:
     """C38: deterministic-by-key ~1% sample: diaSourceId % 113 == 0."""
     return F.col("diaSourceId") % 113 == 0
+
+
+def topic_columns() -> list[str]:
+    """The flattened columns the Rubin topic surface consumes — callers
+    streaming wide alert packets should project to these right after
+    flatten_rubin so the per-topic plans (and their codegen classes) stay
+    proportional to the filter logic, not to the ~190-leaf packet."""
+    cols = [
+        "diaSourceId", "midpointMjdTai", "ra", "dec", "band",
+        "psfFlux", "psfFluxErr", "snr", "isNegative",
+        "nDiaSources", "firstDiaSourceMjdTaiFink", "is_sso",
+        "xm_simbad_otype", "xm_mangrove_lum_dist", "xm_gaiadr3_DR3Name",
+        "xm_gaiadr3_Plx", "xm_gaiadr3_e_Plx", "xm_vsx_Type",
+        "xm_legacydr8_zphot",
+        "clf_snnSnVsOthers_score", "clf_cats_class", "clf_cats_score",
+        "clf_earlySNIa_score", "clf_elephant_kstest_template",
+    ]
+    cols += QUALITY_MASK_FLAGS
+    cols += [
+        f"{b}_{stat}"
+        for b in BANDS
+        for stat in (
+            "psfFluxMean", "psfFluxMeanErr", "psfFluxMax", "psfFluxMin",
+            "psfFluxNdata",
+        )
+    ]
+    return cols

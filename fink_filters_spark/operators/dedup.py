@@ -1073,6 +1073,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) over an undirected pair graph; component = min node
     id in the connected set — the clustering step between near-dup pair
@@ -1100,6 +1101,17 @@ def connected_components(
       which stores blocks on executors and is NOT recoverable if one dies
       mid-run. Superseded generations are freed by the context cleaner as
       their frames are garbage collected.
+
+    ``state_dir`` (distributed path only) makes the loop RESTARTABLE
+    across driver crashes: each label generation is written to
+    ``state_dir/gen=N`` parquet (the atomic ``_SUCCESS`` marker commits
+    it) and read back — serving as the round's lineage-truncation
+    checkpoint AND as durable state. On entry the loop resumes from the
+    highest COMPLETE generation (a partially-written directory without
+    ``_SUCCESS`` — a mid-generation crash — is ignored and overwritten),
+    so kill/resume at any point yields labels identical to an
+    uninterrupted run: min-label propagation is monotone, and re-running
+    a round from a committed generation is idempotent.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if driver_threshold > 0:
@@ -1151,10 +1163,41 @@ def connected_components(
     # plan is one scan instead of d nested join/agg layers (the standard
     # Pregel lineage guard; a long-diameter graph would otherwise blow up
     # planning time and driver stack depth).
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
     reliable = sc.getCheckpointDir() is not None
 
+    gen_counter = [0]
+
+    def _gen_path(n: int) -> str:
+        return f"{state_dir.rstrip('/')}/gen={n}"
+
+    def _complete_gens() -> list[int]:
+        """Committed generations under state_dir (Hadoop FS — works on any
+        cluster filesystem, not just local)."""
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = root.getFileSystem(hconf)
+        if not fs.exists(root):
+            return []
+        gens = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("gen="):
+                continue
+            ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(ok):  # no _SUCCESS = mid-generation crash, ignore
+                gens.append(int(name.split("=", 1)[1]))
+        return sorted(gens)
+
     def ckpt(df: DataFrame) -> DataFrame:
+        if state_dir is not None:
+            # parquet generation = durable, resumable checkpoint
+            n = gen_counter[0]
+            gen_counter[0] = n + 1
+            df.write.mode("overwrite").parquet(_gen_path(n))
+            return spark.read.parquet(_gen_path(n))
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
     # cached PRE-PARTITIONED on dst: every propagation round joins on
@@ -1167,11 +1210,20 @@ def connected_components(
         .repartition(F.col("dst"))
         .cache()
     )
-    labels = ckpt(
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
+    resumed = False
+    if state_dir is not None:
+        done = _complete_gens()
+        if done:
+            latest = done[-1]
+            gen_counter[0] = latest + 1
+            labels = spark.read.parquet(_gen_path(latest)).select("node", "label")
+            resumed = True
+    if not resumed:
+        labels = ckpt(
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
     for _ in range(max_iter):
         nbr = (
             und.join(labels, und.dst == labels.node)

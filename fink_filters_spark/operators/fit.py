@@ -481,13 +481,28 @@ def grouped_arrays_map(
     duplicate keys), then one Python loop per task. This avoids
     ``applyInPandas``'s per-group call + frame overhead, which dominates
     when groups are small and many. ``per_group=True`` keeps the
-    one-Arrow-batch-per-key path for few/heavy groups."""
+    one-Arrow-batch-per-key path for few/heavy groups.
+
+    Each group's arrays are put in CANONICAL (lexicographic) order before
+    ``fn_one`` sees them: rows arrive in shuffle order, which varies with
+    partitioning/retries/AQE, and iterative kernels accumulate floats in
+    array order — without the sort a re-run could flip a borderline fit
+    by one ulp (DESIGN.md: reproducibility IS a correctness feature)."""
+
+    def _canon(arrays):
+        import numpy as np
+
+        if not arrays or not len(arrays[0]):
+            return arrays
+        # lexsort's LAST key is primary: reverse so value_cols[0] leads
+        order = np.lexsort(tuple(reversed(arrays)))
+        return [a[order] for a in arrays]
 
     def kernel(pdf):
         import pandas as pd
 
         uid = int(pdf[key].iloc[0])
-        row = fn_one(uid, *(pdf[c].to_numpy() for c in value_cols))
+        row = fn_one(uid, *_canon([pdf[c].to_numpy() for c in value_cols]))
         return pd.DataFrame([row], columns=out_cols)
 
     def kernel_many(batches):
@@ -514,10 +529,10 @@ def grouped_arrays_map(
         rows = [
             fn_one(
                 uid,
-                *(
+                *_canon([
                     chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
                     for chunks in parts
-                ),
+                ]),
             )
             for uid, parts in acc.items()
         ]

@@ -5,11 +5,34 @@ applyInPandas fit (§2.L/F10), BPE-ish token counting.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tables import load_events, load_table
 from . import QuerySpec, e6
 from .timeseries import EVQ_SQL, US_PER_HOUR, _evq
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden",
+)
+
+
+def _golden_oracle(name: str) -> str | None:
+    """Pinned-golden oracle for queries with no SQL dual (iterative fits,
+    BPE training): DuckDB reads the committed golden parquet
+    (tools/gen_goldens.py — engine outputs, double-run-deterministic) and
+    selects the current scale factor's rows by the events row count. Falls
+    back to rows-only (None) on a checkout without generated goldens."""
+    path = os.path.join(_GOLDEN_DIR, f"{name}.parquet")
+    if not os.path.exists(path):
+        return None
+    return (
+        f"SELECT * EXCLUDE (sf_tag) FROM read_parquet('{path}') "
+        "WHERE sf_tag = (SELECT count(*) FROM events)"
+    )
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,15 +826,18 @@ SPECS = [
     QuerySpec("q_setops", q_setops, SETOPS_SQL, "INTERSECT/UNION/EXCEPT (§2.H)"),
     QuerySpec("ts_window_slice", q_ts_window_slice, TS_WINDOW_SQL, "F7 per-row windows"),
     QuerySpec("ts_fit_grouped", q_ts_fit_grouped, TS_LINFIT_SQL, "F10 applyInPandas fit"),
-    QuerySpec("ts_sigmoid_fit", q_ts_sigmoid_fit, None,
-              "F10 nonlinear Rainbow-shape sigmoid fit (LM, rows-only check)"),
-    QuerySpec("ts_tde_score", q_ts_tde_score, None,
-              "F10 fit -> MC -> classifier scoring loop (rows-only check)"),
-    QuerySpec("ts_rainbow_multiband", q_ts_rainbow_multiband, None,
-              "F10 joint multiband Rainbow fit (blackbody band scaling)"),
-    QuerySpec("ts_tde_score_real", q_ts_tde_score_real, None,
-              "F10 TDE scoring through the reference's real model_broad.ubj"),
+    QuerySpec("ts_sigmoid_fit", q_ts_sigmoid_fit, _golden_oracle("ts_sigmoid_fit"),
+              "F10 nonlinear Rainbow-shape sigmoid fit (LM, pinned golden)"),
+    QuerySpec("ts_tde_score", q_ts_tde_score, _golden_oracle("ts_tde_score"),
+              "F10 fit -> MC -> classifier scoring loop (pinned golden)"),
+    QuerySpec("ts_rainbow_multiband", q_ts_rainbow_multiband,
+              _golden_oracle("ts_rainbow_multiband"),
+              "F10 joint multiband Rainbow fit (pinned golden)"),
+    QuerySpec("ts_tde_score_real", q_ts_tde_score_real,
+              _golden_oracle("ts_tde_score_real"),
+              "F10 TDE scoring through the reference's real model_broad.ubj (pinned golden)"),
     QuerySpec("text_bpe", q_text_bpe, TEXT_BPE_SQL, "BPE-ish token count"),
-    QuerySpec("text_bpe_trained", q_text_bpe_trained, None,
-              "trained-BPE tokenization (iterative merge training)"),
+    QuerySpec("text_bpe_trained", q_text_bpe_trained,
+              _golden_oracle("text_bpe_trained"),
+              "trained-BPE tokenization (pinned golden)"),
 ]

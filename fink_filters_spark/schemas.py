@@ -87,6 +87,8 @@ ZTF_ALERT_SCHEMA = StructType(
     ]
 )
 
+# diaSource leaves used by the filter surface (subset of the ~100 in the
+# real packet; names match datatest/rubin_test_data_10_0.parquet exactly).
 _RUBIN_DIA_SOURCE_FIELDS = [
     StructField("diaSourceId", LongType()),
     StructField("midpointMjdTai", DoubleType()),
@@ -99,19 +101,24 @@ _RUBIN_DIA_SOURCE_FIELDS = [
 ] + [
     StructField(flag, BooleanType())
     for flag in (
-        "pixelFlags_bad", "pixelFlags_cr", "pixelFlags_crCenter", "pixelFlags_edge",
-        "pixelFlags_interpolatedCenter", "pixelFlags_nodataCenter",
-        "pixelFlags_saturated", "pixelFlags_saturatedCenter", "pixelFlags_suspect",
-        "pixelFlags_suspectCenter", "centroid_flag", "apFlux_flag",
-        "apFlux_flag_apertureTruncated", "isNegative", "psfFlux_flag",
-        "psfFlux_flag_noGoodPixels",
+        # the b_good_quality mask (reference rubin/blocks.py:372-418) ...
+        "isDipole", "pixelFlags", "pixelFlags_bad", "pixelFlags_saturated",
+        "pixelFlags_streakCenter", "pixelFlags_interpolated", "pixelFlags_cr",
+        "pixelFlags_nodata", "pixelFlags_streak", "pixelFlags_edge",
+        "psfFlux_flag", "apFlux_flag", "forced_PsfFlux_flag",
+        "forced_PsfFlux_flag_edge", "shape_flag", "centroid_flag",
+        # ... plus isNegative (used separately by most_likely_sn et al.)
+        "isNegative",
     )
 ]
 
 _RUBIN_DIA_OBJECT_FIELDS = [StructField("nDiaSources", IntegerType())] + [
     StructField(f"{b}_{stat}", DoubleType())
     for b in ("u", "g", "r", "i", "z", "y")
-    for stat in ("psfFluxMean", "psfFluxMeanErr", "psfFluxMax", "psfFluxMin")
+    for stat in (
+        "psfFluxMean", "psfFluxMeanErr", "psfFluxMax", "psfFluxMin",
+        "psfFluxNdata",
+    )
 ]
 
 RUBIN_ALERT_SCHEMA = StructType(
@@ -126,11 +133,13 @@ RUBIN_ALERT_SCHEMA = StructType(
             StructType(
                 [
                     StructField("simbad_otype", StringType()),
-                    StructField("mangrove_name", StringType()),
-                    StructField("gaia_plx", DoubleType()),
-                    StructField("gaia_e_plx", DoubleType()),
-                    StructField("vsx_type", StringType()),
-                    StructField("tns_fullname", StringType()),
+                    StructField("mangrove_lum_dist", DoubleType()),
+                    StructField("gaiadr3_DR3Name", StringType()),
+                    StructField("gaiadr3_Plx", DoubleType()),
+                    StructField("gaiadr3_e_Plx", DoubleType()),
+                    StructField("vsx_Type", StringType()),
+                    StructField("legacydr8_zphot", DoubleType()),
+                    StructField("tns_type", StringType()),
                 ]
             ),
         ),
@@ -138,14 +147,20 @@ RUBIN_ALERT_SCHEMA = StructType(
             "clf",
             StructType(
                 [
-                    StructField("snn_score", DoubleType()),
+                    StructField("snnSnVsOthers_score", DoubleType()),
                     StructField("cats_class", IntegerType()),
                     StructField("cats_score", DoubleType()),
-                    StructField("snia_score", DoubleType()),
+                    StructField("earlySNIa_score", DoubleType()),
+                    StructField("elephant_kstest_science", DoubleType()),
+                    StructField("elephant_kstest_template", DoubleType()),
                 ]
             ),
         ),
         StructField("pred", StructType([StructField("is_sso", BooleanType(), False)])),
+        StructField(
+            "misc",
+            StructType([StructField("firstDiaSourceMjdTaiFink", DoubleType())]),
+        ),
         StructField("cutoutScience", BinaryType()),
         StructField("cutoutTemplate", BinaryType()),
         StructField("cutoutDifference", BinaryType()),
@@ -161,25 +176,36 @@ def flatten_ztf(df: DataFrame) -> DataFrame:
 
 
 def flatten_rubin(df: DataFrame) -> DataFrame:
-    """Project diaSource/diaObject/xm/clf leaves to top level with the
-    registry's names (xm_* / clf_* prefixes)."""
-    out = df
-    cols = [c for c in df.columns if c not in ("diaSource", "diaObject", "xm", "clf", "pred")]
+    """Project diaSource/diaObject/misc/xm/clf/pred leaves to top level with
+    the registry's names (filters/rubin.py module doc): diaSource, diaObject
+    and misc leaves unprefixed, xm_* / clf_* prefixes, pred.is_sso as
+    is_sso. Mirrors the reference's arg-name binding (``rubin/utils.py``
+    expand_function_from_string resolves e.g. ``simbad_otype`` to
+    ``xm.simbad_otype``)."""
+    structs = ("diaSource", "diaObject", "xm", "clf", "pred", "misc")
+    cols = [c for c in df.columns if c not in structs]
     # the real alert parquet duplicates some leaves at top level (e.g.
     # diaSourceId next to diaSource.diaSourceId) — struct leaves win, the
     # colliding top-level copies are dropped so references stay unambiguous
     struct_leaves: set[str] = set()
-    for struct in ("diaSource", "diaObject"):
+    for struct in ("diaSource", "diaObject", "misc"):
         if struct in df.columns:
             struct_leaves.update(df.schema[struct].dataType.fieldNames())
     sel = [F.col(c) for c in cols if c not in struct_leaves]
     sel += [F.col("diaSource.*")]
-    if "diaObject" in df.columns:
-        sel += [F.col("diaObject.*")]
+    seen = set(df.schema["diaSource"].dataType.fieldNames())
+    for struct in ("diaObject", "misc"):
+        # positional leaves (ra/dec/raErr/...) repeat across structs —
+        # diaSource's are the alert's, keep those and drop the duplicates
+        if struct in df.columns:
+            for f in df.schema[struct].dataType.fieldNames():
+                if f not in seen:
+                    sel.append(F.col(f"{struct}.{f}"))
+                    seen.add(f)
     for struct, prefix in (("xm", "xm_"), ("clf", "clf_")):
         if struct in df.columns:
             for f in df.schema[struct].dataType.fieldNames():
                 sel.append(F.col(f"{struct}.{f}").alias(f"{prefix}{f}"))
     if "pred" in df.columns:
         sel.append(F.col("pred.is_sso").alias("is_sso"))
-    return out.select(*sel)
+    return df.select(*sel)

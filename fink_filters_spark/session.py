@@ -30,6 +30,16 @@ DYNAMIC_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for the pandas-UDF kernels (science fits, image stats).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Catalyst's getAllValidConstraints re-canonicalizes a filter condition
+    # once per project alias; a wide alert-quality mask (18 OR terms) under
+    # a ~70-alias flatten projection makes streaming micro-batch
+    # re-optimization quadratic-and-allocating until the driver OOMs
+    # (measured on a 27-row Rubin fixture; jstack pins the loop in
+    # UnaryNode.getAllValidConstraints -> Expression.semanticEquals).
+    # Constraint propagation buys nothing for this engine's gated plans
+    # (tests/test_plans.py budgets unchanged with it off) and is a planner
+    # hazard at 100 TB predicate widths, so it is off engine-wide.
+    "spark.sql.constraintPropagation.enabled": "false",
 }
 
 

@@ -37,6 +37,7 @@ def spark():
     builder = (
         SparkSession.builder.master("local[4]")
         .appName("fink_filters_spark-tests")
+        .config("spark.driver.memory", "3g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -124,19 +125,29 @@ def make_ztf_pdf(n: int = N_ALERTS, seed: int = RNG_SEED) -> pd.DataFrame:
     return pdf
 
 
+# the reference b_good_quality mask (rubin/blocks.py:372-418) + isNegative
 RUBIN_FLAGS = [
-    "pixelFlags_bad", "pixelFlags_cr", "pixelFlags_crCenter", "pixelFlags_edge",
-    "pixelFlags_interpolatedCenter", "pixelFlags_nodataCenter",
-    "pixelFlags_saturated", "pixelFlags_saturatedCenter", "pixelFlags_suspect",
-    "pixelFlags_suspectCenter", "centroid_flag", "apFlux_flag",
-    "apFlux_flag_apertureTruncated", "isNegative", "psfFlux_flag",
-    "psfFlux_flag_noGoodPixels",
+    "isDipole", "pixelFlags", "pixelFlags_bad", "pixelFlags_saturated",
+    "pixelFlags_streakCenter", "pixelFlags_interpolated", "pixelFlags_cr",
+    "pixelFlags_nodata", "pixelFlags_streak", "pixelFlags_edge",
+    "psfFlux_flag", "apFlux_flag", "forced_PsfFlux_flag",
+    "forced_PsfFlux_flag_edge", "shape_flag", "centroid_flag", "isNegative",
 ]
 
 
 def make_rubin_pdf(n: int = N_ALERTS, seed: int = RNG_SEED + 1) -> pd.DataFrame:
+    """Synthetic flattened-Rubin frame with the REAL packet's column names
+    (datatest/rubin_test_data_10_0.parquet layout after flatten_rubin),
+    including None/NaN holes so the pandas-NaN->False block semantics are
+    exercised, not just the happy path."""
     r = np.random.default_rng(seed)
     mjd0 = 60500.0
+
+    def holes(values, frac=0.3):
+        """Replace ~frac of entries with NaN."""
+        mask = r.uniform(0, 1, n) < frac
+        return np.where(mask, np.nan, values)
+
     pdf = pd.DataFrame(
         {
             "diaSourceId": np.arange(n, dtype=np.int64) * 7 + 1,
@@ -145,32 +156,39 @@ def make_rubin_pdf(n: int = N_ALERTS, seed: int = RNG_SEED + 1) -> pd.DataFrame:
             "snr": r.uniform(0, 30, n),
             "band": r.choice(["u", "g", "r", "i", "z", "y"], n),
             "midpointMjdTai": np.full(n, mjd0),
-            "firstSeenMjdTai": mjd0 - r.uniform(0, 30, n),
+            "firstDiaSourceMjdTaiFink": mjd0 - r.uniform(0, 30, n),
             "ra": r.uniform(0, 360, n),
             "dec": r.uniform(-90, 30, n),
             "nDiaSources": r.integers(1, 20, n),
             "is_sso": r.choice([True, False], n, p=[0.1, 0.9]),
-            "xm_simbad_otype": r.choice(["Galaxy", "AGN", "Unknown", None, "Star"], n),
-            "xm_mangrove_name": r.choice([None, "g1"], n),
-            "xm_gaia_plx": r.uniform(0, 20, n),
-            "xm_gaia_e_plx": r.uniform(0.5, 5, n),
-            "xm_vsx_type": r.choice([None, "RR"], n),
+            "xm_simbad_otype": r.choice(
+                ["Galaxy", "AGN", "Unknown", None, "Star"], n
+            ),
+            "xm_mangrove_lum_dist": holes(r.uniform(0.1, 300, n), 0.6),
+            "xm_gaiadr3_DR3Name": r.choice([None, "Gaia DR3 123"], n),
+            "xm_gaiadr3_Plx": holes(r.uniform(0, 20, n)),
+            "xm_gaiadr3_e_Plx": holes(r.uniform(0.5, 5, n)),
+            "xm_vsx_Type": r.choice([None, "RR"], n),
+            "xm_legacydr8_zphot": holes(r.uniform(0.01, 1.8, n), 0.5),
             "tns_fullname": r.choice([None, "SN 2025xyz"], n),
-            "clf_snn_score": r.uniform(0, 1, n),
+            "clf_snnSnVsOthers_score": r.uniform(0, 1, n),
             "clf_cats_class": r.choice([3, 11, 12], n),
             "clf_cats_score": r.uniform(0, 1, n),
-            "clf_snia_score": r.uniform(0, 1, n),
-            "kstest_template": r.uniform(0, 1, n),
+            "clf_earlySNIa_score": r.uniform(0, 1, n),
+            "clf_elephant_kstest_template": r.choice(
+                [-99.0, 0.3, 0.6, 0.97], n
+            ),
             "mag_rate": r.uniform(-1, 1, n),
         }
     )
     for flag in RUBIN_FLAGS:
         pdf[flag] = r.choice([True, False], n, p=[0.05, 0.95])
     for b in ["u", "g", "r", "i", "z", "y"]:
-        pdf[f"{b}_psfFluxMean"] = r.uniform(100, 10000, n)
+        pdf[f"{b}_psfFluxMean"] = holes(r.uniform(100, 10000, n), 0.15)
         pdf[f"{b}_psfFluxMeanErr"] = r.uniform(1, 200, n)
         pdf[f"{b}_psfFluxMax"] = r.uniform(10000, 50000, n)
         pdf[f"{b}_psfFluxMin"] = r.uniform(1, 100, n)
+        pdf[f"{b}_psfFluxNdata"] = r.integers(0, 6, n).astype(float)
     return pdf
 
 

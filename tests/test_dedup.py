@@ -126,6 +126,63 @@ def test_connected_components_paths_agree(spark):
     assert dist == want
 
 
+def test_connected_components_restart_recovery(spark, tmp_path):
+    """The 100 TB fallback path is crash-safe BY TEST: kill the
+    label-propagation loop mid-run (max_iter cap leaves committed
+    generations in state_dir), scribble a partial generation with no
+    _SUCCESS (a mid-generation crash), then resume — the resumed run must
+    ignore the torn generation, continue from the last committed one, and
+    produce labels identical to both an uninterrupted distributed run and
+    the driver union-find."""
+    import os
+
+    from fink_filters_spark.operators.dedup import connected_components
+
+    # chain 0-1-...-14 (diameter 14 ⇒ several min-label rounds) + extras
+    chain = [(i, i + 1) for i in range(14)]
+    pairs = spark.createDataFrame(
+        chain + [(100, 101), (101, 102), (200, 201)], "id_a long, id_b long"
+    )
+    truth = {(r.node, r.component) for r in connected_components(pairs).collect()}
+
+    state = str(tmp_path / "cc_state")
+    # phase 1: "crash" after 3 rounds (initial labels + 2 propagation gens)
+    partial = {
+        (r.node, r.component)
+        for r in connected_components(
+            pairs, driver_threshold=0, max_iter=2, state_dir=state
+        ).collect()
+    }
+    assert partial != truth  # genuinely interrupted before convergence
+    committed = sorted(
+        int(d.split("=")[1]) for d in os.listdir(state) if d.startswith("gen=")
+    )
+    assert len(committed) >= 2
+    # phase 2: a torn generation — directory exists, no _SUCCESS marker
+    torn = os.path.join(state, f"gen={committed[-1] + 1}")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00garbage, not parquet")
+    # phase 3: resume to convergence
+    resumed = {
+        (r.node, r.component)
+        for r in connected_components(
+            pairs, driver_threshold=0, state_dir=state
+        ).collect()
+    }
+    assert resumed == truth
+    # the torn generation was overwritten by a committed one, not consumed
+    assert os.path.exists(os.path.join(torn, "_SUCCESS"))
+    # phase 4: resuming an already-converged state is a cheap no-op run
+    again = {
+        (r.node, r.component)
+        for r in connected_components(
+            pairs, driver_threshold=0, state_dir=state
+        ).collect()
+    }
+    assert again == truth
+
+
 def test_simhash_fused_kernel_matches_catalyst_agg(spark):
     """The fused Arrow fingerprint kernel and the explode+aggregate Catalyst
     path produce identical 48-bit fingerprints."""

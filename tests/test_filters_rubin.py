@@ -1,11 +1,19 @@
-"""Dual-path tests for Rubin blocks and topics (SURVEY §2.C C36-C38)."""
+"""Dual-path tests for Rubin blocks and topics (SURVEY §2.C C36-C38): each
+topic is replicated in plain Python with the reference's pandas semantics
+(NaN comparison -> False) and the Spark selection must match id-for-id on
+a synthetic frame that includes None/NaN holes."""
 
 from __future__ import annotations
 
 import math
 
 from fink_filters_spark.filters import apply_named_filter
-from fink_filters_spark.filters.rubin import BANDS, QUALITY_FLAGS
+from fink_filters_spark.filters.rubin import BANDS, QUALITY_MASK_FLAGS
+from fink_filters_spark.filters.ztf import EG_HOST_CLASSES
+
+
+def _isnan(x) -> bool:
+    return x is None or (isinstance(x, float) and math.isnan(x))
 
 
 def _mag(flux):
@@ -13,23 +21,53 @@ def _mag(flux):
 
 
 def _good_quality(r):
-    if not (r.psfFlux >= 0 and r.snr >= 6):
+    """reference blocks.py:372-418 replica."""
+    if any(getattr(r, f) for f in QUALITY_MASK_FLAGS):
         return False
-    return not any(getattr(r, f) for f in QUALITY_FLAGS)
+    if r.psfFlux < 0 or r.psfFlux / r.psfFluxErr < 6:
+        return False
+    return True
 
 
-def _egal_loose(r):
-    return (
+def _gaia_star(r):
+    if _isnan(r.xm_gaiadr3_DR3Name) or r.xm_gaiadr3_DR3Name in (
+        "Unknown", "Fail", "Fail 504",
+    ):
+        return False
+    if _isnan(r.xm_gaiadr3_Plx) or _isnan(r.xm_gaiadr3_e_Plx):
+        return False
+    return r.xm_gaiadr3_Plx / r.xm_gaiadr3_e_Plx > 5
+
+
+def _simbad_galaxy(r):
+    return (not _isnan(r.xm_simbad_otype)) and r.xm_simbad_otype in EG_HOST_CLASSES
+
+
+def _simbad_unknown(r):
+    return _isnan(r.xm_simbad_otype) or r.xm_simbad_otype in (
+        "Unknown", "Fail", "Fail 504",
+    )
+
+
+def _egal_base(r, flavor):
+    """reference blocks.py:421-531 replica."""
+    mangrove = (not _isnan(r.xm_mangrove_lum_dist)) and r.xm_mangrove_lum_dist > 0
+    legacy_valid = (
+        (not _isnan(r.xm_legacydr8_zphot))
+        and r.xm_legacydr8_zphot > 0
+        and (_simbad_unknown(r) or _simbad_galaxy(r))
+    )
+    common = (
         _good_quality(r)
+        and abs(_gal_b(r.ra, r.dec)) > 20
         and not r.is_sso
-        and abs(_gal_b(r.ra, r.dec)) > 5
-        and not (r.xm_gaia_plx / r.xm_gaia_e_plx > 5)
-        and r.xm_vsx_type is None
-        and (
-            r.xm_simbad_otype
-            in ("Galaxy", "EmG", "Seyfert_1", "Seyfert_2", "AGN", "QSO", "RadioG", "LINER")
-            or r.xm_simbad_otype in (None, "Unknown")
-        )
+        and not _gaia_star(r)
+        and _isnan(r.xm_vsx_Type)
+    )
+    if flavor == "near_galaxy":
+        return common and (_simbad_galaxy(r) or mangrove or legacy_valid)
+    return common and (
+        _simbad_galaxy(r) or mangrove or legacy_valid or _simbad_unknown(r)
     )
 
 
@@ -61,8 +99,11 @@ def test_in_tns(rubin_df, rubin_pdf):
 
 def test_extragalactic_loose(rubin_df, rubin_pdf):
     got = _ids(apply_named_filter(rubin_df, "rubin.extragalactic_loose"))
-    want = {r.diaSourceId for r in rubin_pdf.itertuples() if _egal_loose(r)}
+    want = {
+        r.diaSourceId for r in rubin_pdf.itertuples() if _egal_base(r, "loose")
+    }
     assert got == want
+    assert 0 < len(want) < len(rubin_pdf)  # the gate actually discriminates
 
 
 def test_near_galaxy_is_subset(rubin_df, rubin_pdf):
@@ -71,7 +112,7 @@ def test_near_galaxy_is_subset(rubin_df, rubin_pdf):
     want = {
         r.diaSourceId
         for r in rubin_pdf.itertuples()
-        if _egal_loose(r) and r.xm_mangrove_name is not None
+        if _egal_base(r, "near_galaxy")
     }
     assert near == want
     assert near <= loose
@@ -80,37 +121,127 @@ def test_near_galaxy_is_subset(rubin_df, rubin_pdf):
 def test_extragalactic_lt20mag(rubin_df, rubin_pdf):
     got = _ids(apply_named_filter(rubin_df, "rubin.extragalactic_lt20mag"))
 
-    def band_mean(r):
-        return getattr(r, f"{r.band}_psfFluxMean")
-
-    def band_mean_err(r):
-        return getattr(r, f"{r.band}_psfFluxMeanErr")
+    def rising(r):
+        mean = getattr(r, f"{r.band}_psfFluxMean")
+        err = getattr(r, f"{r.band}_psfFluxMeanErr")
+        if _isnan(mean) or _isnan(err):
+            return False
+        diff = r.psfFlux - mean
+        return abs(diff) > err and diff > 0
 
     want = {
         r.diaSourceId
         for r in rubin_pdf.itertuples()
-        if _egal_loose(r)
+        if _egal_base(r, "loose")
         and r.psfFlux > 0
         and _mag(r.psfFlux) < 20
-        and (r.psfFlux - band_mean(r) > band_mean_err(r) and r.psfFlux > band_mean(r))
+        and rising(r)
         and r.nDiaSources > 4
-        and (r.midpointMjdTai - r.firstSeenMjdTai) > 1
+        and (r.midpointMjdTai - r.firstDiaSourceMjdTaiFink) > 1
     }
     assert got == want
 
 
+def test_extragalactic_svom(rubin_df, rubin_pdf):
+    got = _ids(apply_named_filter(rubin_df, "rubin.extragalactic_svom"))
+    want = {
+        r.diaSourceId
+        for r in rubin_pdf.itertuples()
+        if _egal_base(r, "near_galaxy")
+        and (r.midpointMjdTai - r.firstDiaSourceMjdTaiFink) < 5
+        and r.psfFlux > 0
+        and _mag(r.psfFlux) < 24
+    }
+    assert got == want
+
+
+def test_extragalactic_new(rubin_df, rubin_pdf):
+    got = _ids(apply_named_filter(rubin_df, "rubin.extragalactic_new"))
+
+    def rate_gate(r):
+        age = r.midpointMjdTai - r.firstDiaSourceMjdTaiFink
+        rising = r.mag_rate < -0.2 and age < 3
+        fading = (r.band in ("r", "i") and r.mag_rate > 0.2) or (
+            r.band in ("g", "u") and r.mag_rate > 0.5
+        )
+        return rising or fading
+
+    want = {
+        r.diaSourceId
+        for r in rubin_pdf.itertuples()
+        if _egal_base(r, "near_galaxy")
+        and (r.midpointMjdTai - r.firstDiaSourceMjdTaiFink) < 5
+        and getattr(r, f"{r.band}_psfFluxNdata") >= 2
+        and r.psfFlux > 0
+        and _mag(r.psfFlux) < 24
+        and rate_gate(r)
+    }
+    assert got == want
+
+
+def test_sn_near_galaxy_mabs_gate(rubin_df, rubin_pdf):
+    """Peak absolute magnitude (−23, −13) via the packaged mu(z) polynomial
+    — replica integrates the same flat-LCDM comoving distance numerically,
+    with a tolerance band excluded (poly max error 0.005 mag)."""
+    import numpy as np
+
+    C, H0, Om0 = 299792.458, 70.0, 0.3
+
+    def mu(z):
+        zs = np.linspace(0, z, 2048)
+        ez = np.sqrt(Om0 * (1 + zs) ** 3 + (1 - Om0))
+        dc = C / H0 * np.trapz(1 / ez, zs)
+        return 5 * math.log10((1 + z) * dc * 1e6 / 10)
+
+    def mabs(r):
+        fmax = max(getattr(r, f"{b}_psfFluxMax") for b in BANDS)
+        if _isnan(fmax) or fmax <= 0 or _isnan(r.xm_legacydr8_zphot) or r.xm_legacydr8_zphot <= 0:
+            return None
+        return _mag(fmax) - mu(r.xm_legacydr8_zphot)
+
+    got = _ids(apply_named_filter(rubin_df, "rubin.sn_near_galaxy_candidate"))
+    must = set()
+    may = set()
+    for r in rubin_pdf.itertuples():
+        if not (_egal_base(r, "near_galaxy") and r.nDiaSources > 5):
+            continue
+        m = mabs(r)
+        if m is None:
+            continue
+        if -23 + 0.01 < m < -13 - 0.01:
+            must.add(r.diaSourceId)
+        elif -23 - 0.01 < m < -13 + 0.01:
+            may.add(r.diaSourceId)
+    assert must <= got <= (must | may)
+
+
 def test_most_likely_sn_replicates_quality_negation(rubin_df, rubin_pdf):
-    """The reference's surprising ~good_quality conjunct is preserved."""
+    """The reference's surprising ~(good ∧ ~isNegative) conjunct is kept."""
     got = _ids(apply_named_filter(rubin_df, "rubin.most_likely_sn"))
     want = {
         r.diaSourceId
         for r in rubin_pdf.itertuples()
         if r.snr > 10
         and r.nDiaSources >= 2
-        and r.clf_snn_score >= 0.7
+        and r.clf_snnSnVsOthers_score >= 0.7
         and r.clf_cats_class == 11
         and r.clf_cats_score >= 0.9
-        and not _good_quality(r)
+        and not r.is_sso
+        and not (_good_quality(r) and not r.isNegative)
+    }
+    assert got == want
+
+
+def test_hostless_candidate(rubin_df, rubin_pdf):
+    got = _ids(apply_named_filter(rubin_df, "rubin.hostless_candidate"))
+    want = {
+        r.diaSourceId
+        for r in rubin_pdf.itertuples()
+        if _good_quality(r)
+        and r.clf_elephant_kstest_template < 0.95
+        and abs(_gal_b(r.ra, r.dec)) > 20
+        and r.psfFlux > 0
+        and _mag(r.psfFlux) <= 21.5
     }
     assert got == want
 
@@ -122,7 +253,9 @@ def test_early_snia_candidate(rubin_df, rubin_pdf):
         fmax = max(getattr(r, f"{b}_psfFluxMax") for b in BANDS)
         fmin = min(getattr(r, f"{b}_psfFluxMin") for b in BANDS)
         ratio = math.log10(fmax / fmin)
-        return r.clf_snia_score > 0.76 or (r.clf_snia_score > 0.5 and ratio > 0.5)
+        return r.clf_earlySNIa_score > 0.76 or (
+            r.clf_earlySNIa_score > 0.5 and ratio > 0.5
+        )
 
     want = {r.diaSourceId for r in rubin_pdf.itertuples() if replica(r)}
     assert got == want
@@ -133,9 +266,9 @@ def test_remove_unlikely_transients(rubin_df, rubin_pdf):
     want = {
         r.diaSourceId
         for r in rubin_pdf.itertuples()
-        if _good_quality(r)
-        and not r.is_sso
-        and not (r.xm_gaia_plx / r.xm_gaia_e_plx > 5)
-        and r.xm_vsx_type is None
+        if not r.is_sso
+        and r.snr > 10
+        and r.nDiaSources >= 2
+        and not (_good_quality(r) and not r.isNegative)
     }
     assert got == want

@@ -152,7 +152,11 @@ def test_schemas_flatten(spark):
         assert c in flat.columns
     rubin = spark.createDataFrame([], RUBIN_ALERT_SCHEMA)
     rflat = flatten_rubin(rubin)
-    for c in ("psfFlux", "snr", "g_psfFluxMean", "xm_simbad_otype", "clf_snn_score", "is_sso"):
+    for c in (
+        "psfFlux", "snr", "g_psfFluxMean", "xm_simbad_otype",
+        "clf_snnSnVsOthers_score", "is_sso", "firstDiaSourceMjdTaiFink",
+        "xm_gaiadr3_Plx", "xm_legacydr8_zphot",
+    ):
         assert c in rflat.columns
 
 

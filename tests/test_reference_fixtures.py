@@ -167,22 +167,102 @@ def rubin_flat(spark):
     return flatten_rubin(spark.read.parquet(f"{REF}/rubin_test_data_10_0.parquet"))
 
 
-def test_rubin_filters_on_real_alerts(rubin_flat):
-    """Rubin topics bind on the real diaSource/diaObject/xm layout."""
+# The reference publishes doctest counts for every block and livestream
+# topic ON THIS EXACT FIXTURE (each filter.py doctest runs apply_block over
+# datatest/rubin_test_data_10_0.parquet via tester.py:81 and pins count()).
+# These are the reference's own numbers, not ours.
+RUBIN_BLOCK_DOCTEST_COUNTS = {
+    # rubin/blocks.py doctests
+    "b_is_solar_system": 3,
+    "b_outside_galactic_plane_20_deg": 27,
+    "b_outside_galactic_plane_5_deg": 27,
+    "b_xmatched_simbad_galaxy": 0,
+    "b_xmatched_simbad_unknown": 27,
+    "b_xmatched_mangrove": 0,
+    "b_xmatched_gaia_star": 0,
+    "b_xmatched_vsx_star": 0,
+    "b_xmatched_vsx": 0,
+    "b_is_rising": 1,
+    "b_is_fading": 0,
+    "b_is_new": 26,
+    "b_good_quality": 7,
+    "b_extragalactic_loose_candidate": 4,
+    "b_extragalactic_near_galaxy_candidate": 0,
+}
+RUBIN_TOPIC_DOCTEST_COUNTS = {
+    # rubin/livestream/filter_*/filter.py + attic doctests
+    "rubin.extragalactic_loose": 4,
+    "rubin.near_galaxy_candidate": 0,
+    "rubin.sn_near_galaxy_candidate": 0,
+    "rubin.extragalactic_lt20mag": 0,
+    "rubin.extragalactic_new": 0,
+    "rubin.extragalactic_svom": 0,
+    "rubin.hostless_candidate": 0,
+    "rubin.in_tns": 0,
+    "rubin.most_likely_sn": 0,
+    "rubin.remove_unlikely_transients": 0,
+    "rubin.early_snia_candidate": 0,
+}
+
+
+def _rubin_enriched(flat):
+    """The upstream enrichments the reference's own doctests inject:
+    tns_fullname (filter_in_tns doctest does withColumn) and the F9
+    mag_rate lookup (computed from prvDiaSources upstream in production)."""
+    return flat.withColumn(
+        "tns_fullname", F.lit(None).cast("string")
+    ).withColumn("mag_rate", F.lit(None).cast("double"))
+
+
+def test_rubin_blocks_match_reference_doctest_counts(rubin_flat):
+    """C36 parity: every block in filters/rubin.py reproduces the
+    reference's published doctest count on the REAL 27-alert fixture."""
+    from fink_filters_spark.filters import rubin as R
+
+    flat = _rubin_enriched(rubin_flat).cache()
+    blocks = {
+        "b_is_solar_system": R.b_is_solar_system(flat),
+        "b_outside_galactic_plane_20_deg": R.b_outside_galactic_plane(flat, 20),
+        "b_outside_galactic_plane_5_deg": R.b_outside_galactic_plane(flat, 5),
+        "b_xmatched_simbad_galaxy": R.b_xmatched_simbad_galaxy(flat),
+        "b_xmatched_simbad_unknown": R.b_xmatched_simbad_unknown(flat),
+        "b_xmatched_mangrove": R.b_xmatched_mangrove(flat),
+        "b_xmatched_gaia_star": R.b_xmatched_gaia_star(flat),
+        "b_xmatched_vsx_star": R.b_xmatched_vsx_star(flat),
+        "b_xmatched_vsx": R.b_xmatched_vsx(flat),
+        "b_is_rising": R.b_is_rising(flat),
+        "b_is_fading": R.b_is_fading(flat),
+        "b_is_new": R.b_is_new(flat),
+        "b_good_quality": R.b_good_quality(flat),
+        "b_extragalactic_loose_candidate": R.extragalactic_base(flat, "loose"),
+        "b_extragalactic_near_galaxy_candidate": R.extragalactic_base(
+            flat, "near_galaxy"
+        ),
+    }
+    assert blocks.keys() == RUBIN_BLOCK_DOCTEST_COUNTS.keys()
+    for name, cond in blocks.items():
+        got = flat.filter(cond).count()
+        assert got == RUBIN_BLOCK_DOCTEST_COUNTS[name], (
+            f"{name}: got {got}, reference doctest says "
+            f"{RUBIN_BLOCK_DOCTEST_COUNTS[name]}"
+        )
+
+
+def test_rubin_topics_match_reference_doctest_counts(rubin_flat):
+    """C37 parity: every registered Rubin topic reproduces the reference's
+    published doctest count on the REAL fixture, plus the data-driven
+    uniform_sample count."""
     from fink_filters_spark.filters.registry import apply_named_filter
 
+    flat = _rubin_enriched(rubin_flat).cache()
+    for topic, want in RUBIN_TOPIC_DOCTEST_COUNTS.items():
+        got = apply_named_filter(flat, topic).count()
+        assert got == want, (
+            f"{topic}: got {got}, reference doctest says {want}"
+        )
     rpdf = pd.read_parquet(f"{REF}/rubin_test_data_10_0.parquet")
-    n_rows = len(rpdf)
-    # the fixture predates the tns_fullname column; the reference doctest
-    # itself injects it (rubin/livestream/filter_in_tns/filter.py doctest
-    # does withColumn('tns_fullname', lit(None))) — bind it to the xm
-    # struct's tns_type so the count is data-driven
-    in_tns = int(rpdf["xm"].apply(lambda x: x["tns_type"] is not None).sum())
-    with_tns = rubin_flat.withColumn("tns_fullname", F.col("xm_tns_type"))
     sample = int((rpdf["diaSourceId"] % 113 == 0).sum())
-    assert apply_named_filter(with_tns, "rubin.in_tns").count() == in_tns
-    assert apply_named_filter(rubin_flat, "rubin.uniform_sample").count() == sample
-    assert 0 < n_rows
+    assert apply_named_filter(flat, "rubin.uniform_sample").count() == sample
 
 
 def test_fits_codec_on_real_ztf_cutouts(ztf_raw, spark):
@@ -644,5 +724,66 @@ def test_streaming_topics_match_batch_on_real_alerts(spark, tmp_path):
         q.awaitTermination(120)
         want = {r.objectId for r in
                 apply_named_filter(batch_flat, topic).select("objectId").collect()}
+        assert len(got) == golden, f"{topic}: streamed {len(got)} != {golden}"
+        assert set(got) == want, f"{topic}: streamed set != batch set"
+
+
+def test_rubin_streaming_topics_match_batch_on_real_alerts(spark, tmp_path):
+    """§2.J Rubin product parity: registered Rubin topics run under
+    ``readStream`` over the REAL alert fixture
+    (``datatest/rubin_test_data_10_0.parquet``) — the reference's Rubin
+    livestream consumption shape — and each topic's streamed selection
+    equals the batch selection, alert for alert, plus the reference's OWN
+    doctest golden for this snapshot (filter_*/filter.py doctests pin
+    count() on this fixture; extragalactic_loose's 4 comes from the
+    blocks.py extragalactic_base spark doctest)."""
+    from fink_filters_spark.filters.registry import apply_named_filter
+    from fink_filters_spark.schemas import flatten_rubin
+    from fink_filters_spark.streaming import StreamPipeline
+
+    topics = {  # goldens: reference doctests + data-driven uniform_sample
+        "rubin.extragalactic_loose": 4,
+        "rubin.uniform_sample": 1,
+        "rubin.remove_unlikely_transients": 0,
+        "rubin.hostless_candidate": 0,
+    }
+    from pyspark.sql.types import StructType
+
+    src = f"{REF}/rubin_test_data_10_0.parquet"
+    full = spark.read.parquet(src).schema
+    # read-schema pruned to the filter-relevant structs: the raw packet
+    # carries cutout binaries, prv arrays and ssSource/mpc_orbits payloads
+    # whose per-leaf vectorized reader batches dwarf the 27 rows — a
+    # production topic pipeline would prune its scan the same way
+    keep = ("diaSource", "diaObject", "misc", "xm", "clf", "pred")
+    schema = StructType([f for f in full.fields if f.name in keep])
+
+    from fink_filters_spark.filters.rubin import topic_columns
+
+    def enrich(df):
+        # project to the topic surface right after flatten so each
+        # micro-batch plan (and its codegen class) stays ~70 columns,
+        # not the ~190-leaf packet
+        out = _rubin_enriched(flatten_rubin(df))
+        want = set(topic_columns()) | {"tns_fullname", "mag_rate"}
+        return out.select([c for c in out.columns if c in want])
+
+    batch_flat = enrich(spark.read.parquet(src))
+    for i, (topic, golden) in enumerate(topics.items()):
+        stream = spark.readStream.schema(schema).parquet(src)
+        got: list = []
+        pipe = (
+            StreamPipeline(stream)
+            .enrich(enrich)
+            .topic(topic)
+            .sink(lambda bdf, bid: got.extend(
+                r.diaSourceId for r in bdf.select("diaSourceId").collect()
+            ))
+        )
+        q = pipe.start(checkpoint=str(tmp_path / f"rck{i}"), once=True)
+        q.awaitTermination(120)
+        want = {r.diaSourceId for r in
+                apply_named_filter(batch_flat, topic)
+                .select("diaSourceId").collect()}
         assert len(got) == golden, f"{topic}: streamed {len(got)} != {golden}"
         assert set(got) == want, f"{topic}: streamed set != batch set"

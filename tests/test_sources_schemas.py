@@ -59,19 +59,25 @@ def test_flatten_rubin_prefixes_structs(spark):
         "diaObject": dict.fromkeys(obj_fields) | {"nDiaSources": 5},
         "prvDiaSources": [],
         "prvDiaForcedSources": [],
-        "xm": {"simbad_otype": "Galaxy", "mangrove_name": None, "gaia_plx": None,
-               "gaia_e_plx": None, "vsx_type": None, "tns_fullname": "SN 2025a"},
-        "clf": {"snn_score": 0.9, "cats_class": 11, "cats_score": 0.95,
-                "snia_score": 0.1},
+        "xm": {"simbad_otype": "Galaxy", "mangrove_lum_dist": None,
+               "gaiadr3_DR3Name": None, "gaiadr3_Plx": None,
+               "gaiadr3_e_Plx": None, "vsx_Type": None,
+               "legacydr8_zphot": 0.2, "tns_type": "SN"},
+        "clf": {"snnSnVsOthers_score": 0.9, "cats_class": 11,
+                "cats_score": 0.95, "earlySNIa_score": 0.1,
+                "elephant_kstest_science": None,
+                "elephant_kstest_template": 0.5},
         "pred": {"is_sso": False},
+        "misc": {"firstDiaSourceMjdTaiFink": 61041.2},
     }
     flat = flatten_rubin(spark.createDataFrame([row], RUBIN_ALERT_SCHEMA))
     r = flat.first()
     assert r["diaSourceId"] == 42 and r["band"] == "g"
-    assert r["xm_simbad_otype"] == "Galaxy" and r["xm_tns_fullname"] == "SN 2025a"
+    assert r["xm_simbad_otype"] == "Galaxy" and r["xm_tns_type"] == "SN"
     assert r["clf_cats_class"] == 11
     assert r["is_sso"] is False
     assert r["nDiaSources"] == 5
+    assert r["firstDiaSourceMjdTaiFink"] == 61041.2
 
 
 def test_load_catalog_csv_broadcast(spark, tmp_path):

@@ -202,7 +202,11 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert one_night.count() == 50
     plan = one_night._jdf.queryExecution().executedPlan().toString()
     # partition pruning: the scan carries a partition filter on `night`
-    assert "PartitionFilters: [isnotnull(night" in plan
+    # (the equality itself; the inferred isnotnull prefix only appears when
+    # constraint propagation is on, which the engine disables — session.py)
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^]]*\(night#\d+ = n1\)", plan), plan
 
 
 def test_write_bucketed_shuffle_free_join(spark, tmp_path):

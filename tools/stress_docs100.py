@@ -29,6 +29,8 @@ sys.path.insert(0, ".")
 SRC = "/root/testdata/sf0.1"
 DST = ".stress_docs100"
 REPLICAS = 100
+# > DUP2_OFF (2e6) + max custkey, and ≡ 0 (mod 6) — see build()
+CUST_STRIDE = 3_000_000
 
 HEADLINERS = [
     "dedup_exact",
@@ -51,6 +53,12 @@ HEADLINERS = [
     "chunk_cdc",
     "dedup_chunk_cdc",
     "pipe_curation_funnel",
+    # layout + curation over the same 100x documents table
+    "layout_zorder",
+    "pipe_quota_sample",
+    # entity resolution over the 100x customer table (see build())
+    "er_candidate_pairs",
+    "er_golden_record",
 ]
 
 
@@ -61,10 +69,14 @@ def build(spark) -> None:
     # (_SUCCESS) and every side table must have been copied — a killed run
     # leaves a partial directory that would otherwise silently poison
     # every later run
-    complete = os.path.exists(f"{DST}/documents.parquet/_SUCCESS") and all(
-        os.path.exists(f"{DST}/{t}.parquet")
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "embeddings")
+    complete = (
+        os.path.exists(f"{DST}/documents.parquet/_SUCCESS")
+        and os.path.exists(f"{DST}/customer.parquet/_SUCCESS")
+        and all(
+            os.path.exists(f"{DST}/{t}.parquet")
+            for t in ("region", "nation", "supplier", "part",
+                      "orders", "lineitem", "events", "embeddings")
+        )
     )
     if complete:
         print(f"# reusing existing {DST}", file=sys.stderr)
@@ -99,12 +111,35 @@ def build(spark) -> None:
         .repartition(32)
     )
     out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    # customer x100 the way a REAL 100x TPC-H would look: keys shifted by a
+    # replica stride (multiple of 6, so the ER dirty-copy %2/%6 proportions
+    # hold, and > DUP2_OFF + max key, so dirty-copy ids never collide with a
+    # later replica's base ids), names REBUILT from the shifted key (so the
+    # suf3 blocking suffix keeps its real 1000-value cardinality — blocks
+    # grow linearly in SIZE exactly as a true 100x corpus's would, which is
+    # the honest quadratic-blocking stress), balances UNSHIFTED (a real
+    # corpus's balance range does not grow with row count — the (nat,bal_c)
+    # attrs pass collides mildly and linearly, as in real data).
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    cust_out = (
+        cust.select("*", reps)
+        .withColumn(
+            "c_custkey",
+            (F.col("c_custkey") + F.col("__rep") * F.lit(CUST_STRIDE)).cast("long"),
+        )
+        .withColumn("c_name", F.format_string("Customer#%09d", F.col("c_custkey")))
+        .drop("__rep")
+        .repartition(32)
+    )
+    cust_out.write.mode("overwrite").parquet(f"{DST}/customer.parquet")
     # the other tables ride along unchanged so load_table() resolves
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+    for t in ("region", "nation", "supplier", "part", "orders",
               "lineitem", "events", "embeddings"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     n = spark.read.parquet(f"{DST}/documents.parquet").count()
-    print(f"# built documents x{REPLICAS}: {n} rows", file=sys.stderr)
+    nc = spark.read.parquet(f"{DST}/customer.parquet").count()
+    print(f"# built documents x{REPLICAS}: {n} rows; customer: {nc} rows",
+          file=sys.stderr)
 
 
 def main() -> None:
@@ -159,6 +194,21 @@ def _run(spark, entry) -> None:
     ]
     for name, t1, t100, r in rows:
         lines.append(f"| {name} | {t1:.2f}s | {t100:.2f}s | {r:.1f}x |")
+    # measured ER candidate bound at both scales: the slope argument for the
+    # er_* rows is "time grows no faster than the blocking-candidate count",
+    # and the candidate count is a property of the DATA + chosen block keys,
+    # not of the plan (multi_pass_candidates is per-pass equi-joins).
+    from fink_filters_spark.queries.linkage import _dirty_records, _PASSES
+    from fink_filters_spark.operators.linkage import multi_pass_candidates
+
+    cand = {}
+    for label, d in (("sf0.1", SRC), ("100x", DST)):
+        spark.catalog.clearCache()
+        cand[label] = multi_pass_candidates(
+            _dirty_records(spark, d), "rec_id", _PASSES
+        ).count()
+        print(f"# er candidates @ {label}: {cand[label]}", file=sys.stderr)
+
     lines += [
         "",
         "The steepest slopes are candidate-bound, not plan defects: exact",
@@ -167,6 +217,19 @@ def _run(spark, entry) -> None:
         "and PMI/containment share that shape. The sub-quadratic path for",
         "the same contract is dedup_minhash_lsh (bounded banding candidates),",
         "which is why both are first-class operators.",
+        "",
+        "ER rows run on a 100x customer table built the way a REAL 100x",
+        "TPC-H would look (keys shifted, names rebuilt from keys so the",
+        "3-char name-suffix blocking key keeps its true 1000-value",
+        "cardinality, balances unshifted). Measured blocking candidates:",
+        f"{cand['sf0.1']:,} at sf0.1 -> {cand['100x']:,} at 100x "
+        f"({cand['100x'] / max(cand['sf0.1'], 1):.0f}x) — the (seg, suf3)",
+        "pass goes quadratic when block SIZES grow with the corpus, exactly",
+        "as it would on real data; the er_* wall-clock slopes are bounded by",
+        "that candidate growth (per-pass equi-joins + banded levenshtein,",
+        "no cross join). The 100 TB mitigation is the documented knob:",
+        "more selective block keys (longer suffixes, more passes), which",
+        "multi_pass_candidates takes as data, not code.",
         "",
     ]
     with open("STRESS100.md", "w") as f:
