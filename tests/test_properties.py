@@ -641,3 +641,49 @@ def test_ema_matches_python_fold_property(spark, vs):
     assert r.n_events == len(vs)
     assert r.ema_milli_e6 == want
     assert r.last_milli == seq[-1]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(10**12), 10**12),
+            st.integers(-(10**6), 10**6).filter(lambda b: b != 0),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_integer_microunit_conventions_cross_engine(spark, pairs):
+    """DESIGN.md 'integer micro-units' hash-surface rule, pinned
+    empirically against DuckDB on random (a, b) incl. negatives and
+    manufactured round-boundary rationals:
+
+    - (a * 1000000) div b  ==  DuckDB (a * 1000000) // b
+      (both truncate toward zero — NOT floor — for negative quotients);
+    - CAST(round((a/b) * 1e6) AS BIGINT) == DuckDB ditto
+      (identical IEEE double, INTEGER rounding half-away-from-zero in
+      both engines, exact .5 ties included).
+    """
+    import duckdb
+
+    # append tie-adjacent rationals: a/b * 1e6 lands exactly on k + 0.5
+    # after double rounding (e.g. 1/2000000 * 1e6 -> 0.5)
+    pairs = pairs + [(1, 2_000_000), (3, 2_000_000), (-1, 2_000_000),
+                     (-3, 2_000_000), (5, -2_000_000), (1, -2_000_000)]
+    sdf = spark.createDataFrame(pairs, "a long, b long").selectExpr(
+        "(a * 1000000L) div b AS ppm",
+        "CAST(round((CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * 1e6) AS BIGINT) AS e6",
+    )
+    got = sorted((r.ppm, r.e6) for r in sdf.collect())
+    con = duckdb.connect()
+    rows = ", ".join(f"({a}, {b})" for a, b in pairs)
+    want = sorted(
+        con.sql(
+            "SELECT (CAST(a AS BIGINT) * 1000000) // b, "
+            "CAST(round((CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * 1e6) AS BIGINT) "
+            f"FROM (VALUES {rows}) AS t(a, b)"
+        ).fetchall()
+    )
+    con.close()
+    assert got == [tuple(w) for w in want]
