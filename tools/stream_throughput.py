@@ -78,6 +78,46 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     batch_rate = n_alerts / best
 
+    # Rubin: same one-codegen-pass measurement over the real flattened
+    # packet layout (conftest.make_rubin_pdf mirrors
+    # datatest/rubin_test_data_10_0.parquet column names incl. NaN holes)
+    from conftest import make_rubin_pdf
+
+    import fink_filters_spark.filters.rubin  # noqa: F401 (register topics)
+
+    rpdf = make_rubin_pdf(N_BASE)
+    spark.createDataFrame(rpdf).write.mode("overwrite").parquet(f"{tmp}/rubin")
+    rbig = (
+        spark.read.parquet(f"{tmp}/rubin")
+        .withColumn("__k", F.explode(F.sequence(F.lit(1), F.lit(AMPLIFY))))
+        .withColumn("diaSourceId", F.col("diaSourceId") * AMPLIFY + F.col("__k"))
+        .drop("__k")
+    )
+    n_rubin = rbig.count()
+    rubin_topics = [i.name for i in filter_catalog() if i.survey == "rubin"]
+    rflags, rkept = [], []
+    for name in rubin_topics:
+        try:
+            c = get_filter(name).builder(rbig).cast("int").alias(
+                name.replace(".", "_")
+            )
+            rbig.select(c).schema
+            rflags.append(c)
+            rkept.append(name)
+        except Exception:
+            print(f"# skipped {name}", file=sys.stderr)
+    ragg = rbig.select(*rflags).agg(
+        *[F.sum(n.replace(".", "_")).alias(n) for n in rkept]
+    )
+    rbest = rfirst = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        ragg.collect()
+        dt = time.perf_counter() - t0
+        rfirst = dt if i == 0 else rfirst
+        rbest = dt if rbest is None else min(rbest, dt)
+    rubin_rate = n_rubin / rbest
+
     # streaming: 10 micro-batches via maxFilesPerTrigger (simple stable
     # types only for the file stream -> drop the map columns)
     big.drop("mangrove", "blazar_stats").repartition(10).write.mode(
@@ -102,12 +142,15 @@ def main() -> None:
     lines = [
         "# THROUGHPUT — alerts/sec through the topic registry",
         "",
-        f"{n_alerts:,} synthetic ZTF-shaped alerts, local[32], min-of-3 (batch).",
+        f"{n_alerts:,} synthetic ZTF-shaped + {n_rubin:,} Rubin-layout alerts"
+        " (real flattened packet column names), local[32], min-of-3 (batch).",
         "",
         "| mode | topics | wall | alerts/sec |",
         "|---|---|---|---|",
-        f"| batch, all topics in one codegen pass | {len(flags)} | {best:.2f}s"
+        f"| batch, all ZTF topics in one codegen pass | {len(flags)} | {best:.2f}s"
         f" (cold {first:.2f}s) | {batch_rate:,.0f} |",
+        f"| batch, all Rubin topics in one codegen pass | {len(rflags)} |"
+        f" {rbest:.2f}s (cold {rfirst:.2f}s) | {rubin_rate:,.0f} |",
         f"| Structured Streaming, 10 micro-batches | 1 | {stream_dt:.2f}s |"
         f" {stream_rate:,.0f} |",
         "",
