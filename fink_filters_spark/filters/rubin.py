@@ -106,11 +106,17 @@ def b_xmatched_mangrove(df: DataFrame) -> Column:
 
 def b_xmatched_gaia_star(df: DataFrame) -> Column:
     """blocks.py:178-210: named in Gaia DR3 AND significant parallax
-    (Plx/e_Plx > 5); a NaN parallax ratio is False, as in pandas."""
+    (Plx/e_Plx > 5); a NaN parallax ratio is False, as in pandas. A ZERO
+    parallax error needs an explicit branch: pandas Plx/0.0 is +-inf
+    (inf > 5 true iff Plx > 0) while Spark's non-ANSI division by zero
+    yields NULL — which would silently un-veto a degenerate-fit star."""
     named = F.col("xm_gaiadr3_DR3Name").isNotNull() & ~F.col(
         "xm_gaiadr3_DR3Name"
     ).isin(BAD_VALUES)
-    return named & _f(_d("xm_gaiadr3_Plx") / _d("xm_gaiadr3_e_Plx") > 5)
+    significant = F.when(
+        _d("xm_gaiadr3_e_Plx") == 0, _d("xm_gaiadr3_Plx") > 0
+    ).otherwise(_d("xm_gaiadr3_Plx") / _d("xm_gaiadr3_e_Plx") > 5)
+    return named & _f(significant)
 
 
 def b_xmatched_vsx_star(df: DataFrame) -> Column:
@@ -118,7 +124,10 @@ def b_xmatched_vsx_star(df: DataFrame) -> Column:
     Offline approximation: ANY VSX match counts as stellar — the public
     fink-utils stellar list covers the overwhelming majority of VSX
     variability classes, and the nonstellar remainder is not separable
-    without the package."""
+    without the package. KNOWN divergence until that list ships: a
+    nonstellar VSX match (e.g. an AGN variability class) is wrongly
+    vetoed from the extragalactic topics here, where the reference
+    would keep it."""
     return F.col("xm_vsx_Type").isNotNull() & ~F.col("xm_vsx_Type").isin(
         BAD_VALUES
     )
@@ -409,20 +418,30 @@ def remove_unlikely_transients(df: DataFrame) -> Column:
     reference="rubin/attic/filter_early_snia_candidate/filter.py:50-59",
 )
 def early_snia_candidate(df: DataFrame) -> Column:
-    """C37 (attic): score>0.76, or score>0.5 with a large flux rise."""
-    ratio = F.log10(_flux_max(df) / _flux_min(df))
+    """C37 (attic): score>0.76, or score>0.5 with a large flux rise.
+    Reference clamps (filter.py:50-55): f_min = max(10, min-flux) but a
+    missing min stays missing (pandas np.max([10, nan]) is nan -> ratio
+    nan -> False); f_max falls back to 1e-10 when not > 0 — INCLUDING
+    the missing case (nan > 0 is False in pandas)."""
+    fmin_raw = _flux_min(df)
+    fmax_raw = _flux_max(df)
+    f_min = F.when(fmin_raw < 10, F.lit(10.0)).otherwise(fmin_raw)
+    f_max = F.when(fmax_raw > 0, fmax_raw).otherwise(F.lit(1e-10))
+    ratio = F.log10(f_max / f_min)
     return _f(_d("clf_earlySNIa_score") > 0.76) | (
         _f(_d("clf_earlySNIa_score") > 0.5) & _f(ratio > 0.5)
     )
 
 
 def _flux_max(df: DataFrame) -> Column:
-    """E6: cross-column max over the 6 per-band maxima (utils.py:137-190)."""
-    return F.greatest(*[F.col(f"{b}_psfFluxMax") for b in BANDS])
+    """E6: cross-column max over the 6 per-band maxima (utils.py:137-190).
+    nanvl folds NaN to NULL so greatest/least skip missing bands exactly
+    like pandas max/min(skipna=True); all-missing stays NULL."""
+    return F.greatest(*[F.nanvl(F.col(f"{b}_psfFluxMax"), F.lit(None)) for b in BANDS])
 
 
 def _flux_min(df: DataFrame) -> Column:
-    return F.least(*[F.col(f"{b}_psfFluxMin") for b in BANDS])
+    return F.least(*[F.nanvl(F.col(f"{b}_psfFluxMin"), F.lit(None)) for b in BANDS])
 
 
 @register(
@@ -438,8 +457,13 @@ def topic_columns() -> list[str]:
     """The flattened columns the Rubin topic surface consumes — callers
     streaming wide alert packets should project to these right after
     flatten_rubin so the per-topic plans (and their codegen classes) stay
-    proportional to the filter logic, not to the ~190-leaf packet."""
+    proportional to the filter logic, not to the ~190-leaf packet.
+    Includes the two upstream-enrichment columns (tns_fullname for
+    in_tns, mag_rate for extragalactic_new) — inject them BEFORE
+    projecting, or drop those topics from the pass."""
     cols = [
+        "tns_fullname",
+        "mag_rate",
         "diaSourceId", "midpointMjdTai", "ra", "dec", "band",
         "psfFlux", "psfFluxErr", "snr", "isNegative",
         "nDiaSources", "firstDiaSourceMjdTaiFink", "is_sso",

@@ -180,8 +180,8 @@ def unimax_allocation(
     cap) while ``cap_k * (N-k+1) <= budget - Σ_{j<k} cap_j`` — both sides
     exact integers — and every unsaturated source gets the common level
     ``u = (budget - Σ_sat cap) / n_unsat``. Returns
-    ``(source, n_tokens, cap, alloc_tokens, epochs)`` with ``epochs``
-    rounded to 6 dp.
+    ``(source, n_tokens, cap, alloc_tokens_e6, epochs_e6)`` — allocation
+    and epochs as e6 integer micro-units (hash-stability, DESIGN.md).
 
     Scale: two aggregations over the per-source stats table (rows =
     number of sources — thousands at most), then one broadcastable join

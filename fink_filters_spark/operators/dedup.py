@@ -1111,7 +1111,13 @@ def connected_components(
     ``_SUCCESS`` — a mid-generation crash — is ignored and overwritten),
     so kill/resume at any point yields labels identical to an
     uninterrupted run: min-label propagation is monotone, and re-running
-    a round from a committed generation is idempotent.
+    a round from a committed generation is idempotent. The state is
+    GUARDED BY AN INPUT FINGERPRINT (edge count + order-independent
+    xxhash64 sum, stored in ``state_dir/_meta``): resuming with a
+    DIFFERENT pair graph — e.g. a nightly job reusing yesterday's dir —
+    clears the stale generations and starts fresh instead of silently
+    returning the old graph's labels. The fingerprint costs one extra
+    pass over the edge list, only on the opt-in durable path.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if driver_threshold > 0:
@@ -1172,13 +1178,15 @@ def connected_components(
     def _gen_path(n: int) -> str:
         return f"{state_dir.rstrip('/')}/gen={n}"
 
+    def _fs():
+        jvm = sc._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_dir)
+        return jvm, root.getFileSystem(sc._jsc.hadoopConfiguration()), root
+
     def _complete_gens() -> list[int]:
         """Committed generations under state_dir (Hadoop FS — works on any
         cluster filesystem, not just local)."""
-        jvm = sc._jvm
-        hconf = sc._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(state_dir)
-        fs = root.getFileSystem(hconf)
+        jvm, fs, root = _fs()
         if not fs.exists(root):
             return []
         gens = []
@@ -1190,6 +1198,39 @@ def connected_components(
             if fs.exists(ok):  # no _SUCCESS = mid-generation crash, ignore
                 gens.append(int(name.split("=", 1)[1]))
         return sorted(gens)
+
+    def _check_fingerprint(und_edges: DataFrame) -> None:
+        """Resume only onto state produced from the SAME pair graph:
+        mismatch clears gen dirs (meta last, so a crash mid-clear is
+        re-detected next run) and a fresh meta is committed."""
+        # bit_xor: order-independent, overflow-free (sum of hashes would
+        # overflow int64 under ANSI); edges are distinct so xor can't
+        # self-cancel a duplicate
+        row = und_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        fp = f"{row['n']}:{row['h']}"
+        jvm, fs, root = _fs()
+        meta = jvm.org.apache.hadoop.fs.Path(f"{state_dir.rstrip('/')}/_meta")
+        stored = None
+        if fs.exists(meta):
+            stored = (
+                spark.read.text(f"{state_dir.rstrip('/')}/_meta")
+                .collect()[0][0]
+            )
+        if stored is not None and stored != fp:
+            for n in _complete_gens():
+                fs.delete(jvm.org.apache.hadoop.fs.Path(_gen_path(n)), True)
+            for st in fs.listStatus(root):  # torn gens too
+                if st.getPath().getName().startswith("gen="):
+                    fs.delete(st.getPath(), True)
+            fs.delete(meta, True)
+            stored = None
+        if stored is None:
+            spark.createDataFrame([(fp,)], "value string").coalesce(1).write.mode(
+                "overwrite"
+            ).text(f"{state_dir.rstrip('/')}/_meta")
 
     def ckpt(df: DataFrame) -> DataFrame:
         if state_dir is not None:
@@ -1212,6 +1253,7 @@ def connected_components(
     )
     resumed = False
     if state_dir is not None:
+        _check_fingerprint(und)
         done = _complete_gens()
         if done:
             latest = done[-1]

@@ -77,8 +77,9 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
             F.col(f"{m}_sum"),
             F.col(f"{m}_min"),
             F.col(f"{m}_max"),
-            F.expr(f"({m}_sum * 1000000L) div {m}_count")
-            .cast("long")
-            .alias(f"{m}_avg_ppm"),
+            F.expr(
+                f"CAST((CAST({m}_sum AS DECIMAL(38,0)) * 1000000)"
+                f" div {m}_count AS LONG)"
+            ).alias(f"{m}_avg_ppm"),
         ]
     return state.select(*cols)

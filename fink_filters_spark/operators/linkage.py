@@ -135,11 +135,12 @@ def length_lex_max_key(col: str | F.Column, pad: int = 4) -> F.Column:
     ``pad`` digits cap the representable length at 10^pad - 1)."""
     c = F.col(col) if isinstance(col, str) else col
     # lpad TRUNCATES a longer prefix, which would silently corrupt the
-    # ordering for values >= 10^pad chars — fail the row loudly instead
-    # (mirrors the _pq_subvectors per-row raise_error guard)
+    # ordering for values >= 10^pad chars — fail THAT row loudly instead
+    # (mirrors the _pq_subvectors per-row raise_error guard). The raise
+    # branch guards only the >= 10^pad case: a NULL value must stay a
+    # NULL key (max() skips it, matching SQL), not a job abort.
     guarded_len = F.when(
-        F.length(c) < 10 ** pad, F.length(c)
-    ).otherwise(
+        F.length(c) >= 10 ** pad,
         F.raise_error(
             F.concat(
                 F.lit(
@@ -149,8 +150,8 @@ def length_lex_max_key(col: str | F.Column, pad: int = 4) -> F.Column:
                 F.length(c).cast("string"),
                 F.lit(")"),
             )
-        ).cast("int")
-    )
+        ).cast("int"),
+    ).otherwise(F.length(c))
     return F.concat(F.lpad(guarded_len.cast("string"), pad, "0"), c)
 
 

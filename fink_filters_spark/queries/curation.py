@@ -59,7 +59,10 @@ def pipe_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         "n_hit",
-        F.expr("(n_hit * 1000000L) div n_shingles").cast("long").alias(
+        F.expr(
+            "CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
+            " div n_shingles AS LONG)"
+        ).alias(
             "contamination_ppm"
         ),
     )
@@ -72,7 +75,7 @@ tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} <> 0)
 SELECT tr.doc_id,
        count(*) AS n_shingles,
        count(e.g) AS n_hit,
-       CAST((count(e.g) * 1000000) // count(*) AS BIGINT)
+       CAST((CAST(count(e.g) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
            AS contamination_ppm
 FROM tr LEFT JOIN ev e ON tr.g = e.g
 GROUP BY tr.doc_id

@@ -223,7 +223,12 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
         F.when(F.col("n_true") == 0, F.lit(1000000).cast("long"))
-        .otherwise(F.expr("(n_hit * 1000000L) div n_true").cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000)"
+                " div n_true AS LONG)"
+            )
+        )
         .alias("recall_ppm"),
     )
 

@@ -291,9 +291,15 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab_size").cast("long").alias("vocab_size"),
             "total_tokens",
             # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
-            F.expr("(cum * 1000000L) div total_tokens").cast("long")
+            F.expr(
+                "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000)"
+                " div total_tokens AS LONG)"
+            )
             .alias("covered_ppm"),
-            F.expr("((total_tokens - cum) * 1000000L) div total_tokens")
+            F.expr(
+                "CAST((CAST(total_tokens - cum AS DECIMAL(38,0)) * 1000000)"
+                " div total_tokens AS LONG)"
+            )
             .cast("long")
             .alias("unk_ppm"),
         )
@@ -320,8 +326,8 @@ hit AS (
 SELECT CAST(h.pct AS BIGINT) AS pct,
        CAST(h.vocab_size AS BIGINT) AS vocab_size,
        h.total_tokens,
-       CAST((r.cum * 1000000) // h.total_tokens AS BIGINT) AS covered_ppm,
-       CAST(((h.total_tokens - r.cum) * 1000000) // h.total_tokens AS BIGINT) AS unk_ppm
+       CAST((CAST(r.cum AS HUGEINT) * 1000000) // h.total_tokens AS BIGINT) AS covered_ppm,
+       CAST((CAST(h.total_tokens - r.cum AS HUGEINT) * 1000000) // h.total_tokens AS BIGINT) AS unk_ppm
 FROM hit h JOIN ranked r ON h.vocab_size = r.rank
 """
 

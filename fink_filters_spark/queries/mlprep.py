@@ -176,7 +176,10 @@ def pipe_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
-        F.expr("(sum(n_chars) * 1000000L) div count(1)").alias("avg_chars_ppm"),
+        F.expr(
+            "CAST((CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000)"
+            " div count(1) AS LONG)"
+        ).alias("avg_chars_ppm"),
     )
 
 
@@ -187,7 +190,7 @@ def _kfold_sql() -> str:
 SELECT {md5_bucket_sql('doc_id', KFOLD_K)} AS fold,
        count(*) AS n_docs,
        sum(n_chars) AS sum_chars,
-       CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS avg_chars_ppm
+       CAST((CAST(sum(n_chars) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS avg_chars_ppm
 FROM documents
 GROUP BY 1
 """
@@ -212,15 +215,15 @@ def pipe_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.expr(
-            "(sum(n_events) OVER () * 1000000L)"
-            " div (count(1) OVER () * n_events)"
+            "CAST((CAST(sum(n_events) OVER () AS DECIMAL(38,0)) * 1000000)"
+            " div (count(1) OVER () * n_events) AS LONG)"
         ).alias("weight_ppm"),
     )
 
 
 CLASS_WEIGHTS_SQL = """
 SELECT event_type, n_events,
-       CAST((sum(n_events) OVER () * 1000000)
+       CAST((CAST(sum(n_events) OVER () AS HUGEINT) * 1000000)
              // (count(*) OVER () * n_events) AS BIGINT) AS weight_ppm
 FROM (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
 """
@@ -350,7 +353,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "sum_occ",
-            F.expr("(sum_occ * 1000000L) div n_grams").alias("mean_occ_ppm"),
+            F.expr(
+                "CAST((CAST(sum_occ AS DECIMAL(38,0)) * 1000000)"
+                " div n_grams AS LONG)"
+            ).alias("mean_occ_ppm"),
         )
     )
 
@@ -372,7 +378,7 @@ c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram)
 SELECT g.doc_id,
        count(*) AS n_grams,
        CAST(sum(c.n_occ) AS BIGINT) AS sum_occ,
-       CAST((CAST(sum(c.n_occ) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+       CAST((CAST(sum(c.n_occ) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
            AS mean_occ_ppm
 FROM g JOIN c ON g.gram = c.gram
 GROUP BY g.doc_id
@@ -511,7 +517,7 @@ SELECT event_type,
        sum(v) AS val_m_sum,
        min(v) AS val_m_min,
        max(v) AS val_m_max,
-       CAST((sum(v) * 1000000) // count(*) AS BIGINT) AS val_m_avg_ppm
+       CAST((CAST(sum(v) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS val_m_avg_ppm
 FROM (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v FROM events)
 GROUP BY event_type
 """

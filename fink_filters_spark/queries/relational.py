@@ -46,10 +46,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # hash-stability: exact integer micro-units (DESIGN.md); avg_qty in
         # ppm of a quantity unit, avg_price in micro-dollars (cents * 1e4)
-        .withColumn("avg_qty_ppm", F.expr("(sum_qty * 1000000L) div count_order"))
+        .withColumn(
+            "avg_qty_ppm",
+            F.expr(
+                "CAST((CAST(sum_qty AS DECIMAL(38,0)) * 1000000)"
+                " div count_order AS LONG)"
+            ),
+        )
         .withColumn(
             "avg_price_micro",
-            F.expr("(sum_base_cents * 10000L) div count_order"),
+            F.expr(
+                "CAST((CAST(sum_base_cents AS DECIMAL(38,0)) * 10000)"
+                " div count_order AS LONG)"
+            ),
         )
     )
 
@@ -61,8 +70,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(ep_cents * (100 - disc_pct)) AS BIGINT) AS sum_disc_e4,
        CAST(sum(ep_cents * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS sum_charge_e6,
        count(*) AS count_order,
-       CAST((sum(CAST(l_quantity AS BIGINT)) * 1000000) // count(*) AS BIGINT) AS avg_qty_ppm,
-       CAST((sum(ep_cents) * 10000) // count(*) AS BIGINT) AS avg_price_micro
+       CAST((CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS avg_qty_ppm,
+       CAST((CAST(sum(ep_cents) AS HUGEINT) * 10000) // count(*) AS BIGINT) AS avg_price_micro
 FROM (
   SELECT *,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_cents,
@@ -347,7 +356,11 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hash-stability: promo share as exact integer ppm (DESIGN.md)
     return agg.withColumn(
-        "promo_ppm", F.expr("(promo_e4 * 1000000L) div total_e4")
+        "promo_ppm",
+        F.expr(
+            "CAST((CAST(promo_e4 AS DECIMAL(38,0)) * 1000000)"
+            " div total_e4 AS LONG)"
+        ),
     )
 
 

@@ -349,7 +349,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hash-stability: exact integer ppm (DESIGN.md "integer micro-units")
     return agg.withColumn(
-        "mkt_share_ppm", F.expr("(nation_e4 * 1000000L) div total_e4")
+        "mkt_share_ppm",
+        F.expr(
+            "CAST((CAST(nation_e4 AS DECIMAL(38,0)) * 1000000)"
+            " div total_e4 AS LONG)"
+        ),
     )
 
 

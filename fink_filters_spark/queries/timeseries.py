@@ -517,7 +517,10 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in RETENTION_OFFSETS:
         out = out.withColumn(
             f"d{d}_rate_ppm",
-            F.expr(f"(d{d}_retained * 1000000L) div n_users").cast("long"),
+            F.expr(
+                f"CAST((CAST(d{d}_retained AS DECIMAL(38,0)) * 1000000)"
+                " div n_users AS LONG)"
+            ),
         )
     return out
 
@@ -538,8 +541,8 @@ SELECT cohort_day,
        count(*) AS n_users,
        sum(r1) AS d1_retained,
        sum(r7) AS d7_retained,
-       CAST((sum(r1) * 1000000) // count(*) AS BIGINT) AS d1_rate_ppm,
-       CAST((sum(r7) * 1000000) // count(*) AS BIGINT) AS d7_rate_ppm
+       CAST((CAST(sum(r1) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS d1_rate_ppm,
+       CAST((CAST(sum(r7) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS d7_rate_ppm
 FROM p GROUP BY cohort_day
 """
 

@@ -181,6 +181,21 @@ def test_connected_components_restart_recovery(spark, tmp_path):
         ).collect()
     }
     assert again == truth
+    # phase 5: a DIFFERENT pair graph with the same state_dir must NOT
+    # resume onto the stale labels — the input fingerprint clears them
+    other = spark.createDataFrame(
+        [(7, 8), (8, 9), (300, 301)], "id_a long, id_b long"
+    )
+    other_truth = {
+        (r.node, r.component) for r in connected_components(other).collect()
+    }
+    got_other = {
+        (r.node, r.component)
+        for r in connected_components(
+            other, driver_threshold=0, state_dir=state
+        ).collect()
+    }
+    assert got_other == other_truth
 
 
 def test_simhash_fused_kernel_matches_catalyst_agg(spark):

@@ -250,8 +250,12 @@ def test_early_snia_candidate(rubin_df, rubin_pdf):
     got = _ids(apply_named_filter(rubin_df, "rubin.early_snia_candidate"))
 
     def replica(r):
+        # reference clamps (attic filter.py:50-55): fmin floored at 10,
+        # non-positive/missing fmax falls back to 1e-10
         fmax = max(getattr(r, f"{b}_psfFluxMax") for b in BANDS)
         fmin = min(getattr(r, f"{b}_psfFluxMin") for b in BANDS)
+        fmin = max(10.0, fmin)
+        fmax = fmax if fmax > 0 else 1e-10
         ratio = math.log10(fmax / fmin)
         return r.clf_earlySNIa_score > 0.76 or (
             r.clf_earlySNIa_score > 0.5 and ratio > 0.5
@@ -272,3 +276,24 @@ def test_remove_unlikely_transients(rubin_df, rubin_pdf):
         and not (_good_quality(r) and not r.isNegative)
     }
     assert got == want
+
+
+def test_gaia_star_zero_parallax_error_matches_pandas(spark):
+    """pandas Plx/0.0 is +-inf (inf > 5 true iff Plx > 0); Spark's
+    non-ANSI /0 yields NULL — the block branches explicitly so a
+    degenerate zero-error star is still vetoed."""
+    import pandas as pd
+
+    from fink_filters_spark.filters.rubin import b_xmatched_gaia_star
+
+    pdf = pd.DataFrame(
+        {
+            "xm_gaiadr3_DR3Name": ["Gaia DR3 1", "Gaia DR3 2", "Gaia DR3 3", None],
+            "xm_gaiadr3_Plx": [8.0, -2.0, 8.0, 8.0],
+            "xm_gaiadr3_e_Plx": [0.0, 0.0, 1.0, 0.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = [r[0] for r in df.select(b_xmatched_gaia_star(df)).collect()]
+    # pandas replica: 8/0=inf>5 True; -2/0=-inf>5 False; 8/1>5 True; unnamed False
+    assert got == [True, False, True, False]

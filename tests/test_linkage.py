@@ -84,3 +84,17 @@ def test_length_lex_max_key_orders_by_length_then_lex(spark):
         F.substring(F.max(length_lex_max_key("v")), 5, 100).alias("s")
     ).collect()[0].s
     assert top == "aaa"  # longest beats lexicographically-larger "z"/"bb"
+
+
+def test_length_lex_max_key_null_passes_through(spark):
+    """A NULL value must yield a NULL key (max() skips it, SQL semantics),
+    NOT trip the >= 10^pad raise_error guard — a single NULL name would
+    otherwise abort the whole survivorship job."""
+    df = spark.createDataFrame(pd.DataFrame({"v": ["ab", None, "xyz"]}))
+    rows = df.select(length_lex_max_key("v").alias("k")).collect()
+    assert sorted(r.k for r in rows if r.k is not None) == ["0002ab", "0003xyz"]
+    assert sum(1 for r in rows if r.k is None) == 1
+    top = df.agg(
+        F.substring(F.max(length_lex_max_key("v")), 5, 100).alias("s")
+    ).collect()[0].s
+    assert top == "xyz"

@@ -765,8 +765,7 @@ def test_rubin_streaming_topics_match_batch_on_real_alerts(spark, tmp_path):
         # micro-batch plan (and its codegen class) stays ~70 columns,
         # not the ~190-leaf packet
         out = _rubin_enriched(flatten_rubin(df))
-        want = set(topic_columns()) | {"tns_fullname", "mag_rate"}
-        return out.select([c for c in out.columns if c in want])
+        return out.select([c for c in out.columns if c in set(topic_columns())])
 
     batch_flat = enrich(spark.read.parquet(src))
     for i, (topic, golden) in enumerate(topics.items()):
