@@ -73,6 +73,25 @@ def _d(col: str) -> Column:
     return F.nanvl(F.col(col), F.lit(None))
 
 
+def _pandas_ratio(num: Column, den: Column) -> Column:
+    """num/den with the reference's pandas/IEEE semantics under ANSI Spark
+    (which raises DIVIDE_BY_ZERO even for doubles, verified on this
+    session): a ±0 denominator produces a signed infinity (the string
+    cast distinguishes -0.0, which Spark's ``== 0`` does not), 0/0
+    produces NULL (pandas NaN — compares False either way under ``_f``).
+    Infinity comparisons then match pandas exactly (inf > x true,
+    -inf < x true)."""
+    inf = F.lit(float("inf"))
+    neg_zero = den.cast("string").startswith("-")
+    signed_inf = F.when(neg_zero, -F.signum(num) * inf).otherwise(
+        F.signum(num) * inf
+    )
+    return F.when(
+        den == 0,
+        F.when(num == 0, F.lit(None).cast("double")).otherwise(signed_inf),
+    ).otherwise(num / den)
+
+
 # ---- blocks (C36, rubin/blocks.py:32-418) -----------------------------------
 
 def b_is_solar_system(df: DataFrame) -> Column:
@@ -106,17 +125,15 @@ def b_xmatched_mangrove(df: DataFrame) -> Column:
 
 def b_xmatched_gaia_star(df: DataFrame) -> Column:
     """blocks.py:178-210: named in Gaia DR3 AND significant parallax
-    (Plx/e_Plx > 5); a NaN parallax ratio is False, as in pandas. A ZERO
-    parallax error needs an explicit branch: pandas Plx/0.0 is +-inf
-    (inf > 5 true iff Plx > 0) while Spark's non-ANSI division by zero
-    yields NULL — which would silently un-veto a degenerate-fit star."""
+    (Plx/e_Plx > 5); a NaN parallax ratio is False, as in pandas. The
+    division goes through ``_pandas_ratio``: this session runs ANSI mode
+    where a raw /0 — even double/double — raises DIVIDE_BY_ZERO, while
+    the pandas reference yields ±inf (sign of -0.0 included)."""
     named = F.col("xm_gaiadr3_DR3Name").isNotNull() & ~F.col(
         "xm_gaiadr3_DR3Name"
     ).isin(BAD_VALUES)
-    significant = F.when(
-        _d("xm_gaiadr3_e_Plx") == 0, _d("xm_gaiadr3_Plx") > 0
-    ).otherwise(_d("xm_gaiadr3_Plx") / _d("xm_gaiadr3_e_Plx") > 5)
-    return named & _f(significant)
+    ratio = _pandas_ratio(_d("xm_gaiadr3_Plx"), _d("xm_gaiadr3_e_Plx"))
+    return named & _f(ratio > 5)
 
 
 def b_xmatched_vsx_star(df: DataFrame) -> Column:
@@ -189,7 +206,9 @@ def b_good_quality(df: DataFrame) -> Column:
     for flag in QUALITY_MASK_FLAGS:
         flagged = flagged | _f(F.col(flag))
     flagged = flagged | _f(_d("psfFlux") < 0)
-    flagged = flagged | _f(_d("psfFlux") / _d("psfFluxErr") < 6)
+    # _pandas_ratio: ANSI Spark raises on /0 even for doubles; pandas
+    # yields ±inf (flagged iff -inf, i.e. ratio < 6 stays IEEE-correct)
+    flagged = flagged | _f(_pandas_ratio(_d("psfFlux"), _d("psfFluxErr")) < 6)
     return ~flagged
 
 

@@ -1215,14 +1215,21 @@ def connected_components(
         meta = jvm.org.apache.hadoop.fs.Path(f"{state_dir.rstrip('/')}/_meta")
         stored = None
         if fs.exists(meta):
-            stored = (
-                spark.read.text(f"{state_dir.rstrip('/')}/_meta")
-                .collect()[0][0]
-            )
+            # a kill mid-write can leave a torn _meta (dir with no
+            # committed part file): read defensively and treat torn or
+            # unreadable state as a mismatch, never as a permanent brick
+            try:
+                rows = spark.read.text(f"{state_dir.rstrip('/')}/_meta").collect()
+                stored = rows[0][0] if rows else None
+            except Exception:  # noqa: BLE001 — torn/garbled meta
+                stored = None
+            if stored is None:
+                stored = "__torn__"
         if stored is not None and stored != fp:
-            for n in _complete_gens():
-                fs.delete(jvm.org.apache.hadoop.fs.Path(_gen_path(n)), True)
-            for st in fs.listStatus(root):  # torn gens too
+            # unknown or different input: clear every generation (torn
+            # ones included) BEFORE the meta, so a crash mid-clear is
+            # re-detected and finished on the next run
+            for st in fs.listStatus(root):
                 if st.getPath().getName().startswith("gen="):
                     fs.delete(st.getPath(), True)
             fs.delete(meta, True)

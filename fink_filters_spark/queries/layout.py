@@ -300,7 +300,6 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((CAST(total_tokens - cum AS DECIMAL(38,0)) * 1000000)"
                 " div total_tokens AS LONG)"
             )
-            .cast("long")
             .alias("unk_ppm"),
         )
     )

@@ -297,3 +297,78 @@ def test_gaia_star_zero_parallax_error_matches_pandas(spark):
     got = [r[0] for r in df.select(b_xmatched_gaia_star(df)).collect()]
     # pandas replica: 8/0=inf>5 True; -2/0=-inf>5 False; 8/1>5 True; unnamed False
     assert got == [True, False, True, False]
+
+
+def test_early_snia_clamps_and_nan_bands(spark):
+    """Reference clamp/NaN semantics on a hand frame (the synthetic
+    fixture has no flux holes, so these paths need their own probe):
+    f_min floored at 10; missing bands skipped per-band; all-missing
+    f_max falls to 1e-10; all-missing f_min keeps ratio undefined."""
+    import numpy as np
+    import pandas as pd
+
+    from fink_filters_spark.filters.rubin import early_snia_candidate
+
+    nan = float("nan")
+    rows = {
+        # (score, maxes..., mins...) -> expected
+        "clamp_selects": (0.6, [1000.0] * 6, [5.0] * 6, True),   # log10(1000/10)=2
+        "low_score": (0.4, [1000.0] * 6, [5.0] * 6, False),
+        "nan_bands_skipped": (0.6, [nan, 1000.0, nan, nan, nan, nan],
+                              [nan, 50.0, nan, nan, nan, nan], True),
+        "all_max_missing": (0.6, [nan] * 6, [50.0] * 6, False),  # fmax->1e-10
+        "all_min_missing_mid": (0.6, [1000.0] * 6, [nan] * 6, False),  # ratio nan
+        "all_min_missing_hi": (0.8, [1000.0] * 6, [nan] * 6, True),  # first branch
+        "nonpositive_max": (0.6, [-3.0] * 6, [5.0] * 6, False),  # fmax->1e-10
+    }
+    bands = ["u", "g", "r", "i", "z", "y"]
+    pdf = pd.DataFrame(
+        {
+            "case": list(rows),
+            "clf_earlySNIa_score": [v[0] for v in rows.values()],
+        }
+        | {f"{b}_psfFluxMax": [v[1][i] for v in rows.values()]
+           for i, b in enumerate(bands)}
+        | {f"{b}_psfFluxMin": [v[2][i] for v in rows.values()]
+           for i, b in enumerate(bands)}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r.case for r in df.filter(early_snia_candidate(df)).collect()}
+    want = {k for k, v in rows.items() if v[3]}
+    assert got == want
+    # cross-check the replica against numpy (the reference's own ops)
+    for k, (score, maxes, mins, expect) in rows.items():
+        fmax = pd.DataFrame([maxes]).max(axis=1).iloc[0]
+        fmin = pd.DataFrame([mins]).min(axis=1).iloc[0]
+        fmin = np.max([10, fmin])
+        fmax = fmax if fmax > 0 else 1e-10
+        ratio = np.log10(fmax / fmin)
+        ref = bool(score > 0.76 or (score > 0.5 and ratio > 0.5))
+        assert ref == expect, k
+
+
+def test_good_quality_zero_flux_error_matches_pandas(spark):
+    """ANSI Spark raises on double /0; the reference's pandas ratio is
+    ±inf — b_good_quality must neither crash nor flag a +inf ratio."""
+    import pandas as pd
+
+    from fink_filters_spark.filters.rubin import (
+        QUALITY_MASK_FLAGS,
+        b_good_quality,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "case": ["pos_inf_ok", "neg_inf_flagged", "neg_zero_err_flagged",
+                     "zero_over_zero_ok"],
+            "psfFlux": [8.0, -8.0, 8.0, 0.0],
+            "psfFluxErr": [0.0, 0.0, -0.0, 0.0],
+        }
+    )
+    for flag in QUALITY_MASK_FLAGS:
+        pdf[flag] = False
+    df = spark.createDataFrame(pdf)
+    got = {r.case for r in df.filter(b_good_quality(df)).collect()}
+    # pandas: 8/0=inf<6 False -> good; -8/0=-inf<6 True -> flagged;
+    # 8/-0.0=-inf -> flagged; 0/0=nan<6 False BUT psfFlux<0 False -> good
+    assert got == {"pos_inf_ok", "zero_over_zero_ok"}

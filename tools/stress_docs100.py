@@ -179,7 +179,10 @@ def _run(spark, entry) -> None:
                 try:
                     qs[name](spark, d).count()
                 except Exception as e:  # noqa: BLE001 — record, keep going
-                    failed = f"{label}: {str(e)[:200]}"
+                    # a transient failure on a LATER run keeps the earlier
+                    # successful measurement; failed only if none succeeded
+                    if best is None:
+                        failed = f"{label}: {str(e)[:200]}"
                     break
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
@@ -211,9 +214,12 @@ def _run(spark, entry) -> None:
         "| query | sf0.1 | 100x | ratio |",
         "|---|---|---|---|",
     ]
+    def _cell(t):
+        return f"{t:.2f}s" if t == t else "FAILED"
+
     for name, t1, t100, r in rows:
         if r != r:  # NaN: query failed at one scale — recorded, not hidden
-            lines.append(f"| {name} | {t1:.2f}s | FAILED | — |")
+            lines.append(f"| {name} | {_cell(t1)} | {_cell(t100)} | — |")
         else:
             lines.append(f"| {name} | {t1:.2f}s | {t100:.2f}s | {r:.1f}x |")
     # measured ER candidate bound at both scales: the slope argument for the
