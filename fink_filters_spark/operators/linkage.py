@@ -40,13 +40,23 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Block-purging default (Christen, *Data Matching* 2012 §4.7: drop blocks
+# whose size makes them uninformative — a key value shared by hundreds of
+# records discriminates nothing and contributes O(size^2) candidate pairs).
+# 100 caps any single block at 4,950 pairs, bounding total candidates to
+# ~50 * n_blocked_rows regardless of corpus size, while sitting far above
+# the block sizes selective keys produce (the customer-fixture max is 22 at
+# sf0.1; a block only reaches 100 when its key has effectively collapsed).
+DEFAULT_MAX_BLOCK_SIZE = 100
 
 
 def multi_pass_candidates(
     records: DataFrame,
     id_col: str,
     passes: dict[str, list[str]],
+    max_block_size: int | None = DEFAULT_MAX_BLOCK_SIZE,
 ) -> DataFrame:
     """(id_a, id_b, n_passes) — unordered candidate pairs (id_a < id_b)
     from the union of one blocking pass per entry of ``passes``
@@ -58,10 +68,25 @@ def multi_pass_candidates(
     (standard ER practice — a missing key blocks with nothing), falling
     through to the other passes.
 
-    Scale: each pass is one shuffle keyed by its block key; the final
-    dedup is one aggregation on the pair. Nothing here is quadratic in
-    the corpus — only within blocks, which is the knob the caller tunes
-    by choosing selective keys.
+    ``max_block_size`` is the block-purging guard: within each pass, any
+    block larger than the cap is dropped from THAT pass before the
+    self-join (its records still block normally in every other pass).
+    Oversized blocks are the quadratic failure mode of blocking — block
+    sizes grow with the corpus, so without a cap a key that is selective
+    at 1 GB goes O(n^2) at 100 TB (measured: the customer fixture's
+    (seg, suf3) pass grows 80.7k -> 931M candidates for 100x data; see
+    STRESS100.md). A purged block is also an UNINFORMATIVE block — a key
+    value shared by > cap records separates nothing — so the standard
+    remedies are equivalent here: dropping it (this guard) or extending
+    the key until it splits (choose more selective ``passes`` keys, which
+    this function takes as data). Pass ``None`` to disable. Use
+    ``oversized_blocks`` to inspect what a cap would purge.
+
+    Scale: each pass is one shuffle keyed by its block key (the purge is
+    a window count over the SAME key, so it rides that shuffle); the
+    final dedup is one aggregation on the pair. With the cap in place
+    nothing is quadratic in the corpus — per-block work is bounded at
+    cap^2/2 pairs by construction.
     """
     if not passes:
         raise ValueError(
@@ -73,6 +98,15 @@ def multi_pass_candidates(
         keyed = records.select(
             F.col(id_col).alias("__id"), *[F.col(c) for c in key_cols]
         ).dropna(subset=key_cols)
+        if max_block_size is not None:
+            keyed = (
+                keyed.withColumn(
+                    "__bs",
+                    F.count(F.lit(1)).over(Window.partitionBy(*key_cols)),
+                )
+                .filter(F.col("__bs") <= max_block_size)
+                .drop("__bs")
+            )
         a, b = keyed.alias("a"), keyed.alias("b")
         same_keys = reduce(
             lambda x, y: x & y,
@@ -89,6 +123,35 @@ def multi_pass_candidates(
     return candidates.groupBy("id_a", "id_b").agg(
         F.count_distinct("__pass").alias("n_passes")
     )
+
+
+def oversized_blocks(
+    records: DataFrame,
+    passes: dict[str, list[str]],
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+) -> DataFrame:
+    """(pass_name, block_key, block_size) — the blocks a
+    ``multi_pass_candidates(..., max_block_size=...)`` call purges, for
+    observability: a deployment monitors this (count / total purged rows)
+    to detect a blocking key going degenerate before recall silently
+    drops. One aggregation per pass, unioned; block_key is the
+    stringified key tuple so heterogeneous passes union cleanly."""
+    per_pass = []
+    for pass_name, key_cols in passes.items():
+        per_pass.append(
+            records.dropna(subset=key_cols)
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("block_size"))
+            .filter(F.col("block_size") > max_block_size)
+            .select(
+                F.lit(pass_name).alias("pass_name"),
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in key_cols]
+                ).alias("block_key"),
+                "block_size",
+            )
+        )
+    return reduce(DataFrame.unionByName, per_pass)
 
 
 def levenshtein_matches(

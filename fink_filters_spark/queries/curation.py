@@ -221,7 +221,7 @@ _mix_case = "CASE source " + " ".join(
 ) + f" ELSE {MIX_DEFAULT} END"
 
 MIXTURE_SQL = f"""
-SELECT source, count(*) AS n_kept, sum(n_chars) AS sum_chars
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE {md5_bucket_sql('doc_id', 1000)} < {_mix_case}
 GROUP BY source
@@ -459,9 +459,9 @@ mad AS (
 SELECT d.source,
        CAST(any_value(m.med) * 2 AS BIGINT) AS med_chars_x2,
        CAST(any_value(x.mad) * 2 AS BIGINT) AS mad_chars_x2,
-       sum(CASE WHEN CAST(round(abs(d.n_chars - m.med) * 1e6) AS BIGINT)
-                     > CAST(round(x.mad * {MAD_K_E6}) AS BIGINT)
-                THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN CAST(round(abs(d.n_chars - m.med) * 1e6) AS BIGINT)
+                          > CAST(round(x.mad * {MAD_K_E6}) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        count(*) AS n_docs
 FROM documents d
 JOIN med m ON d.source = m.source
@@ -519,7 +519,8 @@ w AS (
   FROM j, tot
 ),
 sc AS (
-  SELECT occ.doc_id, count(*) AS n_tok, sum(w.w_micro) AS micro_sum
+  SELECT occ.doc_id, count(*) AS n_tok,
+         CAST(sum(w.w_micro) AS BIGINT) AS micro_sum
   FROM occ JOIN w ON occ.bucket = w.bucket
   WHERE occ.source <> 'src0'
   GROUP BY occ.doc_id

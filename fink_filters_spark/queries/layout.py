@@ -238,7 +238,7 @@ dup AS (
 kept AS (SELECT * FROM c WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM dup))
 SELECT doc_id,
        count(*) AS kept_chunks,
-       sum(n_tokens) AS kept_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
        md5(string_agg(chunk_md5, '' ORDER BY chunk_idx)) AS rewrite_sig
 FROM kept
 GROUP BY doc_id
@@ -324,7 +324,7 @@ hit AS (
 )
 SELECT CAST(h.pct AS BIGINT) AS pct,
        CAST(h.vocab_size AS BIGINT) AS vocab_size,
-       h.total_tokens,
+       CAST(h.total_tokens AS BIGINT) AS total_tokens,
        CAST((CAST(r.cum AS HUGEINT) * 1000000) // h.total_tokens AS BIGINT) AS covered_ppm,
        CAST((CAST(h.total_tokens - r.cum AS HUGEINT) * 1000000) // h.total_tokens AS BIGINT) AS unk_ppm
 FROM hit h JOIN ranked r ON h.vocab_size = r.rank
@@ -381,7 +381,7 @@ SELECT CAST(CASE WHEN (pos // {N_BALANCED_SHARDS}) % 2 = 0
             THEN pos % {N_BALANCED_SHARDS}
             ELSE {N_BALANCED_SHARDS} - 1 - pos % {N_BALANCED_SHARDS} END AS BIGINT) AS shard,
        count(*) AS n_docs,
-       sum(n_tok) AS tok_sum
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
 FROM ranked
 GROUP BY 1
 """
@@ -437,7 +437,7 @@ SELECT source,
        CAST(floor(CAST(cum - n_chars AS DOUBLE) / {COMPACTION_CAP}) AS BIGINT)
            AS bin_id,
        count(*) AS n_docs,
-       sum(n_chars) AS bin_chars,
+       CAST(sum(n_chars) AS BIGINT) AS bin_chars,
        max(n_chars) AS max_doc_chars
 FROM sized
 GROUP BY source, bin_id

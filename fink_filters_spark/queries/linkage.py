@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.linkage import (
+    DEFAULT_MAX_BLOCK_SIZE,
     golden_records,
     levenshtein_matches,
     multi_pass_candidates,
@@ -134,14 +135,22 @@ recs AS ({_RECS_SQL}),
 r AS (SELECT rec_id, name, nat, seg, bal_c,
              substr(name, length(name) - 2, 3) AS suf3
       FROM recs),
+r_attrs AS (
+  SELECT * FROM r
+  QUALIFY count(*) OVER (PARTITION BY nat, bal_c) <= {DEFAULT_MAX_BLOCK_SIZE}
+),
+r_tail AS (
+  SELECT * FROM r
+  QUALIFY count(*) OVER (PARTITION BY seg, suf3) <= {DEFAULT_MAX_BLOCK_SIZE}
+),
 cand AS (
   SELECT id_a, id_b, count(DISTINCT p) AS n_passes FROM (
     SELECT a.rec_id AS id_a, b.rec_id AS id_b, 'attrs' AS p
-    FROM r a JOIN r b
+    FROM r_attrs a JOIN r_attrs b
       ON a.nat = b.nat AND a.bal_c = b.bal_c AND a.rec_id < b.rec_id
     UNION ALL
     SELECT a.rec_id, b.rec_id, 'name_tail'
-    FROM r a JOIN r b
+    FROM r_tail a JOIN r_tail b
       ON a.seg = b.seg AND a.suf3 = b.suf3 AND a.rec_id < b.rec_id
   ) GROUP BY id_a, id_b
 ),
@@ -181,7 +190,7 @@ SELECT entity_id,
        count(*) AS n_members,
        substr(max(lpad(CAST(length(name) AS VARCHAR), 4, '0') || name),
               5, 10000) AS survivor_name,
-       sum(bal_c) AS sum_bal_c
+       CAST(sum(bal_c) AS BIGINT) AS sum_bal_c
 FROM lab
 GROUP BY entity_id
 """

@@ -189,7 +189,7 @@ def _kfold_sql() -> str:
     return f"""
 SELECT {md5_bucket_sql('doc_id', KFOLD_K)} AS fold,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST((CAST(sum(n_chars) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS avg_chars_ppm
 FROM documents
 GROUP BY 1
@@ -268,8 +268,8 @@ SELECT bucket,
        bucket * {HIST_WIDTH} + 1 AS lo_qty,
        (bucket + 1) * {HIST_WIDTH} AS hi_qty,
        count(*) AS n_items,
-       sum(qty) AS sum_qty,
-       sum(price_c) AS sum_price_cents
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(price_c) AS BIGINT) AS sum_price_cents
 FROM (
   SELECT CAST(floor((l_quantity - 1) / {HIST_WIDTH}) AS BIGINT) AS bucket,
          CAST(round(l_quantity) AS BIGINT) AS qty,
@@ -482,8 +482,8 @@ SELECT event_type, n_a, n_b,
              * 1e6) AS BIGINT) AS psi_term_e6
 FROM (
   SELECT event_type,
-         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-         sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
   FROM events
   GROUP BY event_type
 )
@@ -514,7 +514,7 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENTAL_SQL = """
 SELECT event_type,
        count(*) AS val_m_count,
-       sum(v) AS val_m_sum,
+       CAST(sum(v) AS BIGINT) AS val_m_sum,
        min(v) AS val_m_min,
        max(v) AS val_m_max,
        CAST((CAST(sum(v) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS val_m_avg_ppm

@@ -539,8 +539,8 @@ p AS (
 )
 SELECT cohort_day,
        count(*) AS n_users,
-       sum(r1) AS d1_retained,
-       sum(r7) AS d7_retained,
+       CAST(sum(r1) AS BIGINT) AS d1_retained,
+       CAST(sum(r7) AS BIGINT) AS d7_retained,
        CAST((CAST(sum(r1) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS d1_rate_ppm,
        CAST((CAST(sum(r7) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS d7_rate_ppm
 FROM p GROUP BY cohort_day

@@ -13,6 +13,7 @@ from fink_filters_spark.operators.linkage import (
     length_lex_max_key,
     levenshtein_matches,
     multi_pass_candidates,
+    oversized_blocks,
 )
 
 # Five records, two real-world entities plus a loner:
@@ -47,6 +48,38 @@ def test_multi_pass_candidates_union_and_count(spark, recs):
     }
     # attrs pass: {1,2,4} pairwise; tail pass: only (2,3) share "opr"
     assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 1, (2, 3): 1}
+
+
+def test_multi_pass_block_purge_caps_oversized_blocks(spark, recs):
+    """max_block_size purges a too-big block from ITS pass only: with
+    cap=2 the attrs block {1,2,4} (size 3) is dropped, so its three
+    pairs vanish, while the tail pass's size-2 block still proposes
+    (2,3). Records 1/2/4 are NOT removed from the tail pass — purging is
+    per-pass, not per-record."""
+    got = {
+        (r.id_a, r.id_b): r.n_passes
+        for r in multi_pass_candidates(
+            recs, "rid", _PASSES, max_block_size=2
+        ).collect()
+    }
+    assert got == {(2, 3): 1}
+    # cap >= max block size (or None) purges nothing
+    for cap in (3, None):
+        full = {
+            (r.id_a, r.id_b): r.n_passes
+            for r in multi_pass_candidates(
+                recs, "rid", _PASSES, max_block_size=cap
+            ).collect()
+        }
+        assert full == {(1, 2): 1, (1, 4): 1, (2, 4): 1, (2, 3): 1}
+
+
+def test_oversized_blocks_reports_purged_keys(spark, recs):
+    rows = oversized_blocks(recs, _PASSES, max_block_size=2).collect()
+    assert [(r.pass_name, r.block_key, r.block_size) for r in rows] == [
+        ("attrs", "10|500", 3)
+    ]
+    assert oversized_blocks(recs, _PASSES, max_block_size=3).count() == 0
 
 
 def test_levenshtein_matches_bands_and_filters(spark, recs):

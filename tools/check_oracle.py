@@ -96,6 +96,21 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
             continue
         problems = []
+        # Type lint: DuckDB promotes sum() to HUGEINT (and some exprs to
+        # DECIMAL); a driver that fetches through pandas/Arrow sees those as
+        # float64/decimal128 whose canonical string ("4.0"/"Decimal('4')")
+        # splits the hash vs Spark's int64 even when values agree. Every
+        # oracle output column must be a hash-stable type (CAST sums to
+        # BIGINT in the SQL). This bit us for two rounds on
+        # ev_retention_cohorts — keep the lint permanent.
+        rel = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+        leaks = {
+            c: str(t)
+            for c, t in zip(rel.columns, rel.types)
+            if any(bad in str(t) for bad in ("HUGEINT", "DECIMAL"))
+        }
+        if leaks:
+            problems.append(f"oracle type leak (un-CAST sum?): {leaks}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

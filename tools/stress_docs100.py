@@ -249,15 +249,25 @@ def _run(spark, entry) -> None:
         "ER rows run on a 100x customer table built the way a REAL 100x",
         "TPC-H would look (keys shifted, names rebuilt from keys so the",
         "3-char name-suffix blocking key keeps its true 1000-value",
-        "cardinality, balances unshifted). Measured blocking candidates:",
+        "cardinality, balances unshifted). Block sizes grow with the",
+        "corpus, so uncapped blocking goes quadratic (measured round 6:",
+        "931,308,270 candidates at 100x, 11,535x growth, 149x/707x wall).",
+        "multi_pass_candidates now ships block purging BY DEFAULT",
+        "(max_block_size=100, operators/linkage.py): any block larger",
+        "than the cap is dropped from its pass — a key value shared by",
+        ">100 records separates nothing — bounding candidates at",
+        "(cap/2) * rows by construction, i.e. O(n) with a constant",
+        "factor, regardless of how dense the data gets. Measured with",
+        "the default cap:",
         f"{cand['sf0.1']:,} at sf0.1 -> {cand['100x']:,} at 100x "
-        f"({cand['100x'] / max(cand['sf0.1'], 1):.0f}x) — the (seg, suf3)",
-        "pass goes quadratic when block SIZES grow with the corpus, exactly",
-        "as it would on real data; the er_* wall-clock slopes are bounded by",
-        "that candidate growth (per-pass equi-joins + banded levenshtein,",
-        "no cross join). The 100 TB mitigation is the documented knob:",
-        "more selective block keys (longer suffixes, more passes), which",
-        "multi_pass_candidates takes as data, not code.",
+        f"({cand['100x'] / max(cand['sf0.1'], 1):.0f}x, vs 11,535x",
+        "uncapped); the residual above-linear growth is density (the",
+        "attrs pass's (nation, balance-cents) blocks legitimately get",
+        "100x denser when balances repeat), capped at <=50 candidates",
+        "per row. Recall-preserving tightening remains a data knob —",
+        "more selective block keys (longer suffixes, more passes) —",
+        "and oversized_blocks() reports what the cap purges so a",
+        "deployment can see a key going degenerate.",
         "",
     ]
     with open("STRESS100.md", "w") as f:
