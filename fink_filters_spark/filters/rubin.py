@@ -331,6 +331,35 @@ def extragalactic_lt20mag(df: DataFrame) -> Column:
     )
 
 
+def enrich_mag_rate(df: DataFrame, prv_col: str = "prvDiaSources") -> DataFrame:
+    """The ``mag_rate`` producer (mag/day vs the latest PREVIOUS source in
+    the same band) — the upstream enrichment ``extragalactic_new``
+    consumes. Reference
+    ``rubin/livestream/filter_extragalactic_new_candidate/filter.py:155-185``:
+    per row, scan prvDiaSources for the max-MJD source in the current
+    band, then ``rate = (mag(psfFlux) - mag(prev.psfFlux)) / (mjd -
+    prev.mjd)``. Here the scan is the native ``latest_same_band`` HOF
+    (functions/arrays.py — filter + max_by fold, row-local, zero shuffle)
+    and the division is ``_pandas_ratio`` so a same-MJD previous source
+    yields an IEEE infinity (pandas semantics) instead of an ANSI
+    DIVIDE_BY_ZERO abort.
+
+    NULL propagation matches the reference's NaN flow exactly: no
+    history / band never seen before / non-positive flux (log10 -> NaN
+    in pandas, NULL here) all make mag_rate NULL, which every downstream
+    rate gate reads as False via ``_f``."""
+    from ..functions.arrays import latest_same_band
+
+    prev = latest_same_band(prv_col, "band", "midpointMjdTai", F.col("band"))
+    delta_mag = flux2mag("psfFlux") - flux2mag(
+        F.nanvl(prev["psfFlux"], F.lit(None))
+    )
+    delta_t = F.col("midpointMjdTai") - F.nanvl(
+        prev["midpointMjdTai"], F.lit(None)
+    )
+    return df.withColumn("mag_rate", _pandas_ratio(delta_mag, delta_t))
+
+
 @register(
     "rubin.extragalactic_new",
     reference="rubin/livestream/filter_extragalactic_new_candidate/filter.py:139-195",
@@ -338,9 +367,10 @@ def extragalactic_lt20mag(df: DataFrame) -> Column:
 def extragalactic_new(df: DataFrame) -> Column:
     """C37: near-galaxy ∧ young (<5d) ∧ ≥2 points in band ∧ mag<24 ∧
     per-band rate gates. ``mag_rate`` (mag/day vs the latest same-band
-    previous source) is the F9 latest-same-band enrichment computed
-    upstream from prvDiaSources (functions/arrays.py HOFs) — the Spark
-    split of the reference's per-row get_latest_source_same_band loop."""
+    previous source) is the F9 latest-same-band enrichment produced by
+    ``enrich_mag_rate`` upstream from prvDiaSources (functions/arrays.py
+    HOFs) — the Spark split of the reference's per-row
+    get_latest_source_same_band loop."""
     age = F.col("midpointMjdTai") - _d("firstDiaSourceMjdTaiFink")
     rising_gate = _f((_d("mag_rate") < -0.2) & (age < 3))
     fading_gate = _f(

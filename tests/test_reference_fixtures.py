@@ -208,10 +208,17 @@ RUBIN_TOPIC_DOCTEST_COUNTS = {
 def _rubin_enriched(flat):
     """The upstream enrichments the reference's own doctests inject:
     tns_fullname (filter_in_tns doctest does withColumn) and the F9
-    mag_rate lookup (computed from prvDiaSources upstream in production)."""
-    return flat.withColumn(
-        "tns_fullname", F.lit(None).cast("string")
-    ).withColumn("mag_rate", F.lit(None).cast("double"))
+    mag_rate lookup — COMPUTED from the fixture's real prvDiaSources via
+    enrich_mag_rate (one alert carries 2 previous sources; the rest
+    yield NULL exactly like the reference's NaN flow). Falls back to a
+    NULL column only when the caller pruned prvDiaSources from the scan
+    (a topic pass that doesn't consume mag_rate)."""
+    from fink_filters_spark.filters.rubin import enrich_mag_rate
+
+    flat = flat.withColumn("tns_fullname", F.lit(None).cast("string"))
+    if "prvDiaSources" in flat.columns:
+        return enrich_mag_rate(flat)
+    return flat.withColumn("mag_rate", F.lit(None).cast("double"))
 
 
 def test_rubin_blocks_match_reference_doctest_counts(rubin_flat):
@@ -746,16 +753,19 @@ def test_rubin_streaming_topics_match_batch_on_real_alerts(spark, tmp_path):
         "rubin.uniform_sample": 1,
         "rubin.remove_unlikely_transients": 0,
         "rubin.hostless_candidate": 0,
+        "rubin.extragalactic_new": 0,  # mag_rate COMPUTED in-stream
     }
     from pyspark.sql.types import StructType
 
     src = f"{REF}/rubin_test_data_10_0.parquet"
     full = spark.read.parquet(src).schema
     # read-schema pruned to the filter-relevant structs: the raw packet
-    # carries cutout binaries, prv arrays and ssSource/mpc_orbits payloads
-    # whose per-leaf vectorized reader batches dwarf the 27 rows — a
-    # production topic pipeline would prune its scan the same way
-    keep = ("diaSource", "diaObject", "misc", "xm", "clf", "pred")
+    # carries cutout binaries and ssSource/mpc_orbits payloads whose
+    # per-leaf vectorized reader batches dwarf the 27 rows — a production
+    # topic pipeline would prune its scan the same way. prvDiaSources
+    # stays: the in-stream enrich_mag_rate producer consumes it.
+    keep = ("diaSource", "diaObject", "misc", "xm", "clf", "pred",
+            "prvDiaSources")
     schema = StructType([f for f in full.fields if f.name in keep])
 
     from fink_filters_spark.filters.rubin import topic_columns
