@@ -136,17 +136,26 @@ def b_xmatched_gaia_star(df: DataFrame) -> Column:
     return named & _f(ratio > 5)
 
 
+# The nonstellar side of fink-utils' VSX stellar/nonstellar split
+# (fink_utils/xmatch/vsx.py return_list_of_nonstellar): the AAVSO VSX
+# type vocabulary's extragalactic variability classes — AGN, BL Lac
+# objects, quasars (":" marks VSX's uncertain-classification suffix).
+# The two fink-utils lists partition the catalogued vocabulary (the
+# reference's b_xmatched_vsx is their concatenation and means "any VSX
+# match", blocks.py:238-259), so stellar == catalogued AND NOT nonstellar.
+VSX_NONSTELLAR_CLASSES = ["AGN", "AGN:", "BLLAC", "BLLAC:", "QSO", "QSO:"]
+
+
 def b_xmatched_vsx_star(df: DataFrame) -> Column:
-    """blocks.py:213-235: vsx_Type in fink-utils' stellar class list.
-    Offline approximation: ANY VSX match counts as stellar — the public
-    fink-utils stellar list covers the overwhelming majority of VSX
-    variability classes, and the nonstellar remainder is not separable
-    without the package. KNOWN divergence until that list ships: a
-    nonstellar VSX match (e.g. an AGN variability class) is wrongly
-    vetoed from the extragalactic topics here, where the reference
-    would keep it."""
-    return F.col("xm_vsx_Type").isNotNull() & ~F.col("xm_vsx_Type").isin(
-        BAD_VALUES
+    """blocks.py:213-235: vsx_Type in fink-utils' stellar class list,
+    expressed as catalogued-and-not-nonstellar (the lists partition, see
+    VSX_NONSTELLAR_CLASSES). A nonstellar VSX match (AGN variability) is
+    therefore NOT vetoed from the extragalactic topics — matching the
+    reference, where only return_list_of_stellar() members veto."""
+    return (
+        F.col("xm_vsx_Type").isNotNull()
+        & ~F.col("xm_vsx_Type").isin(BAD_VALUES)
+        & ~F.col("xm_vsx_Type").isin(VSX_NONSTELLAR_CLASSES)
     )
 
 
@@ -261,8 +270,17 @@ _MU_COEFFS = [
 
 
 def distance_modulus(z: Column) -> Column:
-    """mu(z) = 5 log10(D_L / 10pc) via the packaged polynomial (see above)."""
-    x = F.log10(z)
+    """mu(z) = 5 log10(D_L / 10pc) via the packaged polynomial (see above).
+
+    The polynomial is fitted on z in [1e-4, 2]; OUTSIDE that range it
+    extrapolates with unbounded error (a degree-8 poly in log10 z blows
+    up fast), which could flip the sn_near_galaxy (-23, -13) Mabs gate
+    for a legacydr8 photo-z above 2 — so out-of-range z yields NULL (the
+    reference would compute a real astropy mu there; NULL reads as
+    "no valid photo-z" downstream, the conservative parity choice, and
+    test_distance_modulus_fit_domain pins the poly error at the edges)."""
+    valid = (z >= 1e-4) & (z <= 2.0)
+    x = F.log10(F.when(valid, z))
     mu = F.lit(_MU_COEFFS[0])
     for c in _MU_COEFFS[1:]:
         mu = mu * x + F.lit(c)

@@ -187,7 +187,21 @@ def unimax_allocation(
     number of sources — thousands at most), then one broadcastable join
     of the scalar level back. The 100 TB corpus is touched only by the
     caller computing ``per_source``; allocation itself is metadata-sized.
+
+    Exactness: the micro-units are computed in INTEGER arithmetic
+    (DECIMAL(38,0) intermediates, round-half-up as ``(2a+b) div 2b``) —
+    a double ``round(alloc * 1e6)`` stops being exact once alloc exceeds
+    ~9e9 tokens (alloc*1e6 > 2^53), a plausible budget at the 100 TB
+    scale. The remaining ceiling is the OUTPUT type: alloc_tokens_e6 is
+    BIGINT, so ``budget * 1e6`` must fit in int64 — enforced with a
+    loud raise at ~9.2e12 tokens (raise the unit, not the type, past
+    that: a budget that large doesn't need micro-token resolution).
     """
+    if budget < 0 or budget > (2**63 - 1) // 1_000_000:
+        raise ValueError(
+            "unimax_allocation: budget * 1e6 must fit in BIGINT "
+            f"(budget <= {(2**63 - 1) // 1_000_000}); got {budget}"
+        )
     w = Window.orderBy("cap", "source")
     stats = per_source.select(
         F.col(source_col).alias("source"),
@@ -210,23 +224,31 @@ def unimax_allocation(
     level = sat.groupBy().agg(
         F.coalesce(F.sum(F.when(F.col("saturated"), F.col("cap"))), F.lit(0)).alias("sat_tok"),
         F.sum(F.when(~F.col("saturated"), 1).otherwise(0)).alias("n_unsat"),
-    ).select(
-        F.when(
-            F.col("n_unsat") > 0,
-            (F.lit(budget) - F.col("sat_tok")).cast("double") / F.col("n_unsat"),
-        ).otherwise(F.lit(float("inf"))).alias("u")
     )
     out = sat.crossJoin(F.broadcast(level))
-    alloc = F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(
-        F.least(F.col("cap").cast("double"), F.col("u"))
+    # hash-stability AND exactness: pure integer water-level algebra.
+    # R = unsaturated budget, n = n_unsat; an unsaturated source gets
+    # min(cap, R/n) — compare cap*n < R exactly, and when the level wins
+    # round R*1e6/n half-up as (2a+b) div 2b (a, b > 0; div truncates,
+    # which equals floor for positives — identical in Spark and DuckDB).
+    dec = "DECIMAL(38,0)"
+    r_expr = f"CAST({budget} - sat_tok AS {dec})"
+    n_expr = f"CAST(n_unsat AS {dec})"
+    cap_wins = f"(saturated OR CAST(cap AS {dec}) * {n_expr} < {r_expr})"
+    alloc_e6 = (
+        f"CASE WHEN {cap_wins} THEN CAST(CAST(cap AS {dec}) * 1000000 AS LONG) "
+        f"ELSE CAST(({r_expr} * 2000000 + {n_expr}) div (2 * {n_expr}) AS LONG) END"
     )
-    # hash-stability: e6 integer micro-units (DESIGN.md); alloc is a
-    # bit-identical double in both engines (integer water-level algebra),
-    # so integer rounding agrees incl. exact ties
+    ntok = f"CAST(n_tokens AS {dec})"
+    epochs_e6 = (
+        f"CASE WHEN {cap_wins} THEN CAST({max_epochs} * 1000000 AS LONG) "
+        f"ELSE CAST(({r_expr} * 2000000 + {n_expr} * {ntok}) "
+        f"div (2 * {n_expr} * {ntok}) AS LONG) END"
+    )
     return out.select(
         "source",
         "n_tokens",
         "cap",
-        F.round(alloc * 1e6).cast("long").alias("alloc_tokens_e6"),
-        F.round(alloc / F.col("n_tokens") * 1e6).cast("long").alias("epochs_e6"),
+        F.expr(alloc_e6).alias("alloc_tokens_e6"),
+        F.expr(epochs_e6).alias("epochs_e6"),
     )

@@ -34,7 +34,20 @@ def e6(col, name: str):
     either exactly 0 (both engines agree on the tie) or >= 1/(2b), orders
     of magnitude above double error. SQL mirror:
     ``CAST(round((expr) * 1e6) AS BIGINT) AS name``. See DESIGN.md
-    "integer micro-units"."""
+    "integer micro-units".
+
+    CAVEAT — the exactness argument above covers RATIONAL x only. For a
+    column derived through libm transcendentals (ln/exp/pow: pmi_e6,
+    tfidf score_e6, dcmag_e6, gal_b_e6, rrf_e6, psi_term_e6), a ~1-ulp
+    difference between the engines' math libraries can land x*1e6 on
+    opposite sides of a .5 boundary, so cross-engine hash parity for
+    those columns is PROBABILISTIC (P(split) ~ boundary-density * ulp,
+    empirically zero hits across the suite's corpora but not guaranteed).
+    Where a split ever materializes, the remedies are (a) reformulate the
+    term so the transcendental is computed once in Python and embedded as
+    an integer literal (the Fellegi-Sunter weights pattern,
+    queries/linkage.py), or (b) compare with a +/-1 micro-unit tolerance
+    in the oracle check."""
     from pyspark.sql import functions as F
 
     c = col if not isinstance(col, str) else F.col(col)

@@ -178,16 +178,23 @@ lvl AS (
 ),
 j AS (
   SELECT f.*,
-         CASE WHEN lvl.n_unsat > 0
-              THEN CAST({UNIMAX_BUDGET} - lvl.sat_tok AS DOUBLE) / lvl.n_unsat
-              ELSE CAST('inf' AS DOUBLE) END AS u
+         CAST({UNIMAX_BUDGET} - lvl.sat_tok AS HUGEINT) AS rr,
+         CAST(lvl.n_unsat AS HUGEINT) AS nn
   FROM f, lvl
 )
 SELECT source, n_tokens, cap,
-       CAST(round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
-                  ELSE least(CAST(cap AS DOUBLE), u) END * 1e6) AS BIGINT) AS alloc_tokens_e6,
-       CAST(round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
-                  ELSE least(CAST(cap AS DOUBLE), u) END / n_tokens * 1e6) AS BIGINT) AS epochs_e6
+       -- exact integer micro-units, mirror of unimax_allocation:
+       -- cap wins (saturated or cap*n < R) -> cap*1e6; else the common
+       -- level R/n rounded half-up as (2a+b)//(2b) (positive args)
+       CAST(CASE WHEN saturated OR CAST(cap AS HUGEINT) * nn < rr
+                 THEN CAST(cap AS HUGEINT) * 1000000
+                 ELSE (rr * 2000000 + nn) // (2 * nn) END AS BIGINT)
+           AS alloc_tokens_e6,
+       CAST(CASE WHEN saturated OR CAST(cap AS HUGEINT) * nn < rr
+                 THEN {UNIMAX_MAX_EPOCHS} * 1000000
+                 ELSE (rr * 2000000 + nn * CAST(n_tokens AS HUGEINT))
+                      // (2 * nn * CAST(n_tokens AS HUGEINT)) END AS BIGINT)
+           AS epochs_e6
 FROM j
 """
 

@@ -115,8 +115,15 @@ def _idiv(a, b):
     """Exact integer floor-division for non-negative BIGINT Columns:
     subtracting ``a % b`` makes the numerator an exact multiple of ``b``,
     so the double division is exact for magnitudes < 2^53 (hash-stability:
-    DESIGN.md "integer micro-units" — no engine-dependent rounding)."""
-    return ((a - a % b) / b).cast("long")
+    DESIGN.md "integer micro-units" — no engine-dependent rounding).
+
+    A zero divisor yields 0, not an ANSI DIVIDE_BY_ZERO abort: the one
+    zero-able divisor on this surface is length(text) == 0 for an empty
+    document (split() guarantees n_tok >= 1), where "no characters" means
+    a zero punctuation penalty, not a dead query. CASE WHEN guarantees
+    the division isn't evaluated on the zero branch."""
+    q = ((a - a % b) / b).cast("long")
+    return F.when(b > 0, q).otherwise(F.lit(0).cast("long"))
 
 
 def quality_expr():
@@ -149,7 +156,7 @@ def quality_sql_expr() -> str:
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     return (
         f"((CAST(len(list_filter(toks, t -> list_contains({all_stop!r}, t))) AS BIGINT) * 500000) // CAST(len(toks) AS BIGINT)\n"
-        "             + 300000 - (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) * 300000) // CAST(length(text) AS BIGINT)\n"
+        "             + 300000 - (CASE WHEN length(text) > 0 THEN (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) * 300000) // CAST(length(text) AS BIGINT) ELSE 0 END)\n"
         "             + least(200000, CAST(len(toks) AS BIGINT) * 2000))"
     )
 

@@ -168,7 +168,9 @@ def make_rubin_pdf(n: int = N_ALERTS, seed: int = RNG_SEED + 1) -> pd.DataFrame:
             "xm_gaiadr3_DR3Name": r.choice([None, "Gaia DR3 123"], n),
             "xm_gaiadr3_Plx": holes(r.uniform(0, 20, n)),
             "xm_gaiadr3_e_Plx": holes(r.uniform(0.5, 5, n)),
-            "xm_vsx_Type": r.choice([None, "RR"], n),
+            # None (no match) / RR (stellar: vetoes extragalactic) /
+            # AGN (nonstellar: catalogued but must NOT veto)
+            "xm_vsx_Type": r.choice([None, "RR", "AGN"], n),
             "xm_legacydr8_zphot": holes(r.uniform(0.01, 1.8, n), 0.5),
             "tns_fullname": r.choice([None, "SN 2025xyz"], n),
             "clf_snnSnVsOthers_score": r.uniform(0, 1, n),

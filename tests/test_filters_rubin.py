@@ -49,6 +49,18 @@ def _simbad_unknown(r):
     )
 
 
+def _vsx_star(r):
+    """reference blocks.py:213-235 replica: stellar VSX classes only —
+    a nonstellar match (AGN/BLLAC/QSO) does NOT count as a star."""
+    from fink_filters_spark.filters.rubin import VSX_NONSTELLAR_CLASSES
+
+    return (
+        not _isnan(r.xm_vsx_Type)
+        and r.xm_vsx_Type not in ("Unknown", "Fail", "Fail 504")
+        and r.xm_vsx_Type not in VSX_NONSTELLAR_CLASSES
+    )
+
+
 def _egal_base(r, flavor):
     """reference blocks.py:421-531 replica."""
     mangrove = (not _isnan(r.xm_mangrove_lum_dist)) and r.xm_mangrove_lum_dist > 0
@@ -62,7 +74,7 @@ def _egal_base(r, flavor):
         and abs(_gal_b(r.ra, r.dec)) > 20
         and not r.is_sso
         and not _gaia_star(r)
-        and _isnan(r.xm_vsx_Type)
+        and not _vsx_star(r)
     )
     if flavor == "near_galaxy":
         return common and (_simbad_galaxy(r) or mangrove or legacy_valid)
@@ -531,16 +543,16 @@ def test_every_rubin_topic_selects_nonzero_on_synthetic(rubin_df):
 
     want = {
         "rubin.early_snia_candidate": 105,
-        "rubin.extragalactic_loose": 30,
-        "rubin.extragalactic_lt20mag": 3,
+        "rubin.extragalactic_loose": 32,
+        "rubin.extragalactic_lt20mag": 5,
         "rubin.extragalactic_new": 2,
-        "rubin.extragalactic_svom": 7,
+        "rubin.extragalactic_svom": 8,
         "rubin.hostless_candidate": 38,
         "rubin.in_tns": 96,
         "rubin.most_likely_sn": 1,
-        "rubin.near_galaxy_candidate": 30,
+        "rubin.near_galaxy_candidate": 31,
         "rubin.remove_unlikely_transients": 50,
-        "rubin.sn_near_galaxy_candidate": 2,
+        "rubin.sn_near_galaxy_candidate": 1,
         "rubin.uniform_sample": 2,
     }
     registered = {n for n in _REGISTRY if n.startswith("rubin.")}
@@ -550,3 +562,60 @@ def test_every_rubin_topic_selects_nonzero_on_synthetic(rubin_df):
         got = apply_named_filter(rubin_df, name).count()
         assert got == n, f"{name}: {got} != pinned {n}"
         assert 0 < got < total
+
+
+def test_vsx_star_excludes_nonstellar_classes(spark):
+    """ADVICE round-6 medium: a nonstellar VSX match (AGN variability
+    class) must not read as a star — only stellar classes veto the
+    extragalactic topics; b_xmatched_vsx (any catalogued match) still
+    includes both."""
+    import pandas as pd
+
+    from fink_filters_spark.filters.rubin import (
+        b_xmatched_vsx,
+        b_xmatched_vsx_star,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "case": ["rr", "agn", "agn_unc", "none", "fail"],
+            "xm_vsx_Type": ["RR", "AGN", "AGN:", None, "Fail"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    star = {r.case for r in df.filter(b_xmatched_vsx_star(df)).collect()}
+    anym = {r.case for r in df.filter(b_xmatched_vsx(df)).collect()}
+    assert star == {"rr"}
+    assert anym == {"rr", "agn", "agn_unc"}
+
+
+def test_distance_modulus_fit_domain(spark):
+    """The packaged mu(z) polynomial holds its advertised <=0.005 mag
+    error at the fit-domain edges (and midpoints), and out-of-domain z
+    (legacydr8 photo-z > 2, or <1e-4) yields NULL instead of a degree-8
+    extrapolation that could flip the sn_near_galaxy Mabs gate."""
+    import numpy as np
+    import pandas as pd
+
+    from fink_filters_spark.filters.rubin import distance_modulus
+    from pyspark.sql import functions as F
+
+    C, H0, Om0 = 299792.458, 70.0, 0.3
+
+    def mu_exact(z):
+        zs = np.linspace(0, z, 4096)
+        ez = np.sqrt(Om0 * (1 + zs) ** 3 + (1 - Om0))
+        dc = C / H0 * np.trapz(1 / ez, zs)
+        return 5 * math.log10((1 + z) * dc * 1e6 / 10)
+
+    zin = [1e-4, 2e-4, 0.01, 0.3, 1.0, 1.9, 2.0]
+    zout = [0.0, 5e-5, 2.0000001, 2.5, 10.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"z": zin + zout})
+    ).withColumn("mu", distance_modulus(F.col("z")))
+    got = {r.z: r.mu for r in df.collect()}
+    for z in zin:
+        assert got[z] is not None
+        assert abs(got[z] - mu_exact(z)) < 0.006, (z, got[z], mu_exact(z))
+    for z in zout:
+        assert got[z] is None, (z, got[z])

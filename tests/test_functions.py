@@ -322,3 +322,32 @@ def test_linfit_r2_double_no_catastrophic_cancellation(spark):
     )
     got2 = df2.select(linfit_r2_double("xs", "ys").alias("r2")).collect()[0].r2
     assert abs(got2 - got) < 1e-9
+
+
+def test_quality_expr_empty_document_no_ansi_abort(spark):
+    """ADVICE round-6 low: an empty document has length(text) == 0; under
+    ANSI mode the punctuation term's division must not abort the query —
+    empty text scores a zero punctuation penalty, identically in Spark
+    and the DuckDB oracle expression."""
+    import duckdb
+    import pandas as pd
+
+    from fink_filters_spark.queries.text import quality_expr, quality_sql_expr
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "hi there!", "   "]})
+    got = {
+        r.doc_id: r.q
+        for r in spark.createDataFrame(pdf)
+        .select("doc_id", quality_expr().alias("q"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = dict(
+        con.sql(
+            f"SELECT doc_id, {quality_sql_expr()} AS q FROM "
+            "(SELECT doc_id, text, string_split_regex(lower(trim(text)), "
+            "'\\s+') AS toks FROM documents)"
+        ).fetchall()
+    )
+    assert got == want and len(got) == 3
