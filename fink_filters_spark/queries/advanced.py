@@ -41,8 +41,18 @@ def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the same partition spec (no intermediate exchange), the
     per-user rollup reuses the same partitioning, and only |users| rows
     reach the final single-row aggregate.
+
+    NULL-key alignment (round-7 audit): Spark's window/groupBy would keep
+    a NULL user as one funnel participant while the oracle's stage JOINs
+    (e JOIN u / e JOIN c) drop NULL keys — both sides filter NULL
+    user_ids explicitly (testdata has none; test_testdata_has_no_null_keys
+    pins that invariant).
     """
-    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts_us")
+    )
     w = Window.partitionBy("user_id")
     tv = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
     st1 = ev.withColumn("tv", tv)
@@ -72,7 +82,8 @@ def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUNNEL_SQL = """
-WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL),
 u AS (
   SELECT user_id, min(CASE WHEN event_type = 'view' THEN t END) AS tv
   FROM e GROUP BY user_id

@@ -492,11 +492,20 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min(day) + collect_set(day); the set is bounded by the corpus'
     calendar span, not its row count, and collect_set combines
     map-side), then a groups-sized aggregate on cohort_day. No
-    self-join of events against events."""
+    self-join of events against events.
+
+    NULL-key alignment (groupBy-vs-join asymmetry audit, round 7): Spark's
+    groupBy would keep a NULL user as a group while the oracle's
+    ``u JOIN e`` drops NULL keys — both sides now filter NULL user_ids
+    EXPLICITLY (a NULL user is not a retainable cohort member), so the
+    pair stays hash-equal even on a NULL-bearing events build
+    (property-pinned in test_properties.py)."""
     from ..tables import load_events
 
     ev = load_events(spark, sf_dir)
-    days = ev.select("user_id", F.expr(f"ts_us div {US_PER_DAY}").alias("day"))
+    days = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id", F.expr(f"ts_us div {US_PER_DAY}").alias("day")
+    )
     prof = days.groupBy("user_id").agg(
         F.min("day").alias("cohort_day"), F.collect_set("day").alias("__ds")
     )
@@ -528,6 +537,7 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETENTION_SQL = f"""
 WITH e AS (
   SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+  WHERE user_id IS NOT NULL
 ),
 u AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
 p AS (

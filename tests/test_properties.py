@@ -687,3 +687,70 @@ def test_integer_microunit_conventions_cross_engine(spark, pairs):
     )
     con.close()
     assert got == [tuple(w) for w in want]
+
+
+def test_retention_cohorts_null_user_alignment(spark):
+    """groupBy-vs-join NULL-key asymmetry audit (round 7): on an events
+    copy WITH NULL user_ids injected, the Spark retention query and its
+    DuckDB oracle still agree row-for-row — both sides drop the NULL
+    cohort explicitly. Before the alignment, Spark's groupBy kept a NULL
+    user as a group while the oracle's u JOIN e dropped it; the shipped
+    testdata has zero NULL keys (pinned below) so this was dormant, one
+    data build away from a hash split."""
+    import datetime
+    from unittest import mock
+
+    import duckdb
+    import pandas as pd
+
+    import fink_filters_spark.queries.timeseries as tsq
+    import fink_filters_spark.tables as tables
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid, day_offsets in [
+        (1, [0, 1, 7]),      # D1 and D7 retained
+        (2, [0, 2]),         # neither
+        (3, [3, 4]),         # cohort day 3, D1 retained
+        (None, [0, 1, 7]),   # NULL user: must not appear anywhere
+        (None, [5]),
+    ]:
+        for i, d in enumerate(day_offsets):
+            rows.append(
+                (len(rows), uid, base + datetime.timedelta(days=d, hours=i))
+            )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+
+    toy = spark.createDataFrame(pdf).withColumn(
+        "ts_us", (F.unix_micros("ts")).cast("long")
+    )
+    # ev_retention_cohorts imports load_events at call time from tables
+    with mock.patch.object(tables, "load_events", lambda s, d: toy):
+        got = sorted(
+            tuple(r) for r in tsq.ev_retention_cohorts(spark, "x").collect()
+        )
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = sorted(tuple(r) for r in con.sql(tsq.RETENTION_SQL).fetchall())
+    assert got == want
+    assert all(r[0] is not None for r in got)  # no NULL cohort rows
+    assert len(got) == 2  # cohorts day-0 and day-3
+
+
+def test_testdata_has_no_null_keys():
+    """The no-NULL invariant every dormant groupBy-vs-join asymmetry
+    rests on: the shipped parquet tables contain no NULL cells at all.
+    If a future data build introduces NULLs, this fails loudly and the
+    audit (grep 'NULL-key alignment') must be re-run pair by pair."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "customer", "orders", "lineitem",
+              "embeddings", "part", "supplier", "nation", "region"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        cols = con.sql(f"SELECT * FROM '{src}' LIMIT 0").columns
+        clauses = " OR ".join(f'"{c}" IS NULL' for c in cols)
+        n = con.sql(f"SELECT count(*) FROM '{src}' WHERE {clauses}").fetchone()[0]
+        assert n == 0, f"{t}: {n} rows with NULL cells — re-audit NULL-key pairs"
