@@ -136,6 +136,11 @@ def oversized_blocks(
     to detect a blocking key going degenerate before recall silently
     drops. One aggregation per pass, unioned; block_key is the
     stringified key tuple so heterogeneous passes union cleanly."""
+    if not passes:
+        raise ValueError(
+            "oversized_blocks: `passes` must contain at least one blocking "
+            "pass (got an empty dict)"
+        )
     per_pass = []
     for pass_name, key_cols in passes.items():
         per_pass.append(
