@@ -189,3 +189,64 @@ def shingle_hash(shingle_col: Column) -> Column:
     """Polynomial hash of one shingle string (same scheme as
     char_fingerprint) — array<string> -> array<long>."""
     return F.transform(shingle_col, _char_fold)
+
+
+def repetition_stats(text) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher repetition filter
+    family — Rae et al. 2021, "Scaling Language Models: ... Gopher",
+    App. A1.1: excessive within-doc repetition marks low-quality /
+    machine-generated text). Returns exact-integer Columns over the
+    engine-wide whitespace tokenization:
+
+    - ``n_tok``: token count;
+    - ``top_tok_cnt``: multiplicity of the most frequent token (the
+      "top word fraction" numerator) — a fold over the SORTED token
+      array tracking the longest equal-run, row-local;
+    - ``n_bigrams`` / ``dup_bigrams``: adjacent-token bigrams and how
+      many of them are repeats of an earlier bigram in the SAME document
+      (``n - distinct``, the "duplicate n-gram fraction" numerator).
+
+    All four are row-local array expressions (sort + fold + zip_with)
+    inside codegen: a 100 TB sweep computes them at scan speed with NO
+    shuffle — repetition is a per-document property, unlike the corpus
+    -wide dedup family. Ratios are left to the caller so it can pick the
+    exact-integer ppm convention (queries/text.py q_text_repetition).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(t)), TOKEN_SPLIT_RE)
+    n_tok = F.size(toks).cast("long")
+    srt = F.array_sort(toks)
+    run = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    # adjacent bigrams joined on an unseparable control char (tokens are
+    # whitespace-split, so 0x1f can't occur inside one)
+    head = F.slice(toks, 1, F.size(toks) - 1)
+    tail = F.slice(toks, 2, F.size(toks) - 1)
+    bg = F.zip_with(head, tail, lambda a, b: F.concat(a, F.lit("\x1f"), b))
+    n_bg = F.size(bg).cast("long")
+    dup_bg = (n_bg - F.size(F.array_distinct(bg)).cast("long")).cast("long")
+    return {
+        "n_tok": n_tok,
+        "top_tok_cnt": run.cast("long"),
+        "n_bigrams": n_bg,
+        "dup_bigrams": dup_bg,
+    }

@@ -183,6 +183,81 @@ FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
 """
 
 
+# Gopher-inspired repetition gates (Rae et al. 2021 App. A1.1 thresholds the
+# top-n-gram / duplicate-n-gram CHARACTER fractions around 0.2-0.3; these are
+# the token-fraction analogues under the engine-wide tokenizer).
+REP_TOP_TOK_MAX_PPM = 300_000
+REP_DUP_BIGRAM_MAX_PPM = 200_000
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher repetition
+    filter family): multiplicity of the most frequent token and the
+    duplicate-bigram fraction, as exact integer ppm, plus the combined
+    repetitive verdict. Complements the corpus-wide dedup family: this is
+    the per-document "does the text repeat ITSELF" gate every curation
+    funnel applies before any cross-document work.
+
+    Scale: all signals are row-local array folds inside codegen
+    (functions/text.repetition_stats) — a 100 TB sweep runs at scan
+    speed, zero shuffle, and the plan lint pins it that way."""
+    from ..functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = repetition_stats("text")
+    top_ppm = _idiv(s["top_tok_cnt"] * 1_000_000, s["n_tok"])
+    dup_ppm = _idiv(s["dup_bigrams"] * 1_000_000, s["n_bigrams"])
+    return docs.select(
+        "doc_id",
+        s["n_tok"].alias("n_tok"),
+        top_ppm.alias("top_tok_ppm"),
+        s["n_bigrams"].alias("n_bigrams"),
+        dup_ppm.alias("dup_bigram_ppm"),
+        (
+            (top_ppm > REP_TOP_TOK_MAX_PPM)
+            | (dup_ppm > REP_DUP_BIGRAM_MAX_PPM)
+        ).alias("is_repetitive"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(max(c) AS BIGINT) AS top_cnt
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || chr(31) || toks[i + 1]) AS grams
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+),
+bstat AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams,
+         CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS dup_bg
+  FROM bg
+)
+SELECT p.doc_id, p.n_tok,
+       (p.top_cnt * 1000000) // p.n_tok AS top_tok_ppm,
+       b.n_bigrams,
+       CASE WHEN b.n_bigrams > 0
+            THEN (b.dup_bg * 1000000) // b.n_bigrams ELSE 0 END
+           AS dup_bigram_ppm,
+       ((p.top_cnt * 1000000) // p.n_tok > {REP_TOP_TOK_MAX_PPM}
+        OR CASE WHEN b.n_bigrams > 0
+                THEN (b.dup_bg * 1000000) // b.n_bigrams ELSE 0 END
+           > {REP_DUP_BIGRAM_MAX_PPM}) AS is_repetitive
+FROM per p JOIN bstat b ON p.doc_id = b.doc_id
+"""
+
+
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text -> opaque binary column -> native byte-level
     metadata (operators/multimodal.binary_meta; the reference's cutout
@@ -505,4 +580,6 @@ SPECS = [
               "sparse TF-IDF cosine similarity join (bag-of-words pairs)"),
     QuerySpec("text_bm25", q_text_bm25, _bm25_sql(),
               "BM25 ranked retrieval: pivoted tf + single-row corpus stats"),
+    QuerySpec("text_repetition_gates", q_text_repetition, TEXT_REPETITION_SQL,
+              "Gopher-style within-doc repetition signals (row-local, no shuffle)"),
 ]

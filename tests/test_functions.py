@@ -351,3 +351,61 @@ def test_quality_expr_empty_document_no_ansi_abort(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 3
+
+
+def test_repetition_stats_known_values_and_oracle_parity(spark):
+    """Gopher repetition signals: hand-computed values on crafted docs,
+    and Spark == DuckDB on the exact ppm surface (incl. the single-token
+    doc whose bigram list is empty)."""
+    import duckdb
+    import pandas as pd
+
+    from fink_filters_spark.queries.text import (
+        TEXT_REPETITION_SQL,
+        q_text_repetition,
+    )
+    from unittest import mock
+    import fink_filters_spark.queries.text as textq
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a a a a b",            # top=4/5, bigrams: aa aa aa ab -> dup 2/4
+                "w x y z",              # no repetition
+                "solo",                 # single token, zero bigrams
+                "go go go go go",       # fully repetitive
+            ],
+        }
+    )
+    toy = spark.createDataFrame(pdf)
+    # queries.text binds load_table at module import — patch that binding
+    with mock.patch.object(textq, "load_table", lambda s, d, t: toy):
+        rows = {r.doc_id: r for r in q_text_repetition(spark, "x").collect()}
+
+    r1 = rows[1]
+    assert (r1.n_tok, r1.top_tok_ppm, r1.n_bigrams, r1.dup_bigram_ppm) == (
+        5, 800000, 4, 500000,
+    )
+    assert r1.is_repetitive
+    r2 = rows[2]
+    assert (r2.top_tok_ppm, r2.dup_bigram_ppm, r2.is_repetitive) == (
+        250000, 0, False,
+    )
+    r3 = rows[3]
+    assert (r3.n_tok, r3.top_tok_ppm, r3.n_bigrams, r3.dup_bigram_ppm) == (
+        1, 1000000, 0, 0,
+    )
+    assert rows[4].dup_bigram_ppm == 750000 and rows[4].is_repetitive
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        row[0]: row
+        for row in con.sql(TEXT_REPETITION_SQL).fetchall()
+    }
+    for did, r in rows.items():
+        assert want[did] == (
+            r.doc_id, r.n_tok, r.top_tok_ppm, r.n_bigrams,
+            r.dup_bigram_ppm, r.is_repetitive,
+        ), did
