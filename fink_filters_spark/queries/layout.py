@@ -141,8 +141,9 @@ def q_pipe_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax mixture allocation (Chung et al. 2023): split a 100k-token
     budget across the documents table's sources, each capped at 4 epochs —
     water-filling closed form over the per-source token counts
-    (operators/chunking.unimax_allocation; exact-integer saturation test,
-    one double division for the common level)."""
+    (operators/chunking.unimax_allocation; exact-integer saturation test
+    AND exact-integer micro-units — no double arithmetic anywhere in the
+    allocation since round 7)."""
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.sum(F.size(_toks("text"))).alias("n_tok")

@@ -120,10 +120,14 @@ def _idiv(a, b):
     A zero divisor yields 0, not an ANSI DIVIDE_BY_ZERO abort: the one
     zero-able divisor on this surface is length(text) == 0 for an empty
     document (split() guarantees n_tok >= 1), where "no characters" means
-    a zero punctuation penalty, not a dead query. CASE WHEN guarantees
-    the division isn't evaluated on the zero branch."""
+    a zero punctuation penalty, not a dead query. ONLY an exact zero is
+    remapped — a NULL divisor (NULL text) must keep propagating NULL so
+    the quality score stays NULL like the oracle's, not a fabricated
+    500000 (round-7 review finding). CASE WHEN guarantees the division
+    isn't evaluated on the zero branch; under ANSI, % and / with a NULL
+    operand return NULL without raising."""
     q = ((a - a % b) / b).cast("long")
-    return F.when(b > 0, q).otherwise(F.lit(0).cast("long"))
+    return F.when(b == 0, F.lit(0).cast("long")).otherwise(q)
 
 
 def quality_expr():
@@ -185,9 +189,13 @@ FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
 
 # Gopher-inspired repetition gates (Rae et al. 2021 App. A1.1 thresholds the
 # top-n-gram / duplicate-n-gram CHARACTER fractions around 0.2-0.3; these are
-# the token-fraction analogues under the engine-wide tokenizer).
+# the token-fraction analogues under the engine-wide tokenizer). Gopher
+# applies a minimum word count ALONGSIDE the fraction thresholds — without
+# the floor, every <=3-token document has top_tok_ppm >= 333334 and would be
+# unconditionally "repetitive" (round-7 review finding).
 REP_TOP_TOK_MAX_PPM = 300_000
 REP_DUP_BIGRAM_MAX_PPM = 200_000
+REP_MIN_TOKENS = 5
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,10 +208,19 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: all signals are row-local array folds inside codegen
     (functions/text.repetition_stats) — a 100 TB sweep runs at scan
-    speed, zero shuffle, and the plan lint pins it that way."""
+    speed, zero shuffle, and the plan lint pins it that way.
+
+    NULL-key alignment (round-7 audit class): NULL-text rows are
+    filtered EXPLICITLY on both sides — the oracle's unnest would drop
+    them while a Spark per-row select keeps them, the same dormant
+    asymmetry shape the retention pair had. The verdict fires only at
+    n_tok >= REP_MIN_TOKENS (Gopher's min-word-count companion rule);
+    short documents are reported, not flagged."""
     from ..functions.text import repetition_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     s = repetition_stats("text")
     top_ppm = _idiv(s["top_tok_cnt"] * 1_000_000, s["n_tok"])
     dup_ppm = _idiv(s["dup_bigrams"] * 1_000_000, s["n_bigrams"])
@@ -214,8 +231,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["n_bigrams"].alias("n_bigrams"),
         dup_ppm.alias("dup_bigram_ppm"),
         (
-            (top_ppm > REP_TOP_TOK_MAX_PPM)
-            | (dup_ppm > REP_DUP_BIGRAM_MAX_PPM)
+            (s["n_tok"] >= REP_MIN_TOKENS)
+            & (
+                (top_ppm > REP_TOP_TOK_MAX_PPM)
+                | (dup_ppm > REP_DUP_BIGRAM_MAX_PPM)
+            )
         ).alias("is_repetitive"),
     )
 
@@ -224,7 +244,7 @@ TEXT_REPETITION_SQL = f"""
 WITH tk AS (
   SELECT doc_id, unnest(toks) AS tok
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
 ),
 tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
 per AS (
@@ -237,7 +257,7 @@ bg AS (
          list_transform(generate_series(1, len(toks) - 1),
                         i -> toks[i] || chr(31) || toks[i + 1]) AS grams
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
 ),
 bstat AS (
   SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams,
@@ -250,10 +270,11 @@ SELECT p.doc_id, p.n_tok,
        CASE WHEN b.n_bigrams > 0
             THEN (b.dup_bg * 1000000) // b.n_bigrams ELSE 0 END
            AS dup_bigram_ppm,
-       ((p.top_cnt * 1000000) // p.n_tok > {REP_TOP_TOK_MAX_PPM}
-        OR CASE WHEN b.n_bigrams > 0
-                THEN (b.dup_bg * 1000000) // b.n_bigrams ELSE 0 END
-           > {REP_DUP_BIGRAM_MAX_PPM}) AS is_repetitive
+       (p.n_tok >= {REP_MIN_TOKENS}
+        AND ((p.top_cnt * 1000000) // p.n_tok > {REP_TOP_TOK_MAX_PPM}
+             OR CASE WHEN b.n_bigrams > 0
+                     THEN (b.dup_bg * 1000000) // b.n_bigrams ELSE 0 END
+                > {REP_DUP_BIGRAM_MAX_PPM})) AS is_repetitive
 FROM per p JOIN bstat b ON p.doc_id = b.doc_id
 """
 

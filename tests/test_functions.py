@@ -369,12 +369,14 @@ def test_repetition_stats_known_values_and_oracle_parity(spark):
 
     pdf = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4],
+            "doc_id": [1, 2, 3, 4, 5, 6],
             "text": [
                 "a a a a b",            # top=4/5, bigrams: aa aa aa ab -> dup 2/4
                 "w x y z",              # no repetition
                 "solo",                 # single token, zero bigrams
                 "go go go go go",       # fully repetitive
+                "a b",                  # short: top 500000 ppm but UNDER the floor
+                None,                   # NULL text: dropped on BOTH sides
             ],
         }
     )
@@ -397,6 +399,10 @@ def test_repetition_stats_known_values_and_oracle_parity(spark):
         1, 1000000, 0, 0,
     )
     assert rows[4].dup_bigram_ppm == 750000 and rows[4].is_repetitive
+    # min-token floor: a 2-token all-distinct doc is NOT repetitive
+    assert rows[5].top_tok_ppm == 500000 and not rows[5].is_repetitive
+    # NULL text dropped symmetrically (the oracle's unnest drops it too)
+    assert set(rows) == {1, 2, 3, 4, 5}
 
     con = duckdb.connect()
     con.register("documents", pdf)
