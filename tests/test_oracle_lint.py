@@ -118,6 +118,41 @@ def test_every_oracle_output_schema_is_hash_stable(duck):
     assert not leaks, f"oracle output type leaks (CAST sums to BIGINT): {leaks}"
 
 
+def test_all_oracles_fetchall_vs_arrow_value_parity(duck):
+    """Execute EVERY declared oracle end-to-end at sf0.001 and require
+    the canonicalized row strings to agree between .fetchall() (what the
+    in-container replica hashes) and .arrow() (a columnar driver fetch).
+    The LIMIT-0 type lint above catches HUGEINT/DECIMAL; this catches any
+    OTHER type whose value class differs per fetch path (~90s, the
+    whole-class guarantee the 13-query test below spot-checks in depth).
+
+    pandas (.df()) is deliberately NOT in this sweep: DATE/TIMESTAMP
+    columns (q3/q18/layout_zone_map) surface as pandas Timestamps there,
+    whose isoformat legitimately differs from datetime.date — the
+    driver's gate is green on those queries, so its fetch path is
+    fetchall/arrow-shaped, and pandas parity is only asserted for the
+    date-free queries in the parametrized test below."""
+    import __spark_entry__ as entrymod
+
+    problems = {}
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        rel = duck.sql(sql)
+        cols = rel.columns
+        via_fetchall = _canon_rows(cols, rel.fetchall())
+        tbl = duck.sql(sql).arrow()
+        via_arrow = _canon_rows(
+            cols, [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+        )
+        if via_fetchall != via_arrow:
+            diff = next(
+                (a, b)
+                for a, b in zip(via_fetchall, via_arrow)
+                if a != b
+            )
+            problems[name] = diff
+    assert not problems, f"fetch-path canon splits: {problems}"
+
+
 @pytest.mark.parametrize("name", FORMERLY_LEAKING)
 def test_oracle_canonical_strings_agree_across_fetch_paths(duck, name):
     """Execute each formerly-leaking oracle end-to-end and require the
