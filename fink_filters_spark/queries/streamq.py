@@ -43,8 +43,12 @@ def _stream_dir(sf_dir: str, table: str = "events") -> str:
     d = f"/tmp/fink_stream_src_{hashlib.md5((sf_dir + table).encode()).hexdigest()[:12]}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
-    target = os.path.join(sf_dir, f"{table}.parquet")
-    if not os.path.exists(link):
+    # abspath: a RELATIVE sf_dir would be stored relative to the /tmp dir
+    # and dangle (batch queries resolve against cwd, every streaming query
+    # would silently read zero rows); lexists: a dangling link must be
+    # re-staged, not crash os.symlink with FileExistsError
+    target = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    if not os.path.lexists(link):
         os.symlink(target, link)
     elif os.path.realpath(link) != os.path.realpath(target):
         os.remove(link)
@@ -55,17 +59,15 @@ def _stream_dir(sf_dir: str, table: str = "events") -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events table with ``ts_us`` normalized, matching
     ``tables.load_events`` (TIMESTAMP(NANOS)-as-long vs NTZ drift)."""
+    from ..tables import ts_us_expr
+
     batch = load_table(spark, sf_dir, "events")  # also applies nanos conf
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(_stream_dir(sf_dir))
     )
-    ts_type = dict(batch.dtypes)["ts"]
-    if ts_type in ("bigint", "long"):
-        ts_us = F.expr("ts div 1000")
-    else:
-        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = ts_us_expr(dict(batch.dtypes)["ts"])
     return stream.withColumn("ts_us", ts_us.cast("long"))
 
 

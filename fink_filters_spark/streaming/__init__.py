@@ -94,6 +94,34 @@ class StreamPipeline:
         return writer.start()
 
 
+def _as_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP for watermarking.
+
+    REFUSES integral columns instead of casting them: ``cast(bigint AS
+    timestamp)`` interprets the value as SECONDS since epoch, so the
+    engine's canonical long event-times (ts nanos-as-long, ts_us micros)
+    would silently land in year ~55,000 with a "1 hour" watermark spanning
+    3.6 real milliseconds — duplicates re-emitted, windows ~4ms wide
+    (round-7 review finding). The unit is not inferable from the type;
+    the caller converts explicitly (``F.timestamp_micros``,
+    ``F.timestamp_millis``, ``(ts div 1000)`` for nanos — see
+    ``tables.load_events``)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return df
+    if isinstance(dt, TimestampNTZType):
+        # watermarks demand TIMESTAMP (not NTZ) event time
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    raise ValueError(
+        f"event-time column {col!r} has type {dt.simpleString()}; pass a "
+        "timestamp column — for integer epochs convert explicitly "
+        "(F.timestamp_micros / F.timestamp_millis; cast(long AS timestamp) "
+        "would read it as SECONDS and corrupt the watermark)"
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     key_cols: list[str],
@@ -108,8 +136,7 @@ def streaming_dedup(
     event time + delay (bounded state — the property that keeps this viable
     on an unbounded 100 TB stream); a duplicate arriving after eviction is
     re-emitted, the standard at-scale dedup contract."""
-    # watermarks demand TIMESTAMP (not NTZ) event time
-    df = df.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    df = _as_event_time(df, event_time_col)
     return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
@@ -119,10 +146,57 @@ OBJECT_STATS_STATE = (
     "bands array<string>, ns array<long>, sums array<double>, "
     "mins array<double>, maxs array<double>"
 )
-OBJECT_STATS_OUT = (
-    "objectId string, band string, n_sources long, "
-    "flux_mean double, flux_min double, flux_max double"
-)
+
+
+def _object_stats_out(df: DataFrame, key_col: str) -> str:
+    """Output schema derived from the INPUT key column's name and type —
+    a hardcoded 'objectId string' breaks callers keying on e.g. a long
+    diaObjectId (misnamed column + Arrow type-enforcement error;
+    round-7 review finding)."""
+    key_type = df.schema[key_col].dataType.simpleString()
+    return (
+        f"{key_col} {key_type}, band string, n_sources long, "
+        "flux_mean double, flux_min double, flux_max double"
+    )
+
+
+def _accumulate_band_stats(stats: dict, pdfs, band_col: str, flux_col: str) -> None:
+    """Shared per-band running-stats kernel for BOTH stateful operators
+    (applyInPandasWithState and transformWithStateInPandas) — one
+    definition so a semantics fix cannot drift between them.
+
+    NULL handling matches the batch dual (groupBy mean/min/max ignores
+    NULLs): Arrow hands a nullable float64 column to pandas with NULL as
+    NaN, so the guard is pd.isna, NOT ``is None`` — an ``is None`` check
+    is dead for NaN and would overcount n_sources and poison the running
+    sum/min/max with NaN forever (round-7 review finding)."""
+    import pandas as pd
+
+    for pdf in pdfs:
+        for band, flux in zip(pdf[band_col], pdf[flux_col]):
+            if pd.isna(flux) or pd.isna(band):
+                continue
+            f = float(flux)
+            cur = stats.setdefault(band, [0, 0.0, f, f])
+            cur[0] += 1
+            cur[1] += f
+            cur[2] = min(cur[2], f)
+            cur[3] = max(cur[3], f)
+
+
+def _emit_band_stats(key_col: str, key_val, items) -> "object":
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            key_col: [key_val] * len(items),
+            "band": [b for b, _ in items],
+            "n_sources": [v[0] for _, v in items],
+            "flux_mean": [v[1] / v[0] for _, v in items],
+            "flux_min": [v[2] for _, v in items],
+            "flux_max": [v[3] for _, v in items],
+        }
+    )
 
 
 def streaming_object_stats(
@@ -150,8 +224,6 @@ def streaming_object_stats(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
         stats: dict[str, list] = {}
         if state.exists:
             bands, ns, sums, mins, maxs = state.get
@@ -159,16 +231,7 @@ def streaming_object_stats(
                 b: [n, s, lo, hi]
                 for b, n, s, lo, hi in zip(bands, ns, sums, mins, maxs)
             }
-        for pdf in pdfs:
-            for band, flux in zip(pdf[band_col], pdf[flux_col]):
-                if flux is None or band is None:
-                    continue
-                f = float(flux)
-                cur = stats.setdefault(band, [0, 0.0, f, f])
-                cur[0] += 1
-                cur[1] += f
-                cur[2] = min(cur[2], f)
-                cur[3] = max(cur[3], f)
+        _accumulate_band_stats(stats, pdfs, band_col, flux_col)
         items = sorted(stats.items())
         state.update((
             [b for b, _ in items],
@@ -177,20 +240,11 @@ def streaming_object_stats(
             [v[2] for _, v in items],
             [v[3] for _, v in items],
         ))
-        yield pd.DataFrame(
-            {
-                "objectId": [key[0]] * len(items),
-                "band": [b for b, _ in items],
-                "n_sources": [v[0] for _, v in items],
-                "flux_mean": [v[1] / v[0] for _, v in items],
-                "flux_min": [v[2] for _, v in items],
-                "flux_max": [v[3] for _, v in items],
-            }
-        )
+        yield _emit_band_stats(key_col, key[0], items)
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=OBJECT_STATS_OUT,
+        outputStructType=_object_stats_out(df, key_col),
         stateStructType=OBJECT_STATS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -198,7 +252,10 @@ def streaming_object_stats(
 
 
 FUNNEL_STATE = "tv long, tc long, tp long"
-FUNNEL_OUT = "user_id long, tv long, tc long, tp long, stage int"
+# processing order for same-timestamp ties: a view at t must be applied
+# before a click at t (the batch dual's "min click ts >= tv" admits the
+# tie), else parity depends on arrival order
+_FUNNEL_PRIORITY = {"view": 0, "click": 1, "purchase": 2}
 
 
 def streaming_funnel(
@@ -216,8 +273,13 @@ def streaming_funnel(
     Equals the batch funnel when events arrive in event-time order (the
     broker's per-night replay case); a late-arriving earlier 'view' is not
     retroactively applied — add watermark-delayed processing if exactness
-    under disorder matters more than latency. State is 3 longs per user:
-    bounded, mergeable, store-friendly at 100 TB key cardinality.
+    under disorder matters more than latency. Within a batch, events sort
+    by (timestamp, stage priority view<click<purchase) so a same-timestamp
+    view/click tie resolves the way the batch dual's ``min(click ts >=
+    tv)`` does, not by arrival order; NULL-timestamp events are skipped
+    (the batch windows' min() ignores NULLs — and int(NaN) would
+    otherwise abort the query). State is 3 longs per user: bounded,
+    mergeable, store-friendly at 100 TB key cardinality.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -229,9 +291,13 @@ def streaming_funnel(
             tv, tc, tp = state.get
         evs: list = []
         for pdf in pdfs:
-            evs.extend(zip(pdf[type_col], pdf[ts_col]))
-        evs.sort(key=lambda e: e[1])  # deterministic within-batch order
-        for et, t in evs:
+            evs.extend(
+                (t, _FUNNEL_PRIORITY.get(et, 3), et)
+                for et, t in zip(pdf[type_col], pdf[ts_col])
+                if not pd.isna(t)
+            )
+        evs.sort(key=lambda e: (e[0], e[1]))  # event time, then stage order
+        for t, _, et in evs:
             t = int(t)
             if et == "view" and tv is None:
                 tv = t
@@ -243,7 +309,7 @@ def streaming_funnel(
         stage = 3 if tp is not None else 2 if tc is not None else 1 if tv is not None else 0
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 "tv": [tv],
                 "tc": [tc],
                 "tp": [tp],
@@ -251,9 +317,12 @@ def streaming_funnel(
             }
         )
 
+    key_type = df.schema[user_col].dataType.simpleString()
     return df.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType=FUNNEL_OUT,
+        outputStructType=(
+            f"{user_col} {key_type}, tv long, tc long, tp long, stage int"
+        ),
         stateStructType=FUNNEL_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -286,8 +355,6 @@ def streaming_object_stats_tws(
             self._stats = handle.getValueState("stats", OBJECT_STATS_STATE)
 
         def handleInputRows(self, key, rows, timer_values):
-            import pandas as pd
-
             stats: dict[str, list] = {}
             if self._stats.exists():
                 bands, ns, sums, mins, maxs = self._stats.get()
@@ -295,16 +362,7 @@ def streaming_object_stats_tws(
                     b: [n, s, lo, hi]
                     for b, n, s, lo, hi in zip(bands, ns, sums, mins, maxs)
                 }
-            for pdf in rows:
-                for band, flux in zip(pdf[band_col], pdf[flux_col]):
-                    if flux is None or band is None:
-                        continue
-                    f = float(flux)
-                    cur = stats.setdefault(band, [0, 0.0, f, f])
-                    cur[0] += 1
-                    cur[1] += f
-                    cur[2] = min(cur[2], f)
-                    cur[3] = max(cur[3], f)
+            _accumulate_band_stats(stats, rows, band_col, flux_col)
             items = sorted(stats.items())
             self._stats.update((
                 [b for b, _ in items],
@@ -313,23 +371,14 @@ def streaming_object_stats_tws(
                 [v[2] for _, v in items],
                 [v[3] for _, v in items],
             ))
-            yield pd.DataFrame(
-                {
-                    "objectId": [key[0]] * len(items),
-                    "band": [b for b, _ in items],
-                    "n_sources": [v[0] for _, v in items],
-                    "flux_mean": [v[1] / v[0] for _, v in items],
-                    "flux_min": [v[2] for _, v in items],
-                    "flux_max": [v[3] for _, v in items],
-                }
-            )
+            yield _emit_band_stats(key_col, key[0], items)
 
         def close(self) -> None:
             pass
 
     return df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_ObjectStats(),
-        outputStructType=OBJECT_STATS_OUT,
+        outputStructType=_object_stats_out(df, key_col),
         outputMode="Update",
         timeMode="None",
     )
@@ -346,7 +395,7 @@ def streaming_window_agg(
     """Tumbling event-time window aggregation with a late-data bound — the
     streaming form of queries/timeseries.sess_hourly."""
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
-    df = df.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    df = _as_event_time(df, event_time_col)
     keys = [F.window(F.col(event_time_col), window)] + [
         F.col(c) for c in (group_cols or [])
     ]
@@ -377,14 +426,10 @@ def streaming_interval_join(
     bounded by (watermark + max_delay) of per-key traffic; skewed keys
     behave like any skewed shuffle join (salt upstream if one key dominates).
     """
-    lw = left.withColumn(left_time, F.col(left_time).cast("timestamp")).withWatermark(
-        left_time, watermark
-    )
+    lw = _as_event_time(left, left_time).withWatermark(left_time, watermark)
     rkey = f"__r_{on}"
-    rw = (
-        right.withColumnRenamed(on, rkey)
-        .withColumn(right_time, F.col(right_time).cast("timestamp"))
-        .withWatermark(right_time, watermark)
+    rw = _as_event_time(right.withColumnRenamed(on, rkey), right_time).withWatermark(
+        right_time, watermark
     )
     cond = (
         (F.col(on) == F.col(rkey))

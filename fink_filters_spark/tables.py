@@ -51,6 +51,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_us_expr(ts_type: str):
+    """The ``ts`` -> microseconds-since-epoch expression, dispatched on the
+    column's dtype string — THE single definition (load_events for batch,
+    queries/streamq._events_stream for the file stream), so a new testdata
+    physical type is fixed in one place for both surfaces."""
+    if ts_type in ("bigint", "long"):
+        return F.expr("ts div 1000")  # int64 nanoseconds since epoch
+    # timestamp / timestamp_ntz: session tz is pinned to UTC, so the
+    # cast-to-timestamp interprets naive values as UTC instants.
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_us`` (bigint microseconds since epoch) added.
 
@@ -59,13 +71,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as long via nanosAsLong) vs TIMESTAMP(MICROS) NTZ — so adapt by dtype.
     """
     df = load_table(spark, sf_dir, "events")
-    ts_type = dict(df.dtypes)["ts"]
-    if ts_type in ("bigint", "long"):
-        ts_us = F.expr("ts div 1000")  # int64 nanoseconds since epoch
-    else:
-        # timestamp / timestamp_ntz: session tz is pinned to UTC, so the
-        # cast-to-timestamp interprets naive values as UTC instants.
-        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = ts_us_expr(dict(df.dtypes)["ts"])
     return df.withColumn("ts_us", ts_us.cast("long"))
 
 

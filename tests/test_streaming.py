@@ -820,3 +820,102 @@ def test_session_window_exact_gap_boundary(spark):
         .collect()
     }
     assert per[(1,)] == 1 and per[(2,)] == 2
+
+
+def test_streaming_object_stats_ignores_null_flux(spark, tmp_path):
+    """Round-7 review: NULL psfFlux arrives in pandas as NaN, which an
+    `is None` guard misses — it must be SKIPPED (batch mean/min/max
+    ignores NULLs), not counted into n_sources / poison the running sum."""
+    import pandas as pd
+
+    from fink_filters_spark.streaming import streaming_object_stats
+
+    d = tmp_path / "alerts"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "objectId": ["o1"] * 4,
+            "band": ["g", "g", "g", None],
+            "psfFlux": [10.0, None, 30.0, 40.0],
+        }
+    )
+    pdf.to_parquet(d / "p.parquet")
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).parquet(str(d))
+    out = []
+    q = (
+        streaming_object_stats(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    g = [r for r in out if r.band == "g"][-1]
+    assert g.n_sources == 2
+    assert g.flux_mean == 20.0 and g.flux_min == 10.0 and g.flux_max == 30.0
+
+
+def test_streaming_funnel_tie_and_null_ts(spark, tmp_path):
+    """Round-7 review: a same-timestamp view+click tie must resolve like
+    the batch dual (click counts, since min(click ts >= tv) admits the
+    tie), and a NULL-timestamp event is skipped instead of crashing the
+    query at int(NaN)."""
+    import pandas as pd
+
+    from fink_filters_spark.streaming import streaming_funnel
+
+    d = tmp_path / "events"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            # arrival order puts the click BEFORE the view at t=100
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["click", "view", "purchase", "view"],
+            "ts_us": [100, 100, None, None],
+        }
+    )
+    pdf["ts_us"] = pdf["ts_us"].astype("Int64")
+    pdf.to_parquet(d / "p.parquet")
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).parquet(str(d))
+    out = []
+    q = (
+        streaming_funnel(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in out}
+    # user 1: view applied first at the tie -> click lands, stage 2
+    # (the NULL-ts purchase is skipped, like batch min() over NULL)
+    assert (rows[1].tv, rows[1].tc, rows[1].tp, rows[1].stage) == (100, 100, None, 2)
+    # user 2: only a NULL-ts view -> nothing applied
+    assert (rows[2].tv, rows[2].stage) == (None, 0)
+
+
+def test_streaming_dedup_rejects_integer_event_time(spark, tmp_path):
+    """Round-7 review: cast(bigint AS timestamp) reads SECONDS — a long
+    event-time column (the engine's canonical micros/nanos) must be
+    refused with guidance, not silently given a ~4ms watermark."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from fink_filters_spark.streaming import streaming_dedup
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame({"key": [1], "ts_us": [1_700_000_000_000_000]}).to_parquet(
+        d / "p.parquet"
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).parquet(str(d))
+    with _pytest.raises(ValueError, match="SECONDS"):
+        streaming_dedup(stream, ["key"], "ts_us")
