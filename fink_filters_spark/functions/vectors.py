@@ -34,6 +34,20 @@ def norm_sq_q(a: Column) -> Column:
     return F.aggregate(a, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
 
 
+def sq_l2_q(a: Column | str, b: Column | str) -> Column:
+    """Exact integer squared L2 distance of two quantized vectors — THE
+    PQ distance convention (pq_encode's codeword argmin and
+    pq_adc_search's distance table must agree bit-for-bit, so both call
+    this one definition)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_sim_q(a: Column, b: Column) -> Column:
     """Cosine similarity of two quantized vectors: one deterministic double
     expression over exact integers (null if either norm is 0)."""

@@ -121,13 +121,23 @@ def ivf_search(
     At scale the corpus is stored partitioned/bucketed by ``centroid_id``
     (partition pruning makes the probe a targeted scan, not a full pass).
     """
-    assigned = ivf_assign(corpus, centroids, c_id=c_id, c_vec=c_vec,
-                          cent_id=cent_id, cent_vec=cent_vec).select(
-        F.col("vec_id").alias("__cid"), F.col("centroid_id").alias("__ccent")
-    )
-    c = _quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn").join(assigned, "__cid")
-    q = _quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn")
+    # assignment computed INLINE carrying the quantized vectors through the
+    # rank window: one quantization pass over the corpus and one shuffle
+    # (the window's, on __cid) instead of re-quantizing and shuffle-joining
+    # a corpus-sized assignment back by id (round-7 review finding)
+    c0 = _quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn")
     cents = _quantized(centroids, cent_id, cent_vec, "__kcent", "__kv", "__kn")
+    ascored = c0.join(F.broadcast(cents)).select(
+        "__cid", "__cv", "__cn", "__kcent",
+        _cos("__cv", "__kv", "__cn", "__kn").alias("__ac"),
+    )
+    wa = Window.partitionBy("__cid").orderBy(F.desc("__ac"), F.asc("__kcent"))
+    c = (
+        ascored.withColumn("__arn", F.row_number().over(wa))
+        .filter(F.col("__arn") == 1)
+        .select("__cid", "__cv", "__cn", F.col("__kcent").alias("__ccent"))
+    )
+    q = _quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn")
     probe_scored = q.join(F.broadcast(cents)).select(
         "__qid", "__qv", "__qn", "__kcent",
         _cos("__qv", "__kv", "__qn", "__kn").alias("__pc"),
@@ -206,21 +216,32 @@ def _band_signatures_arrow(
 ) -> DataFrame:
     """Arrow fast path for quantize + norm + P-bit signatures: one NumPy
     int64 matmul per batch replaces P interpreted ``aggregate`` folds per
-    row (~6x on this box; bit-identical — quantization uses the engine's
-    half-away-from-zero convention ``sign(x)*floor(|x|*scale + 0.5)``).
+    row (~6x on this box; bit-identical — see the rounding note below).
     Output: one row per (input row, band) after a native posexplode.
+
+    Rounding parity (round-7 review): ``floor(|x|*scale + 0.5)`` is NOT
+    bit-identical to Spark's BigDecimal HALF_UP — adding 0.5 can itself
+    round up at binade boundaries (e.g. |x|*scale = 0.5 - 2^-54 gives 1,
+    HALF_UP gives 0). The kernel instead compares the EXACT fractional
+    part: ``fl = floor(y); q = fl + ((y - fl) >= 0.5)`` — for y < 2^52
+    the subtraction is exact (both operands share y's ulp grid), so the
+    comparison reproduces HALF_UP on the exact double bit-for-bit. The
+    same form replaces ``np.round`` (banker's) on the MIPS sqrt below.
+
+    Input contract (validated, matching the non-Arrow path's ANSI
+    behavior of failing loudly): embeddings must be non-NULL, rectangular
+    and NaN-free — a NaN would otherwise cast to INT64_MIN silently.
 
     ``aug_m2_col``: MIPS norm-augmentation. Names a column holding the
     corpus-max quantized norm-square M2 (a broadcast scalar); the planes
     must then span dim+1 coordinates, and the signature matmul appends
-    ``round(sqrt(M2 - |q|^2))`` to each quantized vector. Exactness: the
-    norm-squares are int64 (exact), their difference is an exact-integer
-    double below 2^53, sqrt of it is correctly rounded, and the rounded
-    value can never be a .5 tie (that would need M2 - |q|^2 =
-    (k + 0.5)^2, not an integer) — so numpy's banker's rounding equals
-    the engines' HALF_UP here. The OUTPUT vector stays un-augmented: a
-    query's augmented coordinate is 0, so candidate scoring is the plain
-    original-dimension dot product."""
+    ``half_up(sqrt(M2 - |q|^2))`` to each quantized vector (the
+    exact-frac form above — np.round's banker's tie would diverge from
+    the oracle's round() whenever the correctly-rounded sqrt double
+    lands exactly on k+0.5, reachable once sqrt magnitudes exceed ~2^25).
+    The OUTPUT vector stays un-augmented: a query's augmented coordinate
+    is 0, so candidate scoring is the plain original-dimension dot
+    product."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -228,9 +249,24 @@ def _band_signatures_arrow(
     from ..functions.vectors import VEC_SCALE
     from .dedup import _spread
 
+    if band_bits > 31:
+        raise ValueError(
+            f"band_bits={band_bits} overflows the int32 band signature "
+            "(bit 31 would wrap negative and split from the literal-sum "
+            "path); use band_bits <= 31"
+        )
     pmat = np.asarray(planes, dtype=np.int64)
     n_bands = len(planes) // band_bits
     weights = (np.int64(1) << np.arange(band_bits, dtype=np.int64))
+
+    def _half_up(y):
+        """BigDecimal-HALF_UP on non-negative doubles, bit-for-bit: the
+        fractional part y - floor(y) is EXACT for y < 2^52, so comparing
+        it to 0.5 cannot be perturbed the way floor(y + 0.5) is."""
+        import numpy as _np
+
+        fl = _np.floor(y)
+        return fl + ((y - fl) >= 0.5)
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as _np
@@ -239,17 +275,36 @@ def _band_signatures_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 yield _pd.DataFrame(
-                    {"__i": _pd.Series([], dtype="int64"), "__q": [],
+                    {"__i": pdf["__id"], "__q": [],
                      "__n": _pd.Series([], dtype="float64"), "__s": []}
                 )
                 continue
-            mat = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["__v"]])
-            q = (_np.sign(mat) * _np.floor(_np.abs(mat) * VEC_SCALE + 0.5)).astype(_np.int64)
+            if pdf["__v"].isna().any():
+                raise ValueError(
+                    f"_band_signatures_arrow: NULL embedding in {vec_col!r} "
+                    "(the non-Arrow path fails here too; drop or impute "
+                    "upstream)"
+                )
+            try:
+                mat = _np.stack(
+                    [_np.asarray(v, dtype=_np.float64) for v in pdf["__v"]]
+                )
+            except ValueError as e:
+                raise ValueError(
+                    f"_band_signatures_arrow: ragged embeddings in "
+                    f"{vec_col!r} — all vectors must share one dimension"
+                ) from e
+            if _np.isnan(mat).any():
+                raise ValueError(
+                    f"_band_signatures_arrow: NaN embedding element in "
+                    f"{vec_col!r} (would quantize to INT64_MIN silently)"
+                )
+            q = (_np.sign(mat) * _half_up(_np.abs(mat) * VEC_SCALE)).astype(_np.int64)
             nsq = (q * q).sum(axis=1)
             sig_in = q
             if aug_m2_col is not None:
                 m2 = pdf["__m2"].to_numpy().astype(_np.int64)
-                aug = _np.round(_np.sqrt((m2 - nsq).astype(_np.float64)))
+                aug = _half_up(_np.sqrt((m2 - nsq).astype(_np.float64)))
                 sig_in = _np.concatenate([q, aug.astype(_np.int64)[:, None]], axis=1)
             if sig_in.shape[1] != pmat.shape[1]:
                 # clear message instead of an opaque matmul shape error —
@@ -275,7 +330,12 @@ def _band_signatures_arrow(
     if aug_m2_col is not None:
         cols.append(F.col(aug_m2_col).alias("__m2"))
     src = _spread(df).select(*cols)
-    out = src.mapInPandas(kernel, "__i long, __q array<long>, __n double, __s array<int>")
+    # id passes through untouched — declare ITS type, not a hardcoded long
+    # (string/UUID ids work on the non-Arrow path and must work here too)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = src.mapInPandas(
+        kernel, f"__i {id_type}, __q array<long>, __n double, __s array<int>"
+    )
     return out.select(
         F.col("__i").alias(id_alias),
         F.col("__q").alias(vec_alias),
@@ -410,12 +470,10 @@ def pq_encode(
     Scale: corpus-sized narrow pass joined against the BROADCAST codebook
     (codebook rows = codes x subspaces — always tiny), then one partial
     min-aggregate keyed by (vec, m); no corpus shuffle beyond the agg."""
+    from ..functions.vectors import sq_l2_q
+
     sub = _pq_subvectors(corpus, c_id, c_vec, n_sub, "vec_id")
-    d2 = F.aggregate(
-        F.zip_with("sv", "cw", lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    d2 = sq_l2_q("sv", "cw")
     scored = sub.join(F.broadcast(codebook), "m").select(
         "vec_id", "m", d2.alias("__d2"), "code"
     )
@@ -448,12 +506,10 @@ def pq_adc_search(
     (query x vector) partial-distance stream that the map-side combine
     collapses to one row per pair. Output: (q_id, neighbor_id, adc_d2,
     rank); self-matches excluded."""
+    from ..functions.vectors import sq_l2_q
+
     qsub = _pq_subvectors(queries, q_id, q_vec, n_sub, "q_id")
-    d2 = F.aggregate(
-        F.zip_with("sv", "cw", lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    d2 = sq_l2_q("sv", "cw")
     dtable = qsub.join(F.broadcast(codebook), "m").select(
         "q_id", "m", "code", d2.alias("__d2")
     )
@@ -509,7 +565,6 @@ def kmeans_lloyd(
     # Arrow quantization kernel and the input scan re-execute per job.
     # Unpersisted before returning; the returned assignment is a narrow
     # map over the (re-)scan, not the cache.
-    q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq").cache()
     cents: list[tuple[int, list[int]]] = [
         (r["centroid_id"], list(r["__kv"]))
         for r in _quantized(seeds, cent_id, cent_vec, "centroid_id", "__kv", "__kn")
@@ -520,11 +575,29 @@ def kmeans_lloyd(
         # empty seeds: degrade to an empty assignment (the pre-literal
         # implementation's behavior) instead of building array_max(array())
         # — an analysis error — and a dim=0 update loop
-        q.unpersist()
         return corpus.sparkSession.createDataFrame(
             [], "vec_id long, centroid_id long, cosine double"
         )
     dim = len(cents[0][1])
+    q = _quantized(corpus, c_id, c_vec, "vec_id", "__v", "__nsq")
+    # dimension guard (round-7 review): a corpus vector LONGER than the
+    # seed dim makes zip_with pad with NULL -> NULL cosine against every
+    # centroid -> array_max's tiebreak silently collapses the whole corpus
+    # into the smallest centroid id; a SHORTER one dies mid-job with an
+    # opaque INVALID_ARRAY_INDEX from the update loop's element_at. Fail
+    # per-row with a clear message instead (same policy as
+    # _pq_subvectors' divisibility guard).
+    q = q.filter(
+        F.when(F.size("__v") == dim, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kmeans_lloyd: corpus vector dim != seed dim {dim} (got "),
+                    F.size("__v").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("boolean")
+        )
+    ).cache()
 
     def assign_cols(cent_list: list[tuple[int, list[int]]]):
         """(centroid_id, cosine) columns: array_max over k literal-centroid

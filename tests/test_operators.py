@@ -1495,3 +1495,107 @@ def test_retention_cohorts_toy(spark):
     assert out[0].n_users == 2 and out[0].d1_retained == 1 and out[0].d7_retained == 1
     assert out[1].n_users == 1 and out[1].d1_retained == 1 and out[1].d7_retained == 0
     assert out[0].d1_rate_ppm == 500000 and out[1].d1_rate_ppm == 1000000
+
+
+def test_lsh_arrow_kernel_guards_and_halfup(spark):
+    """Round-7 review hardening of the Arrow signature kernel: NaN / NULL
+    embeddings fail loudly (a NaN would quantize to INT64_MIN silently),
+    band_bits > 31 is refused (int32 signature would wrap), and the
+    quantization is exact BigDecimal-HALF_UP (the floor(y+0.5) form
+    rounds up spuriously at binade boundaries)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fink_filters_spark.operators.similarity import (
+        _band_signatures_arrow,
+        sign_planes,
+    )
+
+    planes = sign_planes(8, 2)
+    # Quantization must match Spark's own F.round(x * scale) (BigDecimal
+    # HALF_UP) element-for-element — the kernel now computes HALF_UP via
+    # the exact fractional part instead of floor(y + 0.5), whose one
+    # divergent double (0.5 - 2^-54) is provably unreachable as x * 1e6
+    # but whose FORM was wrong; the sqrt-produced MIPS augmentation goes
+    # through the same helper, where k+0.5 ties ARE reachable and
+    # np.round's banker's tie would split from the oracle's round().
+    import random
+
+    random.seed(7)
+    vals = [random.uniform(-2e-6, 2e-6) for _ in range(64)]
+    ok = spark.createDataFrame(
+        [(1, vals[:2])] + [(i + 2, vals[2 * i + 2:2 * i + 4]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["__i"]: list(r["__q"])
+        for r in _band_signatures_arrow(ok, "vec_id", "embedding", planes, 8,
+                                        "__i", "__q", "__n").collect()
+    }
+    from pyspark.sql import functions as F2
+
+    want = {
+        r["vec_id"]: [int(x) for x in r["q"]]
+        for r in ok.select(
+            "vec_id",
+            F2.transform(
+                "embedding", lambda x: F2.round(x * 1e6).cast("long")
+            ).alias("q"),
+        ).collect()
+    }
+    assert got == want
+
+    bad_nan = spark.createDataFrame(
+        [(1, [float("nan"), 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="NaN"):
+        _band_signatures_arrow(bad_nan, "vec_id", "embedding", planes, 8,
+                               "__i", "__q", "__n").collect()
+
+    bad_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="NULL embedding"):
+        _band_signatures_arrow(bad_null, "vec_id", "embedding", planes, 8,
+                               "__i", "__q", "__n").collect()
+
+    with _pytest.raises(ValueError, match="band_bits"):
+        _band_signatures_arrow(ok, "vec_id", "embedding",
+                               sign_planes(32, 2), 32, "__i", "__q", "__n")
+
+
+def test_lsh_arrow_kernel_string_ids(spark):
+    """The id column passes through with ITS declared type — string ids
+    (supported by the non-Arrow path) must not break the Arrow schema."""
+    from fink_filters_spark.operators.similarity import (
+        _band_signatures_arrow,
+        sign_planes,
+    )
+
+    df = spark.createDataFrame(
+        [("a-1", [1.0, 2.0]), ("b-2", [2.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = _band_signatures_arrow(df, "vec_id", "embedding",
+                                 sign_planes(8, 2), 8, "__i", "__q", "__n")
+    assert {r["__i"] for r in out.collect()} == {"a-1", "b-2"}
+
+
+def test_kmeans_dim_mismatch_fails_loudly(spark):
+    """Round-7 review: a corpus vector whose dim differs from the seeds'
+    must raise with a clear message, not silently collapse the corpus
+    into the smallest centroid (longer) or die in element_at (shorter)."""
+    import pytest as _pytest
+
+    from fink_filters_spark.operators.similarity import kmeans_lloyd
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="dim != seed dim"):
+        kmeans_lloyd(corpus, seeds, n_iter=1).collect()
