@@ -90,9 +90,10 @@ def dc_mag(magpsf, sigmapsf, magnr, sigmagnr, isdiffpos) -> Column:
     ``ztf/livestream/filter_kn_candidates/filter.py:242-251``). Sign of the
     difference flux follows ``isdiffpos`` ('t'/'1' -> +1 else -1).
 
-    The error columns participate (no dead parameters): see ``dc_mag_err``
-    for the propagated uncertainty; this function returns the magnitude
-    alone for predicate use.
+    ``sigmapsf``/``sigmagnr`` are accepted but UNUSED here — the signature
+    mirrors fink-utils' dc_mag (callers pass the same five columns to this
+    and to ``dc_mag_err``, where the errors do participate); this function
+    returns the magnitude alone for predicate use.
     """
     m, mr = (F.col(c) if isinstance(c, str) else c for c in (magpsf, magnr))
     sign = F.when((F.col(isdiffpos) if isinstance(isdiffpos, str) else isdiffpos).isin("t", "1"), 1.0).otherwise(-1.0)

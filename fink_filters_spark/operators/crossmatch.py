@@ -53,6 +53,22 @@ def crossmatch(
       'Unknown' enrichment — coalesce downstream);
     - ``anti``: stream rows with NO match (D6 'uncataloged').
     """
+    if how not in ("nearest", "all", "left", "anti"):
+        raise ValueError(
+            f"crossmatch: unknown how={how!r} (nearest/all/left/anti) — "
+            "an unrecognized value must not silently fall through to "
+            "nearest-match semantics"
+        )
+    overlap = (set(df.columns) & set(catalog.columns)) | (
+        {"sep_deg", "__cell"} & set(df.columns) | {"sep_deg", "__cell"} & set(catalog.columns)
+    )
+    if overlap:
+        raise ValueError(
+            f"crossmatch: column name collision {sorted(overlap)} between "
+            "the stream and the catalog (or the reserved sep_deg/__cell) — "
+            "rename/prefix the catalog columns before joining; a silent "
+            "duplicate would make downstream references ambiguous"
+        )
     if isinstance(radius_deg, (int, float)):
         max_r = float(radius_deg)
         radius_col = F.lit(float(radius_deg))

@@ -85,8 +85,10 @@ def dsir_scores(raw: DataFrame, weights: DataFrame, id_col: str,
                 text_col: str, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
     """Per-document importance score: SUM of its tokens' bucket
     micro-weights (integer, order-independent) — returned as
-    ``(id, n_tok, micro_sum, score)`` with ``score`` the single final
-    double division, rounded to 6 dp."""
+    ``(id, n_tok, micro_sum)``. The score IS ``micro_sum``, kept in exact
+    integer micro-units (no derived double column — DESIGN.md "integer
+    micro-units"); divide by ``n_tok`` downstream if a per-token rate is
+    wanted."""
     occ = hashed_token_buckets(raw, id_col, text_col, n_buckets)
     # inner join is lossless: the weight table carries every possible
     # bucket (see dsir_bucket_weights), and bucket = hash % n_buckets

@@ -26,7 +26,9 @@ def hash_sample(df: DataFrame, key: str, fraction: float, seed: int = 42) -> Dat
     the key and keep the lowest ``fraction`` of buckets. Same
     stable-per-key property, arbitrary key type."""
     n_buckets = 1_000_000
-    threshold = int(fraction * n_buckets)
+    # round, not int(): 0.29 * 1e6 = 289999.99999999997 in binary floats —
+    # truncation would sample one bucket below the stated fraction
+    threshold = int(fraction * n_buckets + 0.5)
     bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(n_buckets))
     return df.filter(bucket < threshold)
 
@@ -84,6 +86,24 @@ def mixture_sample(
     """
     r = rates.select(
         F.col(source_col).alias("__src"), F.col(rate_col).alias("__rate")
+    )
+    # a duplicated source row in the rates config would duplicate every
+    # matching corpus row through the left join (output no longer a subset
+    # of df) — fail that row loudly instead (rates is config-sized, the
+    # window is over tens of rows)
+    from pyspark.sql import Window
+
+    n_dup = F.count(F.lit(1)).over(Window.partitionBy("__src"))
+    r = r.withColumn(
+        "__rate",
+        F.when(n_dup == 1, F.col("__rate")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_sample: duplicate rates row for source "),
+                    F.col("__src").cast("string"),
+                )
+            ).cast("long")
+        ),
     )
     bucket = md5_bucket(key, 1000)
     return (
@@ -158,6 +178,11 @@ def temperature_sample(
     scan — the same two-pass shape as ``pipe_dsir_select``.
     """
     B = 16 ** bucket_hex
+    # NULL-group rows sit out the sampler ENTIRELY — excluded from the
+    # stats too, not just silently dropped by the join while still
+    # inflating N/S and every group's budget (round-7 review finding; a
+    # NULL stratum is not a stratum — fill or filter upstream to keep it)
+    df = df.where(F.col(group_col).isNotNull())
     stats = df.groupBy(F.col(group_col).alias("__grp")).agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -171,11 +196,16 @@ def temperature_sample(
     from pyspark.sql import Window
 
     w0 = Window.partitionBy()
+    # products in decimal(38,0) BEFORE the double cast: a long multiply
+    # overflows ~4x above the module's own stated scale (ANSI abort /
+    # silent wrap), while the DuckDB oracle's HUGEINT product never does —
+    # decimal keeps the product exact, and the one double cast is then
+    # correctly rounded on both engines (round-7 review finding)
     rate = F.round(
         F.least(
             F.lit(1.0),
-            (F.col("__budget") * F.col("__w")).cast("double")
-            / (F.col("__S") * F.col("__n")).cast("double"),
+            (F.col("__budget").cast("decimal(38,0)") * F.col("__w")).cast("double")
+            / (F.col("__S").cast("decimal(38,0)") * F.col("__n")).cast("double"),
         ),
         6,
     )
@@ -239,6 +269,9 @@ def quota_sample(
     from pyspark.sql import Window
 
     B = 16 ** bucket_hex
+    # NULL-group rows sit out (see temperature_sample: excluded from the
+    # stats, not silently dropped by the join)
+    df = df.where(F.col(group_col).isNotNull())
     stats = df.groupBy(F.col(group_col).alias("__grp")).agg(
         F.count(F.lit(1)).alias("__n")
     )

@@ -726,7 +726,7 @@ TEMP_SAMPLE_SQL = f"""
 WITH s AS (
   SELECT lang, count(*) AS n,
          CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
-  FROM documents GROUP BY lang
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
 ),
 g AS (SELECT sum(n) AS N, sum(w) AS S FROM s),
 d AS (
