@@ -140,6 +140,15 @@ def bpe_token_stats(
         ranks = bc.value
         seg_cache: dict[str, int] = {}
         for pdf in batches:
+            # an integral id column with NULLs reaches pandas as float64 +
+            # NaN; pd.Series(ids, dtype='int64') below would then die with
+            # an opaque executor TypeError — reject it up front instead
+            # (string ids pass NULL through as None, consistent contract)
+            if id_dtype == "int64" and pdf["__id"].isna().any():
+                raise ValueError(
+                    "bpe_token_stats: NULL id in an integral id column — "
+                    "drop or fill ids upstream"
+                )
             ids, n_words, n_tokens = [], [], []
             for did, text in zip(pdf["__id"], pdf["__t"]):
                 toks = [t for t in ws_re.split(text.strip(" \t\n\x0b\f\r").lower())

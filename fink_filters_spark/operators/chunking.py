@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.text import FP_MOD, TOKEN_SPLIT_RE, word_hashes
+from ..functions.text import TOKEN_SPLIT_RE, word_hashes
 
 
 def _toks(text_col: str) -> Column:
@@ -98,8 +98,12 @@ def chunk_cdc(
     boundary pairs; zero shuffles, runs at scan speed on any partition
     layout. The expected chunk length is ``boundary_mod`` tokens with a
     geometric tail; callers needing hard min/max bounds compose with
-    ``chunk_fixed`` on the oversized chunks.
+    ``chunk_fixed`` on the oversized chunks. ``boundary_mod`` must be
+    >= 1 (validated: 0 would silently make every document one chunk with
+    ANSI off, or die in a runtime divide-by-zero with it).
     """
+    if boundary_mod < 1:
+        raise ValueError(f"chunk_cdc: boundary_mod must be >= 1, got {boundary_mod}")
     base = df.select(
         F.col(id_col).alias("id"),
         _toks(text_col).alias("__t"),
@@ -150,8 +154,13 @@ def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     The interleave is unrolled into ``2*bits`` codegen-friendly
     shift/mask/add terms (a pure expression — no UDF, no shuffle); feed it
     to ``repartitionByRange(n, z)`` + ``sortWithinPartitions(z)`` to
-    materialize the layout.
+    materialize the layout. ``bits`` is capped at 31: the interleaved key
+    spans ``2*bits`` bits, and at 32 the top y-bit would land on the long
+    SIGN bit — negative z keys sorting before the origin, breaking the
+    co-location ordering the function exists for.
     """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"zorder_key: bits must be in [1, 31], got {bits}")
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
     xc, yc = xc.cast("long"), yc.cast("long")
@@ -203,10 +212,28 @@ def unimax_allocation(
             f"(budget <= {(2**63 - 1) // 1_000_000}); got {budget}"
         )
     w = Window.orderBy("cap", "source")
+    # a NULL token count is a data error, not a stratum: it would be
+    # counted in NEITHER sat_tok nor n_unsat (saturated = NULL) yet still
+    # fall into the allocation CASE's ELSE branch and receive the full
+    # water level — silently over-allocating the budget (round-7 review)
+    n_tok = F.when(
+        F.col(tokens_col).isNotNull(), F.col(tokens_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("unimax_allocation: NULL token count for source "),
+                F.col(source_col).cast("string"),
+            )
+        ).cast("long")
+    )
     stats = per_source.select(
         F.col(source_col).alias("source"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
-        (F.col(tokens_col).cast("long") * max_epochs).alias("cap"),
+        n_tok.alias("n_tokens"),
+        # cap computed in DECIMAL then cast: an ANSI overflow on the cast
+        # is loud, a wrap would be silent
+        (F.col(tokens_col).cast("decimal(38,0)") * max_epochs)
+        .cast("long")
+        .alias("cap"),
     )
     ranked = stats.withColumn("k", F.row_number().over(w)).withColumn(
         "cum", F.sum("cap").over(w)
@@ -215,11 +242,14 @@ def unimax_allocation(
         Window.partitionBy()
     ))
     # saturated iff capping this source (and implicitly all smaller ones)
-    # still leaves >= cap for each remaining source
+    # still leaves >= cap for each remaining source. DECIMAL(38,0), not
+    # BIGINT: cap * n_src wraps past 2^63 with ANSI off (the docstring's
+    # exactness claim) while the oracle's HUGEINT never does
     sat = n_src.withColumn(
         "saturated",
-        F.col("cap") * (F.col("n_src") - F.col("k") + 1)
-        <= F.lit(budget) - (F.col("cum") - F.col("cap")),
+        F.col("cap").cast("decimal(38,0)") * (F.col("n_src") - F.col("k") + 1)
+        <= F.lit(budget).cast("decimal(38,0)")
+        - (F.col("cum").cast("decimal(38,0)") - F.col("cap")),
     )
     level = sat.groupBy().agg(
         F.coalesce(F.sum(F.when(F.col("saturated"), F.col("cap"))), F.lit(0)).alias("sat_tok"),

@@ -26,6 +26,22 @@ from pyspark.sql import Column, DataFrame, functions as F
 STATE_FIELDS = ("count", "sum", "min", "max")
 
 
+def _measure_names(columns: list[str], keys: list[str]) -> list[str]:
+    """Measure names recovered from a state schema — THE one derivation
+    (merge_states and finalize must agree). Key columns are excluded from
+    the suffix sniff: a grouping key itself named ``*_count`` would
+    otherwise manufacture a phantom measure and fail on its missing
+    ``*_sum`` column."""
+    keyset = set(keys)
+    return sorted(
+        {
+            c[: -len("_count")]
+            for c in columns
+            if c.endswith("_count") and c not in keyset
+        }
+    )
+
+
 def partial_state(df: DataFrame, keys: list[str], measures: dict[str, Column]) -> DataFrame:
     """One increment's mergeable state: groupBy(keys) with count/sum/min/max
     per measure. ``measures`` maps name -> exact-integer Column."""
@@ -49,9 +65,7 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     if not states:
         raise ValueError("merge_states needs at least one state")
     unioned = reduce(lambda a, b: a.unionByName(b), states)
-    measures = sorted(
-        {c[: -len("_count")] for c in unioned.columns if c.endswith("_count")}
-    )
+    measures = _measure_names(unioned.columns, keys)
     aggs = []
     for m in measures:
         aggs += [
@@ -67,9 +81,7 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
     """Derive the read-time aggregate view from a state: per measure,
     count/sum/min/max pass through and avg = (sum * 1e6) div count in
     exact integer ppm (hash-stability: DESIGN.md "integer micro-units")."""
-    measures = sorted(
-        {c[: -len("_count")] for c in state.columns if c.endswith("_count")}
-    )
+    measures = _measure_names(state.columns, keys)
     cols: list[Column] = [F.col(k) for k in keys]
     for m in measures:
         cols += [

@@ -27,11 +27,18 @@ def anomaly_notification(
     cutoff_quantile: float = 0.5,
     filters: list[str] | None = None,
     sink=None,
+    tiebreak_col: str = "candid",
 ) -> DataFrame:
     """Select the ``threshold`` most anomalous objects of the night.
 
     Returns the selection DataFrame; if ``sink`` (a foreachBatch-style
     callable) is given, it is invoked once with the result (batch_id=-1).
+
+    ``tiebreak_col``: equal-score alerts for one object need a
+    deterministic survivor or the notification payload changes between
+    identical reruns (shuffle-order row_number); defaults to the alert's
+    unique ``candid``, falling back to unordered ties only when the
+    column is absent.
     """
     for cond in filters or [f"not isnull({score_col})"]:
         df = df.filter(cond)
@@ -45,7 +52,8 @@ def anomaly_notification(
     # most-anomalous = lowest score in the reference's convention (:176)
     return topk_by_key(
         candidates, key=key_col, score=score_col, k=threshold,
-        ascending=True, tiebreak=None,
+        ascending=True,
+        tiebreak=tiebreak_col if tiebreak_col in df.columns else None,
     )
 
 
