@@ -215,13 +215,24 @@ def sfd_ebv(
         for pdf in batches:
             if not len(pdf):
                 continue
-            l, b = radec_to_lb(pdf[ra].to_numpy(), pdf[dec].to_numpy())
-            x, y, is_north = sfd_pixel(l, b, size)
-            xi = np.clip(np.rint(x).astype(np.int64), 0, size - 1)
-            yi = np.clip(np.rint(y).astype(np.int64), 0, size - 1)
-            vals = np.where(is_north, n_map[yi, xi], s_map[yi, xi])
+            rav = pdf[ra].to_numpy(dtype=np.float64)
+            decv = pdf[dec].to_numpy(dtype=np.float64)
+            # NULL/NaN coordinates -> NULL extinction, NOT a fabricated
+            # value: NaN through rint().astype(int64) is undefined
+            # (typically INT64_MIN), clips to pixel (0,0), and would
+            # silently "deredden" the row with the map corner's E(B-V)
+            # (round-7 review finding)
+            ok = np.isfinite(rav) & np.isfinite(decv)
+            vals = np.full(len(pdf), np.nan)
+            if ok.any():
+                l, b = radec_to_lb(rav[ok], decv[ok])
+                x, y, is_north = sfd_pixel(l, b, size)
+                xi = np.clip(np.rint(x).astype(np.int64), 0, size - 1)
+                yi = np.clip(np.rint(y).astype(np.int64), 0, size - 1)
+                vals[ok] = np.where(is_north, n_map[yi, xi], s_map[yi, xi])
             out = pdf.copy()
-            out[out_col] = vals
+            # pandas NaN -> Spark NULL for a nullable double output column
+            out[out_col] = pd.Series(vals).where(pd.notna(vals), None)
             yield out
 
     return df.mapInPandas(kernel, out_schema)

@@ -143,6 +143,11 @@ def write_fits(arr: np.ndarray, compress: bool = True) -> bytes:
     arr = np.asarray(arr)
     if np.issubdtype(arr.dtype, np.floating):
         bitpix, dtype = -32, ">f4"
+    elif arr.size and (arr.max() > 2**31 - 1 or arr.min() < -(2**31)):
+        # BITPIX 64: without this branch astype('>i4') would two's-
+        # complement WRAP values past int32 silently, breaking the
+        # documented parse_fits round-trip inverse (round-7 review)
+        bitpix, dtype = 64, ">i8"
     elif arr.size and (arr.max() > 2**15 - 1 or arr.min() < -(2**15)):
         bitpix, dtype = 32, ">i4"
     else:

@@ -43,7 +43,11 @@ def binary_meta(df: DataFrame, bin_col: str) -> DataFrame:
     """Native byte-level metadata: size, md5 digest, sniffed format."""
     hexhead = F.lower(F.hex(F.expr(f"substring({bin_col}, 1, 12)")))
     fmt = F.lit(None).cast("string")
-    for prefix, name in sorted(MAGIC_PREFIXES.items(), key=lambda kv: -len(kv[0])):
+    # build the when-chain inside-out: each iteration wraps the previous
+    # chain in .otherwise(), so the LAST prefix iterated is tested FIRST —
+    # iterate shortest-first so the longest (most specific) prefix wins
+    # when prefixes overlap (round-7 review: the -len sort had it inverted)
+    for prefix, name in sorted(MAGIC_PREFIXES.items(), key=lambda kv: len(kv[0])):
         fmt = F.when(hexhead.startswith(prefix), name).otherwise(fmt)
     return df.withColumns(
         {
@@ -190,11 +194,18 @@ def stamp_kstest(
             if payload is None:
                 return None
             try:
-                return stamp_ks(payload, sigma=sigma)
+                ks = stamp_ks(payload, sigma=sigma)
             except (ValueError, OSError, EOFError, zlib.error):
                 # not FITS / corrupt gzip framing / corrupt deflate body —
                 # a bad stamp must NULL out, never fail the task
                 return None
+            # a decodable stamp whose pixels all sigma-clip away (fully
+            # masked cutout) yields NaN from the KS statistic — fold it to
+            # NULL so the documented bad-stamp contract holds (Spark sorts
+            # NaN above everything and NaN == NaN, unlike NULL)
+            import math
+
+            return None if (ks is not None and math.isnan(ks)) else ks
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -257,6 +268,11 @@ def frame_sample(
     ``decoder: bytes -> list[bytes]`` is injectable; the default is the
     clearly-marked deterministic fake (no media libs in this container).
     """
+    if every_n < 1:
+        raise ValueError(
+            f"frame_sample: every_n must be >= 1, got {every_n} (0 would "
+            "crash range() in the kernel, negatives silently sample nothing)"
+        )
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as _pd
@@ -412,7 +428,15 @@ def image_phash(
     src_w x src_h grid, block-mean down to 8x8, set bit i where cell i is
     above the global mean. The decode is the deterministic stand-in
     (``fake_image``); the hashing math, Arrow batching and output shape
-    are the production kernel. Bit order: row-major, MSB first."""
+    are the production kernel. Bit order: row-major, MSB first.
+    ``src_w``/``src_h`` must be multiples of 8 (validated at plan time —
+    the 8x8 block-mean reshape would otherwise die mid-task with an
+    opaque executor traceback)."""
+    if src_w % 8 or src_h % 8 or src_w < 8 or src_h < 8:
+        raise ValueError(
+            f"image_phash: src_w/src_h must be positive multiples of 8, "
+            f"got {src_w}x{src_h}"
+        )
 
     def kernel(batches: Iterator) -> Iterator:
         import numpy as np

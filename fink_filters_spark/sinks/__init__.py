@@ -200,7 +200,10 @@ class RetryPolicy:
                 if attempt == self.max_attempts:
                     return False
                 wait = e.retry_after if e.retry_after is not None else delay
-                self.sleep(min(wait, self.max_delay))
+                # clamp below at 0: a server-supplied negative Retry-After
+                # would make time.sleep raise and kill the streaming query
+                # — a remote peer must not control pipeline liveness
+                self.sleep(min(max(wait, 0.0), self.max_delay))
                 delay = min(delay * 2, self.max_delay)
         return False
 
@@ -208,7 +211,12 @@ class RetryPolicy:
 @dataclass
 class NotificationSink:
     """foreachBatch writer: format each row, send via transport with retry,
-    dedupe on an idempotency key across retried batches.
+    dedupe on a (batch_id, row-key) idempotency key across REPLAYS of the
+    same micro-batch (foreachBatch redelivers the same batch_id after a
+    failure; a new batch_id carrying the same key is a legitimate new
+    notification). Retry exhaustion RAISES after the batch's other rows
+    are attempted, so the engine replays the batch and only the
+    undelivered rows resend — a send failure is never silently dropped.
 
     ``weekdays`` restricts delivery to the given ISO weekdays (1=Mon..7=Sun)
     — the reference's Friday-only Slack gate
@@ -236,13 +244,35 @@ class NotificationSink:
         if self.weekdays is not None and self.clock() not in self.weekdays:
             return
         rows = batch_df.limit(self.max_rows_per_batch).collect()
+        failed = 0
         for row in rows:
             d = row.asDict(recursive=True)
+            key = None
             if self.key_cols:
-                key = tuple(d.get(k) for k in self.key_cols)
+                # (batch_id, row key): the dedup exists for RETRIED batches
+                # (same batch_id redelivered by foreachBatch), not to
+                # suppress a key's legitimate later notifications — and a
+                # batch-scoped key also bounds _seen (pruned below) instead
+                # of growing for the stream's lifetime
+                key = (batch_id, *(d.get(k) for k in self.key_cols))
                 if key in self._seen:
                     continue
-                self._seen.add(key)
             payload = dict(self.formatter(d))
             payload["_batch_id"] = batch_id
-            self.retry.run(lambda p=payload: self.transport.send(p))
+            # mark seen only AFTER a successful send: retry exhaustion must
+            # leave the key eligible for a replayed batch, not silently
+            # swallow the notification forever
+            if self.retry.run(lambda p=payload: self.transport.send(p)):
+                if key is not None:
+                    self._seen.add(key)
+            else:
+                failed += 1
+        # prune other batches' keys: replays redeliver one batch_id
+        self._seen = {k for k in self._seen if k[0] == batch_id}
+        if failed:
+            raise TransportError(
+                f"NotificationSink: {failed}/{len(rows)} notifications "
+                f"failed after {self.retry.max_attempts} attempts in batch "
+                f"{batch_id} — raising so the batch retries (delivered rows "
+                "are deduped by idempotency key)"
+            )

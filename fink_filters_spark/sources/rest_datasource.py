@@ -136,7 +136,11 @@ class RestPollStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         p0 = int(start["page"])
-        p1 = min(p0 + self._pages_per_batch, self._max_pages)
+        # never move the offset BACKWARDS: a checkpoint whose page exceeds
+        # the current max_pages config (restart with a smaller cap) must
+        # hold position, not regress and re-emit already-delivered pages
+        # on a later restart with a larger cap (round-7 review)
+        p1 = max(p0, min(p0 + self._pages_per_batch, self._max_pages))
         return iter(self._rows(p0, p1)), {"page": p1}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -204,8 +204,14 @@ def test_notification_sink_end_to_end_over_http(server, spark):
     sink(df, batch_id=7)
     sent = [p for path, p in state["posts"] if path == "/sink"]
     assert {p["text"] for p in sent} == {"alert ZTF1", "alert ZTF2"}
-    # idempotency: re-delivery of the same keys does not resend
+    # idempotency: foreachBatch REPLAYS redeliver the same batch_id —
+    # that's what must not resend...
     n = len(sent)
-    sink(df, batch_id=8)
+    sink(df, batch_id=7)
     sent2 = [p for path, p in state["posts"] if path == "/sink"]
     assert len(sent2) == n
+    # ...while a NEW batch carrying the same object (fresh alert data) is
+    # a legitimate new notification, not a duplicate
+    sink(df, batch_id=8)
+    sent3 = [p for path, p in state["posts"] if path == "/sink"]
+    assert len(sent3) == n + 2
