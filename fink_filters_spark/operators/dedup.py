@@ -195,7 +195,11 @@ def _shingle_flat(pdf, n: int):
     doc_idx: list[int] = []
     ids = pdf["__id"].to_numpy()
     for i, t in enumerate(pdf["__t"]):
-        toks = ws_re.split(t.strip().lower()) if t is not None else [""]
+        # strip(' ') — SPACES only, matching F.trim (the native path and
+        # the DuckDB oracle): Python's bare strip() also eats \t/\n/\r,
+        # which shifts the shingle windows on tab/newline-padded text and
+        # breaks the documented bit-identity (round-7 review finding)
+        toks = ws_re.split(t.strip(" ").lower()) if t is not None else [""]
         if len(toks) < n:
             continue
         all_words.extend(toks)
@@ -211,12 +215,15 @@ def _shingle_flat(pdf, n: int):
         uh[k] = h
     wh = uh[inv]
     d = _np.asarray(doc_idx, dtype=_np.int64)
-    sh = wh[: -(n - 1)].copy()
+    # m, not -(n-1): for n=1 the negative slice wh[:-0] is EMPTY and the
+    # kernel crashed on unigram shingles while the native path worked
+    m = len(wh) - (n - 1)
+    sh = wh[:m].copy()
     for off in range(1, n):
-        tail = wh[off: len(wh) - (n - 1 - off)]
+        tail = wh[off: off + m]
         sh = (sh * WB + tail) % P
-    valid = d[: -(n - 1)] == d[n - 1:]
-    dd, ss = d[: -(n - 1)][valid], sh[valid]
+    valid = d[:m] == d[n - 1:]
+    dd, ss = d[:m][valid], sh[valid]
     order = _np.lexsort((ss, dd))
     dd, ss = dd[order], ss[order]
     keep = _np.ones(len(dd), dtype=bool)
@@ -669,9 +676,13 @@ def trim_duplicated_spans(
     )
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long").alias(
-            "n_tokens"
-        ),
+        # NULL text -> 0 tokens (split(NULL) is NULL), keeping the row
+        # internally consistent with its coalesced kept_tokens=0; empty
+        # text stays at the engine-wide split('') == [''] convention (1)
+        F.coalesce(
+            F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long"),
+            F.lit(0),
+        ).alias("n_tokens"),
     )
     return base.join(agg, "__id", "left").select(
         F.col("__id").alias(id_col),
@@ -929,24 +940,21 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint from distinct word hashes (unit weights).
 
     bit_j = 1  iff  2 * |{w : rehash_j(hash(w)) odd}| > |words|.
-    """
+    Delegates to ``simhash_from_hashes`` — ONE fold definition, so a
+    majority-rule or bit-weighting fix cannot drift between the two
+    (they are equality-tested against the Arrow kernel path)."""
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = shingle_hash(words)
-    nwords = F.size(hashes).cast("long")
+    return simhash_from_hashes(shingle_hash(words), bits)
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        bitsum = F.aggregate(
-            hashes, F.lit(0).cast("long"), lambda acc, h, j=j: acc + _bit_of(h, j)
+
+def simhash_from_hashes(hashes_col, bits: int = SIMHASH_BITS):
+    """SimHash over an array<long> word-hash column (name or Column)."""
+    if bits > len(SIMHASH_AB):
+        raise ValueError(
+            f"simhash: bits={bits} exceeds the {len(SIMHASH_AB)} packaged "
+            "rehash constants — extend SIMHASH_AB before widening"
         )
-        out = out + F.when(bitsum * 2 > nwords, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
-
-
-def simhash_from_hashes(hashes_col: str, bits: int = SIMHASH_BITS):
-    """SimHash over a pre-materialized array<long> word-hash column."""
+    hashes_col = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
     nwords = F.size(hashes_col).cast("long")
 
     out = F.lit(0).cast("long")
@@ -967,12 +975,19 @@ def simhash_agg(hashed: DataFrame, hashes_col: str = "__hs",
     The array-fold formulation (``simhash_from_hashes``) evaluates 48
     interpreted higher-order lambdas per row — HOFs sit outside whole-stage
     codegen. Exploding the shingle hashes and computing the 48 bit-sums as
-    ordinary ``sum((h >> j) & 1)`` aggregate expressions keeps the whole
-    pass inside one codegen'd HashAggregate: map-side partials collapse the
-    exploded rows back to one row per doc before the (tiny) shuffle.
-    ~4x faster at sf0.1; identical integer semantics (majority rule
-    2*bitsum > n_shingles).
+    ordinary aggregate expressions over the AFFINE REHASH low bit
+    (``_bit_of``: ``((h*a_j + b_j) % P) & 1`` — NOT the raw ``(h >> j) & 1``,
+    whose upper bits are constant zero and collapse an LSH band to one
+    bucket; see SIMHASH_AB) keeps the whole pass inside one codegen'd
+    HashAggregate: map-side partials collapse the exploded rows back to
+    one row per doc before the (tiny) shuffle. ~4x faster at sf0.1;
+    identical integer semantics (majority rule 2*bitsum > n_shingles).
     """
+    if bits > len(SIMHASH_AB):
+        raise ValueError(
+            f"simhash_agg: bits={bits} exceeds the {len(SIMHASH_AB)} "
+            "packaged rehash constants — extend SIMHASH_AB before widening"
+        )
     ex = hashed.select("__id", F.explode(hashes_col).alias("__h"))
     agg = ex.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__nw"),
@@ -1090,7 +1105,9 @@ def connected_components(
       (Pregel-style), driver-coordinated: each round joins labels to the
       undirected edge list, takes the min neighbor label, stops when no
       label changed. Rounds = graph diameter; the convergence check makes
-      the result exact regardless of ``max_iter``. Each round is one
+      every RETURNED result exact — a graph whose diameter exceeds
+      ``max_iter`` RAISES instead of returning silently-split components
+      (resume from ``state_dir`` with a higher budget). Each round is one
       shuffle join + groupBy, and each label generation is CHECKPOINTED to
       truncate lineage (the standard Pregel guard — without it the result
       plan nests one join/agg layer per round). With
@@ -1305,6 +1322,19 @@ def connected_components(
         labels = nxt
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means some chain
+        # component's diameter exceeds the round budget — returning the
+        # non-converged labels would SILENTLY split true components
+        # (entity resolution would fragment entities with no error).
+        # Raise; with a state_dir the completed generations are durable,
+        # so a rerun with a higher max_iter resumes where this stopped.
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — graph diameter exceeds "
+            "max_iter; raise max_iter (resume from state_dir if set)"
+        )
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -1471,6 +1501,31 @@ def sparse_cosine_pairs(
     # wt (the TF-IDF index, ~terms-per-doc rows) feeds three branches
     # (norms + both posting sides); cache it so tokenize/tf/df run once.
     # Same cache-lifetime note as jaccard_pairs.
+    #
+    # Overflow envelope (round-7 review): the norm/dot products square and
+    # sum __wgt in int64 to stay inside codegen on the hot posting join —
+    # safe while |__wgt| <= ~3.0e9 (sqrt(2^63)/sqrt(2), margin for the
+    # sum). A pathological doc repeating a rare term ~10^5+ times at web
+    # scale can exceed that, so the bound is ENFORCED per row: fail loudly
+    # with the remedies (cap tf upstream, lower idf_scale) instead of an
+    # ANSI abort deep in the aggregate or a silent non-ANSI wrap to a
+    # negative norm.
+    wgt_cap = 3_000_000_000
+    wt = wt.withColumn(
+        "__wgt",
+        F.when(F.abs(F.col("__wgt")) <= wgt_cap, F.col("__wgt")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "sparse_cosine_pairs: |tf*idf weight| > "
+                        f"{wgt_cap} would overflow the int64 norm/dot "
+                        "(cap tf upstream or lower idf_scale); got "
+                    ),
+                    F.col("__wgt").cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
     wt = wt.cache()
     nrm = wt.groupBy("__id").agg(F.sum(F.col("__wgt") * F.col("__wgt")).alias("__nn"))
     a, b = wt.alias("a"), wt.alias("b")

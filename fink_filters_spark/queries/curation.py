@@ -185,7 +185,7 @@ agg AS (
   FROM kept GROUP BY doc_id
 )
 SELECT w.doc_id,
-       CAST(len(w.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(w.toks), 0) AS BIGINT) AS n_tokens,
        coalesce(agg.kept_tokens, 0) AS kept_tokens,
        md5(coalesce(agg.trimmed, '')) AS trimmed_md5
 FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id

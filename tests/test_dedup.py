@@ -146,14 +146,16 @@ def test_connected_components_restart_recovery(spark, tmp_path):
     truth = {(r.node, r.component) for r in connected_components(pairs).collect()}
 
     state = str(tmp_path / "cc_state")
-    # phase 1: "crash" after 3 rounds (initial labels + 2 propagation gens)
-    partial = {
-        (r.node, r.component)
-        for r in connected_components(
+    # phase 1: "crash" after 3 rounds (initial labels + 2 propagation
+    # gens). Exhausting max_iter RAISES (round 7: returning non-converged
+    # labels would silently split components for callers that treat the
+    # output as final) — the committed generations stay durable for resume.
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(
             pairs, driver_threshold=0, max_iter=2, state_dir=state
         ).collect()
-    }
-    assert partial != truth  # genuinely interrupted before convergence
     committed = sorted(
         int(d.split("=")[1]) for d in os.listdir(state) if d.startswith("gen=")
     )
@@ -650,3 +652,35 @@ def test_split_leakage_flags_known_clone(spark):
     assert out[8]["best_train_id"] == 10
     assert out[8]["best_jaccard_e6"] == 1000000
     assert out[8]["n_train_dups"] == 2  # ids 10 and 20 both >= tau
+
+
+def test_shingle_kernel_unigrams_and_tab_padding(spark):
+    """Round-7 review: the Arrow shingle kernel (a) crashed on n=1
+    (negative slice wh[:-0] is empty) and (b) tokenized with Python
+    strip() — ALL whitespace — where the native path and the oracle trim
+    spaces only, shifting shingle windows on tab/newline-padded text.
+    Both paths must agree shingle-set-for-shingle-set."""
+    from fink_filters_spark.functions.text import combine_word_hashes, word_hashes
+    from fink_filters_spark.operators.dedup import _hashed_shingled
+
+    pdf_rows = [
+        (1, "alpha beta gamma"),
+        (2, "\talpha beta gamma"),      # tab-padded: trim() keeps the tab
+        (3, "alpha beta gamma \n"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(pdf_rows, "doc_id long, text string")
+    for n in (1, 2, 3):
+        kernel = {
+            r["__id"]: sorted(r["__sh"])
+            for r in _hashed_shingled(df, "doc_id", "text", n).collect()
+        }
+        native = {
+            r["doc_id"]: sorted(r["sh"])
+            for r in df.select(
+                "doc_id",
+                combine_word_hashes(word_hashes("text"), n).alias("sh"),
+            ).collect()
+            if r["sh"]
+        }
+        assert kernel == native, f"n={n}"
