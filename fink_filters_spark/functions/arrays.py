@@ -59,11 +59,18 @@ def _sums(x: Column, y: Column):
     """
     n = F.size(x).cast("long")
     zero = F.lit(0).cast("long")
-    sx = F.aggregate(x, zero, lambda a, v: a + v)
-    sy = F.aggregate(y, zero, lambda a, v: a + v)
-    sxx = F.aggregate(x, zero, lambda a, v: a + v * v)
-    sxy = F.aggregate(F.zip_with(x, y, lambda a, b: a * b), zero, lambda a, v: a + v)
-    syy = F.aggregate(y, zero, lambda a, v: a + v * v)
+    # products widened to LONG before multiplying: an array<int> input
+    # would otherwise square in int32 and overflow at |v| >= 46341
+    # (ANSI abort / non-ANSI silent wrap) despite the long accumulator
+    sx = F.aggregate(x, zero, lambda a, v: a + v.cast("long"))
+    sy = F.aggregate(y, zero, lambda a, v: a + v.cast("long"))
+    sxx = F.aggregate(x, zero, lambda a, v: a + v.cast("long") * v.cast("long"))
+    sxy = F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("long") * b.cast("long")),
+        zero,
+        lambda a, v: a + v,
+    )
+    syy = F.aggregate(y, zero, lambda a, v: a + v.cast("long") * v.cast("long"))
     return n, sx, sy, sxx, sxy, syy
 
 
@@ -86,10 +93,19 @@ def latest_same_band(
     scans prvDiaSources for the max-MJD source matching the current band).
 
     Native max_by over a filtered struct array: returns the matching struct
-    (null if the band never appeared before).
+    (null if the band never appeared before). Entries with a NULL or NaN
+    time are EXCLUDED up front: Spark orders NaN above every real value
+    (a NaN-MJD entry would always "win" the fold and null out the rate
+    the reference computes from the real latest entry), and a NULL-time
+    seed would stick in the fold's otherwise(acc) branch.
     """
     arr = F.col(prv) if isinstance(prv, str) else prv
-    same = F.filter(arr, lambda s: s[band_field] == band)
+    same = F.filter(
+        arr,
+        lambda s: (s[band_field] == band)
+        & s[time_field].isNotNull()
+        & ~F.isnan(s[time_field]),
+    )
     # F.get returns null on an empty array (element_at would throw under ANSI)
     return F.aggregate(
         same,
@@ -138,7 +154,14 @@ def linfit_r2_double(x: Column, y: Column) -> Column:
     sxd = n * sxx - sx * sx
     syd = n * syy - sy * sy
     cov = n * sxy - sx * sy
-    return F.when((sxd != 0) & (syd != 0), cov * cov / (sxd * syd))
+    # nanvl: a NaN input element (ZTF non-detections carry NaN magpsf)
+    # makes every sum NaN, and Spark evaluates NaN != 0 as TRUE — the
+    # guard would pass and the result would be NaN, not the documented
+    # NULL (which downstream e6 casts and gates rely on)
+    return F.nanvl(
+        F.when((sxd != 0) & (syd != 0), cov * cov / (sxd * syd)),
+        F.lit(None),
+    )
 
 
 def weighted_linfit(x: Column, y: Column, sigma: Column) -> Column:
@@ -151,7 +174,21 @@ def weighted_linfit(x: Column, y: Column, sigma: Column) -> Column:
 
     w = 1/sigma^2;  slope = (Sw*Swxy - Swx*Swy) / (Sw*Swxx - Swx^2);
     slope_err = sqrt(Sw / (Sw*Swxx - Swx^2)).
+
+    NULL result when any sigma is NULL/NaN/<= 0 (a zero photometric
+    error is corrupt data — and under ANSI Spark the 1/sigma^2 weight
+    would otherwise abort the whole query with DIVIDE_BY_ZERO; CASE
+    evaluates the fit only on the valid branch). is_rising then reads
+    the NULL as not-significant, the conservative gate outcome.
     """
+    # (s*s == 0) additionally catches subnormal sigmas (~<1e-154) whose
+    # SQUARE underflows to 0.0 — the division would abort even for s > 0
+    bad = F.coalesce(
+        F.exists(
+            sigma, lambda s: s.isNull() | F.isnan(s) | (s <= 0) | (s * s == 0)
+        ),
+        F.lit(True),
+    )
     w = F.transform(sigma, lambda s: F.lit(1.0) / (s * s))
     zero = F.lit(0.0)
     sw = F.aggregate(w, zero, lambda a, v: a + v)
@@ -168,7 +205,10 @@ def weighted_linfit(x: Column, y: Column, sigma: Column) -> Column:
     den = sw * swxx - swx * swx
     slope = (sw * swxy - swx * swy) / den
     err = F.sqrt(sw / den)
-    return F.when(den != 0, F.struct(slope.alias("slope"), err.alias("slope_err")))
+    return F.when(
+        ~bad,
+        F.when(den != 0, F.struct(slope.alias("slope"), err.alias("slope_err"))),
+    )
 
 
 def is_rising(

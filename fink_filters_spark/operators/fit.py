@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -52,12 +52,12 @@ def _round6(x: float) -> float:
     return s * math.floor(ax * 1e6 + 0.5) / 1e6
 
 
-def _linfit_kernel(pdf):
+def _linfit_kernel(pdf, key: str = "user_id"):
     import numpy as np
     import pandas as pd
 
-    x = pdf["xh"].to_numpy(dtype=np.int64)
-    y = pdf["v"].to_numpy(dtype=np.int64)
+    x = pdf["__x"].to_numpy(dtype=np.int64)
+    y = pdf["__y"].to_numpy(dtype=np.int64)
     n = np.int64(len(x))
     sx, sy = x.sum(), y.sum()
     sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
@@ -72,7 +72,7 @@ def _linfit_kernel(pdf):
     )
     return pd.DataFrame(
         {
-            "user_id": [int(pdf["user_id"].iloc[0])],
+            key: [pdf[key].iloc[0]],
             "n": [int(n)],
             "slope": [None if slope is None else _round6(slope)],
             "r2": [None if r2 is None else _round6(r2)],
@@ -122,7 +122,11 @@ def _linfit_kernel_many(batches, key: str, x_col: str, y_col: str):
     cov = n * s["sxy"].to_numpy(np.int64) - sx * sy
 
     def _r6(v):
-        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        # identity above 2^53/1e6 — same cutoff as _round6, so the
+        # vectorized and per-group paths stay bit-identical on diverged
+        # (huge-slope) fits where *1e6 has no 6-decimal resolution
+        out = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return np.where(np.abs(v) >= 9007199254740992e-6, v, out)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         slope = np.where(den_x != 0, _r6(cov.astype(np.float64) / den_x.astype(np.float64)), np.nan)
@@ -136,7 +140,7 @@ def _linfit_kernel_many(batches, key: str, x_col: str, y_col: str):
     # extension arrays map to Arrow nulls; plain float NaN would not
     yield pd.DataFrame(
         {
-            "user_id": s.index.to_numpy(dtype=np.int64),
+            key: s.index.to_numpy(),
             "n": n,
             "slope": pd.array(slope, dtype="Float64").to_numpy(
                 dtype=object, na_value=None
@@ -165,12 +169,25 @@ def linfit_per_key(
     e.g. a scipy/XGBoost fit per object). Both paths: identical exact
     int64 Σ-statistics, bit-identical output.
     """
-    cols = df.select(key, x_col, y_col)
+    from pyspark.sql.types import StructField, StructType
+
+    # normalize to internal column names so BOTH kernels are honest about
+    # the key/x/y parameters (they were hardcoded to user_id/xh/v, which
+    # silently ignored non-default names and KeyError'd in the executor —
+    # round-7 review finding); the output key keeps the caller's name/type
+    cols = df.select(
+        F.col(key), F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    )
+    schema = StructType(
+        [StructField(key, df.schema[key].dataType)] + list(LINFIT_SCHEMA)[1:]
+    )
     if per_group:
-        return cols.groupBy(key).applyInPandas(_linfit_kernel, LINFIT_SCHEMA)
+        return cols.groupBy(key).applyInPandas(
+            lambda pdf: _linfit_kernel(pdf, key), schema
+        )
     par = df.sparkSession.sparkContext.defaultParallelism
     return cols.repartition(par, key).mapInPandas(
-        lambda it: _linfit_kernel_many(it, key, x_col, y_col), LINFIT_SCHEMA
+        lambda it: _linfit_kernel_many(it, key, "__x", "__y"), schema
     )
 
 
@@ -710,7 +727,9 @@ def rainbow_mc_score_per_key(
         if chisq > max_r_chisq or snr_tau < min_snr_rise_time:
             return row(amplitude=_round6(amp), rise_time=_round6(tau),
                        r_chisq=_round6(chisq))
-        samples = mc_param_samples(fit, nsamples, seed ^ uid)
+        # mask the key to non-negative: default_rng raises on a negative
+        # seed, and a negative object id (valid key) would kill the task
+        samples = mc_param_samples(fit, nsamples, (seed ^ uid) & 0x7FFFFFFFFFFFFFFF)
         if samples is None:  # cov unsampleable (diverged fit): best-fit only
             samples = np.empty((0, 4 if multiband else 3))
         best_vals = [float(fit.get(nm, np.nan)) for nm in feature_names]
