@@ -13,6 +13,7 @@ server's ``Retry-After``.
 
 from __future__ import annotations
 
+import http.client
 import json
 import urllib.error
 import urllib.request
@@ -58,7 +59,16 @@ def _do(req: urllib.request.Request, timeout: float):
             status=e.code,
             retry_after=_retry_after(e.headers),
         ) from e
-    except (urllib.error.URLError, OSError, TimeoutError) as e:
+    except (
+        urllib.error.URLError,
+        OSError,
+        TimeoutError,
+        # body-read failures (server closed mid-body -> IncompleteRead,
+        # malformed chunked encoding) are HTTPException, NOT OSError —
+        # without this they escaped raw past the documented
+        # raises-HttpError contract and skipped the retryable path
+        http.client.HTTPException,
+    ) as e:
         raise HttpError(f"connection failure to {req.full_url}: {e}") from e
 
 

@@ -28,19 +28,25 @@ def classify(
     override at ``classification.py:209``). >1 true flag -> ambiguous
     (``classification.py:202-207``).
     """
-    nflags = None
+    # F.lit(0) seed: an empty flags dict (override-or-Unknown use) left
+    # nflags as Python None and `nflags > 1` raised TypeError (round-7
+    # review); the literal seed also removes the need for a dead
+    # WHEN FALSE placeholder branch in no-override plans
+    nflags = F.lit(0)
     for c in flags.values():
         # NULL-safe: a single NULL flag (e.g. a NULL feature column) must
         # count as False, not NULL out the whole sum and silently disable
         # the Ambiguous branch (pandas reference: NaN comparisons are False)
-        term = F.coalesce(c.cast("int"), F.lit(0))
-        nflags = term if nflags is None else nflags + term
-    expr = F.when(F.lit(False), F.lit(None))
+        nflags = nflags + F.coalesce(c.cast("int"), F.lit(0))
+    branches: list[tuple] = []
     if override is not None:
-        expr = F.when(override.isNotNull(), override)
-    expr = expr.when(nflags > 1, ambiguous_label)
-    for label, c in flags.items():
-        expr = expr.when(c, label)
+        branches.append((override.isNotNull(), override))
+    branches.append((nflags > 1, ambiguous_label))
+    branches.extend((c, label) for label, c in flags.items())
+    cond, val = branches[0]
+    expr = F.when(cond, val)
+    for cond, val in branches[1:]:
+        expr = expr.when(cond, val)
     return df.withColumn(out_col, expr.otherwise(unknown_label))
 
 

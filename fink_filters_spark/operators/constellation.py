@@ -88,11 +88,21 @@ def constellation_label(
     cat = spark.createDataFrame(
         pd.DataFrame(CONSTELLATION_CENTERS, columns=["cat_name", "cat_ra", "cat_dec"])
     )
+    # how="left", not "nearest": nearest is an inner join, so a row with
+    # NULL coordinates would silently VANISH from the output — this is a
+    # decorator, every input row must come back (NULL label when
+    # unlocatable), like constellation_exact. sep_deg (crossmatch's
+    # internal ranking column) is dropped too: leaking it would trip the
+    # reserved-name collision guard on any later crossmatch of the
+    # labeled frame (round-7 review findings).
     out = crossmatch(
         df, cat, df_id=id_col, radius_deg=40.0,
-        df_ra=ra_col, df_dec=dec_col, how="nearest",
+        df_ra=ra_col, df_dec=dec_col, how="left",
     )
-    return out.withColumnRenamed("cat_name", out_col).drop("cat_ra", "cat_dec")
+    return (
+        out.withColumnRenamed("cat_name", out_col)
+        .drop("cat_ra", "cat_dec", "sep_deg")
+    )
 
 
 # --------------------------- exact path: Roman 1987 boundary lookup --------

@@ -35,7 +35,20 @@ def interval_join(
 
     ``cell_width`` is in the units of the time columns (e.g. microseconds);
     choose it near the typical interval length.
+
+    Only ``how="inner"`` is supported: the exact BETWEEN residual runs as
+    a post-join FILTER, which silently degenerates any outer how to inner
+    (an unmatched left row's NULL start/end fails the residual and the
+    row vanishes — round-7 review finding). Compose a left variant as
+    inner UNION left_anti(points, inner-keys) at the call site, where a
+    row identity exists.
     """
+    if how != "inner":
+        raise ValueError(
+            f"interval_join: how={how!r} unsupported — the BETWEEN residual "
+            "is a post-join filter, so outer joins would silently drop "
+            "null-extended rows; compose outer semantics at the call site"
+        )
     cells = F.sequence(
         (F.col(start) / cell_width).cast("long"),
         (F.col(end) / cell_width).cast("long"),

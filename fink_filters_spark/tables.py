@@ -57,7 +57,12 @@ def ts_us_expr(ts_type: str):
     queries/streamq._events_stream for the file stream), so a new testdata
     physical type is fixed in one place for both surfaces."""
     if ts_type in ("bigint", "long"):
-        return F.expr("ts div 1000")  # int64 nanoseconds since epoch
+        # int64 nanoseconds since epoch. FLOOR division, not `div` alone:
+        # div truncates toward zero, so a pre-epoch instant would land one
+        # microsecond off the timestamp path's unix_micros (and DuckDB's
+        # epoch_us), both of which floor. pmod-subtract keeps it exact in
+        # int64 (a double division would round past 2^53 ns ~ 1970+104d).
+        return F.expr("(ts - pmod(ts, 1000)) div 1000")
     # timestamp / timestamp_ntz: session tz is pinned to UTC, so the
     # cast-to-timestamp interprets naive values as UTC instants.
     return F.unix_micros(F.col("ts").cast("timestamp"))

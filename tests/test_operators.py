@@ -1599,3 +1599,97 @@ def test_kmeans_dim_mismatch_fails_loudly(spark):
     )
     with _pytest.raises(Exception, match="dim != seed dim"):
         kmeans_lloyd(corpus, seeds, n_iter=1).collect()
+
+
+def test_asof_join_null_payload_and_null_time(spark):
+    """Round-7 review: the ASOF match is by TIME — a right row whose
+    payload VALUE is NULL must ride through (not be skipped for a stale
+    older payload), multi-column payloads must come from ONE right row,
+    and a NULL right_time never matches. DuckDB ASOF semantics."""
+    import duckdb
+
+    from fink_filters_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 3), (2, 10), (3, 10)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, "old", "oldb"), (1, 5, None, "x"), (2, None, "n", "nb")],
+        "k long, rt long, a string, b string",
+    )
+    got = {
+        (r.k, r.t): (r.a, r.b)
+        for r in asof_join(left, right, "k", "t", "rt", ["a", "b"]).collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE l AS SELECT * FROM (VALUES (1,10),(1,3),(2,10),(3,10)) t(k,t)")
+    con.sql("CREATE TABLE r AS SELECT * FROM (VALUES "
+            "(1,1,'old','oldb'),(1,5,NULL,'x'),(2,NULL,'n','nb')) t(k,rt,a,b)")
+    want = {
+        (k, t): (a, b)
+        for k, t, a, b in con.sql(
+            "SELECT l.k, l.t, r.a, r.b FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.rt"
+        ).fetchall()
+    }
+    assert got == want
+    # the load-bearing rows: t=10 matches the rt=5 row WHOLE (NULL a, x b);
+    # NULL right_time never matches; keyless left row null-extends
+    assert got[(1, 10)] == (None, "x")
+    assert got[(2, 10)] == (None, None)
+    assert got[(3, 10)] == (None, None)
+
+
+def test_asof_join_subsecond_timestamps(spark):
+    """A bare cast(long) on timestamps is epoch SECONDS — a right row
+    0.7s LATER in the same second must no longer match."""
+    import datetime
+
+    from fink_filters_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0, 200000)
+    r_later = datetime.datetime(2024, 1, 1, 10, 0, 0, 900000)
+    r_earlier = datetime.datetime(2024, 1, 1, 9, 59, 59, 900000)
+    left = spark.createDataFrame([(1, t0)], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, r_later, "late"), (1, r_earlier, "early")],
+        "k long, rt timestamp, v string",
+    )
+    row = asof_join(left, right, "k", "t", "rt", ["v"]).first()
+    assert row.v == "early"
+
+
+def test_interval_join_rejects_outer_how(spark):
+    import pytest as _pytest
+
+    from fink_filters_spark.operators.interval_join import interval_join
+
+    pts = spark.createDataFrame([(1, 5)], "k long, t long")
+    iv = spark.createDataFrame([(1, 0, 10)], "k long, s long, e long")
+    with _pytest.raises(ValueError, match="unsupported"):
+        interval_join(pts, iv, "k", "t", "s", "e", cell_width=10, how="left")
+
+
+def test_classify_empty_flags_override_only(spark):
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.classify import classify
+
+    df = spark.createDataFrame([("a",), ("b",)], "x string")
+    out = classify(
+        df, flags={}, override=F.when(F.col("x") == "a", F.lit("A"))
+    )
+    got = {r.x: r["class"] for r in out.collect()}
+    assert got == {"a": "A", "b": "Unknown"}
+
+
+def test_constellation_label_keeps_null_coordinate_rows(spark):
+    from fink_filters_spark.operators.constellation import constellation_label
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, None, None)], "id long, ra double, dec double"
+    )
+    out = constellation_label(df, id_col="id")
+    rows = {r.id: r.constellation for r in out.collect()}
+    assert len(rows) == 2 and rows[1] is not None and rows[2] is None
+    assert "sep_deg" not in out.columns
