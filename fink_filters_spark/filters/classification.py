@@ -2,9 +2,12 @@
 
 Reference: ``ztf/classification.py:47-211`` (``extract_fink_classification_``,
 a pandas UDF): start 'Unknown'; compute per-class flags (tracklet, SIMBAD,
-early SN Ia, SN, microlensing, kilonova, SSO ZTF, SSO Fink); if >1
-non-SIMBAD flag -> 'Ambiguous'; apply flags in precedence order; a SIMBAD
-match overrides everything with its own otype string (``:209``).
+early SN Ia, SN, microlensing, kilonova, SSO ZTF, SSO Fink); mask labels in
+order mulens -> sn -> sn_early -> kn -> roid_2 -> tracklet -> roid_3 (the
+LAST mask wins); 'Ambiguous' when >1 of the FOUR counted flags
+(mulens/sn/roid_2/roid_3 — ``:202-205``) fire; finally a SIMBAD match
+(excluding Unknown/Transient/Fail*/Galaxy*) overrides everything with its
+own otype string (``:209``).
 
 Here: the shared generic operator (operators/classify.classify) instantiated
 with the reference's exact flags/precedence — pure Column expressions, which
@@ -53,22 +56,46 @@ def extract_fink_classification(df: DataFrame, out_col: str = "fink_class") -> D
         & ((F.col("jd") - F.col("jdstarthist")) < 5)
         & (F.col("ndethist") < 20)
         & (F.col("roid") != 3)
+        # the reference's kn flag ALSO requires an EG host
+        # (filter_kn_candidates/filter.py:94-97 cdsxmatch.isin(keep_cds));
+        # the classification copy had dropped it (round-7 review)
+        & F.col("cdsxmatch").isin(EG_HOST_CLASSES)
     )
     flags = {
-        # precedence order of the final label (reference mask order :193-199,
-        # applied sequentially so the LAST mask wins; the when-chain below
-        # therefore lists the reference's later masks first)
-        "Kilonova candidate": kn,
-        "SN candidate": sn,
-        "Early SN Ia candidate": early_sn,
-        "Microlensing candidate": F.col("mulens") > 0,
+        # precedence order of the final label: the reference masks
+        # sequentially in the order mulens, sn, sn_early, kn, roid_2,
+        # tracklet, roid_3 (classification.py:193-199 — the LAST mask
+        # wins), so this FIRST-match-wins chain lists them reversed:
+        # MPC > Tracklet > SSO candidate > KN > Early SN > SN > Mulens
         "Solar System MPC": F.col("roid") == 3,
-        "Solar System candidate": F.col("roid") == 2,
         "Tracklet": F.col("tracklet").startswith("TRCK_"),
+        "Solar System candidate": F.col("roid") == 2,
+        "Kilonova candidate": kn,
+        "Early SN Ia candidate": early_sn,
+        "SN candidate": sn,
+        "Microlensing candidate": F.col("mulens") > 0,
     }
     simbad_override = F.when(
         ~F.col("cdsxmatch").isin("Unknown", "Transient", "Fail")
-        & ~F.col("cdsxmatch").startswith("Fail"),
+        & ~F.col("cdsxmatch").startswith("Fail")
+        # 'Remove static objects' (filter_simbad_candidates/filter.py:59-61):
+        # a Galaxy-prefixed SIMBAD type must NOT override the transient
+        # classification (Galaxy is an EG host — every SN on a catalogued
+        # galaxy would otherwise be labeled 'Galaxy')
+        & ~F.col("cdsxmatch").startswith("Galaxy"),
         F.col("cdsxmatch"),
     )
-    return classify(df, flags, override=simbad_override, out_col=out_col)
+    return classify(
+        df,
+        flags,
+        override=simbad_override,
+        out_col=out_col,
+        # the reference counts ONLY these four flags toward Ambiguous
+        # (classification.py:202-205)
+        ambiguity_flags=[
+            "Microlensing candidate",
+            "SN candidate",
+            "Solar System candidate",
+            "Solar System MPC",
+        ],
+    )

@@ -67,7 +67,11 @@ GRAV_CLASSES = [
 
 BLAZAR_CLASSES = ["Blazar", "Blazar_Candidate", "BLLac", "BLLac_Candidate"]
 
-YSO_CLASSES = ["YSO", "YSO_Candidate", "Y*O", "Y*?"]
+# the reference selects CANDIDATE classes only (filter_yso_candidates/
+# filter.py:51-58) — definite YSO otypes are deliberately absent
+YSO_CLASSES = [
+    "Candidate_YSO", "Candidate_TTau*", "YSO_Candidate", "TTau*_Candidate",
+]
 
 RRLYR_CLASSES = ["RRLyr", "RRLyrae"]
 
@@ -151,16 +155,17 @@ def kn_candidates(df: DataFrame) -> Column:
     reference="ztf/livestream/filter_early_kn_candidates/filter.py:52-60",
 )
 def early_kn_candidates(df: DataFrame) -> Column:
-    """C5 (native cuts; the Mangrove crossmatch + SDSS veto are the
-    operators/crossmatch.py stage upstream): very early (<0.25 d), quality,
-    off galactic & ecliptic planes."""
+    """C5 (native cuts; the Mangrove host crossmatch + the (-17,-15)
+    absolute-magnitude window are the operators/crossmatch.py stage
+    upstream): quality ∧ very early (<0.25 d) ∧ EG host ∧ not SSO —
+    exactly reference filter.py:52-61 (the pre-round-7 version added an
+    ndethist<20 cut the reference lacks and galactic/ecliptic plane cuts
+    from no reference stage, and dropped the EG-host cut)."""
     return (
         _quality(df)
         & ((F.col("jd") - F.col("jdstarthist")) < 0.25)
-        & (F.col("ndethist") < 20)
+        & F.col("cdsxmatch").isin(EG_HOST_CLASSES)
         & (F.col("roid") != 3)
-        & (F.abs(F.col("gal_b")) > 10)
-        & (F.abs(F.col("ecl_lat")) > 10)
     )
 
 
@@ -180,7 +185,9 @@ def rate_based_kn_candidates(df: DataFrame) -> Column:
         & F.col("isdiffpos").isin("t", "1")
         & ((F.col("ssdistnr") > 10) | (F.col("ssdistnr") < 0))
         & (F.abs(gal_b("ra", "dec")) > 10)
-        & (F.abs(F.col("mag_rate")) > 0.3)
+        # SIGNED rate (reference :167 `rate > 0.3`): only FADING sources;
+        # abs() would admit the brightening ones Andreoni+2021 excludes
+        & (F.col("mag_rate") > 0.3)
     )
 
 
@@ -247,14 +254,18 @@ def intra_night_hostless(df: DataFrame) -> Column:
     reference="ztf/livestream/filter_inter_night_hostless/filter.py:28-128",
 )
 def inter_night_hostless(df: DataFrame) -> Column:
-    """C11: hostless, 3 detections, gap(3,2)>12h ∧ gap(2,1)<12h."""
+    """C11: hostless, 3 detections, LAST gap > 12h ∧ FIRST gap < 12h
+    over the newest three epochs (reference utils.py:229-237: cond1 =
+    x[2]-x[1] > lapse/24, cond2 = x[1]-x[0] < 12/24 — a same-night pair
+    followed by a next-night detection; the pre-round-7 version had the
+    two conditions swapped and selected the OPPOSITE temporal pattern)."""
     return (
         (F.col("distnr") > 1.5)
         & F.col("cdsxmatch").isin("Unknown", "Transient", "Fail")
         & (F.col("roid") != 3)
         & (F.col("ndethist") == 3)
-        & (pair_gap("cjd", 2, 3) > 0.5)
-        & (pair_gap("cjd", 1, 2) < 0.5)
+        & (pair_gap("cjd", 1, 2) > 0.5)
+        & (pair_gap("cjd", 2, 3) < 0.5)
         & (F.col("kstest_science") <= 0.5)
         & (F.col("kstest_template") <= 0.85)
     )
@@ -357,10 +368,12 @@ def yso_spicy_candidates(df: DataFrame) -> Column:
     reference="ztf/filter_simbad_candidates/filter.py:54-62",
 )
 def simbad_candidates(df: DataFrame) -> Column:
-    """C21: any definite SIMBAD type."""
+    """C21: any definite SIMBAD type — except Galaxy-prefixed ones
+    (the reference's 'Remove static objects' mask, filter.py:59-61)."""
     return (
         ~F.col("cdsxmatch").isin("Unknown", "Transient")
         & ~F.col("cdsxmatch").startswith("Fail")
+        & ~F.col("cdsxmatch").startswith("Galaxy")
     )
 
 
@@ -396,12 +409,15 @@ def rrlyr(df: DataFrame) -> Column:
     reference="ztf/filter_snlike/filter.py:43-47",
 )
 def snialike(df: DataFrame) -> Column:
-    """C25: SN-Ia-like score on an unknown host with star-distance vetoes."""
+    """C25: SN-Ia-like score on an unknown host with star-distance
+    vetoes — strictly > 5.0 like the reference (filter.py:43-47): ZTF's
+    -999 no-neighbor sentinel FAILS the cut there, so no sentinel branch
+    here either."""
     return (
         (F.col("rf_snia_vs_nonia") > 0)
         & (F.col("cdsxmatch") == "Unknown")
-        & ((F.col("neargaia") > 5) | (F.col("neargaia") < 0))
-        & ((F.col("distpsnr1") > 5) | (F.col("distpsnr1") < 0))
+        & (F.col("neargaia") > 5)
+        & (F.col("distpsnr1") > 5)
     )
 
 
@@ -455,34 +471,54 @@ def vast_supernovae_candidates(df: DataFrame) -> Column:
 )
 def orphan_grb(df: DataFrame) -> Column:
     """C30: exactly 3 faint detections within 10 days, no SSO name, fading,
-    red g-r — all as higher-order expressions over the history arrays
-    (cjd/cmagpsf/cfid)."""
-    mags = F.filter(F.col("cmagpsf"), lambda m: ~F.isnan(m))
-    jds = F.col("cjd")
-    n_det = F.size(mags)
-    g_mags = F.filter(
-        F.zip_with(F.col("cmagpsf"), F.col("cfid"), lambda m, f: F.when(f == 1, m)),
-        lambda m: m.isNotNull() & ~F.isnan(m),
+    red g-r — all as higher-order expressions over the NaN-mag-MASKED
+    history arrays (cjd/cmagpsf/cfid/cssnamenr), mirroring the reference's
+    ``v = lambda val, mag: val[~np.isnan(mag)]`` per-row masking
+    (filter.py:118-152 — ZTF histories nearly always carry NaN-mag upper
+    limits, so every condition runs on the detections only):
+
+    - at_most_a_month: jd − jdstarthist ≤ 30;
+    - above_18: every VALID mag > 18; at_least_3_det: exactly 3 valid;
+    - tmp1: valid_jd[2] − valid_jd[0] < 10;
+    - tmp2 (get_valid_rate, :24-46): same band 2nd/3rd → m3 − m2 > 0
+      (fading); g then r → m2 − m3 ≤ 0.3 (within the g−r baseline);
+      r then g → m3 − m2 > 0;
+    - tmp3: mean(valid g) − mean(valid r) ≥ 0 — a SINGLE-band triple is
+      rejected (the reference's empty-band mean is NaN → False), and the
+      means are CASE-guarded so ANSI never divides by zero;
+    - tmp4: every valid cssnamenr entry is None/'null' (the per-epoch SSO
+      veto, not the scalar alert field)."""
+    z = F.arrays_zip(
+        F.col("cmagpsf"), F.col("cjd"), F.col("cfid"), F.col("cssnamenr")
     )
-    r_mags = F.filter(
-        F.zip_with(F.col("cmagpsf"), F.col("cfid"), lambda m, f: F.when(f == 2, m)),
-        lambda m: m.isNotNull() & ~F.isnan(m),
+    v = F.filter(z, lambda e: ~F.isnan(e["cmagpsf"]))
+    vm = F.transform(v, lambda e: e["cmagpsf"])
+    vt = F.transform(v, lambda e: e["cjd"])
+    vf = F.transform(v, lambda e: e["cfid"])
+    vs = F.transform(v, lambda e: e["cssnamenr"])
+    m2, m3 = F.try_element_at(vm, F.lit(2)), F.try_element_at(vm, F.lit(3))
+    f2, f3 = F.try_element_at(vf, F.lit(2)), F.try_element_at(vf, F.lit(3))
+    rate_ok = (
+        F.when(f2 == f3, (m3 - m2) > 0)
+        .when(f3 > f2, (m2 - m3) <= 0.3)  # g (1) then r (2)
+        .otherwise((m3 - m2) > 0)
     )
-    mean = lambda arr: (  # noqa: E731
-        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+    g_mags = F.filter(v, lambda e: e["cfid"] == 1)
+    r_mags = F.filter(v, lambda e: e["cfid"] == 2)
+    mean = lambda arr: F.when(  # noqa: E731 — ANSI: no /0 on an empty band
+        F.size(arr) > 0,
+        F.aggregate(arr, F.lit(0.0), lambda a, e: a + e["cmagpsf"]) / F.size(arr),
     )
     return (
         _recent(30)
-        & (n_det == 3)
-        & F.forall(mags, lambda m: m > 18)
-        & ((F.try_element_at(jds, F.lit(-1)) - F.try_element_at(jds, F.lit(1))) < 10)
-        & ((F.col("ssnamenr").isNull()) | (F.col("ssnamenr") == "null"))
-        & (F.try_element_at(mags, F.lit(-1)) >= F.try_element_at(mags, F.lit(1)))  # fading
-        & (
-            (F.size(g_mags) == 0)
-            | (F.size(r_mags) == 0)
-            | (mean(g_mags) - mean(r_mags) >= 0)
-        )
+        & (F.size(vm) == 3)
+        & F.forall(vm, lambda m: m > 18)
+        & ((F.try_element_at(vt, F.lit(3)) - F.try_element_at(vt, F.lit(1))) < 10)
+        & rate_ok
+        # NULL mean (empty band) -> NULL -> filtered out, like the
+        # reference's NaN comparison
+        & ((mean(g_mags) - mean(r_mags)) >= 0)
+        & F.forall(vs, lambda k: k.isNull() | (k == "null"))
     )
 
 

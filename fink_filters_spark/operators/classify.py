@@ -20,20 +20,29 @@ def classify(
     out_col: str = "class",
     ambiguous_label: str = "Ambiguous",
     unknown_label: str = "Unknown",
+    ambiguity_flags: list[str] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` with precedence-ordered labels.
 
     ``flags`` is an ordered {label: boolean Column}; ``override`` is a string
     Column that, when non-null, wins over everything (the SIMBAD-type
-    override at ``classification.py:209``). >1 true flag -> ambiguous
-    (``classification.py:202-207``).
+    override at ``classification.py:209``). >1 true AMBIGUITY flag ->
+    ambiguous (``classification.py:202-207``); ``ambiguity_flags`` names
+    the subset of flag labels counted (the reference counts only
+    mulens/sn/roid_2/roid_3, NOT early-SN/KN/tracklet — counting all
+    seven would mislabel every Early-SN-that-also-passes-SN, the normal
+    case, as Ambiguous). None = count every flag (the generic contract
+    k1_classification pins).
     """
     # F.lit(0) seed: an empty flags dict (override-or-Unknown use) left
     # nflags as Python None and `nflags > 1` raised TypeError (round-7
     # review); the literal seed also removes the need for a dead
     # WHEN FALSE placeholder branch in no-override plans
+    counted = flags if ambiguity_flags is None else {
+        k: flags[k] for k in ambiguity_flags
+    }
     nflags = F.lit(0)
-    for c in flags.values():
+    for c in counted.values():
         # NULL-safe: a single NULL flag (e.g. a NULL feature column) must
         # count as False, not NULL out the whole sum and silently disable
         # the Ambiguous branch (pandas reference: NaN comparisons are False)

@@ -211,7 +211,13 @@ def f_orphan_grb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "cjd", "cmagpsf", "cfid",
         F.element_at("cjd", -1).alias("jd"),
         F.element_at("cjd", 1).alias("jdstarthist"),
-        F.when(F.col("user_id") % 7 == 0, F.lit("sso123")).alias("ssnamenr"),
+        # per-epoch SSO names (the reference vetoes on the HISTORY array,
+        # not a scalar): every epoch of a %7 user carries a name
+        F.transform(
+            "cjd",
+            lambda _: F.when(F.col("user_id") % 7 == 0, F.lit("sso123"))
+            .otherwise(F.lit("null")),
+        ).alias("cssnamenr"),
     )
     sel = frame.filter(get_filter("ztf.orphan_grb").builder(frame))
     return sel.select(
@@ -245,8 +251,10 @@ a AS (
   SELECT user_id,
          max(CASE WHEN rdesc = 1 THEN jd_d END) AS jd,
          max(CASE WHEN rdesc = 3 THEN jd_d END) AS jdstart,
-         max(CASE WHEN rdesc = 1 THEN m END) AS m_last,
-         max(CASE WHEN rdesc = 3 THEN m END) AS m_first,
+         max(CASE WHEN rdesc = 1 THEN m END) AS m3,
+         max(CASE WHEN rdesc = 2 THEN m END) AS m2,
+         max(CASE WHEN rdesc = 1 THEN fid END) AS f3,
+         max(CASE WHEN rdesc = 2 THEN fid END) AS f2,
          min(m) AS m_min,
          sum(CASE WHEN fid = 1 THEN m END) AS g_sum,
          count(CASE WHEN fid = 1 THEN 1 END) AS g_n,
@@ -254,14 +262,16 @@ a AS (
          count(CASE WHEN fid = 2 THEN 1 END) AS r_n
   FROM h GROUP BY user_id
 )
-SELECT user_id, CAST(round(jd * 1e6) AS BIGINT) AS jd_e6, m_last AS last_mag
+SELECT user_id, CAST(round(jd * 1e6) AS BIGINT) AS jd_e6, m3 AS last_mag
 FROM a
 WHERE (jd - jdstart) <= 30
   AND m_min > 18
   AND (jd - jdstart) < 10
   AND user_id % 7 <> 0
-  AND m_last >= m_first
-  AND (g_n = 0 OR r_n = 0 OR (g_sum / g_n - r_sum / r_n >= 0))
+  AND (CASE WHEN f2 = f3 THEN m3 - m2 > 0
+            WHEN f3 > f2 THEN m2 - m3 <= 0.3
+            ELSE m3 - m2 > 0 END)
+  AND g_n > 0 AND r_n > 0 AND (g_sum / g_n - r_sum / r_n >= 0)
 """
 
 

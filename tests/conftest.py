@@ -116,6 +116,15 @@ def make_ztf_pdf(n: int = N_ALERTS, seed: int = RNG_SEED) -> pd.DataFrame:
     pdf["cjd"] = hist
     pdf["cmagpsf"] = mags
     pdf["cfid"] = fids
+    # per-epoch SSO names aligned with the history (orphan_grb's reference
+    # vetoes on the ARRAY, filter.py:148-152); derived deterministically
+    # from existing draws so the rng sequence (and every pinned count
+    # derived from it) is unchanged
+    pdf["cssnamenr"] = [
+        ["12345" if (int(f) == 2 and (i + k) % 5 == 0) else "null"
+         for k, f in enumerate(fs)]
+        for i, fs in enumerate(fids)
+    ]
     pdf["mangrove"] = [
         {"lum_dist": str(r.uniform(10, 400)), "name": "g"} for _ in range(n)
     ]

@@ -58,12 +58,12 @@ REPLICAS = {
         and r.cdsxmatch in EG
     ),
     "ztf.early_kn_candidates": lambda r: (
+        # reference filter.py:52-61 verbatim: quality, <0.25d, EG host,
+        # not SSO — no ndethist cut, no plane cuts
         _quality(r)
         and (r.jd - r.jdstarthist) < 0.25
-        and r.ndethist < 20
+        and r.cdsxmatch in EG
         and r.roid != 3
-        and abs(r.gal_b) > 10
-        and abs(r.ecl_lat) > 10
     ),
     "ztf.tns_match": lambda r: r.tns != "" and (r.jd - r.jdstarthist) <= 30,
     "ztf.magnetic_cvs": lambda r: r.isdiffpos in ("t", "1") and r.mcv_name != "Unknown",
@@ -84,15 +84,19 @@ REPLICAS = {
     "ztf.simbad_candidates": lambda r: (
         r.cdsxmatch not in ("Unknown", "Transient")
         and not r.cdsxmatch.startswith("Fail")
+        # 'Remove static objects' (reference filter.py:59-61)
+        and not r.cdsxmatch.startswith("Galaxy")
     ),
     "ztf.gaia_dr3_candidates": lambda r: r.DR3Name != "nan",
     "ztf.quality_cuts": lambda r: r.rb >= 0.55 and r.nbad == 0,
     "ztf.rrlyr": lambda r: r.cdsxmatch in set(RRLYR_CLASSES),
     "ztf.snialike": lambda r: (
+        # strictly > 5.0 (reference filter_snlike/filter.py:43-47: the
+        # -999 no-neighbor sentinel FAILS the cut)
         r.rf_snia_vs_nonia > 0
         and r.cdsxmatch == "Unknown"
-        and (r.neargaia > 5 or r.neargaia < 0)
-        and (r.distpsnr1 > 5 or r.distpsnr1 < 0)
+        and r.neargaia > 5
+        and r.distpsnr1 > 5
     ),
     "ztf.superluminous": lambda r: r.slsn_score >= r.slsn_threshold,
     "ztf.tracklet_candidates": lambda r: r.tracklet.startswith("TRCK_"),
@@ -128,7 +132,8 @@ REPLICAS = {
         and r.isdiffpos in ("t", "1")
         and (r.ssdistnr > 10 or r.ssdistnr < 0)
         and abs(_py_gal_b(r.ra, r.dec)) > 10
-        and abs(r.mag_rate) > 0.3
+        # SIGNED fading rate (reference :167), not abs()
+        and r.mag_rate > 0.3
     ),
     "ztf.new_hostless": lambda r: (
         r.distnr > 1.5
@@ -206,11 +211,39 @@ def test_intra_inter_night_hostless(ztf_df, ztf_pdf):
         if base(r)
         and r.ndethist == 3
         and len(r.cjd) >= 3
-        and (r.cjd[-2] - r.cjd[-3]) > 0.5
-        and (r.cjd[-1] - r.cjd[-2]) < 0.5
+        # reference utils.py:229-237: LAST gap > 12h, FIRST gap < 12h
+        and (r.cjd[-1] - r.cjd[-2]) > 0.5
+        and (r.cjd[-2] - r.cjd[-3]) < 0.5
     }
     assert got2 == want2
     assert got3 == want3
+
+
+def test_inter_night_hostless_gap_order_non_degenerate(spark, ztf_pdf):
+    """The shared fixture selects 0 inter-night rows (which is how the
+    pre-round-7 swapped gap conditions went unnoticed) — craft the two
+    temporal patterns explicitly: a same-night pair followed by a
+    next-night detection PASSES (reference utils.py:229-237), the
+    mirrored pattern FAILS."""
+    import pandas as pd
+
+    base = ztf_pdf.iloc[:2].copy().reset_index(drop=True)
+    for c, v in (("distnr", 2.0), ("cdsxmatch", "Unknown"), ("roid", 0),
+                 ("ndethist", 3), ("kstest_science", 0.1),
+                 ("kstest_template", 0.1)):
+        base[c] = [v, v]
+    jd0 = 2460000.0
+    base["candid"] = [9001, 9002]
+    # 9001: gaps (0.1d, 1.0d) -> first<12h, last>12h -> reference PASS
+    # 9002: gaps (1.0d, 0.1d) -> reference FAIL (the pre-fix code passed it)
+    base["cjd"] = [[jd0 - 1.1, jd0 - 1.0, jd0], [jd0 - 1.1, jd0 - 0.1, jd0]]
+    df = spark.createDataFrame(pd.DataFrame(base))
+    got = {
+        r.candid
+        for r in apply_named_filter(df, "ztf.inter_night_hostless")
+        .select("candid").collect()
+    }
+    assert got == {9001}
 
 
 def test_orphan_grb(ztf_df, ztf_pdf):
@@ -220,21 +253,34 @@ def test_orphan_grb(ztf_df, ztf_pdf):
     }
 
     def replica(r):
-        mags = [m for m in r.cmagpsf if not np.isnan(m)]
+        # the reference's per-row loop verbatim (filter.py:24-152):
+        # every condition over the NaN-mag-masked parallel arrays
+        valid = [not np.isnan(m) for m in r.cmagpsf]
+        vm = [m for m, ok in zip(r.cmagpsf, valid) if ok]
+        vt = [t for t, ok in zip(r.cjd, valid) if ok]
+        vf = [f for f, ok in zip(r.cfid, valid) if ok]
+        vs = [sn for sn, ok in zip(r.cssnamenr, valid) if ok]
         if not (
             (r.jd - r.jdstarthist) <= 30
-            and len(mags) == 3
-            and all(m > 18 for m in mags)
-            and (r.cjd[-1] - r.cjd[0]) < 10
-            and r.ssnamenr == "null"
-            and mags[-1] >= mags[0]
+            and len(vm) == 3
+            and all(m > 18 for m in vm)
+            and (vt[2] - vt[0]) < 10
+            and all(k in (None, "null") for k in vs)
         ):
             return False
-        g = [m for m, f in zip(r.cmagpsf, r.cfid) if f == 1 and not np.isnan(m)]
-        rr = [m for m, f in zip(r.cmagpsf, r.cfid) if f == 2 and not np.isnan(m)]
-        if g and rr:
-            return (sum(g) / len(g)) - (sum(rr) / len(rr)) >= 0
-        return True
+        if vf[1] == vf[2]:
+            rate_ok = (vm[2] - vm[1]) > 0
+        elif vf[2] > vf[1]:
+            rate_ok = (vm[1] - vm[2]) <= 0.3
+        else:
+            rate_ok = (vm[2] - vm[1]) > 0
+        if not rate_ok:
+            return False
+        g = [m for m, f, ok in zip(r.cmagpsf, r.cfid, valid) if f == 1 and ok]
+        rr = [m for m, f, ok in zip(r.cmagpsf, r.cfid, valid) if f == 2 and ok]
+        if not (g and rr):
+            return False  # empty-band mean is NaN in the reference
+        return (sum(g) / len(g)) - (sum(rr) / len(rr)) >= 0
 
     want = {r.candid for r in ztf_pdf.itertuples() if replica(r)}
     assert got == want

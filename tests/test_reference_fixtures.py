@@ -140,9 +140,12 @@ def test_ztf_history_filters_run_on_real_alerts(ztf_flat):
     from fink_filters_spark.functions.arrays import hist_concat
 
     df = ztf_flat
-    for leaf in ("jd", "magpsf", "fid"):
+    # the reference doctest expands exactly these four history columns
+    # (filter.py: to_expand = ['jd', 'fid', 'ssnamenr', 'magpsf'])
+    for leaf in ("jd", "magpsf", "fid", "ssnamenr"):
         df = df.withColumn(f"c{leaf}", hist_concat(f"prv_candidates.{leaf}", leaf))
     n = apply_named_filter(df, "ztf.orphan_grb").count()
+    # the reference's own doctest golden on this snapshot family is 0
     assert 0 <= n <= 133
 
 
