@@ -210,6 +210,33 @@ def unknowns(df: DataFrame) -> Column:
     return F.col("fink_class") == "Unknown"
 
 
+def _uncataloged(df: DataFrame) -> Column:
+    """The hostless family's shared gate (reference
+    filter_new_hostless/utils.py:34-85 ``is_uncataloged``): not in the ZTF
+    reference image (distnr > 1.5), NOT a definite SIMBAD type (the
+    complement of ``simbad_candidates`` — so Unknown/Transient, Fail*-
+    AND Galaxy*-prefixed all count as uncataloged), not in Gaia DR3, not
+    in the MPC."""
+    return (
+        (F.col("distnr") > 1.5)
+        & ~simbad_candidates(df)
+        & ~(F.col("DR3Name").isNotNull() & (F.col("DR3Name") != "nan"))
+        & (F.col("roid") != 3)
+    )
+
+
+def _kstest_gate() -> Column:
+    """ELEPHANT statistic bounds (utils.py:139-140): BOTH sides of each
+    interval — a negative statistic (the pipeline's failure sentinel)
+    must not pass."""
+    return (
+        (F.col("kstest_science") >= 0)
+        & (F.col("kstest_science") <= 0.5)
+        & (F.col("kstest_template") >= 0)
+        & (F.col("kstest_template") <= 0.85)
+    )
+
+
 @register(
     "ztf.new_hostless",
     reference="ztf/livestream/filter_new_hostless/filter.py:82-96",
@@ -217,18 +244,7 @@ def unknowns(df: DataFrame) -> Column:
 def new_hostless(df: DataFrame) -> Column:
     """C9: uncataloged ∧ first detection ∧ ELEPHANT KS statistics on cutouts
     (kstest columns produced by the multimodal image kernel upstream)."""
-    uncataloged = (
-        (F.col("distnr") > 1.5)
-        & F.col("cdsxmatch").isin("Unknown", "Transient", "Fail")
-        & (F.col("DR3Name").isNull() | (F.col("DR3Name") == "nan"))
-        & (F.col("roid") != 3)
-    )
-    return (
-        uncataloged
-        & (F.col("ndethist") == 1)
-        & (F.col("kstest_science") <= 0.5)
-        & (F.col("kstest_template") <= 0.85)
-    )
+    return _uncataloged(df) & (F.col("ndethist") == 1) & _kstest_gate()
 
 
 @register(
@@ -239,13 +255,10 @@ def intra_night_hostless(df: DataFrame) -> Column:
     """C10: hostless with exactly 2 detections within 12 h (history array
     ``cjd``)."""
     return (
-        (F.col("distnr") > 1.5)
-        & F.col("cdsxmatch").isin("Unknown", "Transient", "Fail")
-        & (F.col("roid") != 3)
+        _uncataloged(df)
         & (F.col("ndethist") == 2)
         & (pair_gap("cjd", 1, 2) < 0.5)
-        & (F.col("kstest_science") <= 0.5)
-        & (F.col("kstest_template") <= 0.85)
+        & _kstest_gate()
     )
 
 
@@ -260,14 +273,11 @@ def inter_night_hostless(df: DataFrame) -> Column:
     followed by a next-night detection; the pre-round-7 version had the
     two conditions swapped and selected the OPPOSITE temporal pattern)."""
     return (
-        (F.col("distnr") > 1.5)
-        & F.col("cdsxmatch").isin("Unknown", "Transient", "Fail")
-        & (F.col("roid") != 3)
+        _uncataloged(df)
         & (F.col("ndethist") == 3)
         & (pair_gap("cjd", 1, 2) > 0.5)
         & (pair_gap("cjd", 2, 3) < 0.5)
-        & (F.col("kstest_science") <= 0.5)
-        & (F.col("kstest_template") <= 0.85)
+        & _kstest_gate()
     )
 
 

@@ -136,13 +136,17 @@ REPLICAS = {
         and r.mag_rate > 0.3
     ),
     "ztf.new_hostless": lambda r: (
+        # uncataloged = NOT simbad_candidates (utils.py is_uncataloged):
+        # Unknown/Transient OR Fail*/Galaxy*-prefixed
         r.distnr > 1.5
-        and r.cdsxmatch in ("Unknown", "Transient", "Fail")
+        and (r.cdsxmatch in ("Unknown", "Transient")
+             or r.cdsxmatch.startswith("Fail")
+             or r.cdsxmatch.startswith("Galaxy"))
         and r.DR3Name == "nan"
         and r.roid != 3
         and r.ndethist == 1
-        and r.kstest_science <= 0.5
-        and r.kstest_template <= 0.85
+        and 0 <= r.kstest_science <= 0.5
+        and 0 <= r.kstest_template <= 0.85
     ),
     "ztf.known_tde": lambda r: r.tde_name != "Unknown",
     "ztf.dwarf_agn": lambda r: r.dwarf_agn_name != "Unknown",
@@ -194,10 +198,13 @@ def test_intra_inter_night_hostless(ztf_df, ztf_pdf):
     def base(r):
         return (
             r.distnr > 1.5
-            and r.cdsxmatch in ("Unknown", "Transient", "Fail")
+            and (r.cdsxmatch in ("Unknown", "Transient")
+                 or r.cdsxmatch.startswith("Fail")
+                 or r.cdsxmatch.startswith("Galaxy"))
+            and r.DR3Name == "nan"
             and r.roid != 3
-            and r.kstest_science <= 0.5
-            and r.kstest_template <= 0.85
+            and 0 <= r.kstest_science <= 0.5
+            and 0 <= r.kstest_template <= 0.85
         )
 
     want2 = {
@@ -230,7 +237,7 @@ def test_inter_night_hostless_gap_order_non_degenerate(spark, ztf_pdf):
     base = ztf_pdf.iloc[:2].copy().reset_index(drop=True)
     for c, v in (("distnr", 2.0), ("cdsxmatch", "Unknown"), ("roid", 0),
                  ("ndethist", 3), ("kstest_science", 0.1),
-                 ("kstest_template", 0.1)):
+                 ("kstest_template", 0.1), ("DR3Name", "nan")):
         base[c] = [v, v]
     jd0 = 2460000.0
     base["candid"] = [9001, 9002]
