@@ -16,6 +16,13 @@ the fit kernels that moves any output bit turns the gate row red instead of
 passing silently. Run after an intentional numerics change:
 
     python tools/gen_goldens.py [testdata_root]
+
+IMPORTANT — testdata rebuilds also invalidate the goldens: the driver
+regenerates /root/testdata each round, and the events generator's time
+base moves with the build date, so the same groups fit to slightly
+different parameters while the ``sf_tag`` row-count key still matches.
+Regenerate at the START of every round (tests/test_goldens.py fails with
+an actionable message if you forget).
 """
 
 from __future__ import annotations
