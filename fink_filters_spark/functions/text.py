@@ -152,6 +152,56 @@ def combine_word_hashes(wh_col: Column | str, n: int = 3, distinct: bool = True)
     return F.when(k >= 1, grams).otherwise(F.array().cast("array<long>"))
 
 
+def winnow_select(grams_col: Column | str, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Haberman & Aiken,
+    SIGMOD'03 §4 "robust winnowing" — the MOSS algorithm) over a
+    MATERIALIZED positional k-gram hash array column (the
+    ``combine_word_hashes(wh, k, distinct=False)`` output; two-stage use
+    for the same re-evaluation reason documented there).
+
+    Every window of ``w`` consecutive gram hashes records its MINIMUM,
+    ties broken by RIGHTMOST position; consecutive windows re-selecting
+    the same occurrence contribute it once. Guarantee: two documents
+    sharing a token run of >= w+k-1 tokens share at least one selected
+    fingerprint value; expected selection density is 2/(w+1) of grams.
+
+    Returns the sorted distinct SELECTED POSITIONS (``array<int>``,
+    1-based gram index — one fingerprint per position, so positions are
+    the canonical dedup key; fetch values with ``element_at(grams, p)``).
+    Row-local O(grams·w) codegen fold, no shuffle: a 100 TB corpus
+    winnows at scan speed. Docs with 0 < grams < w winnow one truncated
+    window (the MOSS short-tail behavior); an empty gram array selects
+    nothing.
+    """
+    g = F.col(grams_col) if isinstance(grams_col, str) else grams_col
+    m = F.size(g)
+    wl = F.least(F.lit(w), m)  # effective window for short docs
+
+    def _argmin(p):
+        # rightmost minimum of g[p .. p+wl-1]: ascending fold, <= keeps
+        # the later position on ties (robust winnowing's tie rule)
+        return F.aggregate(
+            F.sequence(F.lit(0), wl - 1),
+            F.struct(
+                F.lit(0).alias("pos"), F.lit(None).cast("long").alias("fp")
+            ),
+            lambda a, j: F.when(
+                a["fp"].isNull() | (F.element_at(g, p + j) <= a["fp"]),
+                F.struct(
+                    (p + j).alias("pos"), F.element_at(g, p + j).alias("fp")
+                ),
+            ).otherwise(a),
+            lambda a: a["pos"],
+        )
+
+    return F.when(
+        m >= 1,
+        F.array_sort(
+            F.array_distinct(F.transform(F.sequence(F.lit(1), m - wl + 1), _argmin))
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
 # PII detection patterns — RE2/Java-compatible (no lookarounds), so the
 # Spark (java.util.regex) and DuckDB (RE2) engines agree on every match.
 PII_PATTERNS = {

@@ -329,6 +329,83 @@ def jaccard_pairs(
     return _expand_rep_pairs(grp, verified)
 
 
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing fingerprints (Schleimer/Haberman/Aiken
+    SIGMOD'03, the MOSS local-fingerprinting scheme): positional word
+    k-gram hashes slide under a w-gram window, each window keeps its
+    rightmost minimum (``functions.text.winnow_select``).
+
+    Returns ``(id_col, pos, fp)`` — one row per selected occurrence
+    (``pos`` = 1-based gram index, ``fp`` = the k-gram hash). Entirely
+    row-local until the final explode: selection density is 2/(w+1), so
+    the output is ~0.4x the gram count at w=4 — the compact sketch the
+    pair join (``winnowing_pairs``) and external plagiarism/near-dup
+    indexes consume. Docs with fewer than k tokens yield no rows.
+    """
+    from ..functions.text import combine_word_hashes, winnow_select, word_hashes
+
+    wh = df.select(F.col(id_col), word_hashes(text_col).alias("__wh"))
+    g = wh.select(
+        id_col, combine_word_hashes("__wh", n=k, distinct=False).alias("__g")
+    )
+    return g.select(
+        id_col, "__g", F.explode(winnow_select("__g", w)).alias("__p")
+    ).select(
+        id_col,
+        F.col("__p").cast("long").alias("pos"),
+        F.element_at("__g", F.col("__p")).alias("fp"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs sharing winnowed fingerprints
+    (id_a < id_b, ``shared_fps`` = count of common distinct fingerprint
+    VALUES): the MOSS pair stage. Any pair of documents sharing a token
+    run of >= w+k-1 tokens is guaranteed a shared fingerprint, so with
+    ``min_shared=1`` this is a complete candidate set for that overlap
+    length; higher ``min_shared`` trades recall for precision.
+
+    Plan: row-local winnow -> distinct (doc, fp) postings -> equi-join on
+    fp -> pair groupBy. Candidate volume is Σ df(fp)² over fingerprint
+    document frequencies — the same cost law as every inverted-index
+    join here. At corpus scale, boilerplate shared by thousands of
+    documents dominates that sum while separating nothing: ``max_df``
+    drops fingerprints appearing in more than that many documents before
+    the join (the sparse-cosine ``max_df_frac`` / ER block-purge lever,
+    applied to winnowed postings).
+    """
+    sel = winnowing_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        id_col, "fp"
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            sel.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        sel = sel.join(keep, "fp")
+    a = sel.select(F.col(id_col).alias("id_a"), "fp")
+    b = sel.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def _cooccurrence(df: DataFrame, id_col: str, text_col: str, n: int):
     """Shared inverted-index core of ``jaccard_pairs`` / ``containment_pairs``:
     the representative-collapse table and the per-rep-pair co-occurrence

@@ -21,6 +21,8 @@ from ..operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    winnowing_fingerprints,
+    winnowing_pairs,
 )
 from ..tables import load_table
 from . import QuerySpec, e6
@@ -706,8 +708,86 @@ WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 """
 
 
+# ---- winnowing (MOSS) fingerprints ------------------------------------------
+
+WINNOW_W = 4  # window width in grams; selection density 2/(w+1)
+WINNOW_MIN_SHARED = 2  # pair gate: >= 2 shared fingerprint values
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint selection (Schleimer/Haberman/
+    Aiken SIGMOD'03 / MOSS): rightmost-min word-3-gram hash per 4-gram
+    window. Row-local HOF fold — zero shuffle before the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=3, w=WINNOW_W)
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs sharing >= {min_shared} winnowed
+    fingerprint values — guaranteed to catch any pair sharing a run of
+    >= w+k-1 tokens per shared fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(
+        docs, "doc_id", "text", k=3, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )
+
+
+def _winnow_fps_sql(w: int = WINNOW_W) -> str:
+    """Oracle CTE chain ending in ``wfp(doc_id, pos, fp)`` — the DuckDB
+    dual of ``functions.text.winnow_select`` (argmin fold with rightmost
+    ties via ``<=`` over an ascending reduce) + the positional 3-gram
+    combine. Positions are the dedup key (one fp per pos), exactly like
+    the Spark side."""
+    return f"""g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(wh) - 2),
+           i -> ((wh[i] * {WB} + wh[i+1]) % {FP_MOD} * {WB} + wh[i+2]) % {FP_MOD}) AS g
+  FROM (SELECT doc_id, list_transform(toks, s -> {_hash_sql('s')}) AS wh
+        FROM ({TOKS_SQL}))
+  WHERE len(wh) - 2 >= 1
+),
+winnow AS (
+  SELECT doc_id, g,
+    list_sort(list_distinct(list_transform(
+      generate_series(1, len(g) - least({w}, len(g)) + 1),
+      p -> (list_reduce(
+             list_prepend({{'pos': CAST(0 AS BIGINT), 'fp': CAST(NULL AS BIGINT)}},
+               list_transform(generate_series(p, p + least({w}, len(g)) - 1),
+                 j -> {{'pos': CAST(j AS BIGINT), 'fp': g[j]}})),
+             (a, x) -> CASE WHEN a.fp IS NULL OR x.fp <= a.fp THEN x ELSE a END)).pos
+    ))) AS ps
+  FROM g
+),
+wfp AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, g[p] AS fp
+  FROM (SELECT doc_id, g, unnest(ps) AS p FROM winnow)
+)"""
+
+
+TEXT_WINNOW_SQL = f"""
+WITH {_winnow_fps_sql()}
+SELECT doc_id, pos, fp FROM wfp
+"""
+
+
+DEDUP_WINNOW_SQL = f"""
+WITH {_winnow_fps_sql()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM (SELECT DISTINCT doc_id, fp FROM wfp) a
+JOIN (SELECT DISTINCT doc_id, fp FROM wfp) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
+    QuerySpec("text_winnowing", q_text_winnowing, TEXT_WINNOW_SQL,
+              "winnowing (MOSS) fingerprint selection: rightmost-min k-gram "
+              "hash per w-window, row-local"),
+    QuerySpec("dedup_winnowing", q_dedup_winnowing, DEDUP_WINNOW_SQL,
+              "near-dup candidate pairs sharing winnowed fingerprints"),
     QuerySpec("dedup_survivors_quality", q_dedup_survivors_quality,
               DEDUP_SURVIVORS_SQL,
               "quality-aware survivor per near-dup cluster (longest wins)"),

@@ -684,3 +684,124 @@ def test_shingle_kernel_unigrams_and_tab_padding(spark):
             if r["sh"]
         }
         assert kernel == native, f"n={n}"
+
+
+# ---- winnowing (MOSS) fingerprints ------------------------------------------
+
+def _py_winnow(text: str, k: int = 3, w: int = 4):
+    """Pure-Python replica of winnowing_fingerprints for one document:
+    robust winnowing (rightmost-min per window) over the engine's word
+    k-gram hash scheme. Returns sorted (pos, fp) with 1-based gram pos."""
+    P, B, WB = 66571993087, 31, 37
+    toks = text.strip().lower().split()
+    wh = []
+    for t in toks:
+        h = 0
+        for c in t:
+            h = (h * B + ord(c)) % P
+        wh.append(h)
+    m = len(wh) - k + 1
+    if m < 1:
+        return []
+    grams = []
+    for i in range(m):
+        h = wh[i]
+        for j in range(1, k):
+            h = (h * WB + wh[i + j]) % P
+        grams.append(h)
+    wl = min(w, len(grams))
+    sel = set()
+    for p in range(len(grams) - wl + 1):
+        best, bp = None, None
+        for j in range(wl):
+            v = grams[p + j]
+            if best is None or v <= best:  # <= : rightmost tie wins
+                best, bp = v, p + j
+        sel.add((bp + 1, best))
+    return sorted(sel)
+
+
+def test_winnowing_fingerprints_match_python_replica(corpus):
+    from fink_filters_spark.operators.dedup import winnowing_fingerprints
+
+    df, pdf = corpus
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        assert sorted(got.get(doc_id, [])) == _py_winnow(text), f"doc {doc_id}"
+
+
+def test_winnowing_rightmost_tie_on_constant_doc(spark):
+    # 8 identical tokens -> 6 equal grams; every window's min is its
+    # RIGHTMOST element, so selections are gram positions {4, 5, 6}
+    from fink_filters_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, " ".join(["x"] * 8))], "doc_id long, text string")
+    rows = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    assert sorted(r["pos"] for r in rows) == [4, 5, 6]
+    assert len({r["fp"] for r in rows}) == 1
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    from fink_filters_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # 2 grams < w -> ONE truncated window -> 1 pick
+            (2, "a b"),       # < k tokens -> no grams -> no rows
+            (3, ""),          # empty -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 1
+    assert 2 not in by_doc and 3 not in by_doc
+    assert [(r["pos"], r["fp"]) for r in by_doc[1]] == _py_winnow("a b c d")
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    # the winnowing guarantee: a shared token run of >= w+k-1 tokens
+    # (here 6) implies >= 1 shared fingerprint VALUE
+    from fink_filters_spark.operators.dedup import winnowing_pairs
+
+    run = "r1 r2 r3 r4 r5 r6"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 a4 {run} a5 a6 a7"),
+            (2, f"b1 b2 b3 {run} b4 b5 b6 b7"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnowing_pairs(df, "doc_id", "text", min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0]["shared_fps"] >= 1
+
+
+def test_winnowing_pairs_planted_dups(corpus):
+    from fink_filters_spark.operators.dedup import winnowing_pairs
+
+    df, pdf = corpus
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnowing_pairs(df, "doc_id", "text", min_shared=2).collect()
+    }
+    # planted near-dups all surface, the exact duplicate with the most overlap
+    assert (0, 80) in got and (1, 81) in got and (2, 82) in got
+    assert got[(1, 81)] == max(got.values())
+
+
+def test_winnowing_pairs_max_df_prunes_boilerplate(spark):
+    from fink_filters_spark.operators.dedup import winnowing_pairs
+
+    boiler = " ".join(f"c{i}" for i in range(12))
+    uniq = "u1 u2 u3 u4 u5 u6 u7 u8"
+    rows = [(i, boiler) for i in range(5)] + [(10, uniq), (11, uniq)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = winnowing_pairs(df, "doc_id", "text", min_shared=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in full} >= {(10, 11), (0, 1)}
+    pruned = winnowing_pairs(df, "doc_id", "text", min_shared=1, max_df=4).collect()
+    # df=5 boilerplate fingerprints are dropped; the df=2 pair survives
+    assert {(r["id_a"], r["id_b"]) for r in pruned} == {(10, 11)}
