@@ -19,6 +19,7 @@ from ..operators.chunking import (
     _toks,
     chunk_cdc,
     chunk_fixed,
+    hilbert_index,
     unimax_allocation,
     zorder_key,
 )
@@ -132,6 +133,68 @@ SELECT CAST(z // {1 << Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
 FROM z
 GROUP BY 1
 """
+
+def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit — the locality-preserving dual of
+    ``q_layout_zorder`` on the SAME (l_partkey, l_suppkey) grid and
+    bucket count, reporting each bucket's key range AND its (x, y)
+    bounding box. Consecutive Hilbert indices are always grid neighbors,
+    so the per-bucket boxes are tighter than Z-order's at equal bucket
+    count (the measured claim behind preferring Hilbert clustering for
+    2-D range pruning; tests assert it on this data).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % Z_GRID).alias("x"),
+        (F.col("l_suppkey") % Z_GRID).alias("y"),
+    )
+    return (
+        hilbert_index(li, "x", "y", Z_BITS, out="h")
+        .select("x", "y", F.shiftright(F.col("h"), Z_BUCKET_SHIFT).alias("h_bucket"), "h")
+        .groupBy("h_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def _hilbert_sql_levels(xe: str, ye: str, bits: int) -> str:
+    """The oracle dual of ``operators.chunking.hilbert_key``: the same
+    quadrant-rotation walk unrolled as ``bits`` chained scalar levels
+    (DuckDB's list_reduce cannot carry a struct accumulator over a plain
+    integer level list, so the fold becomes nested subqueries — linear
+    size, exact integer arithmetic). Emits (ox, oy, d)."""
+    n = 1 << bits
+    sql = (
+        f"SELECT CAST({xe} AS BIGINT) AS ox, CAST({ye} AS BIGINT) AS oy, "
+        f"CAST({xe} AS BIGINT) AS x, CAST({ye} AS BIGINT) AS y, "
+        "CAST(0 AS BIGINT) AS d FROM lineitem"
+    )
+    for b in reversed(range(bits)):
+        s = 1 << b
+        sql = f"""SELECT ox, oy,
+  CASE WHEN (y & {s}) = 0 THEN (CASE WHEN (x & {s}) > 0 THEN {n - 1} - y ELSE y END) ELSE x END AS x,
+  CASE WHEN (y & {s}) = 0 THEN (CASE WHEN (x & {s}) > 0 THEN {n - 1} - x ELSE x END) ELSE y END AS y,
+  d + {s * s} * xor(CASE WHEN (x & {s}) > 0 THEN CAST(3 AS BIGINT) ELSE 0 END,
+                    CASE WHEN (y & {s}) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) AS d
+FROM ({sql})"""
+    return sql
+
+
+LAYOUT_HILBERT_SQL = f"""
+WITH h AS ({_hilbert_sql_levels(f'l_partkey % {Z_GRID}', f'l_suppkey % {Z_GRID}', Z_BITS)})
+SELECT CAST(d // {1 << Z_BUCKET_SHIFT} AS BIGINT) AS h_bucket,
+       count(*) AS n, min(d) AS h_min, max(d) AS h_max,
+       min(ox) AS x_min, max(ox) AS x_max, min(oy) AS y_min, max(oy) AS y_max
+FROM h
+GROUP BY 1
+"""
+
 
 UNIMAX_BUDGET = 100_000
 UNIMAX_MAX_EPOCHS = 4
@@ -550,6 +613,13 @@ SPECS = [
         q_layout_zorder,
         LAYOUT_ZORDER_SQL,
         "data layout: Morton/Z-order key histogram for 2-D clustering",
+    ),
+    QuerySpec(
+        "layout_hilbert",
+        q_layout_hilbert,
+        LAYOUT_HILBERT_SQL,
+        "data layout: Hilbert-curve bucket audit with per-bucket bounding "
+        "boxes (locality-preserving dual of layout_zorder)",
     ),
     QuerySpec(
         "pipe_unimax_epochs",

@@ -214,3 +214,106 @@ def test_shard_balance_near_equal_tokens(spark):
     assert sum(r.n_docs for r in rows) == 500
     toks = [r.tok_sum for r in rows]
     assert (max(toks) - min(toks)) / min(toks) < 0.05
+
+
+# ---- Hilbert curve layout ---------------------------------------------------
+
+def _py_hilbert(n: int, x: int, y: int) -> int:
+    """Reference xy->d walk (the Wikipedia/Hacker's-Delight iterative form)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_reference_walk(spark):
+    """Exhaustive 16x16 grid: bit-exact vs the reference implementation,
+    bijective, and CONSECUTIVE indices are always grid neighbors — the
+    locality property that distinguishes Hilbert from Morton."""
+    from fink_filters_spark.operators.chunking import hilbert_index
+
+    bits, n = 4, 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.h for r in hilbert_index(df, "x", "y", bits).collect()
+    }
+    assert got == {(x, y): _py_hilbert(n, x, y) for x in range(n) for y in range(n)}
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {v: k for k, v in got.items()}
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(n * n - 1)
+    )
+
+
+def test_hilbert_index_input_contracts(spark):
+    from fink_filters_spark.operators.chunking import hilbert_index
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match=r"bits"):
+        hilbert_index(df, "x", "y", 0)
+    with pytest.raises(ValueError, match=r"bits"):
+        hilbert_index(df, "x", "y", 32)
+    with pytest.raises(ValueError, match=r"collision"):
+        hilbert_index(df.withColumnRenamed("x", "h"), "h", "y")
+
+
+def test_hilbert_ranges_tighter_than_zorder(spark):
+    """The measured layout claim: over ARBITRARY consecutive-key windows
+    (range partition boundaries fall anywhere, not on power-of-4
+    alignments where Z-order is also perfect), Hilbert windows' mean
+    bounding-box semiperimeter is strictly smaller than Z-order's —
+    consecutive Hilbert cells are always neighbors, while the Z curve
+    jumps across the plane at bit boundaries."""
+    from fink_filters_spark.operators.chunking import hilbert_index, zorder_key
+
+    bits, n = 6, 64
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    hmap = {r.h: (r.x, r.y) for r in hilbert_index(grid, "x", "y", bits).collect()}
+    zmap = {
+        r.z: (r.x, r.y)
+        for r in grid.select("x", "y", zorder_key("x", "y", bits).alias("z")).collect()
+    }
+
+    def mean_semiperimeter(inv):
+        total, cnt, L = 0, 0, 100
+        for a in range(0, n * n - L, 37):  # unaligned windows
+            pts = [inv[k] for k in range(a, a + L)]
+            xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+            total += (max(xs) - min(xs)) + (max(ys) - min(ys))
+            cnt += 1
+        return total / cnt
+
+    hsp, zsp = mean_semiperimeter(hmap), mean_semiperimeter(zmap)
+    assert hsp < zsp, (hsp, zsp)
+
+
+def test_hilbert_feeds_range_partitioning(spark):
+    """Same write-side clustering plan as zorder: ONE range Exchange on
+    the appended key column."""
+    from fink_filters_spark.operators.chunking import hilbert_index
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") % 17).alias("y")
+    )
+    plan = (
+        hilbert_index(df, "x", "y", 5)
+        .repartitionByRange(8, F.col("h"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange rangepartitioning") == 1

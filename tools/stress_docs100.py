@@ -37,6 +37,8 @@ HEADLINERS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_winnowing",
+    "text_winnowing",
     "dedup_components",
     "dedup_substring",
     "pipe_decontaminate",
