@@ -111,6 +111,8 @@ def main() -> None:
         "pipe_dsir_select",
         "pipe_curation_funnel",
         "pipe_shard_balance",
+        "dedup_winnowing",
+        "layout_hilbert",
     ]
     compact = {k: times[k] for k in headliners if k in times}
     failed = sorted(k for k, v in times.items() if v is not None and v < 0)

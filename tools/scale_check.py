@@ -51,6 +51,8 @@ HEADLINERS = [
     "dedup_substring",
     "dedup_substring_rewrite",
     "dedup_minhash_lsh",
+    "dedup_winnowing",
+    "layout_hilbert",
     "dedup_components_distributed",
     "pipe_contamination_frac",
     "pipe_mixture",
