@@ -754,3 +754,49 @@ def test_testdata_has_no_null_keys():
         clauses = " OR ".join(f'"{c}" IS NULL' for c in cols)
         n = con.sql(f"SELECT count(*) FROM '{src}' WHERE {clauses}").fetchone()[0]
         assert n == 0, f"{t}: {n} rows with NULL cells — re-audit NULL-key pairs"
+
+
+@SLOW
+@given(
+    pre_a=st.lists(st.integers(0, 30), min_size=0, max_size=20),
+    post_a=st.lists(st.integers(0, 30), min_size=0, max_size=20),
+    pre_b=st.lists(st.integers(31, 60), min_size=0, max_size=20),
+    post_b=st.lists(st.integers(31, 60), min_size=0, max_size=20),
+    run=st.lists(st.integers(61, 90), min_size=6, max_size=12),
+)
+def test_winnowing_shared_run_guarantee_property(
+    spark, pre_a, post_a, pre_b, post_b, run
+):
+    """The winnowing GUARANTEE on arbitrary inputs: two documents sharing
+    any token run of >= w+k-1 tokens (k=3, w=4 -> 6) share at least one
+    selected fingerprint VALUE, however different their surroundings.
+    Token pools are disjoint (a: 0-30, b: 31-60, run: 61-90), so only the
+    planted run can produce the shared fingerprint."""
+    from fink_filters_spark.operators.dedup import winnowing_pairs
+
+    doc_a = " ".join(f"t{v}" for v in pre_a + run + post_a)
+    doc_b = " ".join(f"t{v}" for v in pre_b + run + post_b)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    pairs = winnowing_pairs(df, "doc_id", "text", k=3, w=4, min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0]["shared_fps"] >= 1
+
+
+@SLOW
+@given(
+    bits=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hilbert_random_points_match_reference_property(spark, bits, seed):
+    """hilbert_index equals the reference xy->d walk on random points at
+    every grid order 2^1..2^6, and indices stay within [0, 4^bits)."""
+    from fink_filters_spark.operators.chunking import hilbert_index
+    from tests.test_chunking import _py_hilbert
+
+    n = 1 << bits
+    rng = np.random.default_rng(seed)
+    pts = {(int(x), int(y)) for x, y in zip(rng.integers(0, n, 25), rng.integers(0, n, 25))}
+    df = spark.createDataFrame(sorted(pts), "x long, y long")
+    got = {(r.x, r.y): r.h for r in hilbert_index(df, "x", "y", bits).collect()}
+    for (x, y), h in got.items():
+        assert h == _py_hilbert(n, x, y)
+        assert 0 <= h < n * n
