@@ -384,9 +384,13 @@ def winnowing_pairs(
     the join (the sparse-cosine ``max_df_frac`` / ER block-purge lever,
     applied to winnowed postings).
     """
+    # cache the distinct postings: both join sides read them, and without
+    # the cache each side re-scans the corpus and re-runs the winnow fold
+    # (same clearCache() convention as jaccard_pairs/minhash_lsh_pairs —
+    # bench/stress clear between corpus passes)
     sel = winnowing_fingerprints(df, id_col, text_col, k=k, w=w).select(
         id_col, "fp"
-    ).distinct()
+    ).distinct().cache()
     if max_df is not None:
         keep = (
             sel.groupBy("fp")
