@@ -109,11 +109,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_SQL = f"""
 WITH d AS ({SHH3_SQL}),
+post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
 p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  -- inverted-index dual of the former quadratic `d a JOIN d b` +
+  -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
+  -- equi-join's count(*) == len(list_intersect) exactly; only inter >= 1
+  -- pairs exist, and every consumer below thresholds similarity > 0, so
+  -- the output is identical while cost drops from O(docs^2 * |sh|) to
+  -- the sum of df(s)^2 (~670s -> seconds per query at sf0.1)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         min(a.n) AS na, min(b.n) AS nb
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT id_a, id_b,
        CAST(round((CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)) * 1e6) AS BIGINT) AS jaccard_e6
@@ -422,11 +429,18 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_APPLY_SQL = f"""
 WITH d AS ({SHH3_SQL}),
+post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
 p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  -- inverted-index dual of the former quadratic `d a JOIN d b` +
+  -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
+  -- equi-join's count(*) == len(list_intersect) exactly; only inter >= 1
+  -- pairs exist, and every consumer below thresholds similarity > 0, so
+  -- the output is identical while cost drops from O(docs^2 * |sh|) to
+  -- the sum of df(s)^2 (~670s -> seconds per query at sf0.1)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         min(a.n) AS na, min(b.n) AS nb
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT doc_id, n_chars FROM documents
 WHERE doc_id NOT IN (
@@ -458,11 +472,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE d AS ({SHH3_SQL}),
+post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
 p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  -- inverted-index dual of the former quadratic `d a JOIN d b` +
+  -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
+  -- equi-join's count(*) == len(list_intersect) exactly; only inter >= 1
+  -- pairs exist, and every consumer below thresholds similarity > 0, so
+  -- the output is identical while cost drops from O(docs^2 * |sh|) to
+  -- the sum of df(s)^2 (~670s -> seconds per query at sf0.1)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         min(a.n) AS na, min(b.n) AS nb
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 ),
 e AS (
   SELECT id_a AS src, id_b AS dst FROM p
@@ -538,11 +559,18 @@ def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SURVIVORS_SQL = f"""
 WITH RECURSIVE d AS ({SHH3_SQL}),
+post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
 p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  -- inverted-index dual of the former quadratic `d a JOIN d b` +
+  -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
+  -- equi-join's count(*) == len(list_intersect) exactly; only inter >= 1
+  -- pairs exist, and every consumer below thresholds similarity > 0, so
+  -- the output is identical while cost drops from O(docs^2 * |sh|) to
+  -- the sum of df(s)^2 (~670s -> seconds per query at sf0.1)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         min(a.n) AS na, min(b.n) AS nb
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 ),
 e AS (
   SELECT id_a AS src, id_b AS dst FROM p
@@ -591,11 +619,18 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CONTAIN_SQL = f"""
 WITH d AS ({SHH3_SQL}),
+post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
 p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  -- inverted-index dual of the former quadratic `d a JOIN d b` +
+  -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
+  -- equi-join's count(*) == len(list_intersect) exactly; only inter >= 1
+  -- pairs exist, and every consumer below thresholds similarity > 0, so
+  -- the output is identical while cost drops from O(docs^2 * |sh|) to
+  -- the sum of df(s)^2 (~670s -> seconds per query at sf0.1)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         min(a.n) AS na, min(b.n) AS nb
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT id_a, id_b,
        CAST(round((CAST(inter AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)) * 1e6) AS BIGINT) AS containment_e6
@@ -642,11 +677,18 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_TRIANGLES_SQL = f"""
 WITH d AS ({SHH3_SQL}),
+post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
 p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  -- inverted-index dual of the former quadratic `d a JOIN d b` +
+  -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
+  -- equi-join's count(*) == len(list_intersect) exactly; only inter >= 1
+  -- pairs exist, and every consumer below thresholds similarity > 0, so
+  -- the output is identical while cost drops from O(docs^2 * |sh|) to
+  -- the sum of df(s)^2 (~670s -> seconds per query at sf0.1)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         min(a.n) AS na, min(b.n) AS nb
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 ),
 e AS (
   SELECT id_a, id_b FROM p
