@@ -259,11 +259,16 @@ found AS (
     JOIN sig sb ON sb.doc_id = id_b
   ) WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 ),
+tpost AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM h),
 truep AS (
+  -- exact-Jaccard ground truth via the inverted-index pair dual (sh is
+  -- distinct per doc, so count(*) == len(list_intersect); the threshold
+  -- needs inter >= 1, which is the only pair kind the posting join emits)
   SELECT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+           min(a.n) AS na, min(b.n) AS nb
+    FROM tpost a JOIN tpost b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
   ) WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {JACCARD_TAU}
 ),
 hit AS (SELECT f.* FROM found f WHERE EXISTS (
