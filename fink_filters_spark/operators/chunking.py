@@ -214,9 +214,12 @@ def hilbert_index(
             f"hilbert_index: column collision {sorted(clash)} — rename the "
             "input or pick another out= name"
         )
-    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
-    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
     n = 1 << bits
+    # mask to the grid's low bits (same semantics as zorder_key, which
+    # reads only bits [0, bits) — without this an out-of-range x would
+    # survive into the n-1-x reflection and walk negative)
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long").bitwiseAND(n - 1)
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long").bitwiseAND(n - 1)
     cur = df.select(
         "*", xc.alias("__hx"), yc.alias("__hy"), F.lit(0).cast("long").alias(out)
     )

@@ -184,6 +184,54 @@ def write_zordered(
     )
 
 
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    n_files: int = 16,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """``write_zordered``'s locality-preserving sibling: quantize (x, y)
+    to the same ``bits``-per-dim grid, key by the HILBERT index
+    (``operators.chunking.hilbert_index`` — chained codegen projections),
+    then range-partition + sort. Consecutive Hilbert cells are always
+    grid neighbors, so the range-partition boundaries — which fall at
+    arbitrary (unaligned) key values — cut tighter per-file bounding
+    boxes than the Z curve's bit-boundary jumps allow; the measured
+    claim is pinned in tests (test_chunking / test_sinks_storage).
+    Prefer this writer when files per dataset ≫ aligned power-of-4
+    bucket counts; keep Z-order when key-computation cost matters more
+    than box tightness (2·bits shift-adds vs bits chained projections).
+    """
+    from ..operators.chunking import hilbert_index
+
+    xc, yc = F.col(x), F.col(y)
+    n = F.lit(1 << bits)
+    qx = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((xc - x_range[0]) / (x_range[1] - x_range[0]) * n),
+    ).cast("long")
+    qy = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((yc - y_range[0]) / (y_range[1] - y_range[0]) * n),
+    ).cast("long")
+    keyed = hilbert_index(
+        df.withColumn("__qx", qx).withColumn("__qy", qy),
+        "__qx", "__qy", bits, out="__h",
+    )
+    (
+        keyed.repartitionByRange(n_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__qx", "__qy", "__h")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_partitions(
     spark,
     path: str,

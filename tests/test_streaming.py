@@ -919,3 +919,49 @@ def test_streaming_dedup_rejects_integer_event_time(spark, tmp_path):
     ).parquet(str(d))
     with _pytest.raises(ValueError, match="SECONDS"):
         streaming_dedup(stream, ["key"], "ts_us")
+
+
+def test_write_hilbert_clustered_tighter_than_zorder_files(spark, tmp_path):
+    """The Hilbert writer's files are compact on BOTH dims like Z-order's —
+    and the mean per-file (x-span + y-span) is no worse, since the 16
+    range-partition boundaries fall at unaligned key values where the Z
+    curve jumps across the plane. Data survives the round trip intact."""
+    import pyarrow.parquet as pq
+
+    from fink_filters_spark.sinks.storage import (
+        write_hilbert_clustered,
+        write_zordered,
+    )
+
+    df = spark.range(0, 10_000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS x", "CAST(id DIV 100 AS DOUBLE) AS y"
+    )
+
+    def mean_span_sum(path):
+        spans = []
+        for f in sorted(path.glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            tot = 0.0
+            for col in ("x", "y"):
+                idx = names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                tot += (max(maxs) - min(mins)) / 100.0
+            spans.append(tot)
+        return sum(spans) / len(spans)
+
+    hpath = tmp_path / "hilbert"
+    write_hilbert_clustered(df, str(hpath), "x", "y", (0, 100), (0, 100), n_files=16)
+    zpath = tmp_path / "zorder"
+    write_zordered(df, str(zpath), "x", "y", (0, 100), (0, 100), n_files=16)
+
+    hs, zs = mean_span_sum(hpath), mean_span_sum(zpath)
+    assert hs <= zs + 1e-9, (hs, zs)  # never worse; typically tighter
+    assert hs < 1.0  # compact on both dims combined (each dim < ~50%)
+    # round trip: same rows, clustering key columns dropped
+    back = spark.read.parquet(str(hpath))
+    assert back.columns == ["x", "y"] and back.count() == 10_000
