@@ -153,8 +153,8 @@ def combine_word_hashes(wh_col: Column | str, n: int = 3, distinct: bool = True)
 
 
 def winnow_select(grams_col: Column | str, w: int = 4) -> Column:
-    """Winnowing fingerprint selection (Schleimer, Haberman & Aiken,
-    SIGMOD'03 §4 "robust winnowing" — the MOSS algorithm) over a
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 §4, Fig. 5 — the MOSS algorithm) over a
     MATERIALIZED positional k-gram hash array column (the
     ``combine_word_hashes(wh, k, distinct=False)`` output; two-stage use
     for the same re-evaluation reason documented there).
@@ -179,7 +179,9 @@ def winnow_select(grams_col: Column | str, w: int = 4) -> Column:
 
     def _argmin(p):
         # rightmost minimum of g[p .. p+wl-1]: ascending fold, <= keeps
-        # the later position on ties (robust winnowing's tie rule)
+        # the later position on ties (the paper's Fig. 5 tie rule —
+        # rightmost minimal hash; NOT the "robust" variant of §5.2,
+        # which would prefer re-selecting the previous window's hash)
         return F.aggregate(
             F.sequence(F.lit(0), wl - 1),
             F.struct(

@@ -332,7 +332,7 @@ def jaccard_pairs(
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
 ) -> DataFrame:
-    """Per-document winnowing fingerprints (Schleimer/Haberman/Aiken
+    """Per-document winnowing fingerprints (Schleimer/Wilkerson/Aiken
     SIGMOD'03, the MOSS local-fingerprinting scheme): positional word
     k-gram hashes slide under a w-gram window, each window keeps its
     rightmost minimum (``functions.text.winnow_select``).

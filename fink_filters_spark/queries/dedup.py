@@ -762,7 +762,7 @@ WINNOW_MIN_SHARED = 2  # pair gate: >= 2 shared fingerprint values
 
 
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document winnowing fingerprint selection (Schleimer/Haberman/
+    """Per-document winnowing fingerprint selection (Schleimer/Wilkerson/
     Aiken SIGMOD'03 / MOSS): rightmost-min word-3-gram hash per 4-gram
     window. Row-local HOF fold — zero shuffle before the explode."""
     docs = load_table(spark, sf_dir, "documents")

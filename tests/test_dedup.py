@@ -690,7 +690,7 @@ def test_shingle_kernel_unigrams_and_tab_padding(spark):
 
 def _py_winnow(text: str, k: int = 3, w: int = 4):
     """Pure-Python replica of winnowing_fingerprints for one document:
-    robust winnowing (rightmost-min per window) over the engine's word
+    standard winnowing (rightmost-min per window, the paper's Fig. 5 tie rule) over the engine's word
     k-gram hash scheme. Returns sorted (pos, fp) with 1-based gram pos."""
     P, B, WB = 66571993087, 31, 37
     toks = text.strip().lower().split()
