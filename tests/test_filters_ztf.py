@@ -403,3 +403,84 @@ def test_zero_selecting_topics_fire_on_crafted_rows(spark, ztf_pdf):
         got = {r.candid for r in apply_named_filter(df, name).select("candid").collect()}
         assert candid in got, f"{name}: crafted row {candid} not selected"
         assert len(got) < total, f"{name}: degenerate (universal) selection"
+
+
+def test_reference_dotted_paths_resolve_to_registry_topics():
+    """Migration contract: every Spark-facing filter UDF path a reference
+    deployment's topic config uses — ``fink_filters.<survey>[.livestream]
+    .filter_<module>.filter.<fn>`` — resolves through get_filter to a
+    registry topic (via _REFERENCE_ALIASES where the names differ), so
+    the config strings keep working verbatim after switching engines."""
+    import os
+
+    import pytest as _pytest
+
+    ref = "/root/reference/fink_filters"
+    if not os.path.isdir(ref):
+        _pytest.skip("reference tree not available")
+
+    import fink_filters_spark.filters.rubin  # noqa: F401 — registration
+    from fink_filters_spark.filters.registry import get_filter
+
+    # the Spark-facing UDF name per module: the reference wraps the pandas
+    # kernel `<fn>_` with @pandas_udf as `<fn>` (mm module: `f_<fn>`)
+    paths = []
+    for survey in ("ztf", "rubin"):
+        for base in (f"{ref}/{survey}", f"{ref}/{survey}/livestream"):
+            if not os.path.isdir(base):
+                continue
+            for mod in sorted(os.listdir(base)):
+                if not mod.startswith("filter_") or mod == "filter_anomaly_notification":
+                    continue
+                fpath = os.path.join(base, mod, "filter.py")
+                if not os.path.exists(fpath):
+                    continue
+                src = open(fpath).read()
+                # Spark-facing UDF defs: a `def <name>(` whose decorator
+                # block mentions pandas_udf, plus any def with a pandas
+                # twin `<name>_` (older modules export both)
+                import re
+
+                fns = re.findall(r"^def ([a-z][a-z0-9_]*)\(", src, re.M)
+                decorated = re.findall(
+                    r"@pandas_udf[^\n]*\n(?:@[^\n]*\n)*def ([a-z][a-z0-9_]*)\(",
+                    src,
+                )
+                spark_fns = sorted(
+                    {f for f in fns if f + "_" in fns} | set(decorated)
+                )
+                sub = base.replace(ref, "fink_filters").replace("/", ".")
+                for f in spark_fns:
+                    paths.append(f"{sub}.{mod}.filter.{f}")
+
+    assert len(paths) >= 40, paths  # the bulk of the topic surface
+    unresolved = []
+    for p in paths:
+        fn = p.rsplit(".", 1)[1]
+        if fn == "early_tde_candidates":
+            continue  # DataFrame pipeline, covered by its own KeyError test
+        try:
+            info = get_filter(p)
+        except KeyError:
+            unresolved.append(p)
+            continue
+        assert "alias -> " in info.description, p
+    assert not unresolved, unresolved
+
+
+def test_reference_early_tde_path_raises_helpfully():
+    from fink_filters_spark.filters.registry import get_filter
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="DataFrame pipeline"):
+        get_filter(
+            "fink_filters.ztf.filter_early_tde_candidates.filter.early_tde_candidates"
+        )
+
+
+def test_reference_aliased_path_selects_like_native_topic(ztf_df):
+    ref_path = "fink_filters.ztf.livestream.filter_sn_candidates.filter.sn_candidates"
+    via_alias = apply_named_filter(ztf_df, ref_path).count()
+    native = apply_named_filter(ztf_df, "ztf.sn_candidates").count()
+    assert via_alias == native > 0
