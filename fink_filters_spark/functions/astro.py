@@ -26,6 +26,7 @@ _R2D = 180.0 / math.pi
 # alpha_NGP = 192.85948°, delta_NGP = 27.12825°, l_NCP = 122.93192°.
 _RA_NGP = 192.85948 * _D2R
 _DEC_NGP = 27.12825 * _D2R
+_L_NCP = 122.93192 * _D2R
 # Obliquity of the ecliptic (J2000): 23.4392911°.
 _ECL_OBL = 23.4392911 * _D2R
 
@@ -55,6 +56,28 @@ def gal_b(ra, dec) -> Column:
         + F.lit(math.cos(_DEC_NGP)) * F.cos(d) * F.cos(r - F.lit(_RA_NGP))
     )
     return F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sinb))) * F.lit(_R2D)
+
+
+def gal_l(ra, dec) -> Column:
+    """Galactic longitude l in degrees, [0, 360), from ICRS ra/dec
+    (degrees) — the spherical-triangle companion of :func:`gal_b`
+    (the reference reads both from astropy's ``gal.l/gal.b`` in the
+    anomaly notification templates, ``filter_anomaly_notification/
+    filter.py:203``):
+
+        cos(b)·sin(l_NCP − l) = cos(dec)·sin(ra − ra_G)
+        cos(b)·cos(l_NCP − l) = sin(dec)·cos(dec_G)
+                                − cos(dec)·sin(dec_G)·cos(ra − ra_G)
+    """
+    r, d = _rad(ra), _rad(dec)
+    dra = r - F.lit(_RA_NGP)
+    y = F.cos(d) * F.sin(dra)
+    x = (
+        F.sin(d) * F.lit(math.cos(_DEC_NGP))
+        - F.cos(d) * F.lit(math.sin(_DEC_NGP)) * F.cos(dra)
+    )
+    l_deg = (F.lit(_L_NCP) - F.atan2(y, x)) * F.lit(_R2D)
+    return F.pmod(l_deg, F.lit(360.0))
 
 
 def ecl_lat(ra, dec) -> Column:

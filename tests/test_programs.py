@@ -468,3 +468,81 @@ def test_nightly_state_update_is_rerun_safe_and_merges(spark, tmp_path):
     assert got["a"]["flux_count"] == 2 and got["a"]["flux_sum"] == 3
     assert got["b"]["flux_sum"] == 30 and got["b"]["flux_min"] == 10
     assert got["c"]["flux_avg_ppm"] == 5_000_000
+
+
+def test_anomaly_messages_match_reference_templates():
+    """Byte-exact render of the reference's notification templates
+    (filter.py:199-253) on a crafted row, with the network-derived DR-OID
+    and permalink parts injected — and omitted when unavailable."""
+    from fink_filters_spark.programs.anomaly import anomaly_messages
+
+    row = {
+        "objectId": "ZTF21abcdefg",
+        "ra": 266.41683,
+        "dec": -29.00781,
+        "gal_l": 359.9441966,
+        "gal_b": -0.0461992,
+        "timestamp": "2024-01-02 03:04:05.678901",
+        "rb": 0.9567,
+        "anomaly_score": -0.2345,
+    }
+    init, tg, slack = anomaly_messages(
+        [row],
+        median=-0.12,
+        threshold=10,
+        history_period=90,
+        history_counts={"ZTF21abcdefg": 2},
+        oid_lookup=lambda ra, dec: 695211200075348,
+        permalinks=lambda oid: ("http://cut/x", "http://curve/x"),
+    )
+    assert init == "Median anomaly score overnight: -0.12."
+    assert tg[0] == (
+        "**ID**: [ZTF21abcdefg](https://ztf.fink-portal.org/ZTF21abcdefg)\n"
+        "**DR OID (<1'')**: [695211200075348](https://ztf.snad.space/view/695211200075348)\n"
+        "**GAL coordinates**: 359.944197,   -0.046199\n"
+        "**EQU**: 266.41683,   -29.00781\n"
+        "**UTC**: 2024-01-02 03:04:05.678\n"
+        "**Real bogus**: 0.96\n"
+        "**Anomaly score**: -0.23\n"
+        "Detected as top-10 in the last 90 days: 3 times."
+    )
+    assert slack[0].startswith(
+        "==========================\n"
+        "ID: <https://ztf.fink-portal.org/ZTF21abcdefg|ZTF21abcdefg>\n"
+        "DR OID (<1''): <https://ztf.snad.space/view/695211200075348|695211200075348>"
+    )
+    assert slack[0].endswith("<http://cut/x| ><http://curve/x| >")
+    # offline: no OID line, no permalink suffix, singular "time"
+    init2, tg2, slack2 = anomaly_messages([row], median=-0.12)
+    assert "DR OID" not in tg2[0] and "DR OID" not in slack2[0]
+    assert tg2[0].endswith("days: 1 time.")
+
+
+def test_gal_l_matches_published_coordinates(spark):
+    """gal_l/gal_b vs published galactic coordinates (SIMBAD values):
+    Sgr A*, Vega, M31, and the NGP pole case."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.functions.astro import gal_b, gal_l
+
+    pts = [
+        ("SgrA*", 266.41683, -29.00781, 359.944, -0.0462),
+        ("NGP", 192.85948, 27.12825, None, 90.0),
+        ("Vega", 279.23474, 38.78369, 67.448, 19.237),
+        ("M31", 10.68471, 41.26875, 121.174, -21.573),
+    ]
+    df = spark.createDataFrame(
+        [(n, r, d) for n, r, d, _, _ in pts], "name string, ra double, dec double"
+    )
+    got = {
+        r["name"]: (r["l"], r["b"])
+        for r in df.select(
+            "name", gal_l("ra", "dec").alias("l"), gal_b("ra", "dec").alias("b")
+        ).collect()
+    }
+    for name, _, _, l_exp, b_exp in pts:
+        l, b = got[name]
+        if l_exp is not None:
+            assert abs(l - l_exp) < 0.02, (name, l)
+        assert abs(b - b_exp) < 0.02, (name, b)
+        assert 0.0 <= l < 360.0
