@@ -253,6 +253,14 @@ def register_sql_functions(spark) -> list[str]:
             f"{repr(math.cos(_DEC_NGP))} * cos(dec * {d2r}) * "
             f"cos(ra * {d2r} - {repr(_RA_NGP)})))) * {r2d}"
         ),
+        "gal_l": (
+            "(ra DOUBLE, dec DOUBLE) RETURNS DOUBLE RETURN "
+            f"pmod(({repr(_L_NCP)} - atan2("
+            f"cos(dec * {d2r}) * sin(ra * {d2r} - {repr(_RA_NGP)}), "
+            f"sin(dec * {d2r}) * {repr(math.cos(_DEC_NGP))} - "
+            f"cos(dec * {d2r}) * {repr(math.sin(_DEC_NGP))} * "
+            f"cos(ra * {d2r} - {repr(_RA_NGP)}))) * {r2d}, 360.0)"
+        ),
         "ecl_lat": (
             "(ra DOUBLE, dec DOUBLE) RETURNS DOUBLE RETURN "
             f"asin(greatest(-1.0, least(1.0, "

@@ -227,13 +227,14 @@ def test_sql_function_registration_matches_column_exprs(spark):
         ecl_lat,
         flux2mag,
         gal_b,
+        gal_l,
         mag2fluxcal,
         register_sql_functions,
         sky_sep,
     )
 
     names = register_sql_functions(spark)
-    assert {"sky_sep", "gal_b", "ecl_lat", "mag2fluxcal", "flux2mag", "dc_mag"} <= set(names)
+    assert {"sky_sep", "gal_b", "gal_l", "ecl_lat", "mag2fluxcal", "flux2mag", "dc_mag"} <= set(names)
 
     df = spark.createDataFrame(
         [
@@ -247,6 +248,7 @@ def test_sql_function_registration_matches_column_exprs(spark):
     df.createOrReplaceTempView("astro_probe")
     via_sql = spark.sql(
         """SELECT sky_sep(ra1, dec1, ra2, dec2) AS sep,
+                  gal_l(ra1, dec1) AS l,
                   gal_b(ra1, dec1) AS b,
                   ecl_lat(ra1, dec1) AS beta,
                   mag2fluxcal(magpsf) AS flux,
@@ -256,6 +258,7 @@ def test_sql_function_registration_matches_column_exprs(spark):
     ).collect()
     via_col = df.select(
         sky_sep("ra1", "dec1", "ra2", "dec2").alias("sep"),
+        gal_l("ra1", "dec1").alias("l"),
         gal_b("ra1", "dec1").alias("b"),
         ecl_lat("ra1", "dec1").alias("beta"),
         mag2fluxcal("magpsf").alias("flux"),
@@ -263,7 +266,7 @@ def test_sql_function_registration_matches_column_exprs(spark):
         dc_mag("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos").alias("dcm"),
     ).collect()
     for rs, rc in zip(via_sql, via_col):
-        for field in ("sep", "b", "beta", "flux", "mag_rt", "dcm"):
+        for field in ("sep", "l", "b", "beta", "flux", "mag_rt", "dcm"):
             assert rs[field] == rc[field], (field, rs[field], rc[field])
 
 
