@@ -215,3 +215,48 @@ def test_notification_sink_end_to_end_over_http(server, spark):
     sink(df, batch_id=8)
     sent3 = [p for path, p in state["posts"] if path == "/sink"]
     assert len(sent3) == n + 2
+
+
+def test_anomaly_flow_end_to_end_over_loopback(server, spark):
+    """The reference's anomaly lifecycle recomposed end-to-end: SQL-string
+    prefilter -> night-median guard -> dedup-then-top-k -> the reference's
+    message templates -> a REAL Slack webhook POST per block (mrkdwn text
+    riding in the Slack payload) — against the loopback server, like the
+    reference's msg_handler_slack chat_postMessage loop
+    (filter_anomaly_notification/filter.py:166-253, filter_utils.py:269-326)."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.functions.astro import gal_b, gal_l
+    from fink_filters_spark.programs.anomaly import (
+        anomaly_messages,
+        anomaly_notification,
+    )
+    from fink_filters_spark.sinks import SlackTransport
+
+    base, state = server
+    df = spark.range(0, 50).select(
+        F.concat(F.lit("ZTF2"), F.col("id")).alias("objectId"),
+        F.col("id").cast("long").alias("candid"),
+        (F.col("id") % 360).cast("double").alias("ra"),
+        ((F.col("id") % 120) - 60).cast("double").alias("dec"),
+        (F.col("id") * 37 % 100 / 100.0).alias("rb"),
+        F.lit("2024-01-02 03:04:05.678901").alias("timestamp"),
+        (-(F.col("id") % 17) / 10.0).alias("anomaly_score"),
+    )
+    sel = anomaly_notification(df, threshold=3).select(
+        "*", gal_l("ra", "dec").alias("gal_l"), gal_b("ra", "dec").alias("gal_b")
+    )
+    rows = [r.asDict() for r in sel.collect()]
+    assert 0 < len(rows) <= 3
+    init, _tg, slack_blocks = anomaly_messages(rows, median=-0.8)
+    tr = SlackTransport(url=f"{base}/slack")
+    before = len(state["posts"])
+    for block in [init] + slack_blocks:
+        tr.send({"text": block})
+    sent = [p for _, p in state["posts"][before:]]
+    assert sent[0]["text"] == "Median anomaly score overnight: -0.8."
+    assert len(sent) == 1 + len(rows)
+    for p, row in zip(sent[1:], rows):
+        assert p["text"].startswith("==========================\nID: <")
+        assert row["objectId"] in p["text"]
+        assert "**Anomaly score**" in p["text"]
