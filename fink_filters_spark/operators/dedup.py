@@ -410,6 +410,45 @@ def winnowing_pairs(
     )
 
 
+def winnowing_overlap_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Localize WHERE candidate near-dup pairs overlap — the MOSS report
+    stage: for every pair passing ``winnowing_pairs``'s gate, emit one row
+    per shared fingerprint OCCURRENCE pair ``(id_a, id_b, fp, pos_a,
+    pos_b)`` (1-based gram positions; a shared token run of >= w+k-1
+    tokens is guaranteed at least one row, and runs longer than w+k-1
+    produce position-aligned chains that downstream span-merging can
+    stitch).
+
+    Plan: the per-doc fingerprints (row-local) explode once; the gated
+    pair list (id_a, id_b) is output-sized, so joining it back to the two
+    position postings is two equi-joins on (doc, fp)-shaped keys — no
+    quadratic stage beyond the already-bounded pair join.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w).cache()
+    pairs = winnowing_pairs(
+        df, id_col, text_col, k=k, w=w, min_shared=min_shared, max_df=max_df
+    ).select("id_a", "id_b")
+    a = fps.select(
+        F.col(id_col).alias("id_a"), F.col("fp"), F.col("pos").alias("pos_a")
+    )
+    b = fps.select(
+        F.col(id_col).alias("id_b"), F.col("fp"), F.col("pos").alias("pos_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "fp"])
+        .select("id_a", "id_b", "fp", "pos_a", "pos_b")
+    )
+
+
 def _cooccurrence(df: DataFrame, id_col: str, text_col: str, n: int):
     """Shared inverted-index core of ``jaccard_pairs`` / ``containment_pairs``:
     the representative-collapse table and the per-rep-pair co-occurrence

@@ -22,6 +22,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
     winnowing_fingerprints,
+    winnowing_overlap_spans,
     winnowing_pairs,
 )
 from ..tables import load_table
@@ -828,6 +829,32 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 
+def q_dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap localization (MOSS report stage): one row per shared
+    fingerprint occurrence pair of every gated candidate pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_overlap_spans(
+        docs, "doc_id", "text", k=3, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )
+
+
+DEDUP_WINNOW_SPANS_SQL = f"""
+WITH {_winnow_fps_sql()},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT DISTINCT doc_id, fp FROM wfp) a
+  JOIN (SELECT DISTINCT doc_id, fp FROM wfp) b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.id_a, p.id_b, fa.fp, fa.pos AS pos_a, fb.pos AS pos_b
+FROM pairs p
+JOIN wfp fa ON fa.doc_id = p.id_a
+JOIN wfp fb ON fb.doc_id = p.id_b AND fb.fp = fa.fp
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL, "exact hash-groupBy dedup"),
     QuerySpec("text_winnowing", q_text_winnowing, TEXT_WINNOW_SQL,
@@ -835,6 +862,9 @@ SPECS = [
               "hash per w-window, row-local"),
     QuerySpec("dedup_winnowing", q_dedup_winnowing, DEDUP_WINNOW_SQL,
               "near-dup candidate pairs sharing winnowed fingerprints"),
+    QuerySpec("dedup_winnow_spans", q_dedup_winnow_spans, DEDUP_WINNOW_SPANS_SQL,
+              "overlap localization: shared-fingerprint position pairs per "
+              "gated candidate pair (MOSS report stage)"),
     QuerySpec("dedup_survivors_quality", q_dedup_survivors_quality,
               DEDUP_SURVIVORS_SQL,
               "quality-aware survivor per near-dup cluster (longest wins)"),

@@ -805,3 +805,25 @@ def test_winnowing_pairs_max_df_prunes_boilerplate(spark):
     pruned = winnowing_pairs(df, "doc_id", "text", min_shared=1, max_df=4).collect()
     # df=5 boilerplate fingerprints are dropped; the df=2 pair survives
     assert {(r["id_a"], r["id_b"]) for r in pruned} == {(10, 11)}
+
+
+def test_winnowing_overlap_spans_localize_planted_run(spark):
+    """The MOSS report stage localizes the overlap: for two docs sharing
+    one long planted run, every emitted (pos_a, pos_b) pair from the run's
+    fingerprints has a CONSTANT offset equal to the run's displacement
+    between the two documents."""
+    from fink_filters_spark.operators.dedup import winnowing_overlap_spans
+
+    run = " ".join(f"r{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 " + run),   # run starts at token 5 -> gram 5
+            (2, "b1 b2 " + run),          # run starts at token 3 -> gram 3
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnowing_overlap_spans(df, "doc_id", "text", min_shared=1).collect()
+    assert rows, "planted run produced no overlap spans"
+    offsets = {r["pos_a"] - r["pos_b"] for r in rows}
+    assert offsets == {2}, offsets  # 5 - 3: the run's displacement
+    assert all(r["id_a"] == 1 and r["id_b"] == 2 for r in rows)
