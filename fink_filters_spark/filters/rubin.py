@@ -143,6 +143,8 @@ def b_xmatched_gaia_star(df: DataFrame) -> Column:
 # The two fink-utils lists partition the catalogued vocabulary (the
 # reference's b_xmatched_vsx is their concatenation and means "any VSX
 # match", blocks.py:238-259), so stellar == catalogued AND NOT nonstellar.
+# VENDORED TRANSCRIPTION — provenance + pinned upstream copy in
+# filters/provenance.py; tests/test_provenance.py guards drift.
 VSX_NONSTELLAR_CLASSES = ["AGN", "AGN:", "BLLAC", "BLLAC:", "QSO", "QSO:"]
 
 

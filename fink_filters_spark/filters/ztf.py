@@ -23,6 +23,8 @@ from .registry import register
 # The reference pulls this allowlist from fink-utils ``return_list_of_eg_host``
 # (used at ztf/livestream/filter_sn_candidates/filter.py:94-98); this is the
 # same family of SIMBAD otypes (galaxies, AGN, quasars, unknown hosts).
+# VENDORED TRANSCRIPTION — provenance + pinned upstream copy in
+# filters/provenance.py; tests/test_provenance.py guards drift.
 EG_HOST_CLASSES = [
     "Unknown",
     "Transient",

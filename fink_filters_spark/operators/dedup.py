@@ -431,8 +431,28 @@ def winnowing_overlap_spans(
     pair list (id_a, id_b) is output-sized, so joining it back to the two
     position postings is two equi-joins on (doc, fp)-shaped keys — no
     quadratic stage beyond the already-bounded pair join.
+
+    ``max_df`` gates the SPAN postings with the same document-frequency
+    purge ``winnowing_pairs`` applies to its candidate join: a fingerprint
+    appearing in more than ``max_df`` documents is boilerplate, and
+    without the gate the span join would re-pay exactly the Σ df(fp)²
+    cost the pair-stage purge removed (spans for surviving pairs would
+    also report boilerplate overlaps the pair gate never counted).
     """
     fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w).cache()
+    if max_df is not None:
+        # df is counted over DISTINCT (doc, fp) postings — identical to the
+        # pair stage's gate, so a span row exists iff its fingerprint could
+        # have contributed to the pair's shared_fps count
+        keep = (
+            fps.select(id_col, "fp")
+            .distinct()
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
     pairs = winnowing_pairs(
         df, id_col, text_col, k=k, w=w, min_shared=min_shared, max_df=max_df
     ).select("id_a", "id_b")
@@ -919,8 +939,40 @@ def _band_key_cols() -> list[Column]:
     return cols
 
 
+#: ``collapse="auto"`` collapses only when the probed duplicate fraction
+#: exceeds this. 5% sits well above the probe's ~1% estimation error and
+#: well below the duplication level where the collapse shuffle pays for
+#: itself (duplicate groups shrink the band self-join quadratically).
+COLLAPSE_DUP_FRAC = 0.05
+
+
+def _duplicate_fraction(df: DataFrame, text_col: str) -> float:
+    """Probed fraction of rows whose text duplicates another row's.
+
+    One narrow JVM-only aggregate over the text column (xxhash64 +
+    HyperLogLog++ at rsd=0.02 — measured ~2x cheaper than 0.01 with error
+    still far inside the decision threshold): no shuffle of document
+    bodies, no Python worker, and Catalyst prunes the scan to the single
+    column. Identical text implies an identical shingle set, so this
+    lower-bounds the collapse opportunity ``minhash_lsh_pairs`` would find
+    (normalization can only merge more sets, never fewer)."""
+    row = df.agg(
+        F.count(text_col).alias("__n"),
+        F.approx_count_distinct(F.xxhash64(text_col), rsd=0.02).alias("__d"),
+    ).collect()[0]
+    n = row["__n"] or 0
+    if n == 0:
+        return 0.0
+    return max(0.0, (n - row["__d"]) / n)
+
+
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, tau: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.5,
+    collapse: bool | str = "auto",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -929,46 +981,78 @@ def minhash_lsh_pairs(
     miss sub-threshold-probability pairs); the exact operator is
     ``jaccard_pairs``.
 
-    Representative collapse (scale fix): documents with an IDENTICAL
-    shingle set have identical signatures, identical band keys, and
-    pairwise Jaccard exactly 1 — so the corpus is first grouped by
+    Representative collapse (scale fix, ADAPTIVE): documents with an
+    IDENTICAL shingle set have identical signatures, identical band keys,
+    and pairwise Jaccard exactly 1 — so the corpus can first be grouped by
     shingle-set identity (``__k``, 32-byte sha256 of the sorted shingle
     bytes — fixed-width AND collision-resistant, so the collapse stays
     exact even adversarially; cache-lifetime note on ``jaccard_pairs``
-    applies here too) and LSH runs
-    on ONE representative per distinct set. Exact-duplicate
-    groups (the dominant near-dup class in a web-scale corpus, and what a
-    replicated stress corpus is made of) then cost O(distinct sets) in the
-    band join instead of O(docs), and the quadratic within-group pair
-    explosion happens only at the final output-sized expansion, never in
-    the candidate join or the array_intersect verification. The emitted
-    pair set is bit-identical to running the naive algorithm per document:
-    members inherit their representative's bands (same set -> same bands),
-    so rep-level band-sharing <=> member-level band-sharing.
+    applies here too) and LSH run on ONE representative per distinct set.
+    Exact-duplicate groups (the dominant near-dup class in a web-scale
+    corpus, and what a replicated stress corpus is made of) then cost
+    O(distinct sets) in the band join instead of O(docs), and the
+    quadratic within-group pair explosion happens only at the final
+    output-sized expansion, never in the candidate join or the
+    array_intersect verification. The emitted pair set is bit-identical to
+    running the naive algorithm per document: members inherit their
+    representative's bands (same set -> same bands), so rep-level
+    band-sharing <=> member-level band-sharing.
+
+    The collapse itself costs one corpus-wide groupBy that shuffles the
+    shingle arrays; on a duplication-LIGHT corpus that shuffle buys
+    nothing (every group is a singleton), so ``collapse`` is three-valued:
+
+    - ``True``: always collapse (replicated / web-crawl corpora).
+    - ``False``: never collapse — band join runs per document. Output is
+      bit-identical (identical sets share all bands, so their pairs
+      surface through the ordinary candidate join at Jaccard 1).
+    - ``"auto"`` (default): one cheap JVM-only probe
+      (``_duplicate_fraction``: count + approx_count_distinct over
+      xxhash64(text), rsd=0.02 — a single column scan, no Python, no wide
+      shuffle) picks the branch at ``COLLAPSE_DUP_FRAC``. Callers that
+      know their corpus shape should pass an explicit bool and skip the
+      probe's extra scan.
     """
+    if collapse == "auto":
+        collapse = _duplicate_fraction(df, text_col) >= COLLAPSE_DUP_FRAC
     # fused Arrow kernel: shingles AND the 16 signature minima in one pass
     # (vectorized (h*a+b) % P + np.minimum.reduceat — replaces 16 interpreted
     # array_min(transform(...)) folds per row); bit-identical to
     # ``minhash_signature`` over the native shingle path
-    sig = minhash_signatures(df, id_col, text_col, n, with_key=True)
-    # group by __k, the kernel's 32-byte sha256 of the sorted shingle bytes —
-    # the collapse shuffle hashes/compares fixed-width keys, never arrays;
-    # the rep's shingle array rides once as a first() payload for the
-    # verification path, and the signature is a pure function of the set
-    # (identical per group)
-    nperm = len(MINHASH_AB)
-    grp = (
-        sig.groupBy("__k")
-        .agg(
-            F.min("__id").alias("__rid"),
-            F.collect_list("__id").alias("__members"),
-            F.first("__sh").alias("__sh"),
-            F.count(F.lit(1)).alias("__gsz"),
-            *[F.first(f"m{i}").alias(f"m{i}") for i in range(nperm)],
+    sig = minhash_signatures(df, id_col, text_col, n, with_key=collapse)
+    if not collapse:
+        # per-document path: sig is both the band source and the shingle
+        # lookup for verification — cache it so the kernel runs once
+        sig = sig.cache()
+        grp = sig.select(
+            F.col("__id").alias("__rid"),
+            "__sh",
+            F.lit(1).alias("__gsz"),
         )
-        .cache()
+    else:
+        # group by __k, the kernel's 32-byte sha256 of the sorted shingle
+        # bytes — the collapse shuffle hashes/compares fixed-width keys,
+        # never arrays; the rep's shingle array rides once as a first()
+        # payload for the verification path, and the signature is a pure
+        # function of the set (identical per group)
+        nperm = len(MINHASH_AB)
+        grp = (
+            sig.groupBy("__k")
+            .agg(
+                F.min("__id").alias("__rid"),
+                F.collect_list("__id").alias("__members"),
+                F.first("__sh").alias("__sh"),
+                F.count(F.lit(1)).alias("__gsz"),
+                *[F.first(f"m{i}").alias(f"m{i}") for i in range(nperm)],
+            )
+            .cache()
+        )
+    band_src = sig if not collapse else grp
+    rid = "__id" if not collapse else "__rid"
+    bands = band_src.select(
+        F.col(rid).alias("__rid"),
+        F.explode(F.array(*_band_key_cols())).alias("__bk"),
     )
-    bands = grp.select("__rid", F.explode(F.array(*_band_key_cols())).alias("__bk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.__bk") == F.col("b.__bk")) & (F.col("a.__rid") < F.col("b.__rid")))
@@ -989,6 +1073,14 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= tau)
         .select("__ra", "__rb", "jaccard")
     )
+    if not collapse:
+        # every group is a singleton: rep pairs ARE member pairs — emit
+        # directly with the same rounding contract as _expand_rep_pairs
+        return verified.select(
+            F.col("__ra").alias("id_a"),
+            F.col("__rb").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     return _expand_rep_pairs(grp, verified)
 
 

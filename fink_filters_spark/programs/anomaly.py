@@ -89,6 +89,12 @@ def anomaly_messages(
     (reference ``filter_utils.get_oid``), and the slack permalink suffix
     when ``permalinks(objectId)`` returns (cutout_url, curve_url)
     (reference ``get_data_permalink_slack``).
+
+    .. note:: deliberate divergence from byte-exactness: the reference
+       emits the DR OID line UNCONDITIONALLY, rendering the literal
+       ``[None](.../None)`` when ``get_oid`` fails; this renderer omits
+       the line for a falsy oid instead. Every other line is
+       byte-faithful (pinned in ``tests/test_programs.py``).
     """
     history_counts = history_counts or {}
     tg_blocks, slack_blocks = [], []

@@ -164,7 +164,7 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hilbert_sql_levels(xe: str, ye: str, bits: int) -> str:
-    """The oracle dual of ``operators.chunking.hilbert_key``: the same
+    """The oracle dual of ``operators.chunking.hilbert_index``: the same
     quadrant-rotation walk unrolled as ``bits`` chained scalar levels
     (DuckDB's list_reduce cannot carry a struct accumulator over a plain
     integer level list, so the fold becomes nested subqueries — linear

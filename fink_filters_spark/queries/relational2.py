@@ -15,7 +15,7 @@ filtered side allows), projects before the shuffle, and never collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tables import load_table
 from . import QuerySpec
@@ -268,37 +268,49 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier returned), planned as a semi join and an anti join over two
     aliases of lineitem.
 
-    Scale: the EXISTS/NOT-EXISTS pair is algebraized into ONE per-order
-    aggregate instead of three lineitem self-joins — per (orderkey,
-    suppkey) dedup with a returned flag (map-side partial agg collapses
-    duplicate pairs before the shuffle), then per-order supplier counts:
-    ``some other supplier`` == n_supp > 1 and ``no other supplier
-    returned`` == n_ret_supp == 1 given this supplier returned. The
-    returned lines then join the small per-order aggregate on orderkey;
-    supplier broadcasts. Replaces two full-lineitem shuffles with
-    aggregate-sized ones."""
+    Scale: ONE lineitem scan. The EXISTS/NOT-EXISTS pair is algebraized
+    into a per-(orderkey, suppkey) aggregate carrying the supplier's
+    returned-ROW count (map-side partial agg collapses duplicate pairs
+    before the shuffle), then a window over orderkey derives the order's
+    supplier counts in place of a second aggregate + re-join of the
+    returned lines: ``some other supplier`` == n_supp > 1, ``no other
+    supplier returned`` == n_ret_supp == 1 given this supplier returned,
+    and numwait == that sole returner's n_ret_rows (there is exactly one
+    such supplier per qualifying order, so the sum over pairs equals the
+    old count over returned lines). The only shuffles left are the pair
+    aggregate and the pair-sized window/orders-semi re-key on orderkey;
+    supplier broadcasts. The previous shape re-scanned lineitem for the
+    returned lines and shuffled them a second time — at 100 TB that was
+    the dominant exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    per_order = (
-        li.groupBy(F.col("l_orderkey").alias("po_okey"), "l_suppkey")
-        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("__ret"))
-        .groupBy("po_okey")
-        .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("__ret").alias("n_ret_supp"),
+    pairs = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("int").alias("__r"),
         )
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("__r").alias("n_ret_rows"))
     )
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_ret_supp", F.sum((F.col("n_ret_rows") > 0).cast("int")).over(w))
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_ret_supp") == 1)
+            & (F.col("n_ret_rows") > 0)
+        )
+    )
     return (
-        l1.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(per_order, F.col("l_orderkey") == F.col("po_okey"), "left_semi")
-        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        sole.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_ret_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )

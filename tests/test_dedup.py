@@ -72,6 +72,51 @@ def test_minhash_lsh_high_recall_on_near_dups(corpus):
     assert {(0, 80), (1, 81), (2, 82)} <= lsh
 
 
+def test_minhash_lsh_collapse_branches_bit_identical(spark):
+    """collapse=True / collapse=False / "auto" must emit the SAME pair set
+    with the SAME rounded jaccard values — the collapse is a pure physical
+    rewrite (identical shingle sets share all band keys, so their pairs
+    surface through the ordinary candidate join at Jaccard 1)."""
+    from fink_filters_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight and runs away"
+    rows = (
+        [(i, base) for i in range(8)]  # exact-duplicate group
+        + [(10 + i, base + f" trailing variant {i % 2}") for i in range(6)]
+        + [(50 + i, f"unique document {i} with words {i * 7} {i * 13} only") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for mode in (True, False, "auto"):
+        got = minhash_lsh_pairs(df, "doc_id", "text", 3, 0.5, collapse=mode)
+        out[mode] = sorted((r.id_a, r.id_b, r.jaccard) for r in got.collect())
+        spark.catalog.clearCache()
+    assert out[True] == out[False] == out["auto"]
+    assert len(out[True]) >= 8 * 7 // 2  # the duplicate group's pairs at 1.0
+
+
+def test_duplicate_fraction_probe_picks_the_branch(spark):
+    """The auto probe (count + approx_count_distinct over xxhash64(text))
+    must clear COLLAPSE_DUP_FRAC on a heavily replicated corpus and stay
+    under it on an all-unique one; empty input is 0.0, not a crash."""
+    from fink_filters_spark.operators.dedup import (
+        COLLAPSE_DUP_FRAC, _duplicate_fraction,
+    )
+
+    dup = spark.createDataFrame(
+        [(i, "same text") for i in range(40)] + [(100, "other")],
+        "doc_id long, text string",
+    )
+    uniq = spark.createDataFrame(
+        [(i, f"unique text number {i} padding {i * 31}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    empty = uniq.filter("doc_id < 0")
+    assert _duplicate_fraction(dup, "text") > COLLAPSE_DUP_FRAC
+    assert _duplicate_fraction(uniq, "text") < COLLAPSE_DUP_FRAC
+    assert _duplicate_fraction(empty, "text") == 0.0
+
+
 def test_simhash_pairs_planted_dups(corpus):
     from fink_filters_spark.operators.dedup import simhash_pairs
 
@@ -805,6 +850,38 @@ def test_winnowing_pairs_max_df_prunes_boilerplate(spark):
     pruned = winnowing_pairs(df, "doc_id", "text", min_shared=1, max_df=4).collect()
     # df=5 boilerplate fingerprints are dropped; the df=2 pair survives
     assert {(r["id_a"], r["id_b"]) for r in pruned} == {(10, 11)}
+
+
+def test_winnowing_overlap_spans_max_df_gates_span_postings(spark):
+    """The span stage applies the SAME document-frequency purge as the
+    pair stage: with max_df set, no emitted span row may carry a
+    fingerprint whose df exceeds the gate — otherwise the span join
+    re-pays the boilerplate cost the pair purge removed."""
+    from fink_filters_spark.operators.dedup import (
+        winnowing_fingerprints, winnowing_overlap_spans,
+    )
+
+    boiler = " ".join(f"c{i}" for i in range(12))
+    uniq = "u1 u2 u3 u4 u5 u6 u7 u8"
+    # docs 10/11 share boilerplate AND a unique run, so their pair survives
+    # the max_df gate through the unique fingerprints alone
+    rows = [(i, boiler) for i in range(5)] + [
+        (10, boiler + " " + uniq),
+        (11, boiler + " " + uniq),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", "text").select("doc_id", "fp").distinct()
+    dfreq = {r["fp"]: r["n"] for r in fps.groupBy("fp").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    spans = winnowing_overlap_spans(
+        df, "doc_id", "text", min_shared=1, max_df=4
+    ).collect()
+    assert spans, "gated pair lost its spans entirely"
+    assert all(r["id_a"] == 10 and r["id_b"] == 11 for r in spans)
+    assert all(dfreq[r["fp"]] <= 4 for r in spans), "boilerplate fp leaked into spans"
+    # ungated call still reports the boilerplate overlap for comparison
+    full = winnowing_overlap_spans(df, "doc_id", "text", min_shared=1).collect()
+    assert any(dfreq[r["fp"]] > 4 for r in full if r["id_a"] == 10)
 
 
 def test_winnowing_overlap_spans_localize_planted_run(spark):

@@ -391,6 +391,90 @@ def test_packaged_sfd_rasters_landmarks(spark):
         )
 
 
+def test_sfd_published_goldens_pin_the_lookup_chain(spark):
+    """Drop-in verifiability for REAL SFD rasters (round-8 de-risk): plant
+    each PUBLISHED SFD98 E(B-V) golden (operators/sfd_goldens.py) into
+    otherwise-empty real-geometry rasters at the pixel the transform
+    computes, then check BOTH consumers recover exactly those values —
+    the pure-numpy ``verify_sfd_rasters`` gate and the distributed Spark
+    kernel (``sfd_ebv``). That pins numpy-gate == Spark-kernel == the
+    documented pixel convention, so a real-raster pass of
+    ``verify_sfd_rasters`` certifies the whole distributed path."""
+    import numpy as np
+
+    from fink_filters_spark.operators.cosmology import (
+        radec_to_lb, sfd_ebv, sfd_pixel,
+    )
+    from fink_filters_spark.operators.sfd_goldens import (
+        PUBLISHED_SIGHTLINES, verify_sfd_rasters,
+    )
+
+    size = 512
+    north = np.full((size, size), -1.0)
+    south = np.full((size, size), -1.0)
+    for name, ra, dec, ebv, _tol, _src in PUBLISHED_SIGHTLINES:
+        l, b = radec_to_lb(np.array([ra]), np.array([dec]))
+        x, y, is_north = sfd_pixel(l, b, size)
+        xi = int(np.clip(np.rint(x[0]), 0, size - 1))
+        yi = int(np.clip(np.rint(y[0]), 0, size - 1))
+        (north if is_north[0] else south)[yi, xi] = ebv
+
+    report = verify_sfd_rasters(north, south)
+    assert len(report) == len(PUBLISHED_SIGHTLINES) >= 5
+    for entry in report:
+        assert entry["ok"], entry
+        assert entry["got"] != -1.0, f"{entry['name']} missed its planted pixel"
+
+    pdf = pd.DataFrame(
+        {
+            "name": [g[0] for g in PUBLISHED_SIGHTLINES],
+            "ra": [g[1] for g in PUBLISHED_SIGHTLINES],
+            "dec": [g[2] for g in PUBLISHED_SIGHTLINES],
+        }
+    )
+    got = (
+        sfd_ebv(spark.createDataFrame(pdf), north, south)
+        .toPandas()
+        .set_index("name")["ebv"]
+    )
+    for name, _ra, _dec, ebv, _tol, _src in PUBLISHED_SIGHTLINES:
+        assert abs(got[name] - ebv) < 1e-12, (name, got[name], ebv)
+
+
+def test_sfd_real_rasters_match_published_values():
+    """THE drop-in gate: when the real SFD_dust_4096_{ngp,sgp}.fits maps
+    are present (env SFD_DUST_DIR, or the dustmaps default layout the
+    reference's prepare_sfd_data uses), every published sightline must
+    sample within its literature tolerance. Skipped offline — the maps
+    are ~500 MB and not redistributable."""
+    import os
+
+    import pytest
+
+    candidates = [
+        os.environ.get("SFD_DUST_DIR", ""),
+        os.path.expanduser("~/.dustmaps/sfd"),
+    ]
+    found = None
+    for d in candidates:
+        if d and os.path.exists(os.path.join(d, "SFD_dust_4096_ngp.fits")):
+            found = d
+            break
+    if found is None:
+        pytest.skip("real SFD_dust_4096 rasters not present (offline container)")
+
+    from fink_filters_spark.operators.cosmology import load_sfd_maps
+    from fink_filters_spark.operators.sfd_goldens import verify_sfd_rasters
+
+    north, south = load_sfd_maps(
+        os.path.join(found, "SFD_dust_4096_ngp.fits"),
+        os.path.join(found, "SFD_dust_4096_sgp.fits"),
+    )
+    report = verify_sfd_rasters(north, south)
+    bad = [e for e in report if not e["ok"]]
+    assert not bad, bad
+
+
 def test_deredden_raster_join(spark):
     """Dust correction via broadcast raster join: plane sightlines get a
     larger correction than pole sightlines; unknown bands pass through;
