@@ -35,6 +35,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.text import FP_MOD, shingle_hash, word_shingles
 from ..functions.vectors import cosine_sim_q, quantize_vec
 
+#: Default boilerplate gate for the exact-pair operators: shingles whose
+#: document frequency exceeds this fraction of all SHINGLED documents are
+#: removed from the shingle universe (see ``_cooccurrence``). Shared with
+#: the SQL oracles (queries/dedup) — edit in lockstep.
+MAX_DF_FRAC = 0.5
+#: The gate only arms on corpora of at least this many SHINGLED documents:
+#: below it a FRACTION cap degenerates (at N=3, frac*N=1.5 calls every
+#: shared shingle boilerplate) and all-pairs cost is trivial anyway.
+GATE_MIN_DOCS = 50
+
+
 # Fixed MinHash permutation parameters (a odd, < 2^26; b < 2^26).
 # H=16 hash functions, banded r=2 x b=8 (catches Jaccard>=0.5 with p~0.9,
 # >=0.9 with p~0.9999).
@@ -275,7 +286,12 @@ def simhash_fingerprints(
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, tau: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.5,
+    max_df_frac: float | None = MAX_DF_FRAC,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau)
     via inverted-index join.
@@ -283,6 +299,16 @@ def jaccard_pairs(
     Set sizes ride along with each posting, so Jaccard falls out of the
     co-occurrence groupBy directly — one shuffle keyed by shingle, one by
     pair, no extra joins.
+
+    ``max_df_frac`` (DEFAULT ON at 0.5): shingles present in more than
+    that fraction of all documents are boilerplate separating nothing;
+    they are dropped from the shingle UNIVERSE (both the intersection
+    count and the set sizes — see ``_cooccurrence``), which caps the
+    quadratic Σ df(s)² join cost a boilerplate-heavy corpus would
+    otherwise pay. On a corpus with no such shingles (the packaged
+    testdata's max df is 25 of 5000 docs) the gate provably changes
+    nothing. Pass ``None`` for the raw exact-pair contract over ALL
+    shingles (the sub-quadratic scale path is ``minhash_lsh_pairs``).
 
     .. note:: Like ``minhash_lsh_pairs`` / ``simhash_pairs`` /
        ``semantic_dedup``, the plan holds a ``cache()`` on the
@@ -316,7 +342,7 @@ def jaccard_pairs(
     # array_intersect verification is far costlier than counting. On a
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
-    grp, co = _cooccurrence(df, id_col, text_col, n)
+    grp, co, kept = _cooccurrence(df, id_col, text_col, n, max_df_frac)
     verified = (
         co.withColumn(
             "jaccard",
@@ -326,7 +352,8 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= tau)
         .select("__ra", "__rb", "jaccard")
     )
-    return _expand_rep_pairs(grp, verified)
+    self_keep = None if kept is None else kept.filter(F.col("__n") > 0)
+    return _expand_rep_pairs(grp, verified, self_keep=self_keep)
 
 
 def winnowing_fingerprints(
@@ -469,10 +496,35 @@ def winnowing_overlap_spans(
     )
 
 
-def _cooccurrence(df: DataFrame, id_col: str, text_col: str, n: int):
+def _cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df_frac: float | None = None,
+):
     """Shared inverted-index core of ``jaccard_pairs`` / ``containment_pairs``:
     the representative-collapse table and the per-rep-pair co-occurrence
-    counts (__ra < __rb, set sizes __na/__nb, |A∩B| __inter)."""
+    counts (__ra < __rb, set sizes __na/__nb, |A∩B| __inter).
+
+    ``max_df_frac`` is the boilerplate purge lever (the winnowing
+    ``max_df`` / sparse-cosine ``max_df_frac`` pattern applied to the
+    exact-pair contract): shingles whose DOCUMENT frequency exceeds
+    ``max_df_frac * N`` are removed from the shingle UNIVERSE — excluded
+    from both the co-occurrence counts AND the set sizes, so the emitted
+    similarity is the exact Jaccard/containment over the surviving
+    (informative) shingles. That bounds the Σ df(s)² candidate-join cost
+    at df_cap², degrading gracefully on boilerplate-heavy corpora where
+    the ungated operator is quadratic. Cost of the gate: one NARROW
+    (shingle, gsz) aggregate plus two broadcast joins of the purged list
+    (tiny by construction — only shingles in > max_df_frac of ALL
+    documents qualify) — the posting stream itself is never reshuffled.
+    Returns a third element: the per-rep FILTERED set sizes (``__rid``,
+    ``__n``), which callers use to suppress identical-set self-pairs
+    whose surviving set is empty (0/0 similarity — such a pair shares
+    only boilerplate and is exactly what the gate is asked to drop; the
+    SQL oracles' filtered posting join has no row for it either).
+    """
     sh = _hashed_shingled(df, id_col, text_col, n, with_key=True)
     grp = (
         sh.groupBy("__k")
@@ -486,7 +538,61 @@ def _cooccurrence(df: DataFrame, id_col: str, text_col: str, n: int):
     )
     postings = grp.select(
         F.col("__rid").alias("__id"), F.size("__sh").alias("__n"),
-        F.explode("__sh").alias("__s"),
+        F.col("__gsz"), F.explode("__sh").alias("__s"),
+    )
+    if max_df_frac is not None:
+        # document-weighted df (a rep stands for __gsz identical docs);
+        # the purge list is computed EAGERLY (one narrow aggregate over
+        # the postings of the already-cached collapse table — the same
+        # scan the probe-then-branch adaptive collapse in
+        # minhash_lsh_pairs pays) because the common case decides the
+        # whole plan shape:
+        tot = grp.agg(F.sum("__gsz").alias("__N"))
+        purged = (
+            postings.groupBy("__s")
+            .agg(F.sum("__gsz").alias("__df"))
+            .crossJoin(F.broadcast(tot))
+            .filter(
+                (F.col("__df") > F.col("__N") * F.lit(max_df_frac))
+                & (F.col("__N") >= GATE_MIN_DOCS)
+            )
+            .select("__s")
+        )
+        if purged.isEmpty():
+            # nothing exceeds the cap (every packaged corpus: max df 25 of
+            # 5000 docs at sf0.1) -> the gate is the IDENTITY and the
+            # ungated single-projection pipeline below is bit-identical;
+            # skipping the gate joins (and the kept-size/self-pair frames
+            # downstream — gated=False) keeps the hot plan untouched
+            gated = False
+        else:
+            gated = True
+            cut = (
+                postings.select("__id", "__s")
+                .join(F.broadcast(purged), "__s")
+                .groupBy("__id")
+                .agg(F.count(F.lit(1)).alias("__cut"))
+            )
+            # cache the GATED postings: without it every downstream
+            # reference (both co-occurrence sides, the kept-size frame,
+            # the self-pair gate) re-expands the purge subtree — the df
+            # aggregate alone re-ran ~10x; with the cache the purge runs
+            # once and downstream reads are in-memory scans (same
+            # clearCache-between-passes convention as grp)
+            postings = (
+                postings.join(F.broadcast(purged), "__s", "left_anti")
+                .join(F.broadcast(cut), "__id", "left")
+                .withColumn("__n", F.col("__n") - F.coalesce("__cut", F.lit(0)))
+                .drop("__cut", "__gsz")
+                .cache()
+            )
+    else:
+        gated = False
+    postings = postings.drop("__gsz") if "__gsz" in postings.columns else postings
+    kept_sizes = (
+        postings.select(F.col("__id").alias("__rid"), "__n").distinct()
+        if gated
+        else None
     )
     a, b = postings.alias("a"), postings.alias("b")
     co = (
@@ -499,11 +605,16 @@ def _cooccurrence(df: DataFrame, id_col: str, text_col: str, n: int):
         )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    return grp, co
+    return grp, co, kept_sizes
 
 
 def containment_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, tau: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tau: float = 0.8,
+    max_df_frac: float | None = MAX_DF_FRAC,
 ) -> DataFrame:
     """Shingle-set CONTAINMENT near-dup pairs (id_a < id_b, containment >=
     tau): containment = |A∩B| / min(|A|, |B|) — the asymmetric-duplication
@@ -515,10 +626,13 @@ def containment_pairs(
     (identical sets expand at containment exactly 1).
 
     Scale: identical to ``jaccard_pairs`` — same collapse, same inverted
-    index, same output-sized expansion; only the verification expression
-    differs. No reference parity claim: fink-filters has no text-dedup
-    surface; this serves the engine's LLM-curation mandate."""
-    grp, co = _cooccurrence(df, id_col, text_col, n)
+    index, same output-sized expansion, same ``max_df_frac`` boilerplate
+    gate (see ``jaccard_pairs`` — DEFAULT ON at 0.5, filtered-universe
+    semantics, a no-op on corpora without >50%-df shingles); only the
+    verification expression differs. No reference parity claim:
+    fink-filters has no text-dedup surface; this serves the engine's
+    LLM-curation mandate."""
+    grp, co, kept = _cooccurrence(df, id_col, text_col, n, max_df_frac)
     verified = (
         co.withColumn(
             "containment",
@@ -528,7 +642,10 @@ def containment_pairs(
         .filter(F.col("containment") >= tau)
         .select("__ra", "__rb", "containment")
     )
-    return _expand_rep_pairs(grp, verified, value_col="containment")
+    self_keep = None if kept is None else kept.filter(F.col("__n") > 0)
+    return _expand_rep_pairs(
+        grp, verified, value_col="containment", self_keep=self_keep
+    )
 
 
 def _expand_rep_pairs(
@@ -537,6 +654,7 @@ def _expand_rep_pairs(
     value_col: str = "jaccard",
     self_value: Column | None = None,
     round_digits: int | None = 6,
+    self_keep: DataFrame | None = None,
 ) -> DataFrame:
     """Expand representative-level verified pairs back to member pairs.
 
@@ -554,7 +672,14 @@ def _expand_rep_pairs(
     touching the join state. Member pairs inherit the rep pair's value (it
     depends only on the grouped content); cross-group combinations are
     ordered with least/greatest (ids are not ordered by group). Per-task
-    memory stays O(group), never O(group^2) — explodes stream."""
+    memory stays O(group), never O(group^2) — explodes stream.
+
+    ``self_keep``: optional (__rid, ...) frame restricting which
+    identical-set groups emit their within-group pairs — the boilerplate
+    gate passes reps whose FILTERED shingle set is non-empty, so an
+    identical pair sharing only purged boilerplate is dropped exactly
+    like its cross-group dual (and like the SQL oracle's filtered
+    posting join, which has no row for it)."""
     if self_value is None:
         self_value = F.lit(1.0)
     out_val = (
@@ -562,6 +687,8 @@ def _expand_rep_pairs(
         else F.col(value_col)
     )
     multi = grp.filter(F.col("__gsz") >= 2).select("__rid", "__members")
+    if self_keep is not None:
+        multi = multi.join(self_keep.select("__rid"), "__rid", "left_semi")
     # identical-content pairs: unordered member pairs within each multi
     # group, a < b keeps each once (members explode against themselves)
     selfp = (

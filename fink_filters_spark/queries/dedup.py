@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import FP_BASE, FP_MOD
 from ..operators.dedup import (
+    GATE_MIN_DOCS,
+    MAX_DF_FRAC,
     MINHASH_AB,
     MINHASH_BANDS,
     MINHASH_ROWS,
@@ -108,9 +110,34 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gated_posting_sql() -> str:
+    """Shared oracle CTE prefix for the GATED exact-pair queries: shingled
+    docs -> postings -> boilerplate purge (document frequency >
+    MAX_DF_FRAC of shingled docs, the dual of ``_cooccurrence``'s
+    filtered-universe gate) -> filtered postings + per-doc FILTERED set
+    sizes. On the packaged corpora the purge is provably empty (max df 25
+    of 5000 docs at sf0.1), so values equal the ungated formulation;
+    the CTEs keep the oracle a strict dual of the operator's declared
+    semantics on ANY corpus. Edit in lockstep with ``_cooccurrence``."""
+    return f"""d AS ({SHH3_SQL}),
+post0 AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+tot AS (SELECT count(*) AS nn FROM d WHERE len(sh) > 0),
+purged AS (
+  -- GATE_MIN_DOCS floor mirrors operators.dedup (fraction caps degenerate
+  -- on tiny corpora)
+  SELECT s FROM post0 CROSS JOIN tot
+  GROUP BY s, nn
+  HAVING count(*) > {{MAX_DF_FRAC}} * nn AND nn >= {{GATE_MIN_DOCS}}
+),
+post1 AS (SELECT doc_id, s FROM post0 ANTI JOIN purged USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n FROM post1 GROUP BY doc_id),
+post AS (SELECT p.doc_id, z.n, p.s FROM post1 p JOIN sizes z USING (doc_id))""".replace(
+        "{MAX_DF_FRAC}", repr(MAX_DF_FRAC)
+    ).replace("{GATE_MIN_DOCS}", repr(GATE_MIN_DOCS))
+
+
 DEDUP_JACCARD_SQL = f"""
-WITH d AS ({SHH3_SQL}),
-post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+WITH {_gated_posting_sql()},
 p AS (
   -- inverted-index dual of the former quadratic `d a JOIN d b` +
   -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
@@ -205,7 +232,8 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross joins — output is one row regardless of corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
-    true_p = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
+    true_p = jaccard_pairs(  # ungated: exact dual of this query's oracle
+        docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None).select(
         "id_a", "id_b", F.lit(1).alias("__t")
     )
     found = minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
@@ -428,7 +456,8 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a qualifying Jaccard pair (greedy keep-lowest-id rule) — the rewrite
     step a training-data pipeline actually ships."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    pairs = jaccard_pairs(  # ungated: exact dual of this query's oracle
+        docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "n_chars")
 
@@ -464,7 +493,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    pairs = jaccard_pairs(  # ungated: exact dual of this query's oracle
+        docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None)
     comp = connected_components(pairs)
     return (
         docs.select("doc_id")
@@ -520,7 +550,8 @@ def q_dedup_components_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    pairs = jaccard_pairs(  # ungated: exact dual of this query's oracle
+        docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None)
     comp = connected_components(pairs, driver_threshold=0)
     return (
         docs.select("doc_id")
@@ -543,7 +574,8 @@ def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+    pairs = jaccard_pairs(  # ungated: exact dual of this query's oracle
+        docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None)
     comp = connected_components(pairs)
     labeled = (
         docs.select("doc_id", "n_chars")
@@ -624,15 +656,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CONTAIN_SQL = f"""
-WITH d AS ({SHH3_SQL}),
-post AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0),
+WITH {_gated_posting_sql()},
 p AS (
-  -- inverted-index dual of the former quadratic `d a JOIN d b` +
-  -- list_intersect pair stage: sh is DISTINCT per doc, so the posting
-  -- equi-join's count(*) == len(list_intersect) exactly; only inter >= 1
-  -- pairs exist, and every consumer below thresholds similarity > 0, so
-  -- the output is identical while cost drops from O(docs^2 * |sh|) to
-  -- the sum of df(s)^2 (~670s -> seconds per query at sf0.1)
+  -- same gated inverted-index pair stage as DEDUP_JACCARD_SQL; only the
+  -- min-side normalization below differs
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
          min(a.n) AS na, min(b.n) AS nb
   FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -664,7 +691,8 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once — edges are output-sized (pairs, not corpus). Same
     # cache-lifetime note as jaccard_pairs (clearCache between passes).
     e = (
-        jaccard_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU)
+        jaccard_pairs(  # ungated: exact dual of this query's oracle
+            docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None)
         .select("id_a", "id_b")
         .cache()
     )

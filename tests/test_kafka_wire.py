@@ -1,0 +1,215 @@
+"""Kafka connector smoke over real wire bytes (VERDICT missing #3).
+
+No broker and no spark-sql-kafka jar ship in this container, so the
+livestream connector is exercised through the engine's own minimal
+public-protocol implementation (sources/kafka_wire.py): RecordBatch v2
+framing with CRC32C, Metadata/ListOffsets/Fetch over loopback TCP, and a
+Spark Python DataSource ("kafka_lite") with the SAME output schema as the
+JVM Kafka source. The byte-golden below fails if the framing drifts; the
+e2e tests fail if the consume path (offsets, batching, decode) drifts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_crc32c_rfc_vector_and_corruption_detection():
+    from fink_filters_spark.sources.kafka_wire import (
+        crc32c, decode_record_batches, encode_record_batch,
+    )
+
+    # RFC 3720 §B.4 check value — distinguishes Castagnoli from zlib CRC32
+    assert crc32c(b"123456789") == 0xE3069283
+    import zlib
+
+    assert crc32c(b"123456789") != zlib.crc32(b"123456789")
+
+    batch = bytearray(encode_record_batch(0, [(b"k", b"v", 1000)]))
+    batch[-1] ^= 0x01  # flip a bit in the record payload
+    with pytest.raises(ValueError, match="CRC32C"):
+        decode_record_batches(bytes(batch))
+
+
+# Pinned bytes of one RecordBatch v2: baseOffset=7, records
+# [(b"key", b"value", 1690000000000), (None, b"w", 1690000000005)].
+# Regenerating this hex is a CONSCIOUS act — it means the wire framing
+# changed and real Kafka clients would disagree with the engine.
+RECORD_BATCH_GOLDEN = (
+    "000000000000000700000048000000000299520b95000000000001000001897b"
+    "d98400000001897bd98405ffffffffffffffffffffffffffff000000021c0000"
+    "00066b65790a76616c7565000e000a0201027700"
+)
+
+
+def test_record_batch_byte_golden():
+    from fink_filters_spark.sources.kafka_wire import (
+        decode_record_batches, encode_record_batch,
+    )
+
+    recs = [(b"key", b"value", 1690000000000), (None, b"w", 1690000000005)]
+    enc = encode_record_batch(7, recs)
+    assert enc.hex() == RECORD_BATCH_GOLDEN, enc.hex()
+    assert decode_record_batches(enc) == [
+        (7, b"key", b"value", 1690000000000),
+        (8, None, b"w", 1690000000005),
+    ]
+
+
+def test_record_batch_null_fields_and_concatenation():
+    from fink_filters_spark.sources.kafka_wire import (
+        decode_record_batches, encode_record_batch,
+    )
+
+    b1 = encode_record_batch(0, [(None, None, 1), (b"", b"", 2)])
+    b2 = encode_record_batch(2, [(b"k", b"v" * 1000, 3)])
+    got = decode_record_batches(b1 + b2)
+    assert got == [(0, None, None, 1), (1, b"", b"", 2),
+                   (2, b"k", b"v" * 1000, 3)]
+
+
+@pytest.fixture()
+def broker():
+    from fink_filters_spark.sources.kafka_wire import StubKafkaBroker
+
+    br = StubKafkaBroker()
+    yield br
+    br.close()
+
+
+def test_consumer_protocol_against_stub(broker):
+    from fink_filters_spark.sources.kafka_wire import (
+        EARLIEST, LATEST, MiniKafkaConsumer,
+    )
+
+    for p in (0, 1):
+        for i in range(4):
+            broker.produce("t", p, f"k{p}{i}".encode(), f"v{p}{i}".encode(),
+                           1700000000000 + i)
+    c = MiniKafkaConsumer(broker.host, broker.port)
+    try:
+        assert set(c.api_versions()) == {1, 2, 3, 18}
+        assert c.metadata("t") == [0, 1]
+        assert c.list_offset("t", 0, EARLIEST) == 0
+        assert c.list_offset("t", 1, LATEST) == 4
+        recs = c.fetch("t", 1, 2)
+        assert [(r[0], r[1]) for r in recs] == [(2, b"k12"), (3, b"k13")]
+    finally:
+        c.close()
+
+
+def _produce_alerts(broker, topic: str, spark, rows, schema) -> None:
+    """Seed the stub log with the engine's OWN egress frame
+    (sinks.storage.kafka_encode: whole row as JSON value, string key) —
+    the produce side of the round trip."""
+    from fink_filters_spark.sinks.storage import kafka_encode
+
+    df = spark.createDataFrame(rows, schema)
+    wire = kafka_encode(df, key_col="objectId").collect()
+    for i, r in enumerate(wire):
+        broker.produce(
+            topic, 0,
+            r.key.encode() if r.key is not None else None,
+            r.value.encode(),
+            1700000000000 + i,
+        )
+
+
+_ALERT_SCHEMA = (
+    "candid long, objectId string, cdsxmatch string, magpsf double"
+)
+_ALERTS = [
+    (1, "ZTFa", "Unknown", 21.0),     # vetoed: known-SIMBAD Unknown
+    (2, "ZTFb", "SN", 21.2),          # selected
+    (3, "ZTFc", "SN", 19.0),          # vetoed: bright
+    (4, "ZTFd", "Star", 20.9),        # selected
+    (5, "ZTFe", "Galaxy_x", 22.0),    # vetoed: Galaxy prefix
+]
+
+
+def test_kafka_lite_batch_read_decode_filter(broker, spark):
+    """Batch consume e2e: stub log -> wire Fetch -> kafka_lite DataFrame
+    (JVM-source schema) -> kafka_decode -> registry topic filter. The
+    expected survivors come from applying the same topic to the original
+    rows directly — any drift in framing, offsets or decode breaks it."""
+    from fink_filters_spark.filters.registry import apply_named_filter
+    from fink_filters_spark.sources import kafka_decode
+    from fink_filters_spark.sources.kafka_wire import register
+
+    _produce_alerts(broker, "ztf-alerts", spark, _ALERTS, _ALERT_SCHEMA)
+    register(spark)
+    raw = (
+        spark.read.format("kafka_lite")
+        .option("host", broker.host).option("port", broker.port)
+        .option("topic", "ztf-alerts")
+        .load()
+    )
+    assert set(raw.columns) == {
+        "key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType",
+    }
+    assert [r.offset for r in raw.orderBy("offset").collect()] == [0, 1, 2, 3, 4]
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    alerts = kafka_decode(raw, _parse_datatype_string(_ALERT_SCHEMA)).select(
+        "alert.*"
+    )
+    got = {r.objectId for r in
+           apply_named_filter(alerts, "ztf.example").collect()}
+    want = {r.objectId for r in
+            apply_named_filter(
+                spark.createDataFrame(_ALERTS, _ALERT_SCHEMA),
+                "ztf.example").collect()}
+    assert got == want == {"ZTFb", "ZTFd"}
+
+
+def test_kafka_lite_streaming_topic_roundtrip(broker, spark, tmp_path):
+    """Streaming consume e2e with checkpoint recovery: readStream over the
+    wire -> decode -> topic filter -> foreachBatch sink; a SECOND run
+    from the same checkpoint delivers ONLY the alerts produced in
+    between (per-partition offset tracking, no re-delivery)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from fink_filters_spark.filters.registry import apply_named_filter
+    from fink_filters_spark.sources import kafka_decode
+    from fink_filters_spark.sources.kafka_wire import register
+
+    register(spark)
+    _produce_alerts(broker, "live", spark, _ALERTS, _ALERT_SCHEMA)
+
+    got: list[str] = []
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.format("kafka_lite")
+            .option("host", broker.host).option("port", broker.port)
+            .option("topic", "live")
+            .load()
+        )
+        alerts = kafka_decode(
+            raw, _parse_datatype_string(_ALERT_SCHEMA)
+        ).select("alert.*")
+        selected = apply_named_filter(alerts, "ztf.example")
+        q = (
+            selected.writeStream
+            .foreachBatch(lambda bdf, bid: got.extend(
+                r.objectId for r in bdf.select("objectId").collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(got) == ["ZTFb", "ZTFd"]
+
+    # produce two more (one passing) and resume from the checkpoint
+    _produce_alerts(
+        broker, "live", spark,
+        [(6, "ZTFf", "SN", 20.8), (7, "ZTFg", "Unknown", 21.0)],
+        _ALERT_SCHEMA,
+    )
+    got.clear()
+    run_once()
+    assert got == ["ZTFf"]  # only the NEW qualifying alert; no re-delivery

@@ -33,6 +33,8 @@ NESTED_LOOP_ALLOWED = {
     "text_vocab_coverage",  # 4-row threshold table x ranked vocab non-equi broadcast NLJ
     "pipe_dsir_select",  # 1-row corpus-total aggregate cross join (broadcast NLJ)
     "sim_maxdot_lsh",  # 1-row max-norm aggregate cross join (MIPS augmentation)
+    "dedup_ngram_jaccard",  # 1-row shingled-doc-count cross join (max_df_frac gate)
+    "dedup_containment",  # 1-row shingled-doc-count cross join (max_df_frac gate)
     "sim_rrf_fusion",  # composes the sim_knn_bruteforce + sim_maxdot NLJ baselines
 }
 

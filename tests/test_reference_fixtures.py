@@ -799,3 +799,111 @@ def test_rubin_streaming_topics_match_batch_on_real_alerts(spark, tmp_path):
                 .select("diaSourceId").collect()}
         assert len(got) == golden, f"{topic}: streamed {len(got)} != {golden}"
         assert set(got) == want, f"{topic}: streamed set != batch set"
+
+
+def test_extragalactic_new_full_packet_streaming_with_crafted_alerts(
+    spark, tmp_path
+):
+    """C37 closure pinned on the FULL packet schema (round-8 de-risk):
+    the real 27-alert fixture extended with three crafted full-schema
+    alerts whose prvDiaSources drive the computed mag_rate through BOTH
+    per-band gates — one rising (rate −0.5 in r), one fading (rate +0.5
+    in r), and one control inside the dead zone (rate +0.1, selected by
+    NEITHER gate). Asserts streamed == batch == the by-construction
+    replica (>0), with mag_rate PRODUCED in-stream by enrich_mag_rate
+    from nested prvDiaSources — not injected into a flattened frame."""
+    from pyspark.sql.types import StructType
+
+    from fink_filters_spark.filters.registry import apply_named_filter
+    from fink_filters_spark.filters.rubin import topic_columns
+    from fink_filters_spark.schemas import flatten_rubin
+    from fink_filters_spark.streaming import StreamPipeline
+
+    src = f"{REF}/rubin_test_data_10_0.parquet"
+    raw = spark.read.parquet(src)
+    keep = ("diaSource", "diaObject", "misc", "xm", "clf", "pred",
+            "prvDiaSources")
+    schema = StructType([f for f in raw.schema.fields if f.name in keep])
+    pruned = raw.select(*[f.name for f in schema.fields])
+
+    # template: a real alert already passing the loose extragalactic gate
+    # (good quality, off-plane, not SSO, not a catalogued star) — only the
+    # host evidence and the rate machinery need crafting
+    flat_all = _rubin_enriched(flatten_rubin(pruned))
+    loose_ids = [r.diaSourceId for r in
+                 apply_named_filter(flat_all, "rubin.extragalactic_loose")
+                 .select("diaSourceId").collect()]
+    assert loose_ids, "fixture lost its 4 loose-extragalactic alerts"
+    tmpl = (
+        pruned.filter(F.col("diaSource.diaSourceId") == loose_ids[0])
+        .limit(1).collect()[0].asDict(recursive=True)
+    )
+    donor_prv = (
+        pruned.filter(F.size("prvDiaSources") > 0)
+        .select(F.col("prvDiaSources")[0].alias("e"))
+        .collect()[0]["e"].asDict(recursive=True)
+    )
+
+    import copy
+    import math
+
+    zp = 31.4
+    f_prev = 10 ** ((zp - 22.0) / 2.5)  # mag 22.0 nJy
+    mjd = tmpl["diaSource"]["midpointMjdTai"]
+    crafted_rates = {9000000001: -0.5, 9000000002: 0.5, 9000000003: 0.1}
+    rows = []
+    for did, rate in crafted_rates.items():
+        r = copy.deepcopy(tmpl)
+        mag_now = 22.0 + rate  # Δt = 1 day -> mag_rate == rate
+        f_now = 10 ** ((zp - mag_now) / 2.5)
+        r["diaSource"].update(
+            diaSourceId=did, band="r", psfFlux=f_now,
+            psfFluxErr=f_now / 100.0, midpointMjdTai=mjd,
+        )
+        r["misc"]["firstDiaSourceMjdTaiFink"] = mjd - 1.0  # age 1d (<3)
+        r["diaObject"]["r_psfFluxNdata"] = 3  # >= 2 points in band
+        r["xm"]["simbad_otype"] = "Galaxy"  # positive host evidence
+        prv = copy.deepcopy(donor_prv)
+        prv.update(band="r", midpointMjdTai=mjd - 1.0, psfFlux=f_prev)
+        r["prvDiaSources"] = [prv]
+        rows.append(r)
+
+    crafted = spark.createDataFrame(rows, schema)
+    combined = pruned.unionByName(crafted)
+    data_dir = tmp_path / "crafted_alerts"
+    combined.coalesce(1).write.parquet(str(data_dir))
+
+    def enrich(df):
+        out = _rubin_enriched(flatten_rubin(df))
+        return out.select([c for c in out.columns if c in set(topic_columns())])
+
+    # replica: the enrichment must reproduce the by-construction rates
+    batch_flat = enrich(spark.read.parquet(str(data_dir)))
+    got_rates = {r.diaSourceId: r.mag_rate for r in
+                 batch_flat.filter(F.col("diaSourceId").isin(list(crafted_rates)))
+                 .select("diaSourceId", "mag_rate").collect()}
+    assert set(got_rates) == set(crafted_rates)
+    for did, want in crafted_rates.items():
+        # psfFlux is stored float32 in the packet -> ~1e-7 relative noise
+        assert got_rates[did] is not None and math.isclose(
+            got_rates[did], want, abs_tol=1e-5
+        ), (did, got_rates[did], want)
+
+    batch_sel = {r.diaSourceId for r in
+                 apply_named_filter(batch_flat, "rubin.extragalactic_new")
+                 .select("diaSourceId").collect()}
+    assert batch_sel == {9000000001, 9000000002}, batch_sel  # control excluded
+
+    stream = spark.readStream.schema(schema).parquet(str(data_dir))
+    streamed: list = []
+    pipe = (
+        StreamPipeline(stream)
+        .enrich(enrich)
+        .topic("rubin.extragalactic_new")
+        .sink(lambda bdf, bid: streamed.extend(
+            r.diaSourceId for r in bdf.select("diaSourceId").collect()
+        ))
+    )
+    q = pipe.start(checkpoint=str(tmp_path / "ck_egnew"), once=True)
+    q.awaitTermination(120)
+    assert set(streamed) == batch_sel and len(streamed) == 2
