@@ -130,15 +130,29 @@ SHUFFLE_BUDGETS = {
 }
 
 
+def _count_shuffles(plan: str) -> int:
+    """Distinct shuffle exchanges (by [plan_id=N]) — cached subtrees print
+    once per reader, so raw text counts overcount them. Twin of
+    tools/update_plan_budgets.py::count_shuffles — edit in lockstep."""
+    import re
+
+    with_id = re.findall(
+        r"Exchange (?:hash|range|SinglePartition)\S*[^\n]*\[plan_id=(\d+)\]",
+        plan,
+    )
+    without_id = re.findall(
+        r"Exchange (?:hash|range|SinglePartition)(?![^\n]*\[plan_id=)", plan
+    )
+    return len(set(with_id)) + len(without_id)
+
+
 def test_shuffle_exchange_budgets(plans):
     """Plan-quality regression guard: each pinned query must not grow new
     shuffle exchanges (broadcast exchanges excluded — those are the cheap
     side). A budget increase needs a deliberate edit here, with a reason."""
-    import re
-
     over = {}
     for name, budget in SHUFFLE_BUDGETS.items():
-        n = len(re.findall(r"Exchange (hash|range|SinglePartition)", plans[name]))
+        n = _count_shuffles(plans[name])
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded (got, budget): {over}"
@@ -151,14 +165,12 @@ def test_shuffle_budgets_whole_suite(plans):
     diff. New queries missing from the snapshot also fail — snapshot them."""
     import json
     import os
-    import re
 
     path = os.path.join(os.path.dirname(__file__), "plan_budgets.json")
     budgets = json.load(open(path))
-    pat = re.compile(r"Exchange (hash|range|SinglePartition)")
     problems = {}
     for name, plan in plans.items():
-        n = len(pat.findall(plan))
+        n = _count_shuffles(plan)
         if name not in budgets:
             problems[name] = (n, "missing from snapshot")
         elif n > budgets[name]:

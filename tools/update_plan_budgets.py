@@ -16,7 +16,23 @@ import sys
 
 sys.path.insert(0, ".")
 
-SHUFFLE_RE = re.compile(r"Exchange (hash|range|SinglePartition)")
+def count_shuffles(plan: str) -> int:
+    """Distinct shuffle exchanges in an executed-plan string. Counts
+    DISTINCT [plan_id=N] values rather than raw `Exchange` text matches:
+    InMemoryRelation prints its cached child plan once PER ReadReference,
+    so a cached subtree's exchanges would otherwise be counted once per
+    consumer and the metric would punish adding a (cost-free) extra read
+    of an already-cached frame. Exchanges printed without a plan_id (none
+    today — AQE stamps every live exchange) fall back to text count.
+    Twin of tests/test_plans.py::_count_shuffles — edit in lockstep."""
+    with_id = re.findall(
+        r"Exchange (?:hash|range|SinglePartition)\S*[^\n]*\[plan_id=(\d+)\]",
+        plan,
+    )
+    without_id = re.findall(
+        r"Exchange (?:hash|range|SinglePartition)(?![^\n]*\[plan_id=)", plan
+    )
+    return len(set(with_id)) + len(without_id)
 
 
 def main() -> None:
@@ -34,7 +50,7 @@ def main() -> None:
             .executedPlan()
             .toString()
         )
-        budgets[name] = len(SHUFFLE_RE.findall(plan))
+        budgets[name] = count_shuffles(plan)
     with open("tests/plan_budgets.json", "w") as f:
         json.dump(budgets, f, indent=1, sort_keys=True)
     print(f"tests/plan_budgets.json written ({len(budgets)} queries)")
