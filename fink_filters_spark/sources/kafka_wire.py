@@ -253,7 +253,9 @@ def decode_record_batches(
 # ListOffsets v1, Fetch v4)
 # ---------------------------------------------------------------------------
 
-API_FETCH, API_LIST_OFFSETS, API_METADATA, API_VERSIONS = 1, 2, 3, 18
+API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA, API_VERSIONS = (
+    0, 1, 2, 3, 18
+)
 EARLIEST, LATEST = -2, -1
 
 
@@ -341,6 +343,8 @@ class StubKafkaBroker:
         r.string()  # client_id
         if api_key == API_VERSIONS:
             body = self._api_versions()
+        elif api_key == API_PRODUCE:
+            body = self._produce(r)
         elif api_key == API_METADATA:
             body = self._metadata(r)
         elif api_key == API_LIST_OFFSETS:
@@ -352,8 +356,37 @@ class StubKafkaBroker:
                              f" v{api_version}")
         return _frame(_i32(corr) + body)
 
+    def _produce(self, r: _Reader) -> bytes:
+        """Produce v3 (message format v2): the record_set BYTES hold the
+        same RecordBatch v2 frames Fetch serves — the decode here verifies
+        each batch's CRC before appending, so a producer shipping drifted
+        framing is rejected at the broker exactly like the real one."""
+        r.string()                                      # transactional_id
+        r.i16(); r.i32()                                # acks, timeout
+        out_topics = []
+        for _ in range(r.i32()):
+            name = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                idx = r.i32()
+                record_set = r.bytes_() or b""
+                recs = decode_record_batches(record_set)
+                with self._lock:
+                    log = self._logs.setdefault((name, idx), [])
+                    base = len(log)
+                    for _off, key, value, ts in recs:
+                        log.append((key, value, ts))
+                parts.append(_i32(idx) + _i16(0) + _i64(base) + _i64(-1))
+            out_topics.append((name, parts))
+        out = _i32(len(out_topics))
+        for name, parts in out_topics:
+            out += _string(name) + _i32(len(parts)) + b"".join(parts)
+        out += _i32(0)                                  # throttle_time_ms
+        return out
+
     def _api_versions(self) -> bytes:
-        supported = [(API_FETCH, 4, 4), (API_LIST_OFFSETS, 1, 1),
+        supported = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                     (API_LIST_OFFSETS, 1, 1),
                      (API_METADATA, 1, 1), (API_VERSIONS, 0, 0)]
         out = _i16(0) + _i32(len(supported))
         for k, lo, hi in supported:
@@ -514,6 +547,105 @@ class MiniKafkaConsumer:
                 record_set = r.bytes_() or b""
                 return decode_record_batches(record_set)
         return []
+
+
+class MiniKafkaProducer:
+    """Wire producer: batches [(key, value, ts_ms)] into one RecordBatch v2
+    per send and ships it through Produce v3. Returns the broker-assigned
+    base offset."""
+
+    def __init__(self, host: str, port: int):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=30)
+        self._corr = 0
+
+    def close(self):
+        self._sock.close()
+
+    def send(
+        self, topic: str, partition: int,
+        records: list[tuple[bytes | None, bytes | None, int]],
+    ) -> int:
+        if not records:
+            return -1
+        record_set = encode_record_batch(0, records)
+        body = (
+            _string(None) + _i16(-1) + _i32(30000)       # tx, acks=all, timeout
+            + _i32(1) + _string(topic)
+            + _i32(1) + _i32(partition) + _bytes(record_set)
+        )
+        self._corr += 1
+        self._sock.sendall(
+            _request(API_PRODUCE, 3, self._corr, body, client_id="fink-prod")
+        )
+        resp = _read_frame(self._sock)
+        r = _Reader(resp)
+        if r.i32() != self._corr:
+            raise ValueError("produce: correlation mismatch")
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err:
+                    raise ValueError(f"produce error {err}")
+                return r.i64()
+        raise ValueError("produce: empty response")
+
+
+def kafka_lite_writer(
+    stream_df,
+    host: str,
+    port: int,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+):
+    """Streaming egress over the wire: selected alerts -> JSON frame
+    (``sinks.storage.kafka_encode``) -> Produce v3 RecordBatch, one
+    producer connection PER PARTITION per micro-batch (executor-side
+    foreachPartition — rows never collect to the driver, matching the
+    JVM kafka sink's task-level producers). The offline dual of
+    ``sinks.storage.kafka_writer`` (which needs the spark-sql-kafka jar);
+    same frame, different transport. Returns the started query."""
+    import time as _time
+
+    from ..sinks.storage import kafka_encode
+
+    def write_batch(bdf, batch_id: int) -> None:
+        wire = kafka_encode(bdf, key_col=key_col)
+
+        def send_partition(rows) -> None:
+            batch = [
+                (
+                    r["key"].encode() if r["key"] is not None else None,
+                    r["value"].encode(),
+                    int(_time.time() * 1000),
+                )
+                for r in rows
+                if r["value"] is not None
+            ] if key_col else [
+                (None, r["value"].encode(), int(_time.time() * 1000))
+                for r in rows
+                if r["value"] is not None
+            ]
+            if not batch:
+                return
+            p = MiniKafkaProducer(host, port)
+            try:
+                p.send(topic, 0, batch)
+            finally:
+                p.close()
+
+        wire.foreachPartition(send_partition)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -88,7 +88,7 @@ def test_consumer_protocol_against_stub(broker):
                            1700000000000 + i)
     c = MiniKafkaConsumer(broker.host, broker.port)
     try:
-        assert set(c.api_versions()) == {1, 2, 3, 18}
+        assert set(c.api_versions()) == {0, 1, 2, 3, 18}
         assert c.metadata("t") == [0, 1]
         assert c.list_offset("t", 0, EARLIEST) == 0
         assert c.list_offset("t", 1, LATEST) == 4
@@ -213,3 +213,64 @@ def test_kafka_lite_streaming_topic_roundtrip(broker, spark, tmp_path):
     got.clear()
     run_once()
     assert got == ["ZTFf"]  # only the NEW qualifying alert; no re-delivery
+
+
+def test_produce_api_and_full_livestream_loop(broker, spark, tmp_path):
+    """The COMPLETE livestream loop over wire bytes: produce alerts into an
+    IN topic (Produce v3 — the broker CRC-verifies the shipped
+    RecordBatch), readStream them back (kafka_lite), apply a registry
+    topic, and publish survivors to an OUT topic via kafka_lite_writer
+    (executor-side per-partition producers). Consuming OUT must yield
+    exactly the topic's survivors, value-parseable back to alerts."""
+    import json
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from fink_filters_spark.filters.registry import apply_named_filter
+    from fink_filters_spark.sources import kafka_decode
+    from fink_filters_spark.sources.kafka_wire import (
+        EARLIEST, MiniKafkaConsumer, MiniKafkaProducer, kafka_lite_writer,
+        register,
+    )
+
+    register(spark)
+    # produce the IN topic THROUGH the wire (not server-side seeding)
+    from fink_filters_spark.sinks.storage import kafka_encode
+
+    wire_rows = kafka_encode(
+        spark.createDataFrame(_ALERTS, _ALERT_SCHEMA), key_col="objectId"
+    ).collect()
+    prod = MiniKafkaProducer(broker.host, broker.port)
+    try:
+        base = prod.send("in", 0, [
+            (r.key.encode(), r.value.encode(), 1700000000000 + i)
+            for i, r in enumerate(wire_rows)
+        ])
+    finally:
+        prod.close()
+    assert base == 0
+
+    raw = (
+        spark.readStream.format("kafka_lite")
+        .option("host", broker.host).option("port", broker.port)
+        .option("topic", "in")
+        .load()
+    )
+    alerts = kafka_decode(raw, _parse_datatype_string(_ALERT_SCHEMA)).select(
+        "alert.*"
+    )
+    selected = apply_named_filter(alerts, "ztf.example")
+    q = kafka_lite_writer(
+        selected, broker.host, broker.port, "out",
+        checkpoint=str(tmp_path / "ck_loop"), key_col="objectId",
+    )
+    q.awaitTermination(120)
+
+    c = MiniKafkaConsumer(broker.host, broker.port)
+    try:
+        out = c.fetch("out", 0, c.list_offset("out", 0, EARLIEST))
+    finally:
+        c.close()
+    got = {json.loads(v.decode())["objectId"] for (_o, _k, v, _t) in out}
+    keys = {k.decode() for (_o, k, _v, _t) in out}
+    assert got == keys == {"ZTFb", "ZTFd"}

@@ -138,6 +138,42 @@ def main() -> None:
     stream_dt = time.perf_counter() - t0
     stream_rate = n_alerts / stream_dt
 
+    # Kafka wire consume: alerts/sec through the kafka_lite DataSource —
+    # RecordBatch v2 decode + JSON parse + one topic predicate, end to end
+    # over loopback TCP (sources/kafka_wire.py). Smaller N: both endpoints
+    # are pure Python by design (the contract under test is the wire).
+    from fink_filters_spark.filters.registry import apply_named_filter
+    from fink_filters_spark.sinks.storage import kafka_encode
+    from fink_filters_spark.sources import kafka_decode
+    from fink_filters_spark.sources.kafka_wire import StubKafkaBroker, register
+
+    n_kafka = N_BASE
+    broker = StubKafkaBroker()
+    wire_rows = kafka_encode(base, key_col="objectId").collect()
+    for i, r in enumerate(wire_rows):
+        broker.produce(
+            "alerts", i % 8,
+            r.key.encode() if r.key is not None else None,
+            r.value.encode(), 1700000000000 + i,
+        )
+    register(spark)
+    raw = (
+        spark.read.format("kafka_lite")
+        .option("host", broker.host).option("port", broker.port)
+        .option("topic", "alerts").load()
+    )
+    kdf = apply_named_filter(
+        kafka_decode(raw, base.schema).select("alert.*"), "ztf.sn_candidates"
+    )
+    kbest = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kdf.count()
+        dt = time.perf_counter() - t0
+        kbest = dt if kbest is None else min(kbest, dt)
+    kafka_rate = n_kafka / kbest
+    broker.close()
+
     n_selected = sum(v for v in counts.asDict().values() if v is not None)
     lines = [
         "# THROUGHPUT — alerts/sec through the topic registry",
@@ -153,6 +189,9 @@ def main() -> None:
         f" {rbest:.2f}s (cold {rfirst:.2f}s) | {rubin_rate:,.0f} |",
         f"| Structured Streaming, 10 micro-batches | 1 | {stream_dt:.2f}s |"
         f" {stream_rate:,.0f} |",
+        f"| Kafka wire consume (kafka_lite: RecordBatch v2 + CRC32C +"
+        f" JSON decode, {n_kafka:,} alerts, 8 partitions) | 1 |"
+        f" {kbest:.2f}s | {kafka_rate:,.0f} |",
         "",
         f"The batch pass evaluates {len(flags)} topic predicates per alert"
         f" ({len(flags) * n_alerts:,} predicate evaluations; {n_selected:,}"
