@@ -274,3 +274,24 @@ def test_produce_api_and_full_livestream_loop(broker, spark, tmp_path):
     got = {json.loads(v.decode())["objectId"] for (_o, _k, v, _t) in out}
     keys = {k.decode() for (_o, k, _v, _t) in out}
     assert got == keys == {"ZTFb", "ZTFd"}
+
+
+def test_crc32c_vectorized_matches_scalar_reference():
+    """The lane-parallel numpy CRC (used for MB-size RecordBatches) must be
+    bit-identical to the byte-at-a-time reference at every size class:
+    below/at/above the dispatch threshold, lane boundaries, remainders."""
+    import random
+
+    from fink_filters_spark.sources.kafka_wire import (
+        _crc32c_numpy, crc32c, crc32c_scalar,
+    )
+
+    rng = random.Random(23)
+    sizes = [0, 1, 255, 256, 257, 2047, 2048, 2049, 4096, 65537,
+             rng.randrange(100_000, 300_000)]
+    for n in sizes:
+        data = rng.randbytes(n)
+        want = crc32c_scalar(data)
+        assert crc32c(data) == want, n
+        if n >= 2048:
+            assert _crc32c_numpy(data) == want, n

@@ -199,6 +199,13 @@ def main() -> None:
         " every topic inside WholeStageCodegen, so adding topics costs"
         " almost nothing. The reference evaluates each topic as its own"
         " pandas-UDF pass with an Arrow hop per batch.",
+        "",
+        "The Kafka row measures the engine's PURE-PYTHON test transport"
+        " (sources/kafka_wire.py — stub broker AND consumer both in"
+        " Python; CRC32C is the lane-parallel numpy kernel): it exists to"
+        " pin the wire contract, not to compete with the JVM"
+        " spark-sql-kafka connector a production deployment swaps in"
+        " (format name is the only change).",
     ]
     with open("THROUGHPUT.md", "w") as f:
         f.write("\n".join(lines) + "\n")
