@@ -35,6 +35,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_maxdot_lsh",  # 1-row max-norm aggregate cross join (MIPS augmentation)
     "dedup_ngram_jaccard",  # 1-row shingled-doc-count cross join (max_df_frac gate)
     "dedup_containment",  # 1-row shingled-doc-count cross join (max_df_frac gate)
+    "pipe_range_bounds",  # 7-rank broadcast range join over the value-domain table
     "sim_rrf_fusion",  # composes the sim_knn_bruteforce + sim_maxdot NLJ baselines
 }
 
