@@ -808,13 +808,20 @@ class KafkaLiteBatchReader(DataSourceReader):
 class KafkaLiteStreamReader(SimpleDataSourceStreamReader):
     """Offset = `{partition: next_fetch_offset}`; recovery replays exactly
     the uncommitted window (readBetweenOffsets), mirroring the JVM Kafka
-    source's per-partition offset tracking."""
+    source's per-partition offset tracking.
+
+    ``maxRecordsPerTrigger`` (optional) bounds each micro-batch PER
+    PARTITION — the production backpressure knob (the JVM source's
+    ``maxOffsetsPerTrigger``): without it a consumer restarted after
+    downtime would take the whole backlog as one giant batch."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self._host = options["host"]
         self._port = int(options["port"])
         self._topic = options["topic"]
+        cap = options.get("maxRecordsPerTrigger")
+        self._max_per_trigger = int(cap) if cap is not None else None
 
     def _consumer(self) -> MiniKafkaConsumer:
         return MiniKafkaConsumer(self._host, self._port)
@@ -835,6 +842,8 @@ class KafkaLiteStreamReader(SimpleDataSourceStreamReader):
                 p, off = int(p_str), int(off)
                 hi = (int(end[p_str]) if end is not None
                       else c.list_offset(self._topic, p, LATEST))
+                if end is None and self._max_per_trigger is not None:
+                    hi = min(hi, off + self._max_per_trigger)
                 while off < hi:
                     recs = c.fetch(self._topic, p, off)
                     if not recs:

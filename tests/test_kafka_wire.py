@@ -295,3 +295,42 @@ def test_crc32c_vectorized_matches_scalar_reference():
         assert crc32c(data) == want, n
         if n >= 2048:
             assert _crc32c_numpy(data) == want, n
+
+
+def test_max_records_per_trigger_bounds_micro_batches(broker, spark, tmp_path):
+    """The backpressure knob (the JVM source's maxOffsetsPerTrigger): with
+    a backlog of 5 alerts and maxRecordsPerTrigger=2, each run from the
+    shared checkpoint takes AT MOST 2 rows (the Python
+    SimpleDataSourceStreamReader prefetches one window per availableNow
+    run), so the backlog drains 2+2+1 across three runs — every offset
+    exactly once, in order, surviving restarts."""
+    from fink_filters_spark.sources.kafka_wire import register
+
+    register(spark)
+    _produce_alerts(broker, "paced", spark, _ALERTS, _ALERT_SCHEMA)
+
+    batches: list[list[int]] = []
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.format("kafka_lite")
+            .option("host", broker.host).option("port", broker.port)
+            .option("topic", "paced")
+            .option("maxRecordsPerTrigger", "2")
+            .load()
+        )
+        q = (
+            raw.writeStream
+            .foreachBatch(lambda bdf, bid: batches.append(
+                sorted(r.offset for r in bdf.select("offset").collect())))
+            .option("checkpointLocation", str(tmp_path / "ck_paced"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for _ in range(3):
+        run_once()
+    nonempty = [b for b in batches if b]
+    assert all(len(b) <= 2 for b in nonempty), nonempty
+    assert [o for b in nonempty for o in b] == [0, 1, 2, 3, 4]
