@@ -217,13 +217,26 @@ def _shingle_flat(pdf, n: int):
         doc_idx.extend([i] * len(toks))
     if not all_words:
         return None
-    uniq, inv = _np.unique(_np.array(all_words, dtype=object), return_inverse=True)
-    uh = _np.empty(len(uniq), dtype=_np.int64)
-    for k, w in enumerate(uniq):
-        h = 0
-        for c in w:
-            h = (h * 31 + ord(c)) % P
-        uh[k] = h
+    import pandas as _pd
+
+    # hash-based factorize (no sort) beats np.unique's string sort, and the
+    # polynomial fold runs VECTORIZED over a flat codepoint buffer: one
+    # masked numpy op per char position instead of a Python char loop per
+    # unique word (utf-32-le decodes to exactly the ord() codepoints the
+    # scalar loop consumed, so the integers are bit-identical; h < P and
+    # cp < 2^21 keep h*31+cp < 2^63). Measured ~3x on the 100x stress
+    # corpus, where per-batch vocabulary is the kernel's hot term.
+    inv, uniq = _pd.factorize(_np.asarray(all_words, dtype=object), sort=False)
+    uniq = _np.asarray(uniq, dtype=object)
+    lens = _np.fromiter((len(w) for w in uniq), dtype=_np.int64, count=len(uniq))
+    cps = _np.frombuffer(
+        "".join(uniq).encode("utf-32-le"), dtype=_np.uint32
+    ).astype(_np.int64)
+    starts = _np.concatenate(([_np.int64(0)], _np.cumsum(lens)[:-1]))
+    uh = _np.zeros(len(uniq), dtype=_np.int64)
+    for j in range(int(lens.max()) if len(lens) else 0):
+        act = lens > j
+        uh[act] = (uh[act] * 31 + cps[starts[act] + j]) % P
     wh = uh[inv]
     d = _np.asarray(doc_idx, dtype=_np.int64)
     # m, not -(n-1): for n=1 the negative slice wh[:-0] is EMPTY and the
@@ -292,6 +305,7 @@ def jaccard_pairs(
     n: int = 3,
     tau: float = 0.5,
     max_df_frac: float | None = MAX_DF_FRAC,
+    collapse: bool | str = "auto",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau)
     via inverted-index join.
@@ -342,7 +356,7 @@ def jaccard_pairs(
     # array_intersect verification is far costlier than counting. On a
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
-    grp, co, kept = _cooccurrence(df, id_col, text_col, n, max_df_frac)
+    grp, co, kept = _cooccurrence(df, id_col, text_col, n, max_df_frac, collapse)
     verified = (
         co.withColumn(
             "jaccard",
@@ -352,6 +366,14 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= tau)
         .select("__ra", "__rb", "jaccard")
     )
+    if grp is None:
+        # no-collapse branch: verified pairs ARE document pairs (identical
+        # sets surfaced through the co-occurrence join at Jaccard exactly 1)
+        return verified.select(
+            F.col("__ra").alias("id_a"),
+            F.col("__rb").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     self_keep = None if kept is None else kept.filter(F.col("__n") > 0)
     return _expand_rep_pairs(grp, verified, self_keep=self_keep)
 
@@ -502,6 +524,7 @@ def _cooccurrence(
     text_col: str,
     n: int,
     max_df_frac: float | None = None,
+    collapse: bool | str = "auto",
 ):
     """Shared inverted-index core of ``jaccard_pairs`` / ``containment_pairs``:
     the representative-collapse table and the per-rep-pair co-occurrence
@@ -524,30 +547,56 @@ def _cooccurrence(
     whose surviving set is empty (0/0 similarity — such a pair shares
     only boilerplate and is exactly what the gate is asked to drop; the
     SQL oracles' filtered posting join has no row for it either).
+
+    ``collapse`` is the same adaptive three-valued knob as
+    ``minhash_lsh_pairs``: the representative collapse pays a corpus-wide
+    groupBy that shuffles every shingle ARRAY, which buys nothing on a
+    duplication-light corpus (every group a singleton — 0.16% duplicates
+    on the 100x stress table, yet the shuffle cost ~6.5s). ``"auto"``
+    probes ``_duplicate_fraction`` (one narrow JVM aggregate) and skips
+    the collapse below ``COLLAPSE_DUP_FRAC``; the no-collapse branch
+    returns ``grp=None`` (callers skip member expansion — identical-set
+    pairs then surface through the ordinary co-occurrence join at
+    similarity exactly 1, so the emitted pair set is bit-identical).
+
+    NOTE the returned frames embed EAGER probe results (duplicate
+    fraction, purge list, id range) — the plan branch is frozen to the
+    data at call time, not re-decided per action, and the no-collapse /
+    gated branches hold a ``cache()`` (see ``jaccard_pairs``).
     """
-    sh = _hashed_shingled(df, id_col, text_col, n, with_key=True)
-    grp = (
-        sh.groupBy("__k")
-        .agg(
-            F.min("__id").alias("__rid"),
-            F.collect_list("__id").alias("__members"),
-            F.first("__sh").alias("__sh"),
-            F.count(F.lit(1)).alias("__gsz"),
+    if collapse == "auto":
+        collapse = _duplicate_fraction(df, text_col) >= COLLAPSE_DUP_FRAC
+    if collapse:
+        sh = _hashed_shingled(df, id_col, text_col, n, with_key=True)
+        grp = (
+            sh.groupBy("__k")
+            .agg(
+                F.min("__id").alias("__rid"),
+                F.collect_list("__id").alias("__members"),
+                F.first("__sh").alias("__sh"),
+                F.count(F.lit(1)).alias("__gsz"),
+            )
+            .cache()
         )
-        .cache()
-    )
-    postings = grp.select(
-        F.col("__rid").alias("__id"), F.size("__sh").alias("__n"),
-        F.col("__gsz"), F.explode("__sh").alias("__s"),
+        base = grp.select(F.col("__rid").alias("__id"), "__sh", "__gsz")
+    else:
+        # per-document postings: the cached kernel output doubles as the
+        # posting source and the size/id-range probe table below
+        grp = None
+        base = _hashed_shingled(df, id_col, text_col, n).cache()
+        base = base.select("__id", "__sh", F.lit(1).alias("__gsz"))
+    postings = base.select(
+        "__id", F.size("__sh").alias("__n"), "__gsz",
+        F.explode("__sh").alias("__s"),
     )
     if max_df_frac is not None:
         # document-weighted df (a rep stands for __gsz identical docs);
         # the purge list is computed EAGERLY (one narrow aggregate over
-        # the postings of the already-cached collapse table — the same
-        # scan the probe-then-branch adaptive collapse in
+        # the postings of the already-cached collapse/kernel table — the
+        # same scan the probe-then-branch adaptive collapse in
         # minhash_lsh_pairs pays) because the common case decides the
         # whole plan shape:
-        tot = grp.agg(F.sum("__gsz").alias("__N"))
+        tot = base.agg(F.sum("__gsz").alias("__N"))
         purged = (
             postings.groupBy("__s")
             .agg(F.sum("__gsz").alias("__df"))
@@ -595,16 +644,71 @@ def _cooccurrence(
         else None
     )
     a, b = postings.alias("a"), postings.alias("b")
-    co = (
-        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(
-            F.col("a.__id").alias("__ra"),
-            F.col("b.__id").alias("__rb"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("__inter"))
+    joined = a.join(
+        b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id"))
     )
+    # The co-occurrence aggregation shuffles one row per CO-POSTING
+    # (Σ df(s)² rows — 126M at the 100x stress corpus), so its key width
+    # is the single biggest cost in the whole pair pipeline. Grouping by
+    # (ra, rb, na, nb) hashes and compares a 4-field row per co-posting;
+    # packing (ra, rb) into ONE int64 (ra << 32 | rb) and re-attaching the
+    # set sizes AFTER the aggregate (one narrow row per representative,
+    # from the already-cached collapse table) measured 49.4s -> 17.1s on
+    # the 126M-row stress step. Packing needs both ids in [0, 2^31); the
+    # probe below reads min/max/count off the cached collapse/kernel table
+    # (one tiny scan — same eager-probe convention as the purge gate above)
+    # and falls back to the unpacked grouping outside that range. The size
+    # re-join broadcasts only while the representative table is small
+    # (~8M rows ≈ 100 MB); above that it stays a shuffle join, which AQE
+    # may still convert at runtime.
+    stats = base.agg(
+        F.min("__id").alias("mn"),
+        F.max("__id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    packable = (
+        stats["mn"] is not None and stats["mn"] >= 0 and stats["mx"] < 2**31
+    )
+    if packable:
+        if gated:
+            sizes = kept_sizes.withColumnRenamed("__rid", "__sid")
+        else:
+            sizes = base.select(
+                F.col("__id").alias("__sid"), F.size("__sh").alias("__n")
+            )
+        if stats["n"] <= 8_000_000:
+            sizes = F.broadcast(sizes)
+        co = (
+            joined.select(
+                (F.shiftleft(F.col("a.__id"), 32) + F.col("b.__id")).alias("__pk")
+            )
+            .groupBy("__pk")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+            .select(
+                F.shiftright("__pk", 32).alias("__ra"),
+                F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("__rb"),
+                "__inter",
+            )
+            .join(
+                sizes.select(F.col("__sid").alias("__ra"), F.col("__n").alias("__na")),
+                "__ra",
+            )
+            .join(
+                sizes.select(F.col("__sid").alias("__rb"), F.col("__n").alias("__nb")),
+                "__rb",
+            )
+            .select("__ra", "__rb", "__na", "__nb", "__inter")
+        )
+    else:
+        co = (
+            joined.groupBy(
+                F.col("a.__id").alias("__ra"),
+                F.col("b.__id").alias("__rb"),
+                F.col("a.__n").alias("__na"),
+                F.col("b.__n").alias("__nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
     return grp, co, kept_sizes
 
 
@@ -615,6 +719,7 @@ def containment_pairs(
     n: int = 3,
     tau: float = 0.8,
     max_df_frac: float | None = MAX_DF_FRAC,
+    collapse: bool | str = "auto",
 ) -> DataFrame:
     """Shingle-set CONTAINMENT near-dup pairs (id_a < id_b, containment >=
     tau): containment = |A∩B| / min(|A|, |B|) — the asymmetric-duplication
@@ -632,7 +737,7 @@ def containment_pairs(
     verification expression differs. No reference parity claim:
     fink-filters has no text-dedup surface; this serves the engine's
     LLM-curation mandate."""
-    grp, co, kept = _cooccurrence(df, id_col, text_col, n, max_df_frac)
+    grp, co, kept = _cooccurrence(df, id_col, text_col, n, max_df_frac, collapse)
     verified = (
         co.withColumn(
             "containment",
@@ -642,6 +747,12 @@ def containment_pairs(
         .filter(F.col("containment") >= tau)
         .select("__ra", "__rb", "containment")
     )
+    if grp is None:
+        return verified.select(
+            F.col("__ra").alias("id_a"),
+            F.col("__rb").alias("id_b"),
+            F.round("containment", 6).alias("containment"),
+        )
     self_keep = None if kept is None else kept.filter(F.col("__n") > 0)
     return _expand_rep_pairs(
         grp, verified, value_col="containment", self_keep=self_keep
@@ -1475,13 +1586,22 @@ def connected_components(
     returning the old graph's labels. The fingerprint costs one extra
     pass over the edge list, only on the opt-in durable path.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # cache BEFORE the size probe: the pair graph's lineage is typically the
+    # expensive part (near-dup pair generation, ER match scoring) — without
+    # the cache an over-threshold graph re-runs that whole pipeline for the
+    # distributed edge build after already running it for the probe
+    # (measured: ~18s of redundant ER match scoring at the 100x stress).
+    # Partition-grained caching makes this free-or-better in every case: an
+    # under-threshold probe scans (and caches) everything it would have
+    # scanned anyway, and the cache is dropped before returning.
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).cache()
     if driver_threshold > 0:
         # one-action size probe: collect at most threshold+1 edges — if they
-        # all fit, that IS the edge list (no separate count pass, no cache
-        # write); only an overflow pays for a second, distributed execution
+        # all fit, that IS the edge list (no separate count pass); only an
+        # overflow pays for a second (now cached) execution
         rows = edges.limit(driver_threshold + 1).collect()
         if len(rows) <= driver_threshold:
+            edges.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -1614,6 +1734,8 @@ def connected_components(
         .repartition(F.col("dst"))
         .cache()
     )
+    und.count()  # materialize so the edge cache (and its lineage) can drop now
+    edges.unpersist()
     resumed = False
     if state_dir is not None:
         _check_fingerprint(und)
@@ -1629,11 +1751,30 @@ def connected_components(
             .distinct()
             .withColumn("label", F.col("node"))
         )
+    # FRONTIER propagation: a node's label can only decrease when a
+    # neighbor's label decreased in the previous round, so each round joins
+    # the edge list against only the labels that CHANGED last round (round
+    # 0: all of them — every node is initially "changed"), not the full
+    # label table. Converged graphs spend most rounds on a tiny straggler
+    # frontier (measured on the 100x ER graph: rounds 2-4 changed 468/25/4
+    # labels but each still paid a full 35M-edge join at ~2.6s); with the
+    # frontier those tail rounds join hundreds of rows instead. Exactness:
+    # labels are monotone decreasing, and any path transmitting a smaller
+    # label keeps its carrier in the frontier round by round — at an empty
+    # frontier no neighbor of any node holds a smaller label (the full-join
+    # fixpoint condition). On resume the frontier conservatively resets to
+    # all labels.
+    frontier = labels
     for _ in range(max_iter):
         nbr = (
-            und.join(labels, und.dst == labels.node)
+            und.join(
+                frontier.select(
+                    F.col("node").alias("__fn"), F.col("label").alias("__fl")
+                ),
+                und.dst == F.col("__fn"),
+            )
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("__fl").alias("nbr_label"))
             .withColumnRenamed("src", "nbr_node")
         )
         # the changed flag rides the SAME select that computes the new
@@ -1658,6 +1799,7 @@ def connected_components(
         # generation's JVM frame; the context cleaner then frees its
         # checkpoint blocks (DataFrame.unpersist would be a no-op here —
         # checkpoint storage is not cache-manager-tracked)
+        frontier = nxt.filter(F.col("__chg"))
         labels = nxt
         if changed == 0:
             break
