@@ -92,6 +92,61 @@ def main() -> None:
     for offset, key, value, _ts in out:
         print(f"  offset {offset}  key={key.decode()}  "
               f"magpsf={json.loads(value.decode())['magpsf']}")
+
+    # ---- Avro leg: the PRODUCTION payload shape ---------------------------
+    # A real ZTF Kafka message value is an Avro object container file (the
+    # writer schema rides in every message). The engine's pure-Python codec
+    # (sources/avro_codec.py) decodes it executor-side; on a cluster with
+    # the spark-avro jar, from_avro is the drop-in JVM equivalent.
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.sources.avro_codec import encode_container
+
+    avro_schema = json.dumps({
+        "type": "record", "name": "alert", "namespace": "ztf",
+        "fields": [
+            {"name": "objectId", "type": "string"},
+            {"name": "candid", "type": "long"},
+            {"name": "candidate", "type": {
+                "type": "record", "name": "candidate", "fields": [
+                    {"name": "magpsf", "type": ["null", "float"]},
+                    {"name": "cdsxmatch", "type": "string"},
+                ]}},
+        ],
+    })
+    producer = MiniKafkaProducer(broker.host, broker.port)
+    producer.send(
+        "ztf-avro", 0,
+        [(oid.encode(),
+          encode_container(
+              [{"objectId": oid, "candid": c,
+                "candidate": {"magpsf": m, "cdsxmatch": x}}],
+              avro_schema),
+          1_700_000_000_000 + c)
+         for c, oid, x, m in alerts],
+    )
+    producer.close()
+    raw_avro = (
+        spark.readStream.format("kafka_lite")
+        .option("host", broker.host).option("port", broker.port)
+        .option("topic", "ztf-avro")
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    sn = kafka_decode(
+        raw_avro, value_format="avro", avro_schema=avro_schema
+    ).select("alert.*").filter(F.col("candidate.cdsxmatch") == "SN")
+    with tempfile.TemporaryDirectory(prefix="ck_avro_") as ck:
+        q = (sn.writeStream.format("memory").queryName("avro_sn")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+    got = spark.table("avro_sn").collect()
+    print(f"avro leg: {len(got)} SN alerts decoded from container payloads:")
+    for r in got:
+        print(f"  {r.objectId}  magpsf={r.candidate.magpsf}")
+
     broker.close()
     spark.stop()
 

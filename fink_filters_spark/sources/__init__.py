@@ -44,7 +44,10 @@ def kafka_stream(
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka alert source: value is Avro/JSON payload; this builder assumes
-    JSON (use spark-avro's from_avro for the production Avro payloads).
+    JSON. For the production Avro payloads use
+    ``kafka_decode(raw, value_format="avro", avro_schema=...)`` (pure-Python
+    container-file decoder, works offline) or spark-avro's ``from_avro``
+    where the jar is available.
 
     ``maxOffsetsPerTrigger`` bounds micro-batch size — the back-pressure
     control that keeps 100 TB nights from producing unbounded batches.
@@ -61,16 +64,78 @@ def kafka_stream(
     return kafka_decode(raw, schema).select("alert.*", "kafka_timestamp")
 
 
-def kafka_decode(raw: DataFrame, schema: StructType) -> DataFrame:
-    """Parse the Kafka wire frame back to typed rows: ``value`` (JSON bytes
-    or string) -> ``alert`` struct via ``from_json``, Kafka's ingest
-    ``timestamp`` surfaced as ``kafka_timestamp`` when present. The inverse
-    of ``sinks.storage.kafka_encode`` — their round trip is pinned
-    broker-free by tests/test_streaming.py."""
-    cols = [F.from_json(F.col("value").cast("string"), schema).alias("alert")]
-    if "timestamp" in raw.columns:
-        cols.append(F.col("timestamp").alias("kafka_timestamp"))
-    return raw.select(*cols)
+def kafka_decode(
+    raw: DataFrame,
+    schema: StructType | None = None,
+    value_format: str = "json",
+    avro_schema: str | dict | None = None,
+) -> DataFrame:
+    """Parse the Kafka wire frame back to typed rows: ``value`` -> ``alert``
+    struct, Kafka's ingest ``timestamp`` surfaced as ``kafka_timestamp``
+    when present. The inverse of ``sinks.storage.kafka_encode`` — their
+    round trip is pinned broker-free by tests/test_streaming.py.
+
+    ``value_format``:
+
+    - ``"json"`` (default): ``from_json`` over the value bytes/string with
+      the given Spark ``schema`` — fully JVM-side.
+    - ``"avro"``: the production alert payload. Each value is an Avro
+      OBJECT CONTAINER FILE (the ZTF packet framing — writer schema
+      embedded, one or more records per message; ``sources/avro_codec``
+      documents the reference's spark-avro dependency this replaces
+      offline). Requires ``avro_schema`` (the alert schema as JSON text or
+      dict); the Spark-side struct type is DERIVED from it, and decoding
+      runs in an Arrow-batched ``mapInPandas`` kernel on the executors —
+      one Python call per batch, payload bytes never reach the driver. On
+      a cluster with the spark-avro jar, ``from_avro`` is the drop-in
+      JVM-side equivalent of the same plan position.
+
+    Avro messages whose container holds multiple records explode to one
+    output row each (a JSON message is always exactly one row).
+    """
+    if value_format == "json":
+        if schema is None:
+            raise ValueError("kafka_decode: json format requires `schema`")
+        cols = [F.from_json(F.col("value").cast("string"), schema).alias("alert")]
+        if "timestamp" in raw.columns:
+            cols.append(F.col("timestamp").alias("kafka_timestamp"))
+        return raw.select(*cols)
+    if value_format != "avro":
+        raise ValueError(f"kafka_decode: unknown value_format {value_format!r}")
+    if avro_schema is None:
+        raise ValueError("kafka_decode: avro format requires `avro_schema`")
+
+    from pyspark.sql import types as T
+
+    from .avro_codec import avro_to_spark_type, decode_container, parse_schema
+
+    parsed = parse_schema(avro_schema)
+    alert_type = avro_to_spark_type(parsed)
+    if not isinstance(alert_type, T.StructType):
+        raise ValueError("kafka_decode: avro_schema must describe a record")
+    has_ts = "timestamp" in raw.columns
+    out_fields = [T.StructField("alert", alert_type)]
+    if has_ts:
+        out_fields.append(T.StructField("kafka_timestamp", T.TimestampType()))
+    out_schema = T.StructType(out_fields)
+    src = raw.select("value", *(["timestamp"] if has_ts else []))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            alerts, stamps = [], []
+            for i, v in enumerate(pdf["value"]):
+                _schema, records = decode_container(bytes(v))
+                alerts.extend(records)
+                if has_ts:
+                    stamps.extend([pdf["timestamp"].iloc[i]] * len(records))
+            out = {"alert": pd.Series(alerts, dtype="object")}
+            if has_ts:
+                out["kafka_timestamp"] = pd.Series(stamps)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, out_schema)
 
 
 def load_catalog(

@@ -1,0 +1,495 @@
+"""Pure-Python Avro binary codec + Spark decode integration.
+
+Production alert streams are Avro-encoded: every ZTF Kafka message value
+is a full Avro OBJECT CONTAINER FILE (magic ``Obj\\x01``, embedded writer
+schema, one alert record per message), and the reference depends on the
+``spark-avro`` package to consume them (``fink_filters/tester.py:50-76``
+— ``--packages org.apache.spark:spark-avro_...``). That jar is absent in
+this container, so — following the repo's xgb_ubj/FITS precedent of
+schema-driven pure-Python decoders for binary formats — this module
+implements the Avro 1.11 BINARY ENCODING from the public specification
+(https://avro.apache.org/docs/1.11.1/specification/): primitives
+(null/boolean/int/long/float/double/bytes/string), records, enums,
+arrays, maps, unions, and fixed, plus the object container file framing
+(null and deflate codecs) and the Confluent wire framing (magic 0x00 +
+4-byte schema id + datum) used by schema-registry deployments.
+
+``from_avro`` (spark-avro) remains the documented real-cluster path; the
+``kafka_decode(..., value_format="avro")`` integration in
+``sources/__init__.py`` gives the identical pipeline shape offline.
+
+Scale: decoding runs executor-side inside an Arrow-batched kernel (one
+Python call per batch, not per message); the driver never sees payload
+bytes. Schemas are parsed once and captured in the task closure.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+__all__ = [
+    "SchemaError",
+    "avro_to_spark_type",
+    "decode_confluent",
+    "decode_container",
+    "decode_datum",
+    "encode_confluent",
+    "encode_container",
+    "encode_datum",
+    "parse_schema",
+]
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+
+class SchemaError(ValueError):
+    """Malformed Avro schema or datum/schema mismatch."""
+
+
+# ---------------------------------------------------------------------------
+# schema parsing: JSON -> normalized dict tree with named-type references
+# resolved (the spec allows referring to a previously defined record/enum/
+# fixed by full name; we inline the definition so encode/decode walk plain
+# dicts with no registry lookups in the hot path)
+# ---------------------------------------------------------------------------
+
+def parse_schema(schema: str | dict | list) -> dict | str | list:
+    """Normalize a schema given as JSON text or parsed JSON. Named types
+    (record/enum/fixed) may be referenced by name after definition; the
+    reference is replaced by the shared definition object."""
+    if isinstance(schema, str) and schema.lstrip()[:1] in "[{\"":
+        schema = json.loads(schema)
+    names: dict[str, dict] = {}
+    return _resolve(schema, names, enclosing_ns=None)
+
+
+def _full_name(d: dict, enclosing_ns: str | None) -> str:
+    name = d["name"]
+    if "." in name:
+        return name
+    ns = d.get("namespace", enclosing_ns)
+    return f"{ns}.{name}" if ns else name
+
+
+def _resolve(s, names: dict, enclosing_ns: str | None):
+    if isinstance(s, str):
+        if s in _PRIMITIVES:
+            return s
+        full = s if "." in s else (f"{enclosing_ns}.{s}" if enclosing_ns else s)
+        if full in names:
+            return names[full]
+        if s in names:
+            return names[s]
+        raise SchemaError(f"unknown type reference: {s!r}")
+    if isinstance(s, list):  # union
+        return [_resolve(b, names, enclosing_ns) for b in s]
+    if not isinstance(s, dict):
+        raise SchemaError(f"invalid schema node: {s!r}")
+    t = s.get("type")
+    if t in ("record", "error"):
+        full = _full_name(s, enclosing_ns)
+        out = {"type": "record", "name": full, "fields": []}
+        names[full] = out
+        ns = full.rsplit(".", 1)[0] if "." in full else enclosing_ns
+        for f in s["fields"]:
+            out["fields"].append(
+                {"name": f["name"], "type": _resolve(f["type"], names, ns)}
+            )
+        return out
+    if t == "enum":
+        full = _full_name(s, enclosing_ns)
+        out = {"type": "enum", "name": full, "symbols": list(s["symbols"])}
+        names[full] = out
+        return out
+    if t == "fixed":
+        full = _full_name(s, enclosing_ns)
+        out = {"type": "fixed", "name": full, "size": int(s["size"])}
+        names[full] = out
+        return out
+    if t == "array":
+        return {"type": "array", "items": _resolve(s["items"], names, enclosing_ns)}
+    if t == "map":
+        return {"type": "map", "values": _resolve(s["values"], names, enclosing_ns)}
+    if t in _PRIMITIVES:  # {"type": "string"} wrapper form
+        return t
+    if isinstance(t, (dict, list)):  # {"type": {...}} nesting
+        return _resolve(t, names, enclosing_ns)
+    raise SchemaError(f"unsupported schema type: {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# datum encoding (spec: binary encoding)
+# ---------------------------------------------------------------------------
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    # zigzag then unsigned LEB128 varint (Python's arithmetic >> makes the
+    # same expression correct for both signs; mask to the u64 wire domain)
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise SchemaError("truncated varint")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+        if shift > 70:
+            raise SchemaError("varint too long")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def encode_datum(datum, schema) -> bytes:
+    out = io.BytesIO()
+    _encode(out, datum, schema)
+    return out.getvalue()
+
+
+def _union_index(datum, branches: list) -> int:
+    """Pick the union branch for a Python datum (the common alert-schema
+    unions are ["null", X]; richer unions match on Python type)."""
+    def tname(b):
+        return b if isinstance(b, str) else b["type"]
+
+    for i, b in enumerate(branches):
+        t = tname(b)
+        if datum is None and t == "null":
+            return i
+    for i, b in enumerate(branches):
+        t = tname(b)
+        if datum is None:
+            continue
+        if isinstance(datum, bool):
+            if t == "boolean":
+                return i
+        elif isinstance(datum, int) and t in ("int", "long"):
+            return i
+        elif isinstance(datum, float) and t in ("float", "double"):
+            return i
+        elif isinstance(datum, str) and t in ("string", "enum"):
+            return i
+        elif isinstance(datum, (bytes, bytearray)) and t in ("bytes", "fixed"):
+            return i
+        elif isinstance(datum, dict) and t in ("record", "map"):
+            return i
+        elif isinstance(datum, (list, tuple)) and t == "array":
+            return i
+        elif isinstance(datum, int) and t in ("float", "double"):
+            return i
+    raise SchemaError(f"no union branch for {type(datum).__name__}")
+
+
+def _encode(out: io.BytesIO, datum, schema) -> None:
+    if isinstance(schema, list):  # union
+        i = _union_index(datum, schema)
+        _write_long(out, i)
+        _encode(out, datum, schema[i])
+        return
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        if datum is not None:
+            raise SchemaError("non-None datum for null schema")
+        return
+    if t == "boolean":
+        out.write(b"\x01" if datum else b"\x00")
+    elif t in ("int", "long"):
+        _write_long(out, int(datum))
+    elif t == "float":
+        out.write(struct.pack("<f", float(datum)))
+    elif t == "double":
+        out.write(struct.pack("<d", float(datum)))
+    elif t == "bytes":
+        b = bytes(datum)
+        _write_long(out, len(b))
+        out.write(b)
+    elif t == "string":
+        b = str(datum).encode("utf-8")
+        _write_long(out, len(b))
+        out.write(b)
+    elif t == "record":
+        for f in schema["fields"]:
+            try:
+                _encode(out, datum[f["name"]], f["type"])
+            except KeyError:
+                raise SchemaError(f"record missing field {f['name']!r}") from None
+    elif t == "enum":
+        try:
+            _write_long(out, schema["symbols"].index(datum))
+        except ValueError:
+            raise SchemaError(f"{datum!r} not in enum symbols") from None
+    elif t == "fixed":
+        b = bytes(datum)
+        if len(b) != schema["size"]:
+            raise SchemaError(f"fixed size {schema['size']} != {len(b)}")
+        out.write(b)
+    elif t == "array":
+        if datum:
+            _write_long(out, len(datum))
+            for item in datum:
+                _encode(out, item, schema["items"])
+        _write_long(out, 0)
+    elif t == "map":
+        if datum:
+            _write_long(out, len(datum))
+            for k, v in datum.items():
+                _encode(out, k, "string")
+                _encode(out, v, schema["values"])
+        _write_long(out, 0)
+    else:
+        raise SchemaError(f"unsupported type: {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# datum decoding
+# ---------------------------------------------------------------------------
+
+def decode_datum(data: bytes | io.BytesIO, schema):
+    buf = data if isinstance(data, io.BytesIO) else io.BytesIO(data)
+    return _decode(buf, schema)
+
+
+def _decode(buf: io.BytesIO, schema):
+    if isinstance(schema, list):  # union
+        i = _read_long(buf)
+        if not 0 <= i < len(schema):
+            raise SchemaError(f"union index {i} out of range")
+        return _decode(buf, schema[i])
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        b = buf.read(1)
+        if not b:
+            raise SchemaError("truncated boolean")
+        return b != b"\x00"
+    if t in ("int", "long"):
+        return _read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", _exact(buf, 4))[0]
+    if t == "double":
+        return struct.unpack("<d", _exact(buf, 8))[0]
+    if t == "bytes":
+        return _exact(buf, _read_long(buf))
+    if t == "string":
+        return _exact(buf, _read_long(buf)).decode("utf-8")
+    if t == "record":
+        return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+    if t == "enum":
+        i = _read_long(buf)
+        try:
+            return schema["symbols"][i]
+        except IndexError:
+            raise SchemaError(f"enum index {i} out of range") from None
+    if t == "fixed":
+        return _exact(buf, schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix (skippable form)
+                n = -n
+                _read_long(buf)  # block byte size — not needed sequentially
+            for _ in range(n):
+                out.append(_decode(buf, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                k = _exact(buf, _read_long(buf)).decode("utf-8")
+                out[k] = _decode(buf, schema["values"])
+    raise SchemaError(f"unsupported type: {t!r}")
+
+
+def _exact(buf: io.BytesIO, n: int) -> bytes:
+    if n < 0:
+        raise SchemaError(f"negative length {n}")
+    b = buf.read(n)
+    if len(b) != n:
+        raise SchemaError(f"truncated: wanted {n} bytes, got {len(b)}")
+    return b
+
+
+# ---------------------------------------------------------------------------
+# object container file (the ZTF alert packet framing): magic, metadata map
+# (avro.schema / avro.codec), 16-byte sync marker, blocks of
+# (record count, byte size, payload, sync)
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"Obj\x01"
+_META_SCHEMA = {"type": "map", "values": "bytes"}
+_DEFAULT_SYNC = bytes(range(16))  # deterministic (no RNG in library code)
+
+
+def encode_container(
+    records: list,
+    schema: str | dict | list,
+    codec: str = "null",
+    sync: bytes = _DEFAULT_SYNC,
+) -> bytes:
+    """One-block object container file holding ``records`` (the ZTF alert
+    stream sends one record per message, but any count round-trips)."""
+    parsed = parse_schema(schema)
+    schema_json = schema if isinstance(schema, str) else json.dumps(schema)
+    if len(sync) != 16:
+        raise SchemaError("sync marker must be 16 bytes")
+    if codec not in ("null", "deflate"):
+        raise SchemaError(f"unsupported codec {codec!r}")
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    _encode(
+        out,
+        {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()},
+        _META_SCHEMA,
+    )
+    out.write(sync)
+    body = io.BytesIO()
+    for r in records:
+        _encode(body, r, parsed)
+    payload = body.getvalue()
+    if codec == "deflate":  # spec: raw deflate, no zlib header/checksum
+        payload = zlib.compress(payload)[2:-4]
+    _write_long(out, len(records))
+    _write_long(out, len(payload))
+    out.write(payload)
+    out.write(sync)
+    return out.getvalue()
+
+
+def decode_container(data: bytes) -> tuple[dict | str | list, list]:
+    """(writer schema, records) from an object container file. The schema
+    travels IN the file — no reader-side registry needed (exactly why ZTF
+    chose this framing for alert packets)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != _MAGIC:
+        raise SchemaError("not an Avro object container file (bad magic)")
+    meta = _decode(buf, _META_SCHEMA)
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise SchemaError(f"unsupported codec {codec!r}")
+    schema = parse_schema(meta["avro.schema"].decode())
+    sync = _exact(buf, 16)
+    records = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        n = _read_long(buf)
+        size = _read_long(buf)
+        payload = _exact(buf, size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        block = io.BytesIO(payload)
+        for _ in range(n):
+            records.append(_decode(block, schema))
+        if _exact(buf, 16) != sync:
+            raise SchemaError("sync marker mismatch (corrupt block)")
+    return schema, records
+
+
+# ---------------------------------------------------------------------------
+# Confluent schema-registry wire framing: 0x00 + big-endian 4-byte schema id
+# + bare datum (Rubin-style deployments with a registry)
+# ---------------------------------------------------------------------------
+
+def encode_confluent(datum, schema, schema_id: int) -> bytes:
+    return b"\x00" + struct.pack(">I", schema_id) + encode_datum(
+        datum, parse_schema(schema) if isinstance(schema, (str,)) else schema
+    )
+
+
+def decode_confluent(data: bytes, schema) -> tuple[int, object]:
+    """(schema_id, datum). The registry lookup itself is deployment infra;
+    the caller maps id -> schema (tests pass the schema directly)."""
+    if not data or data[0] != 0:
+        raise SchemaError("not Confluent-framed (magic byte != 0)")
+    schema_id = struct.unpack(">I", data[1:5])[0]
+    return schema_id, decode_datum(data[5:], schema)
+
+
+# ---------------------------------------------------------------------------
+# Avro schema -> Spark DataType (for kafka_decode's value_format="avro")
+# ---------------------------------------------------------------------------
+
+def avro_to_spark_type(schema):
+    """Map a parsed Avro schema to the Spark type spark-avro would produce:
+    unions of [null, X] become nullable X; other unions are unsupported
+    (spark-avro represents them as structs — outside the alert schemas'
+    shapes); enum -> string, fixed -> binary, map -> map<string, V>."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        if len(non_null) != 1:
+            raise SchemaError(
+                "only [null, X] unions map to a Spark type; got "
+                f"{len(non_null)} non-null branches"
+            )
+        return avro_to_spark_type(non_null[0])
+    t = schema if isinstance(schema, str) else schema["type"]
+    prim = {
+        "boolean": T.BooleanType,
+        "int": T.IntegerType,
+        "long": T.LongType,
+        "float": T.FloatType,
+        "double": T.DoubleType,
+        "bytes": T.BinaryType,
+        "string": T.StringType,
+        "null": T.NullType,
+        "enum": T.StringType,
+        "fixed": T.BinaryType,
+    }
+    if t in prim:
+        return prim[t]()
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    avro_to_spark_type(f["type"]),
+                    nullable=_nullable(f["type"]),
+                )
+                for f in schema["fields"]
+            ]
+        )
+    if t == "array":
+        return T.ArrayType(
+            avro_to_spark_type(schema["items"]), containsNull=_nullable(schema["items"])
+        )
+    if t == "map":
+        return T.MapType(
+            T.StringType(),
+            avro_to_spark_type(schema["values"]),
+            valueContainsNull=_nullable(schema["values"]),
+        )
+    raise SchemaError(f"unsupported type: {t!r}")
+
+
+def _nullable(schema) -> bool:
+    return isinstance(schema, list) and "null" in schema

@@ -1,0 +1,343 @@
+"""Pure-Python Avro codec (sources/avro_codec.py): spec byte goldens,
+round trips on ZTF-alert-shaped schemas, container/Confluent framing, the
+Avro->Spark type map, and the kafka_decode(value_format="avro") pipeline —
+batch and over the kafka_lite wire transport.
+
+Byte goldens are taken from the published Avro 1.11 specification's own
+encoding examples (zigzag table, the ["null","string"] union, the
+{"a": long, "b": string} record, the array-of-longs block form), so the
+codec is pinned to the public wire format, not to itself.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from fink_filters_spark.sources.avro_codec import (
+    SchemaError,
+    avro_to_spark_type,
+    decode_confluent,
+    decode_container,
+    decode_datum,
+    encode_confluent,
+    encode_container,
+    encode_datum,
+    parse_schema,
+)
+
+# ---------------------------------------------------------------------------
+# spec byte goldens
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_varint_spec_table():
+    # avro spec "binary encoding / primitive types" table
+    for value, hexed in [
+        (0, "00"), (-1, "01"), (1, "02"), (-2, "03"), (2, "04"),
+        (-64, "7f"), (64, "8001"), (-8193, "81 80 01".replace(" ", "")),
+    ]:
+        got = encode_datum(value, "long")
+        assert got == bytes.fromhex(hexed), (value, got.hex())
+        assert decode_datum(got, "long") == value
+
+
+def test_string_and_record_spec_examples():
+    # spec: "foo" -> 06 66 6f 6f
+    assert encode_datum("foo", "string") == bytes.fromhex("06666f6f")
+    # spec record example: {"a": 27, "b": "foo"} -> 36 06 66 6f 6f
+    sch = parse_schema(
+        '{"type":"record","name":"test","fields":'
+        '[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    )
+    assert encode_datum({"a": 27, "b": "foo"}, sch) == bytes.fromhex("3606666f6f")
+    assert decode_datum(bytes.fromhex("3606666f6f"), sch) == {"a": 27, "b": "foo"}
+
+
+def test_array_and_union_spec_examples():
+    # spec: array<long> [3, 27] -> 04 06 36 00
+    sch = parse_schema('{"type":"array","items":"long"}')
+    assert encode_datum([3, 27], sch) == bytes.fromhex("04063600")
+    assert decode_datum(bytes.fromhex("04063600"), sch) == [3, 27]
+    # spec: union ["null","string"]: null -> 00 ; "a" -> 02 02 61
+    u = parse_schema('["null","string"]')
+    assert encode_datum(None, u) == b"\x00"
+    assert encode_datum("a", u) == bytes.fromhex("020261")
+    assert decode_datum(b"\x00", u) is None
+    assert decode_datum(bytes.fromhex("020261"), u) == "a"
+
+
+def test_negative_count_array_block_form_decodes():
+    # writers MAY emit a negative count followed by the block byte size;
+    # decode must accept it (spec: "If a block's count is negative...")
+    sch = parse_schema('{"type":"array","items":"long"}')
+    buf = io.BytesIO()
+    buf.write(encode_datum(-2, "long"))   # count -2 => 2 items + size follows
+    buf.write(encode_datum(2, "long"))    # block byte size (2 bytes)
+    buf.write(encode_datum(3, "long"))
+    buf.write(encode_datum(27, "long"))
+    buf.write(b"\x00")                    # terminator
+    assert decode_datum(buf.getvalue(), sch) == [3, 27]
+
+
+def test_float_double_boolean_bytes_enum_fixed_map():
+    import struct as _s
+
+    assert encode_datum(1.5, "double") == _s.pack("<d", 1.5)
+    assert decode_datum(_s.pack("<f", 2.5), "float") == 2.5
+    assert encode_datum(True, "boolean") == b"\x01"
+    assert decode_datum(b"\x00", "boolean") is False
+    assert decode_datum(encode_datum(b"\x01\x02", "bytes"), "bytes") == b"\x01\x02"
+    en = parse_schema('{"type":"enum","name":"Band","symbols":["g","r","i"]}')
+    assert encode_datum("r", en) == b"\x02"
+    assert decode_datum(b"\x04", en) == "i"
+    fx = parse_schema('{"type":"fixed","name":"Sync","size":4}')
+    assert decode_datum(encode_datum(b"abcd", fx), fx) == b"abcd"
+    mp = parse_schema('{"type":"map","values":"long"}')
+    assert decode_datum(encode_datum({"x": 1, "y": -1}, mp), mp) == {"x": 1, "y": -1}
+
+
+# ---------------------------------------------------------------------------
+# ZTF-alert-shaped schema (public ZTF alert schema shapes: nested candidate
+# record, [null, array<record>] prv_candidates, bytes cutouts)
+# ---------------------------------------------------------------------------
+
+ZTF_SCHEMA = {
+    "type": "record",
+    "name": "alert",
+    "namespace": "ztf",
+    "fields": [
+        {"name": "objectId", "type": "string"},
+        {"name": "candid", "type": "long"},
+        {
+            "name": "candidate",
+            "type": {
+                "type": "record",
+                "name": "candidate",
+                "fields": [
+                    {"name": "jd", "type": "double"},
+                    {"name": "fid", "type": "int"},
+                    {"name": "magpsf", "type": ["null", "float"]},
+                    {"name": "ra", "type": "double"},
+                    {"name": "dec", "type": "double"},
+                ],
+            },
+        },
+        {
+            "name": "prv_candidates",
+            "type": ["null", {"type": "array", "items": "ztf.candidate"}],
+        },
+        {
+            "name": "cutoutScience",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "cutout",
+                    "fields": [
+                        {"name": "fileName", "type": "string"},
+                        {"name": "stampData", "type": "bytes"},
+                    ],
+                },
+            ],
+        },
+    ],
+}
+
+
+def _alert(i: int) -> dict:
+    return {
+        "objectId": f"ZTF25a{i:05d}",
+        "candid": 10_000 + i,
+        "candidate": {
+            "jd": 2460000.5 + i,
+            "fid": 1 + i % 2,
+            "magpsf": None if i % 3 == 0 else 19.0 + i / 8.0,
+            "ra": 12.0 + i,
+            "dec": -3.0 + i,
+        },
+        "prv_candidates": None if i % 2 == 0 else [
+            {"jd": 2459999.5, "fid": 2, "magpsf": 20.25, "ra": 12.0, "dec": -3.0},
+        ],
+        "cutoutScience": {"fileName": f"c{i}.fits", "stampData": bytes([i, 0, 255])},
+    }
+
+
+def test_ztf_shaped_roundtrip_and_named_type_reference():
+    sch = parse_schema(json.dumps(ZTF_SCHEMA))
+    for i in range(6):
+        a = _alert(i)
+        out = decode_datum(encode_datum(a, sch), sch)
+        # floats survive at float32 precision for magpsf
+        if a["candidate"]["magpsf"] is not None:
+            assert abs(out["candidate"]["magpsf"] - a["candidate"]["magpsf"]) < 1e-5
+            out["candidate"]["magpsf"] = a["candidate"]["magpsf"]
+        assert out == a
+
+
+def test_container_roundtrip_null_and_deflate():
+    recs = [_alert(i) for i in range(4)]
+    for codec in ("null", "deflate"):
+        blob = encode_container(recs, json.dumps(ZTF_SCHEMA), codec=codec)
+        assert blob[:4] == b"Obj\x01"
+        schema, out = decode_container(blob)
+        assert len(out) == 4
+        assert [o["candid"] for o in out] == [r["candid"] for r in recs]
+    # deflate should actually compress the redundant records
+    a = encode_container(recs * 8, json.dumps(ZTF_SCHEMA), codec="null")
+    b = encode_container(recs * 8, json.dumps(ZTF_SCHEMA), codec="deflate")
+    assert len(b) < len(a)
+
+
+def test_container_corrupt_sync_raises():
+    blob = bytearray(encode_container([_alert(0)], json.dumps(ZTF_SCHEMA)))
+    blob[-1] ^= 0xFF  # flip last sync byte
+    with pytest.raises(SchemaError, match="sync"):
+        decode_container(bytes(blob))
+
+
+def test_confluent_framing():
+    sch = parse_schema('{"type":"record","name":"t","fields":[{"name":"x","type":"long"}]}')
+    blob = encode_confluent({"x": 7}, sch, schema_id=42)
+    assert blob[0] == 0
+    sid, datum = decode_confluent(blob, sch)
+    assert (sid, datum) == (42, {"x": 7})
+    with pytest.raises(SchemaError, match="magic"):
+        decode_confluent(b"\x01\x00\x00\x00\x2a", sch)
+
+
+def test_truncated_and_mismatched_inputs_raise():
+    sch = parse_schema(json.dumps(ZTF_SCHEMA))
+    blob = encode_datum(_alert(1), sch)
+    with pytest.raises(SchemaError):
+        decode_datum(blob[:-3], sch)
+    with pytest.raises(SchemaError):
+        parse_schema('{"type":"record","name":"r","fields":[{"name":"f","type":"nope"}]}')
+    with pytest.raises(SchemaError):
+        encode_datum({"objectId": "x"}, sch)  # missing fields
+
+
+def test_avro_to_spark_type_mapping():
+    from pyspark.sql import types as T
+
+    sch = parse_schema(json.dumps(ZTF_SCHEMA))
+    st = avro_to_spark_type(sch)
+    assert isinstance(st, T.StructType)
+    assert st["objectId"].dataType == T.StringType()
+    assert not st["objectId"].nullable
+    assert st["candid"].dataType == T.LongType()
+    cand = st["candidate"].dataType
+    assert cand["magpsf"].dataType == T.FloatType()
+    assert cand["magpsf"].nullable
+    prv = st["prv_candidates"]
+    assert prv.nullable and isinstance(prv.dataType, T.ArrayType)
+    cut = st["cutoutScience"].dataType
+    assert cut["stampData"].dataType == T.BinaryType()
+    with pytest.raises(SchemaError, match="union"):
+        avro_to_spark_type(parse_schema('["int","string"]'))
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_decode_avro_batch(spark):
+    """Binary container payloads in a kafka-shaped frame -> typed alert
+    rows, nested fields and timestamps intact."""
+    import datetime as dt
+
+    from fink_filters_spark.sources import kafka_decode
+
+    msgs = [
+        (
+            encode_container([_alert(i)], json.dumps(ZTF_SCHEMA)),
+            dt.datetime(2026, 1, 1, 3, 0, i),
+        )
+        for i in range(5)
+    ]
+    raw = spark.createDataFrame(msgs, "value binary, timestamp timestamp")
+    out = kafka_decode(raw, value_format="avro", avro_schema=json.dumps(ZTF_SCHEMA))
+    rows = {r["alert"]["candid"]: r for r in out.collect()}
+    assert set(rows) == {10_000 + i for i in range(5)}
+    r1 = rows[10_001]["alert"]
+    assert r1["objectId"] == "ZTF25a00001"
+    assert abs(r1["candidate"]["magpsf"] - 19.125) < 1e-6
+    assert r1["prv_candidates"][0]["fid"] == 2
+    assert bytes(r1["cutoutScience"]["stampData"]) == bytes([1, 0, 255])
+    assert rows[10_000]["alert"]["candidate"]["magpsf"] is None
+    assert rows[10_000]["kafka_timestamp"].second == 0
+
+
+def test_kafka_decode_avro_multi_record_container_explodes(spark):
+    from fink_filters_spark.sources import kafka_decode
+
+    blob = encode_container(
+        [_alert(0), _alert(1), _alert(2)], json.dumps(ZTF_SCHEMA)
+    )
+    raw = spark.createDataFrame([(blob,)], "value binary")
+    out = kafka_decode(raw, value_format="avro", avro_schema=json.dumps(ZTF_SCHEMA))
+    assert out.count() == 3
+
+
+def test_kafka_lite_avro_livestream_roundtrip(spark, tmp_path):
+    """VERDICT r8 done-criterion: a ZTF-shaped Avro payload round-trips
+    produce -> wire fetch -> kafka_decode(avro) -> topic filter, offline.
+    The produced VALUE is a real one-record object container file, exactly
+    the production message shape."""
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.sources import kafka_decode
+    from fink_filters_spark.sources.kafka_wire import (
+        MiniKafkaProducer, StubKafkaBroker, register,
+    )
+
+    broker = StubKafkaBroker()
+    try:
+        register(spark)
+        prod = MiniKafkaProducer(broker.host, broker.port)
+        prod.send(
+            "ztf-avro",
+            0,
+            [
+                (
+                    f"ZTF25a{i:05d}".encode(),
+                    encode_container([_alert(i)], json.dumps(ZTF_SCHEMA)),
+                    1_700_000_000_000 + i,
+                )
+                for i in range(8)
+            ],
+        )
+        prod.close()
+
+        raw = (
+            spark.readStream.format("kafka_lite")
+            .option("host", broker.host).option("port", broker.port)
+            .option("topic", "ztf-avro")
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        alerts = kafka_decode(
+            raw, value_format="avro", avro_schema=json.dumps(ZTF_SCHEMA)
+        ).select("alert.*", "kafka_timestamp")
+        bright = alerts.filter(
+            F.col("candidate.magpsf").isNotNull() & (F.col("candidate.magpsf") < 19.6)
+        )
+        q = (
+            bright.writeStream.format("memory").queryName("avro_bright")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = {r.objectId for r in spark.table("avro_bright").collect()}
+        want = {
+            f"ZTF25a{i:05d}"
+            for i in range(8)
+            if i % 3 != 0 and 19.0 + i / 8.0 < 19.6
+        }
+        assert got == want and got  # non-empty
+    finally:
+        broker.close()

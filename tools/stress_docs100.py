@@ -175,7 +175,7 @@ def _run(spark, entry) -> None:
         for label, d in (("sf0.1", SRC), ("100x", DST)):
             spark.catalog.clearCache()
             best = None
-            runs = 2 if label == "sf0.1" else (1 if name.startswith("er_") else 2)
+            runs = 2
             for _ in range(runs):
                 t0 = time.perf_counter()
                 try:
@@ -228,16 +228,47 @@ def _run(spark, entry) -> None:
     # er_* rows is "time grows no faster than the blocking-candidate count",
     # and the candidate count is a property of the DATA + chosen block keys,
     # not of the plan (multi_pass_candidates is per-pass equi-joins).
+    from pyspark.sql import functions as F
+
     from fink_filters_spark.queries.linkage import _dirty_records, _PASSES
-    from fink_filters_spark.operators.linkage import multi_pass_candidates
+    from fink_filters_spark.operators.linkage import (
+        DEFAULT_MAX_BLOCK_SIZE,
+        multi_pass_candidates,
+        oversized_blocks,
+    )
 
     cand = {}
+    purge_rows = []
     for label, d in (("sf0.1", SRC), ("100x", DST)):
         spark.catalog.clearCache()
-        cand[label] = multi_pass_candidates(
-            _dirty_records(spark, d), "rec_id", _PASSES
-        ).count()
+        recs = _dirty_records(spark, d)
+        n_recs = recs.count()
+        cand[label] = multi_pass_candidates(recs, "rec_id", _PASSES).count()
         print(f"# er candidates @ {label}: {cand[label]}", file=sys.stderr)
+        # purge audit: what the default block cap actually drops — the
+        # measured recall cost of the O(n) candidate bound (VERDICT r8 #7)
+        audit = (
+            oversized_blocks(recs, _PASSES, DEFAULT_MAX_BLOCK_SIZE)
+            .groupBy("pass_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("block_size").alias("n_rows"),
+            )
+            .collect()
+        )
+        by_pass = {r["pass_name"]: r for r in audit}
+        for pname in _PASSES:
+            r = by_pass.get(pname)
+            nb = r["n_blocks"] if r else 0
+            nr = r["n_rows"] if r else 0
+            purge_rows.append(
+                (label, pname, nb, nr, n_recs, 100.0 * nr / n_recs)
+            )
+            print(
+                f"# er purge @ {label}/{pname}: {nb} blocks, {nr} rows "
+                f"({100.0 * nr / n_recs:.2f}% of {n_recs})",
+                file=sys.stderr,
+            )
 
     lines += [
         "",
@@ -270,6 +301,45 @@ def _run(spark, entry) -> None:
         "more selective block keys (longer suffixes, more passes) —",
         "and oversized_blocks() reports what the cap purges so a",
         "deployment can see a key going degenerate.",
+        "",
+        "### Block-purge audit (what the default cap drops, per pass)",
+        "",
+        "A purged row sits out ONE pass only — it still blocks in every",
+        "other pass — so the per-pass row percentage is an upper bound on",
+        "the recall cost, not a count of records excluded from matching.",
+        "",
+        "| scale | pass | purged blocks | purged rows | of records |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {label} | {pname} | {nb:,} | {nr:,} | {pct:.2f}% |"
+        for label, pname, nb, nr, _n, pct in purge_rows
+    ] + [
+        "",
+        "## Adaptive branches on THIS corpus",
+        "",
+        "Two adaptive gates are deliberately INERT here, and the numbers",
+        "above prove they cost nothing where they do not help:",
+        "",
+        "- `jaccard_pairs`/`containment_pairs` ship a boilerplate purge",
+        "  (`max_df_frac=0.5`). The token-shifted replication keeps every",
+        "  shingle's document frequency CONSTANT across replicas and the",
+        "  base corpus has no boilerplate (max shingle df 25 of 5,000 docs",
+        "  at sf0.1), so the eager purge probe finds nothing and falls back",
+        "  to the ungated plan — the exact-pair slopes above are the honest",
+        "  linear-in-candidates cost of the contract (Σ df(s)² grows 100x",
+        "  with the corpus because df is constant — a LINEAR data law, so",
+        "  the ratio floors at fixed-overhead amortization, not at 1).",
+        "  The sub-quadratic duals for the same contract remain",
+        "  dedup_minhash_lsh and winnowing.",
+        "- the representative collapse (`collapse=\"auto\"`, round 9: now on",
+        "  the exact-pair operators too, not just minhash): this corpus has",
+        "  ZERO duplicate texts by construction (`_duplicate_fraction` == 0",
+        "  at 100x), so auto skips the corpus-wide array groupBy — a pure",
+        "  no-op when every shingle set is distinct. The TRUE branch's",
+        "  regime is naive duplication; measured round 8 (PLANS.md",
+        "  \"naive-duplication experiment\"): on 20 identical copies of each",
+        "  sf0.1 document the probe flips to the collapse and the pair join",
+        "  runs on representatives instead of documents.",
         "",
     ]
     with open("STRESS100.md", "w") as f:
