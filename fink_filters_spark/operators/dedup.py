@@ -324,11 +324,22 @@ def jaccard_pairs(
     nothing. Pass ``None`` for the raw exact-pair contract over ALL
     shingles (the sub-quadratic scale path is ``minhash_lsh_pairs``).
 
-    .. note:: Like ``minhash_lsh_pairs`` / ``simhash_pairs`` /
-       ``semantic_dedup``, the plan holds a ``cache()`` on the
-       distinct-set-sized collapse table; long-lived sessions calling
-       these repeatedly should ``spark.catalog.clearCache()`` between
-       corpus passes, as bench/stress do.
+    .. note:: SEMANTICS CHANGE (round 8): ``max_df_frac`` went from
+       opt-in to DEFAULT ON. On a corpus of >= ``GATE_MIN_DOCS`` documents
+       where some shingle's df exceeds the cap, the emitted similarity is
+       the exact Jaccard over the FILTERED shingle universe, not over all
+       shingles; callers needing the raw contract pass
+       ``max_df_frac=None``. On corpora with no such shingle the output is
+       bit-identical either way.
+
+    .. note:: NOT a pure lazy plan: the gate's purge probe, the adaptive
+       collapse probe, and the pair-key range probe each run ONE small
+       eager Spark job at call time (the data decides the plan shape), and
+       the plan holds a ``cache()`` on the collapse/kernel table — like
+       ``minhash_lsh_pairs`` / ``simhash_pairs`` / ``semantic_dedup``;
+       long-lived sessions calling these repeatedly should
+       ``spark.catalog.clearCache()`` between corpus passes, as
+       bench/stress do.
     """
     # Inverted-index co-occurrence join: explode shingles (sizes ride along
     # with each posting), pair docs sharing a shingle, and count — the count

@@ -182,11 +182,16 @@ def write_varint(n: int) -> bytes:
 def read_varint(buf: io.BytesIO) -> int:
     shift, acc = 0, 0
     while True:
-        b = buf.read(1)[0]
+        raw = buf.read(1)
+        if not raw:
+            raise ValueError("truncated varint (input ended mid-value)")
+        b = raw[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             return _unzigzag(acc)
         shift += 7
+        if shift > 70:
+            raise ValueError("varint longer than 10 bytes (corrupt frame)")
 
 
 def _i8(n): return struct.pack(">b", n)
@@ -558,6 +563,10 @@ class MiniKafkaConsumer:
         self._corr += 1
         self._sock.sendall(_request(api_key, api_version, self._corr, body))
         resp = _read_frame(self._sock)
+        if resp is None:
+            raise ConnectionError(
+                "broker closed the connection mid-response"
+            )
         r = _Reader(resp)
         corr = r.i32()
         if corr != self._corr:
@@ -663,6 +672,10 @@ class MiniKafkaProducer:
             _request(API_PRODUCE, 3, self._corr, body, client_id="fink-prod")
         )
         resp = _read_frame(self._sock)
+        if resp is None:
+            raise ConnectionError(
+                "broker closed the connection mid-response"
+            )
         r = _Reader(resp)
         if r.i32() != self._corr:
             raise ValueError("produce: correlation mismatch")
@@ -677,6 +690,47 @@ class MiniKafkaProducer:
         raise ValueError("produce: empty response")
 
 
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (the DefaultPartitioner hash — published in
+    org.apache.kafka.common.utils.Utils#murmur2): seed 0x9747b28c,
+    little-endian 4-byte mixing, the 3/2/1-byte tail, final avalanche.
+    Returns the signed-int32-domain value as an unsigned 32-bit int."""
+    length = len(data)
+    seed, m, r = 0x9747B28C, 0x5BD1E995, 24
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rem = length - i
+    if rem == 3:
+        h ^= (data[i + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[i + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[i] & 0xFF
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes | None, n_partitions: int,
+                      fallback: int = 0) -> int:
+    """Kafka DefaultPartitioner placement: keyed records go to
+    ``toPositive(murmur2(key)) % n``; unkeyed records take the caller's
+    fallback (the JVM sink sticky/round-robins those per batch)."""
+    if key is None:
+        return fallback % n_partitions
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
 def kafka_lite_writer(
     stream_df,
     host: str,
@@ -687,37 +741,51 @@ def kafka_lite_writer(
 ):
     """Streaming egress over the wire: selected alerts -> JSON frame
     (``sinks.storage.kafka_encode``) -> Produce v3 RecordBatch, one
-    producer connection PER PARTITION per micro-batch (executor-side
+    producer connection per Spark task per micro-batch (executor-side
     foreachPartition — rows never collect to the driver, matching the
-    JVM kafka sink's task-level producers). The offline dual of
-    ``sinks.storage.kafka_writer`` (which needs the spark-sql-kafka jar);
-    same frame, different transport. Returns the started query."""
+    JVM kafka sink's task-level producers). Records are placed on topic
+    partitions exactly like the JVM sink's DefaultPartitioner: keyed
+    records by ``murmur2(key) % n`` (``partition_for_key``), unkeyed
+    records round-robin within each task — so 'swap the format name and
+    nothing else moves' holds for the output partition layout too. The
+    partition count is read from broker metadata once per micro-batch.
+    The offline dual of ``sinks.storage.kafka_writer`` (which needs the
+    spark-sql-kafka jar); same frame, different transport. Returns the
+    started query."""
     import time as _time
 
     from ..sinks.storage import kafka_encode
 
     def write_batch(bdf, batch_id: int) -> None:
         wire = kafka_encode(bdf, key_col=key_col)
+        c = MiniKafkaConsumer(host, port)
+        try:
+            topic_parts = c.metadata(topic) or [0]
+        finally:
+            c.close()
 
         def send_partition(rows) -> None:
-            batch = [
-                (
-                    r["key"].encode() if r["key"] is not None else None,
-                    r["value"].encode(),
-                    int(_time.time() * 1000),
+            by_part: dict[int, list] = {}
+            rr = 0
+            for r in rows:
+                if r["value"] is None:
+                    continue
+                key = (r["key"].encode()
+                       if key_col and r["key"] is not None else None)
+                if key is None:
+                    tp = topic_parts[rr % len(topic_parts)]
+                    rr += 1
+                else:
+                    tp = topic_parts[partition_for_key(key, len(topic_parts))]
+                by_part.setdefault(tp, []).append(
+                    (key, r["value"].encode(), int(_time.time() * 1000))
                 )
-                for r in rows
-                if r["value"] is not None
-            ] if key_col else [
-                (None, r["value"].encode(), int(_time.time() * 1000))
-                for r in rows
-                if r["value"] is not None
-            ]
-            if not batch:
+            if not by_part:
                 return
             p = MiniKafkaProducer(host, port)
             try:
-                p.send(topic, 0, batch)
+                for tp, batch in sorted(by_part.items()):
+                    p.send(topic, tp, batch)
             finally:
                 p.close()
 
@@ -755,8 +823,10 @@ def _to_row(topic: str, partition: int, rec) -> tuple:
     off, key, value, ts = rec
     return (
         key, value, topic, partition, off,
-        datetime.datetime.fromtimestamp(ts / 1000.0, tz=datetime.timezone.utc)
-        .replace(tzinfo=None),
+        # tz-AWARE: Spark converts aware datetimes correctly in any session
+        # timezone; a naive one would be reinterpreted in the session zone
+        # and shift every Kafka timestamp in a non-UTC session
+        datetime.datetime.fromtimestamp(ts / 1000.0, tz=datetime.timezone.utc),
         0,  # CreateTime, as the JVM source reports
     )
 
@@ -859,6 +929,18 @@ class KafkaLiteStreamReader(SimpleDataSourceStreamReader):
             c.close()
 
     def read(self, start: dict):
+        # per-batch partition discovery (the JVM source's behavior): a
+        # partition added to the topic after the stream started is seeded
+        # at EARLIEST and consumed from this batch on; committed replays
+        # (readBetweenOffsets) keep the window's own fixed partition set
+        c = self._consumer()
+        try:
+            for p in c.metadata(self._topic):
+                if str(p) not in start:
+                    start = dict(start)
+                    start[str(p)] = c.list_offset(self._topic, p, EARLIEST)
+        finally:
+            c.close()
         rows, new_off = self._window(start, None)
         return iter(rows), new_off
 

