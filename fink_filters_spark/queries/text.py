@@ -299,6 +299,63 @@ FROM documents
 """
 
 
+_AVRO_DOC_SCHEMA = (
+    '{"type":"record","name":"doc","fields":['
+    '{"name":"doc_id","type":"long"},'
+    '{"name":"lang","type":["null","string"]},'
+    '{"name":"text","type":"string"}]}'
+)
+
+
+def q_mm_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro wire-format round trip, ORACLE-CHECKED: every documents row is
+    encoded executor-side into a real one-record Avro OBJECT CONTAINER
+    FILE (the production ZTF Kafka message framing — writer schema
+    embedded, ``sources/avro_codec``) and decoded back through
+    ``kafka_decode(value_format="avro")``; the comparison value hashes the
+    decoded text (md5) so the round trip is pinned byte-exact while the
+    output stays narrow. The oracle is the identity projection — any
+    encode/decode drift (varint, union framing, container blocks, the
+    Avro->Spark type map) breaks the hash match.
+
+    Scale: both directions are Arrow-batched mapInPandas kernels; payload
+    bytes stay on the executors (the same plan position a production
+    ``from_avro``/``to_avro`` pair occupies)."""
+    from ..sources import kafka_decode
+    from ..sources.avro_codec import encode_container, parse_schema
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    parsed = parse_schema(_AVRO_DOC_SCHEMA)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        encode_container(
+                            [{"doc_id": int(i), "lang": lg, "text": tx}], parsed
+                        )
+                        for i, lg, tx in zip(
+                            pdf["doc_id"], pdf["lang"], pdf["text"]
+                        )
+                    ]
+                }
+            )
+
+    wire = docs.mapInPandas(enc, "value binary")
+    decoded = kafka_decode(wire, value_format="avro", avro_schema=_AVRO_DOC_SCHEMA)
+    return decoded.select(
+        F.col("alert.doc_id").alias("doc_id"),
+        F.col("alert.lang").alias("lang"),
+        F.md5(F.encode(F.col("alert.text"), "UTF-8")).alias("digest"),
+    )
+
+
+MM_AVRO_SQL = "SELECT doc_id, lang, md5(text) AS digest FROM documents"
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF: top-3 terms per document by tf * ln(N/df).
 
@@ -597,6 +654,12 @@ SPECS = [
     QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FP_SQL, "rolling-hash fingerprint"),
     QuerySpec("text_quality", q_text_quality, _quality_sql(), "composite quality score"),
     QuerySpec("mm_binary_meta", q_mm_binary_meta, MM_META_SQL, "binary column metadata"),
+    QuerySpec(
+        "mm_avro_roundtrip",
+        q_mm_avro_roundtrip,
+        MM_AVRO_SQL,
+        "Avro container encode -> kafka_decode(avro) round trip vs identity oracle",
+    ),
     QuerySpec("text_sparse_cosine", q_text_sparse_cosine, _sparse_cosine_sql(),
               "sparse TF-IDF cosine similarity join (bag-of-words pairs)"),
     QuerySpec("text_bm25", q_text_bm25, _bm25_sql(),
