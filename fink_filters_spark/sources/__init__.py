@@ -126,7 +126,11 @@ def kafka_decode(
         for pdf in batches:
             alerts, stamps = [], []
             for i, v in enumerate(pdf["value"]):
-                _schema, records = decode_container(bytes(v))
+                # reader_schema: records are schema-RESOLVED into the
+                # declared shape, so a stream whose embedded writer schema
+                # evolved (new fields, promotions, renamed via aliases)
+                # still lands in the pipeline's pinned columns
+                _schema, records = decode_container(bytes(v), reader_schema=parsed)
                 alerts.extend(records)
                 if has_ts:
                     stamps.extend([pdf["timestamp"].iloc[i]] * len(records))

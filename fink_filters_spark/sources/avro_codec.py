@@ -36,6 +36,7 @@ __all__ = [
     "decode_confluent",
     "decode_container",
     "decode_datum",
+    "decode_resolved",
     "encode_confluent",
     "encode_container",
     "encode_datum",
@@ -97,9 +98,12 @@ def _resolve(s, names: dict, enclosing_ns: str | None):
         names[full] = out
         ns = full.rsplit(".", 1)[0] if "." in full else enclosing_ns
         for f in s["fields"]:
-            out["fields"].append(
-                {"name": f["name"], "type": _resolve(f["type"], names, ns)}
-            )
+            fld = {"name": f["name"], "type": _resolve(f["type"], names, ns)}
+            if "default" in f:  # carried for reader-side schema resolution
+                fld["default"] = f["default"]
+            if "aliases" in f:
+                fld["aliases"] = list(f["aliases"])
+            out["fields"].append(fld)
         return out
     if t == "enum":
         full = _full_name(s, enclosing_ns)
@@ -336,6 +340,170 @@ def _exact(buf: io.BytesIO, n: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# schema resolution (spec "Schema Resolution"): decode data written with the
+# WRITER schema into the shape the READER schema expects — the mechanism
+# that lets a consumer pinned to alert schema version N read a stream that
+# upgraded to N+1 (ZTF bumped its alert schema repeatedly; the embedded
+# container schema is the writer, the pipeline's is the reader).
+# ---------------------------------------------------------------------------
+
+
+def _type_name(s) -> str:
+    return s if isinstance(s, str) else s["type"]
+
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _resolvable(writer, reader) -> bool:
+    """Cheap structural match check used to pick union branches."""
+    if isinstance(reader, list):
+        return any(_resolvable(writer, b) for b in reader)
+    if isinstance(writer, list):
+        return True  # per-datum branch is checked at decode time
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt in _PROMOTIONS:
+        return rt in _PROMOTIONS[wt]
+    if wt != rt:
+        return False
+    if wt in ("record", "enum", "fixed"):
+        # unqualified-name match (spec: names or aliases; namespaces often
+        # differ between copies of the same alert schema)
+        return writer["name"].split(".")[-1] == reader["name"].split(".")[-1]
+    return True
+
+
+def _default_value(schema, default):
+    """JSON default -> Python datum (spec: bytes/fixed defaults are
+    ISO-8859-1 strings; union defaults use the FIRST branch's type)."""
+    if isinstance(schema, list):
+        return _default_value(schema[0], default)
+    t = _type_name(schema)
+    if t == "null":
+        return None
+    if t in ("bytes", "fixed"):
+        return default.encode("iso-8859-1") if isinstance(default, str) else default
+    if t == "record":
+        return {
+            f["name"]: _default_value(f["type"], f.get("default"))
+            for f in schema["fields"]
+        } if default is None else {
+            f["name"]: _default_value(f["type"], default.get(f["name"], f.get("default")))
+            for f in schema["fields"]
+        }
+    if t == "float" or t == "double":
+        return float(default)
+    return default
+
+
+def decode_resolved(data: bytes | io.BytesIO, writer, reader):
+    """Decode a datum written with ``writer`` into ``reader``'s shape:
+    record fields matched by name (reader aliases honored), writer-only
+    fields skipped, reader-only fields filled from their defaults,
+    numeric/string-bytes promotions applied, unions re-matched branch by
+    branch. Raises SchemaError where the spec says resolution fails (no
+    default for a missing field, enum symbol unknown to the reader with
+    no reader default, incompatible types)."""
+    buf = data if isinstance(data, io.BytesIO) else io.BytesIO(data)
+    return _decode_res(buf, writer, reader)
+
+
+def _decode_res(buf: io.BytesIO, writer, reader):
+    if isinstance(writer, list):
+        i = _read_long(buf)
+        if not 0 <= i < len(writer):
+            raise SchemaError(f"union index {i} out of range")
+        return _decode_res(buf, writer[i], reader)
+    if isinstance(reader, list):
+        for branch in reader:
+            if _resolvable(writer, branch):
+                return _decode_res(buf, writer, branch)
+        raise SchemaError(
+            f"writer type {_type_name(writer)!r} matches no reader union branch"
+        )
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt in _PROMOTIONS and rt in _PROMOTIONS[wt] and wt != rt:
+        v = _decode(buf, writer)
+        if rt in ("float", "double"):
+            return float(v)
+        if rt == "long":
+            return int(v)
+        if rt == "bytes":
+            return v.encode("utf-8")
+        if rt == "string":
+            return v.decode("utf-8")
+        return v
+    if not _resolvable(writer, reader):
+        raise SchemaError(f"cannot resolve writer {wt!r} to reader {rt!r}")
+    if wt == "record":
+        out = {}
+        rfields = {f["name"]: f for f in reader["fields"]}
+        for f in reader["fields"]:
+            for alias in f.get("aliases", ()):
+                rfields.setdefault(alias, f)
+        consumed = set()
+        for wf in writer["fields"]:
+            rf = rfields.get(wf["name"])
+            if rf is None:
+                _decode(buf, wf["type"])  # writer-only field: decode + drop
+            else:
+                out[rf["name"]] = _decode_res(buf, wf["type"], rf["type"])
+                consumed.add(rf["name"])
+        for rf in reader["fields"]:
+            if rf["name"] in consumed:
+                continue
+            if "default" not in rf:
+                raise SchemaError(
+                    f"reader field {rf['name']!r} missing from writer and "
+                    "has no default"
+                )
+            out[rf["name"]] = _default_value(rf["type"], rf["default"])
+        return out
+    if wt == "enum":
+        sym = _decode(buf, writer)
+        if sym in reader["symbols"]:
+            return sym
+        if "default" in reader:
+            return reader["default"]
+        raise SchemaError(f"enum symbol {sym!r} unknown to reader")
+    if wt == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                out.append(_decode_res(buf, writer["items"], reader["items"]))
+    if wt == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                k = _exact(buf, _read_long(buf)).decode("utf-8")
+                out[k] = _decode_res(buf, writer["values"], reader["values"])
+    if wt == "fixed":
+        if writer["size"] != reader["size"]:
+            raise SchemaError("fixed size mismatch")
+        return _decode(buf, writer)
+    return _decode(buf, writer)  # identical primitive
+
+
+# ---------------------------------------------------------------------------
 # object container file (the ZTF alert packet framing): magic, metadata map
 # (avro.schema / avro.codec), 16-byte sync marker, blocks of
 # (record count, byte size, payload, sync)
@@ -381,10 +549,15 @@ def encode_container(
     return out.getvalue()
 
 
-def decode_container(data: bytes) -> tuple[dict | str | list, list]:
+def decode_container(
+    data: bytes, reader_schema=None
+) -> tuple[dict | str | list, list]:
     """(writer schema, records) from an object container file. The schema
     travels IN the file — no reader-side registry needed (exactly why ZTF
-    chose this framing for alert packets)."""
+    chose this framing for alert packets). With ``reader_schema`` (parsed
+    or raw), records are schema-RESOLVED into the reader's shape
+    (``decode_resolved``) — the consumer stays pinned to its own schema
+    version while the stream's writer schema evolves underneath it."""
     buf = io.BytesIO(data)
     if buf.read(4) != _MAGIC:
         raise SchemaError("not an Avro object container file (bad magic)")
@@ -393,6 +566,8 @@ def decode_container(data: bytes) -> tuple[dict | str | list, list]:
     if codec not in ("null", "deflate"):
         raise SchemaError(f"unsupported codec {codec!r}")
     schema = parse_schema(meta["avro.schema"].decode())
+    if reader_schema is not None and not isinstance(reader_schema, (dict, list)):
+        reader_schema = parse_schema(reader_schema)
     sync = _exact(buf, 16)
     records = []
     while True:
@@ -407,7 +582,10 @@ def decode_container(data: bytes) -> tuple[dict | str | list, list]:
             payload = zlib.decompress(payload, wbits=-15)
         block = io.BytesIO(payload)
         for _ in range(n):
-            records.append(_decode(block, schema))
+            if reader_schema is None:
+                records.append(_decode(block, schema))
+            else:
+                records.append(_decode_res(block, schema, reader_schema))
         if _exact(buf, 16) != sync:
             raise SchemaError("sync marker mismatch (corrupt block)")
     return schema, records

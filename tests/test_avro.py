@@ -341,3 +341,107 @@ def test_kafka_lite_avro_livestream_roundtrip(spark, tmp_path):
         assert got == want and got  # non-empty
     finally:
         broker.close()
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (writer -> reader): the alert-schema-evolution path
+# ---------------------------------------------------------------------------
+
+
+def test_resolution_defaults_skips_and_promotions():
+    from fink_filters_spark.sources.avro_codec import decode_resolved
+
+    writer = parse_schema(json.dumps({
+        "type": "record", "name": "a", "fields": [
+            {"name": "x", "type": "int"},
+            {"name": "dropped", "type": "string"},   # writer-only: skipped
+            {"name": "m", "type": "float"},
+        ],
+    }))
+    reader = parse_schema(json.dumps({
+        "type": "record", "name": "a", "fields": [
+            {"name": "x", "type": "long"},            # int -> long promotion
+            {"name": "m", "type": "double"},          # float -> double
+            {"name": "added", "type": ["null", "string"], "default": None},
+            {"name": "n", "type": "int", "default": 7},
+        ],
+    }))
+    blob = encode_datum({"x": 5, "dropped": "bye", "m": 1.5}, writer)
+    out = decode_resolved(blob, writer, reader)
+    assert out == {"x": 5, "m": 1.5, "added": None, "n": 7}
+    assert isinstance(out["x"], int) and isinstance(out["m"], float)
+
+
+def test_resolution_missing_field_without_default_raises():
+    from fink_filters_spark.sources.avro_codec import decode_resolved
+
+    writer = parse_schema('{"type":"record","name":"a","fields":[{"name":"x","type":"int"}]}')
+    reader = parse_schema(
+        '{"type":"record","name":"a","fields":[{"name":"x","type":"int"},'
+        '{"name":"y","type":"int"}]}'
+    )
+    with pytest.raises(SchemaError, match="no default"):
+        decode_resolved(encode_datum({"x": 1}, writer), writer, reader)
+
+
+def test_resolution_aliases_and_unions_and_string_bytes():
+    from fink_filters_spark.sources.avro_codec import decode_resolved
+
+    writer = parse_schema(json.dumps({
+        "type": "record", "name": "a", "fields": [
+            {"name": "old_name", "type": "string"},
+            {"name": "u", "type": ["null", "int"]},
+        ],
+    }))
+    reader = parse_schema(json.dumps({
+        "type": "record", "name": "a", "fields": [
+            {"name": "new_name", "type": "bytes", "aliases": ["old_name"]},
+            {"name": "u", "type": ["null", "long"]},   # union branch promotion
+        ],
+    }))
+    blob = encode_datum({"old_name": "hi", "u": 3}, writer)
+    out = decode_resolved(blob, writer, reader)
+    assert out == {"new_name": b"hi", "u": 3}
+    blob2 = encode_datum({"old_name": "hi", "u": None}, writer)
+    assert decode_resolved(blob2, writer, reader)["u"] is None
+
+
+def test_container_reader_schema_resolution_and_spark_path(spark):
+    """A V2-writer stream read by a V1-pinned consumer: the container's
+    embedded schema carries an extra field and a float->double widening;
+    kafka_decode(value_format='avro') resolves every record into the
+    declared reader shape."""
+    from fink_filters_spark.sources import kafka_decode
+    from fink_filters_spark.sources.avro_codec import decode_container
+
+    writer_v2 = {
+        "type": "record", "name": "alert", "namespace": "ztf",
+        "fields": [
+            {"name": "objectId", "type": "string"},
+            {"name": "candid", "type": "int"},          # reader widens to long
+            {"name": "brand_new_field", "type": "string"},
+        ],
+    }
+    reader_v1 = {
+        "type": "record", "name": "alert", "namespace": "ztf",
+        "fields": [
+            {"name": "objectId", "type": "string"},
+            {"name": "candid", "type": "long"},
+            {"name": "mag", "type": ["null", "double"], "default": None},
+        ],
+    }
+    msgs = [
+        (encode_container(
+            [{"objectId": f"Z{i}", "candid": i, "brand_new_field": "x"}],
+            json.dumps(writer_v2)),)
+        for i in range(4)
+    ]
+    # plain codec-level resolution
+    _sch, recs = decode_container(msgs[0][0], reader_schema=json.dumps(reader_v1))
+    assert recs == [{"objectId": "Z0", "candid": 0, "mag": None}]
+    # Spark path
+    raw = spark.createDataFrame(msgs, "value binary")
+    out = kafka_decode(raw, value_format="avro", avro_schema=json.dumps(reader_v1))
+    rows = sorted(out.select("alert.*").collect(), key=lambda r: r.candid)
+    assert [r.objectId for r in rows] == ["Z0", "Z1", "Z2", "Z3"]
+    assert all(r.mag is None for r in rows)
