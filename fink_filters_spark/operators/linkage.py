@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # Block-purging default (Christen, *Data Matching* 2012 §4.7: drop blocks
 # whose size makes them uninformative — a key value shared by hundreds of
@@ -82,16 +82,15 @@ def multi_pass_candidates(
     this function takes as data). Pass ``None`` to disable. Use
     ``oversized_blocks`` to inspect what a cap would purge.
 
-    Scale: each pass shuffles on its block key; the purge is a window
-    count over the SAME key — in plan text it materializes as its own
-    exchange+sort per join side (the budgets in tests/plan_budgets.json
-    record the honest counts: er_candidate_pairs 2 -> 6), with the
-    runtime free to reuse the identical exchanges across the self-join's
-    aliases. The final dedup is one aggregation on the pair. With the
-    cap in place nothing is quadratic in the corpus — per-block work is
-    bounded at cap^2/2 pairs by construction, which at 100x data buys
-    wall 149x -> 13.7x (pairs) and 707x -> 40.5x (end-to-end); see
-    STRESS100.md.
+    Scale: each pass shuffles on its block key; the purge is one narrow
+    per-key aggregate whose OVERSIZED output (tiny by construction — only
+    keys shared by > cap records qualify) broadcast-anti-joins back onto
+    the pass, so no sort of the keyed table ever happens (round 9: this
+    replaced a window count that re-sorted the full table per join side).
+    The final dedup is one aggregation on the pair. With the cap in place
+    nothing is quadratic in the corpus — per-block work is bounded at
+    cap^2/2 pairs by construction (uncapped round-6 measurement: 931M
+    candidates / 149x wall at 100x; capped: see STRESS100.md).
     """
     if not passes:
         raise ValueError(
@@ -104,14 +103,20 @@ def multi_pass_candidates(
             F.col(id_col).alias("__id"), *[F.col(c) for c in key_cols]
         ).dropna(subset=key_cols)
         if max_block_size is not None:
-            keyed = (
-                keyed.withColumn(
-                    "__bs",
-                    F.count(F.lit(1)).over(Window.partitionBy(*key_cols)),
-                )
-                .filter(F.col("__bs") <= max_block_size)
-                .drop("__bs")
+            # purge via aggregate + broadcast ANTI-join on the OVERSIZED key
+            # list, not a window: the window form re-sorts the full keyed
+            # table per join side, while the oversized list is tiny by
+            # construction (only keys shared by > cap records qualify —
+            # 7.5k rows at the 100x ER stress vs 2.5M records), so the
+            # anti-join is a broadcast probe and the purge costs one
+            # narrow aggregate
+            oversized = (
+                keyed.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__bs"))
+                .filter(F.col("__bs") > max_block_size)
+                .select(*key_cols)
             )
+            keyed = keyed.join(F.broadcast(oversized), list(key_cols), "left_anti")
         a, b = keyed.alias("a"), keyed.alias("b")
         same_keys = reduce(
             lambda x, y: x & y,
