@@ -1013,3 +1013,36 @@ def test_winnowing_overlap_spans_localize_planted_run(spark):
     offsets = {r["pos_a"] - r["pos_b"] for r in rows}
     assert offsets == {2}, offsets  # 5 - 3: the run's displacement
     assert all(r["id_a"] == 1 and r["id_b"] == 2 for r in rows)
+
+
+def test_winnowing_kernel_matches_native_hof_path(spark):
+    """The Arrow winnowing kernel and the pure-Catalyst HOF reference path
+    must be bit-identical — positions AND fingerprint integers — including
+    non-ASCII tokens, tab/newline padding, repeated grams, and short docs."""
+    from fink_filters_spark.operators.dedup import (
+        winnowing_fingerprints, winnowing_fingerprints_native,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog the quick brown"),
+        (2, "héllo wörld héllo wörld héllo wörld héllo wörld"),
+        (3, "\tpadded   with \n whitespace a b c d e f g\n"),
+        (4, "x x x x x x x x"),
+        (5, "a b c d"),
+        (6, "a b"),
+        (7, ""),
+        (8, "日本語 テスト 日本語 テスト 日本語 テスト 日本語"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in ((3, 4), (2, 5), (1, 3)):
+        got = sorted(
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in winnowing_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in winnowing_fingerprints_native(
+                df, "doc_id", "text", k=k, w=w
+            ).collect()
+        )
+        assert got == want and got, (k, w)
