@@ -1018,6 +1018,57 @@ def contamination_fraction(
     )
 
 
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(__id, __pos, __g) — every positional word ``n``-gram hash, 0-based
+    start position (the ``posexplode(combine_word_hashes(...))`` contract),
+    docs with fewer than ``n`` tokens yield nothing. Arrow-vectorized via
+    the shared flat tokenizer/hasher (``_flat_word_hashes``) — the
+    interpreted HOF char/combine folds this replaces were the whole hash
+    stage of the ExactSubstr family (same integers, same positions)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T  # noqa: F401  (schema string below)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as _np
+        import pandas as _pd
+
+        from ..functions.text import FP_MOD as P, WORD_COMBINE_BASE as WB
+
+        for pdf in batches:
+            flat = _flat_word_hashes(pdf, n)
+            if flat is None:
+                yield _pd.DataFrame(
+                    {"__id": _pd.Series([], dtype="object"),
+                     "__pos": _pd.Series([], dtype="int64"),
+                     "__g": _pd.Series([], dtype="int64")}
+                )
+                continue
+            ids, d, wh = flat
+            m = len(wh) - (n - 1)
+            g = wh[:m].copy()
+            for off in range(1, n):
+                g = (g * WB + wh[off: off + m]) % P
+            valid = d[:m] == d[n - 1:]
+            dd, gg = d[:m][valid], g[valid]
+            # 0-based position within each doc's gram sequence
+            bounds = _np.flatnonzero(_np.r_[True, dd[1:] != dd[:-1]])
+            seg_start = _np.repeat(bounds, _np.diff(_np.r_[bounds, len(dd)]))
+            pos = _np.arange(len(dd), dtype=_np.int64) - seg_start
+            yield _pd.DataFrame(
+                {"__id": ids[dd], "__pos": pos, "__g": gg}
+            )
+
+    src = _spread(df).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    return src.mapInPandas(kernel, f"__id {id_type}, __pos long, __g long")
+
+
 def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(__id, __pos, __dup) — every length-``n`` token-span start position,
     flagged with whether the identical span occurs in >= 2 distinct docs.
@@ -1034,17 +1085,7 @@ def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     gram-distinct-sized (AQE broadcasts it when small). Shared core of
     ``duplicated_spans`` (the profile) and ``trim_duplicated_spans`` (the
     rewrite)."""
-    from ..functions.text import combine_word_hashes, word_hashes
-
-    wh = _spread(df).select(
-        F.col(id_col).alias("__id"), word_hashes(text_col).alias("__wh")
-    )
-    spans = wh.filter(F.size("__wh") >= n).select(
-        "__id",
-        F.posexplode(combine_word_hashes("__wh", n, distinct=False)).alias(
-            "__pos", "__g"
-        ),
-    )
+    spans = _positional_grams(df, id_col, text_col, n)
     dup_grams = spans.groupBy("__g").agg(
         (F.count_distinct("__id") >= 2).alias("__dup")
     )
