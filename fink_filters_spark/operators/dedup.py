@@ -209,11 +209,18 @@ def _flat_word_hashes(pdf, n: int):
     doc_idx: list[int] = []
     ids = pdf["__id"].to_numpy()
     for i, t in enumerate(pdf["__t"]):
+        # NULL text: the native expressions propagate NULL through
+        # trim/split/transform and explode emits nothing — skip the row
+        # (for n >= 2 the old [""]-placeholder fell out via the length
+        # check, but n=1 would have emitted hash("") where the native
+        # path emits no row)
+        if t is None:
+            continue
         # strip(' ') — SPACES only, matching F.trim (the native path and
         # the DuckDB oracle): Python's bare strip() also eats \t/\n/\r,
         # which shifts the shingle windows on tab/newline-padded text and
         # breaks the documented bit-identity (round-7 review finding)
-        toks = ws_re.split(t.strip(" ").lower()) if t is not None else [""]
+        toks = ws_re.split(t.strip(" ").lower())
         if len(toks) < n:
             continue
         all_words.extend(toks)
@@ -1067,6 +1074,32 @@ def _positional_grams(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
     return src.mapInPandas(kernel, f"__id {id_type}, __pos long, __g long")
+
+
+def _adjacent_hash_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(wa, wb) — one row per adjacent token-hash pair occurrence (the PMI
+    collocation stream). Same flat kernel; pairs never cross documents."""
+    from collections.abc import Iterator
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as _pd
+
+        for pdf in batches:
+            flat = _flat_word_hashes(pdf, 2)
+            if flat is None:
+                yield _pd.DataFrame(
+                    {"wa": _pd.Series([], dtype="int64"),
+                     "wb": _pd.Series([], dtype="int64")}
+                )
+                continue
+            _ids, d, wh = flat
+            valid = d[:-1] == d[1:]
+            yield _pd.DataFrame({"wa": wh[:-1][valid], "wb": wh[1:][valid]})
+
+    src = _spread(df).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    return src.mapInPandas(kernel, "wa long, wb long")
 
 
 def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

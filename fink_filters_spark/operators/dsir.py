@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import word_hashes
+
 
 DSIR_BUCKETS = 1024
 MICRO = 1_000_000
@@ -33,13 +33,15 @@ MICRO = 1_000_000
 def hashed_token_buckets(df: DataFrame, id_col: str, text_col: str,
                          n_buckets: int = DSIR_BUCKETS) -> DataFrame:
     """Map each token of the engine-standard token stream to its char-fold
-    hash bucket via the shared ``word_hashes`` kernel (one hash per token
-    before the explode — the cheaper evaluation order). Returns
-    (id, bucket) with one row per token OCCURRENCE (DSIR counts
-    occurrences, not distinct types)."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(word_hashes(text_col)).alias("__h")
-    ).select("id", (F.col("__h") % n_buckets).alias("bucket"))
+    hash bucket (one row per token OCCURRENCE — DSIR counts occurrences,
+    not distinct types). Returns (id, bucket). Hashing runs in the shared
+    Arrow flat kernel (``dedup._positional_grams`` at n=1 — bit-identical
+    integers to the native ``word_hashes`` expression)."""
+    from .dedup import _positional_grams
+
+    return _positional_grams(df, id_col, text_col, 1).select(
+        F.col("__id").alias("id"), (F.col("__g") % n_buckets).alias("bucket")
+    )
 
 
 def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,

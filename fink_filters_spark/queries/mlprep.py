@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.text import FP_MOD, WORD_COMBINE_BASE, combine_word_hashes, word_hashes
+from ..functions.text import FP_MOD, WORD_COMBINE_BASE
 from ..tables import cents, load_table, milli
 from . import QuerySpec, e6
 from .dedup import TOKS_SQL, _hash_sql
@@ -112,23 +112,15 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial counting; totals are one-row aggregates broadcast
     back; the two count joins are vocab-sized — nothing corpus-sized ever
     shuffles except the first gram explode."""
+    from ..operators.dedup import _adjacent_hash_pairs, _positional_grams
+
     docs = load_table(spark, sf_dir, "documents")
-    wh = docs.select(word_hashes("text").alias("__wh"))
     uni = (
-        wh.select(F.explode("__wh").alias("w"))
+        _positional_grams(docs, "doc_id", "text", 1)
+        .select(F.col("__g").alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     )
-    pairs = wh.filter(F.size("__wh") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__wh") - 1),
-                lambda i: F.struct(
-                    F.element_at("__wh", i).alias("wa"),
-                    F.element_at("__wh", i + 1).alias("wb"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.wa", "p.wb")
+    pairs = _adjacent_hash_pairs(docs, "doc_id", "text")
     big = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("n_ab"))
     tot_u = uni.agg(F.sum("n_w").alias("t_uni"))
     tot_b = big.agg(F.sum("n_ab").alias("t_big"))
@@ -331,10 +323,11 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-distinct) grams explode into one long column; partial map-side
     counting collapses the shuffle to distinct grams, and the top-k is a
     TakeOrdered, not a global sort."""
+    from ..operators.dedup import _positional_grams
+
     docs = load_table(spark, sf_dir, "documents")
-    wh = docs.select(word_hashes("text").alias("__wh")).filter(F.size("__wh") >= 2)
-    grams = wh.select(
-        F.explode(combine_word_hashes("__wh", 2, distinct=False)).alias("gram")
+    grams = _positional_grams(docs, "doc_id", "text", 2).select(
+        F.col("__g").alias("gram")
     )
     return (
         grams.groupBy("gram")
@@ -373,13 +366,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus bigram table is bounded by vocabulary (not corpus
     size) and partial-aggregated map-side; the doc-gram -> count join
     shuffles on the gram hash; per-doc sums are integers (order-free)."""
+    from ..operators.dedup import _positional_grams
+
     docs = load_table(spark, sf_dir, "documents")
-    wh = docs.select("doc_id", word_hashes("text").alias("__wh")).filter(
-        F.size("__wh") >= 2
-    )
-    grams = wh.select(
-        "doc_id",
-        F.explode(combine_word_hashes("__wh", 2, distinct=False)).alias("gram"),
+    grams = _positional_grams(docs, "doc_id", "text", 2).select(
+        F.col("__id").alias("doc_id"), F.col("__g").alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
