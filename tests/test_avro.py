@@ -445,3 +445,75 @@ def test_container_reader_schema_resolution_and_spark_path(spark):
     rows = sorted(out.select("alert.*").collect(), key=lambda r: r.candid)
     assert [r.objectId for r in rows] == ["Z0", "Z1", "Z2", "Z3"]
     assert all(r.mag is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary datums round-trip bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP_SCHEMA = parse_schema(json.dumps({
+    "type": "record", "name": "rec", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "i", "type": "long"},
+        {"name": "f", "type": "double"},
+        {"name": "ob", "type": ["null", "bytes"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "mp", "type": {"type": "map", "values": "string"}},
+        {"name": "nested", "type": ["null", {
+            "type": "record", "name": "sub", "fields": [
+                {"name": "x", "type": "int"},
+                {"name": "flag", "type": "boolean"},
+            ]}]},
+    ],
+}))
+
+_datums = st.fixed_dictionaries({
+    "s": st.text(max_size=200),
+    "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "f": st.floats(allow_nan=False),
+    "ob": st.none() | st.binary(max_size=100),
+    "arr": st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=20),
+    "mp": st.dictionaries(st.text(max_size=20), st.text(max_size=20), max_size=8),
+    "nested": st.none() | st.fixed_dictionaries(
+        {"x": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+         "flag": st.booleans()}
+    ),
+})
+
+
+@settings(max_examples=100, deadline=None)
+@given(_datums)
+def test_avro_datum_roundtrip_property(datum):
+    assert decode_datum(encode_datum(datum, _PROP_SCHEMA), _PROP_SCHEMA) == datum
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_datums, min_size=0, max_size=5),
+       st.sampled_from(["null", "deflate"]))
+def test_avro_container_roundtrip_property(datums, codec):
+    blob = encode_container(datums, json.dumps({
+        "type": "record", "name": "rec", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "long"},
+            {"name": "f", "type": "double"},
+            {"name": "ob", "type": ["null", "bytes"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "mp", "type": {"type": "map", "values": "string"}},
+            {"name": "nested", "type": ["null", {
+                "type": "record", "name": "sub", "fields": [
+                    {"name": "x", "type": "int"},
+                    {"name": "flag", "type": "boolean"},
+                ]}]},
+        ],
+    }), codec=codec)
+    _schema, out = decode_container(blob)
+    assert out == datums
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_avro_varint_roundtrip_property(n):
+    assert decode_datum(encode_datum(n, "long"), "long") == n
