@@ -39,8 +39,9 @@ def crossmatch(
     max_radius_deg: float | None = None,
     how: str = "nearest",
     tiebreak: str | None = None,
+    broadcast_catalog: bool = True,
 ) -> DataFrame:
-    """Cone-join ``df`` against a small ``catalog``.
+    """Cone-join ``df`` against a ``catalog``.
 
     ``radius_deg``: float (D2 fixed radius) or a catalog Column (D3/D4
     per-row radius). ``cell_deg`` defaults to the max radius (the grid must
@@ -52,6 +53,20 @@ def crossmatch(
     - ``left``: all stream rows, match columns null when unmatched (D2
       'Unknown' enrichment — coalesce downstream);
     - ``anti``: stream rows with NO match (D6 'uncataloged').
+
+    ``broadcast_catalog``: True (default) is the reference's regime — the
+    catalogs are 10^2-10^5 rows (SURVEY §1.1) and a broadcast keeps the
+    stream side shuffle-free. False is the LARGE-catalog path (full Gaia,
+    another alert archive, a self-match): both sides shuffle on the SAME
+    grid-cell key and Catalyst plans a sort-merge/shuffled-hash equi-join
+    — the Spark shape of the classic zones algorithm (Gray,
+    Nieto-Santisteban & Szalay 2006, MSR-TR-2006-52: zone the sphere,
+    equi-join on zone, refine exactly), with the cell id playing the
+    (zone, ra-bucket) pair so the join key is one equality. Dense sky
+    regions (the galactic plane) make hot cells; AQE's skew-join split
+    handles those at runtime, and a finer ``cell_deg`` (>= radius / k with
+    a (2k+1)^2 neighborhood would need explicit support; here keep
+    cell >= radius) trades explode fan-out against cell occupancy.
     """
     if how not in ("nearest", "all", "left", "anti"):
         raise ValueError(
@@ -84,8 +99,9 @@ def crossmatch(
     left = df.withColumn("__cell", grid_cell(df_ra, df_dec, cell))
 
     sep = sky_sep(F.col(df_ra), F.col(df_dec), F.col(cat_ra), F.col(cat_dec))
+    right = F.broadcast(cat) if broadcast_catalog else cat
     pairs = (
-        left.join(F.broadcast(cat), on="__cell", how="inner")
+        left.join(right, on="__cell", how="inner")
         .withColumn("sep_deg", sep)
         .filter(F.col("sep_deg") < radius_col)
         .drop("__cell")

@@ -215,9 +215,83 @@ FROM pts
 """
 
 
+def _pts_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-mixed pseudo-sky for the self-match: the lattice coordinates of
+    ``_pts`` have a large minimum pair distance by construction (an LCG
+    lattice — zero sub-degree pairs at any SF), so the self-match fixture
+    hashes instead (``md5_bucket``, the engine's portable mixing hash —
+    bit-identical in DuckDB), giving genuinely close pairs at Poisson
+    density."""
+    from ..operators.sample import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (md5_bucket("event_id", 36000) / 100.0).alias("ra"),
+        (
+            md5_bucket(F.concat(F.col("event_id").cast("string"), F.lit("d")), 16000)
+            / 100.0
+            - 80.0
+        ).alias("dec"),
+    )
+
+
+def xmatch_large_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE x LARGE crossmatch — the regime where neither side broadcasts
+    (full-Gaia-scale catalog, archive-vs-archive match, or this
+    self-match): every unordered pair of events within 0.5°, via the
+    zones-style shuffled grid equi-join
+    (``operators.crossmatch(broadcast_catalog=False)`` — both sides
+    shuffle on the same cell key, sort-merge/shuffled-hash join, exact
+    haversine refine; Gray/Nieto-Santisteban/Szalay 2006). The oracle is
+    the naive quadratic form bounded by the exact ``|Δdec| <= r``
+    prefilter (angular separation >= |Δdec|, so the bound drops no true
+    pair) — different plan family entirely, identical rows required."""
+    pts = _pts_hashed(spark, sf_dir)
+    cat = pts.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("ra").alias("cra"),
+        F.col("dec").alias("cdec"),
+    )
+    res = crossmatch(
+        pts, cat, df_id="event_id", radius_deg=0.5,
+        df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
+        how="all", broadcast_catalog=False,
+    )
+    return res.filter(F.col("event_id") < F.col("event_id_b")).select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_id_b").alias("id_b"),
+        e6("sep_deg", "sep_e6"),
+    )
+
+
+def _xmatch_large_sql() -> str:
+    from .curation import md5_bucket_sql
+
+    dec_key = "event_id || 'd'"
+    ra = f"({md5_bucket_sql('event_id', 36000)} / 100.0)"
+    dec = f"({md5_bucket_sql(dec_key, 16000)} / 100.0 - 80.0)"
+    sep = _sep_sql("a.ra", "a.dec", "b.ra", "b.dec")
+    return f"""
+WITH pts AS (SELECT event_id, {ra} AS ra, {dec} AS dec FROM events)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       CAST(round(({sep}) * 1e6) AS BIGINT) AS sep_e6
+FROM pts a JOIN pts b
+  ON a.event_id < b.event_id
+ AND b.dec BETWEEN a.dec - 0.5 AND a.dec + 0.5
+WHERE ({sep}) < 0.5
+"""
+
+
 SPECS = [
     QuerySpec("astro_coords", astro_coords, _astro_sql(), "§2.I native trig coords"),
     QuerySpec("xmatch_cone", xmatch_cone, XMATCH_CONE_SQL, "D1/D2 fixed-radius nearest"),
+    QuerySpec(
+        "xmatch_large_pairs",
+        xmatch_large_pairs,
+        _xmatch_large_sql(),
+        "D-scale: large x large zones-style crossmatch, no broadcast",
+    ),
     QuerySpec("xmatch_variable_radius", xmatch_variable_radius, XMATCH_VAR_SQL, "D3/D4 per-row radius"),
     QuerySpec("xmatch_enrich", xmatch_enrich, XMATCH_ENRICH_SQL, "D2/D7 left+Unknown"),
     QuerySpec("xmatch_anti", xmatch_anti, XMATCH_ANTI_SQL, "D6 anti-join"),
