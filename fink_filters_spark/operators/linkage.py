@@ -97,8 +97,13 @@ def multi_pass_candidates(
             "multi_pass_candidates: `passes` must contain at least one "
             "blocking pass (got an empty dict)"
         )
+    if len(passes) > 62:
+        raise ValueError(
+            "multi_pass_candidates: more than 62 blocking passes — the "
+            "n_passes bitmask accumulator is int64"
+        )
     per_pass = []
-    for pass_name, key_cols in passes.items():
+    for pass_idx, (pass_name, key_cols) in enumerate(passes.items()):
         keyed = records.select(
             F.col(id_col).alias("__id"), *[F.col(c) for c in key_cols]
         ).dropna(subset=key_cols)
@@ -126,12 +131,18 @@ def multi_pass_candidates(
             a.join(b, same_keys & (F.col("a.__id") < F.col("b.__id"))).select(
                 F.col("a.__id").alias("id_a"),
                 F.col("b.__id").alias("id_b"),
-                F.lit(pass_name).alias("__pass"),
+                # one BIT per pass: the dedup aggregate below is then a
+                # plain bit_or + popcount instead of count_distinct over a
+                # pass-name string — count_distinct rewrites into a
+                # two-phase expand aggregate (an extra full shuffle of the
+                # candidate stream, 37M rows at the 100x ER stress) while
+                # bit_or is a single 8-byte partial-aggregating pass
+                F.lit(1 << pass_idx).alias("__pbit"),
             )
         )
     candidates = reduce(DataFrame.unionByName, per_pass)
     return candidates.groupBy("id_a", "id_b").agg(
-        F.count_distinct("__pass").alias("n_passes")
+        F.bit_count(F.bit_or("__pbit")).cast("long").alias("n_passes")
     )
 
 
