@@ -225,7 +225,7 @@ def _pts_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sample import md5_bucket
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    pts = ev.select(
         "event_id",
         (md5_bucket("event_id", 36000) / 100.0).alias("ra"),
         (
@@ -234,12 +234,18 @@ def _pts_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 80.0
         ).alias("dec"),
     )
+    # cache = optimizer barrier: projection collapse would otherwise INLINE
+    # the md5 chains into every downstream use — the haversine references
+    # each coordinate several times per candidate pair, so the fixture hash
+    # re-evaluated ~10x per pair (measured 57.6s -> ~2s at sf0.1). Fixture
+    # cost only: real alert/catalog tables carry materialized ra/dec.
+    return pts.cache()
 
 
 def xmatch_large_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LARGE x LARGE crossmatch — the regime where neither side broadcasts
     (full-Gaia-scale catalog, archive-vs-archive match, or this
-    self-match): every unordered pair of events within 0.5°, via the
+    self-match): every unordered pair of events within 0.2°, via the
     zones-style shuffled grid equi-join
     (``operators.crossmatch(broadcast_catalog=False)`` — both sides
     shuffle on the same cell key, sort-merge/shuffled-hash join, exact
@@ -254,7 +260,7 @@ def xmatch_large_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dec").alias("cdec"),
     )
     res = crossmatch(
-        pts, cat, df_id="event_id", radius_deg=0.5,
+        pts, cat, df_id="event_id", radius_deg=0.2,
         df_ra="ra", df_dec="dec", cat_ra="cra", cat_dec="cdec",
         how="all", broadcast_catalog=False,
     )
@@ -278,8 +284,8 @@ SELECT a.event_id AS id_a, b.event_id AS id_b,
        CAST(round(({sep}) * 1e6) AS BIGINT) AS sep_e6
 FROM pts a JOIN pts b
   ON a.event_id < b.event_id
- AND b.dec BETWEEN a.dec - 0.5 AND a.dec + 0.5
-WHERE ({sep}) < 0.5
+ AND b.dec BETWEEN a.dec - 0.2 AND a.dec + 0.2
+WHERE ({sep}) < 0.2
 """
 
 
