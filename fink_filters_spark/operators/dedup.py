@@ -1943,6 +1943,7 @@ def connected_components(
     # fixpoint condition). On resume the frontier conservatively resets to
     # all labels.
     frontier = labels
+    changed = None  # max_iter <= 0: the else-branch must still format
     for _ in range(max_iter):
         nbr = (
             und.join(

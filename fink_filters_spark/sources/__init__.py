@@ -126,6 +126,12 @@ def kafka_decode(
         for pdf in batches:
             alerts, stamps = [], []
             for i, v in enumerate(pdf["value"]):
+                if v is None:
+                    # Kafka tombstone (null value, a deletion marker):
+                    # carries no alert — skipped, like a compacted topic's
+                    # consumers do (the json path surfaces it as a null
+                    # struct instead; neither kills the stream)
+                    continue
                 # reader_schema: records are schema-RESOLVED into the
                 # declared shape, so a stream whose embedded writer schema
                 # evolved (new fields, promotions, renamed via aliases)

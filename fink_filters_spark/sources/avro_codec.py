@@ -69,6 +69,17 @@ def parse_schema(schema: str | dict | list) -> dict | str | list:
     return _resolve(schema, names, enclosing_ns=None)
 
 
+import functools  # noqa: E402  (placed with its single user)
+
+
+@functools.lru_cache(maxsize=64)
+def _parse_schema_cached(schema_text: str):
+    """``parse_schema`` memoized on the raw schema TEXT — the container
+    decode path calls this once per message with an identical embedded
+    writer schema."""
+    return parse_schema(schema_text)
+
+
 def _full_name(d: dict, enclosing_ns: str | None) -> str:
     name = d["name"]
     if "." in name:
@@ -108,6 +119,8 @@ def _resolve(s, names: dict, enclosing_ns: str | None):
     if t == "enum":
         full = _full_name(s, enclosing_ns)
         out = {"type": "enum", "name": full, "symbols": list(s["symbols"])}
+        if "default" in s:  # reader-side resolution fallback symbol
+            out["default"] = s["default"]
         names[full] = out
         return out
     if t == "fixed":
@@ -131,34 +144,20 @@ def _resolve(s, names: dict, enclosing_ns: str | None):
 # ---------------------------------------------------------------------------
 
 def _write_long(out: io.BytesIO, n: int) -> None:
-    # zigzag then unsigned LEB128 varint (Python's arithmetic >> makes the
-    # same expression correct for both signs; mask to the u64 wire domain)
-    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            out.write(bytes([b | 0x80]))
-        else:
-            out.write(bytes([b]))
-            return
+    # shared zigzag-LEB128 primitive (sources/varint.py — same codec as
+    # the Kafka record framing, one implementation for both wire formats)
+    from .varint import write_varint
+
+    out.write(write_varint(n))
 
 
 def _read_long(buf: io.BytesIO) -> int:
-    shift = 0
-    acc = 0
-    while True:
-        raw = buf.read(1)
-        if not raw:
-            raise SchemaError("truncated varint")
-        b = raw[0]
-        acc |= (b & 0x7F) << shift
-        if not (b & 0x80):
-            break
-        shift += 7
-        if shift > 70:
-            raise SchemaError("varint too long")
-    return (acc >> 1) ^ -(acc & 1)
+    from .varint import read_varint
+
+    try:
+        return read_varint(buf)
+    except ValueError as e:  # surface as this module's typed error
+        raise SchemaError(str(e)) from None
 
 
 def encode_datum(datum, schema) -> bytes:
@@ -565,7 +564,10 @@ def decode_container(
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise SchemaError(f"unsupported codec {codec!r}")
-    schema = parse_schema(meta["avro.schema"].decode())
+    # memoized: every message of a stream carries the SAME embedded writer
+    # schema (tens of KB of JSON for a real alert schema) — re-parsing it
+    # per message would rival the datum decode itself at stream rates
+    schema = _parse_schema_cached(meta["avro.schema"].decode())
     if reader_schema is not None and not isinstance(reader_schema, (dict, list)):
         reader_schema = parse_schema(reader_schema)
     sync = _exact(buf, 16)
@@ -604,10 +606,14 @@ def encode_confluent(datum, schema, schema_id: int) -> bytes:
 
 def decode_confluent(data: bytes, schema) -> tuple[int, object]:
     """(schema_id, datum). The registry lookup itself is deployment infra;
-    the caller maps id -> schema (tests pass the schema directly)."""
+    the caller maps id -> schema (tests pass the schema directly).
+    Accepts the schema in any form ``encode_confluent`` does (JSON text,
+    dict, or pre-parsed) — symmetric call patterns must round-trip."""
     if not data or data[0] != 0:
         raise SchemaError("not Confluent-framed (magic byte != 0)")
     schema_id = struct.unpack(">I", data[1:5])[0]
+    if isinstance(schema, str):
+        schema = _parse_schema_cached(schema)
     return schema_id, decode_datum(data[5:], schema)
 
 

@@ -157,41 +157,9 @@ def crc32c(data: bytes) -> int:
 # primitive codecs (big-endian, per the protocol guide)
 # ---------------------------------------------------------------------------
 
-def _zigzag(n: int) -> int:
-    return (n << 1) ^ (n >> 63)
-
-
-def _unzigzag(n: int) -> int:
-    return (n >> 1) ^ -(n & 1)
-
-
-def write_varint(n: int) -> bytes:
-    """Signed varint: zigzag + LEB128 (Kafka record framing)."""
-    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
-    out = bytearray()
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def read_varint(buf: io.BytesIO) -> int:
-    shift, acc = 0, 0
-    while True:
-        raw = buf.read(1)
-        if not raw:
-            raise ValueError("truncated varint (input ended mid-value)")
-        b = raw[0]
-        acc |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return _unzigzag(acc)
-        shift += 7
-        if shift > 70:
-            raise ValueError("varint longer than 10 bytes (corrupt frame)")
+# Kafka record framing's signed varint IS the Avro wire varint — one
+# shared implementation (sources/varint.py) so the guards cannot drift
+from .varint import read_varint, write_varint  # noqa: F401  (re-export)
 
 
 def _i8(n): return struct.pack(">b", n)
@@ -908,6 +876,19 @@ class KafkaLiteStreamReader(SimpleDataSourceStreamReader):
         c = self._consumer()
         rows, new_off = [], {}
         try:
+            # committed replay: the window's partition set is END's, not
+            # start's — a partition first discovered in the original batch
+            # is present in end but absent from the committed start, and it
+            # was read from EARLIEST then; replaying only start's keys
+            # would silently drop those records (at-least-once violation on
+            # crash recovery between offset log and commit)
+            if end is not None:
+                start = dict(start)
+                for p_str in end:
+                    if p_str not in start:
+                        start[p_str] = c.list_offset(
+                            self._topic, int(p_str), EARLIEST
+                        )
             for p_str, off in start.items():
                 p, off = int(p_str), int(off)
                 hi = (int(end[p_str]) if end is not None

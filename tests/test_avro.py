@@ -517,3 +517,43 @@ def test_avro_container_roundtrip_property(datums, codec):
 @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
 def test_avro_varint_roundtrip_property(n):
     assert decode_datum(encode_datum(n, "long"), "long") == n
+
+
+def test_enum_reader_default_and_confluent_str_schema():
+    """Schema-resolution enum fallback (reader 'default' symbol) and
+    decode_confluent accepting the same JSON-text schema encode does."""
+    from fink_filters_spark.sources.avro_codec import decode_resolved
+
+    writer = parse_schema(
+        '{"type":"enum","name":"Color","symbols":["RED","GREEN","BLUE"]}'
+    )
+    reader = parse_schema(
+        '{"type":"enum","name":"Color","symbols":["RED","GREEN"],'
+        '"default":"RED"}'
+    )
+    assert decode_resolved(encode_datum("BLUE", writer), writer, reader) == "RED"
+    assert decode_resolved(encode_datum("GREEN", writer), writer, reader) == "GREEN"
+    no_default = parse_schema(
+        '{"type":"enum","name":"Color","symbols":["RED","GREEN"]}'
+    )
+    with pytest.raises(SchemaError, match="unknown to reader"):
+        decode_resolved(encode_datum("BLUE", writer), writer, no_default)
+
+    sch_text = '{"type":"record","name":"t","fields":[{"name":"x","type":"long"}]}'
+    blob = encode_confluent({"x": 9}, sch_text, schema_id=7)
+    assert decode_confluent(blob, sch_text) == (7, {"x": 9})
+
+
+def test_kafka_decode_avro_skips_tombstones(spark):
+    """A null Kafka value (tombstone) must not kill the stream: the avro
+    kernel skips it (a deletion marker carries no alert)."""
+    from fink_filters_spark.sources import kafka_decode
+
+    msgs = [
+        (encode_container([_alert(0)], json.dumps(ZTF_SCHEMA)),),
+        (None,),
+        (encode_container([_alert(1)], json.dumps(ZTF_SCHEMA)),),
+    ]
+    raw = spark.createDataFrame(msgs, "value binary")
+    out = kafka_decode(raw, value_format="avro", avro_schema=json.dumps(ZTF_SCHEMA))
+    assert sorted(r["alert"]["candid"] for r in out.collect()) == [10_000, 10_001]

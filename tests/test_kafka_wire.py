@@ -352,10 +352,14 @@ def test_murmur2_partitioner_properties_and_pins():
         assert 0 <= h < 2**32
         assert h == murmur2(data)
     assert len({murmur2(bytes([i])) for i in range(256)}) == 256
-    # drift pins (computed from this implementation of the public
-    # algorithm; a refactor that changes any constant breaks these)
-    pins = {data: murmur2(data) for data in (b"", b"ZTF25aaa", b"21")}
-    assert pins[b""] == murmur2(b"")
+    # Kafka's own published reference vectors (UtilsTest#testMurmur2,
+    # signed int32 domain) — any constant drift breaks these
+    def signed(h: int) -> int:
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    assert signed(murmur2(b"21")) == -973932308
+    assert signed(murmur2(b"foobar")) == -790332482
+    assert signed(murmur2(b"abc")) == 479470107
     # placement: in range, stable, null -> fallback
     for n in (1, 3, 8):
         for key in (b"ZTF25aaa", b"ZTF25aab", b"k"):
@@ -508,3 +512,33 @@ def test_kafka_timestamps_tz_aware_any_session_zone(spark):
             spark.conf.set("spark.sql.session.timeZone", before)
     finally:
         br.close()
+
+
+def test_replay_includes_partitions_discovered_mid_stream(broker):
+    """Crash-recovery contract: readBetweenOffsets must deliver the SAME
+    window read() returned — including a partition that was first
+    discovered (and seeded at EARLIEST) during that batch, which the
+    committed start offsets know nothing about."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from fink_filters_spark.sources.kafka_wire import (
+        KAFKA_SCHEMA, KafkaLiteStreamReader,
+    )
+
+    broker.produce("replay", 0, b"k0", b"v0", 1_700_000_000_000)
+    reader = KafkaLiteStreamReader(
+        _parse_datatype_string(KAFKA_SCHEMA),
+        {"host": broker.host, "port": str(broker.port), "topic": "replay"},
+    )
+    start = reader.initialOffset()
+    assert set(start) == {"0"}
+    # partition 1 appears AFTER the stream committed `start`
+    broker.produce("replay", 1, b"k1", b"v1", 1_700_000_000_001)
+    rows, end = reader.read(start)
+    live = sorted((r[3], r[4]) for r in rows)  # (partition, offset)
+    assert live == [(0, 0), (1, 0)] and set(end) == {"0", "1"}
+    # the replay of that exact window (start WITHOUT p1, end WITH it)
+    replayed = sorted(
+        (r[3], r[4]) for r in reader.readBetweenOffsets(start, end)
+    )
+    assert replayed == live
