@@ -113,6 +113,8 @@ def main() -> None:
         "pipe_shard_balance",
         "dedup_winnowing",
         "layout_hilbert",
+        "mm_avro_roundtrip",
+        "xmatch_large_pairs",
     ]
     compact = {k: times[k] for k in headliners if k in times}
     failed = sorted(k for k, v in times.items() if v is not None and v < 0)
