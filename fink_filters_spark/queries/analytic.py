@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.rank import grid_rank, ntile_from_rank
 from ..operators.skew import salted_group_count
 from ..tables import load_events, load_table
 from . import QuerySpec, e6
@@ -39,13 +40,26 @@ US_30D = 30 * 86_400 * 1_000_000
 def w_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile customers by account balance (ties broken by key so the
     total order — and therefore every bucket boundary — is deterministic),
-    then aggregate per decile."""
+    then aggregate per decile.
+
+    NOT ``ntile(10) OVER (ORDER BY ...)``: an unpartitioned window is a
+    single-partition WindowExec — every customer row moves to ONE task.
+    The distributed form (operators/rank.grid_rank): bal_cents has a
+    bounded value DOMAIN (the ±$10k cents grid, ~2M values regardless of
+    row count), so the global rank is domain-table cumulative counts plus
+    a within-value window partitioned by bal_cents, and the decile falls
+    out of the exact ntile size formula (rank.ntile_from_rank). One
+    corpus hash shuffle + a 10-group aggregate; oracle unchanged."""
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
     )
-    w = Window.orderBy("bal_cents", "c_custkey")
+    ranked = grid_rank(
+        cust, "bal_cents", ["c_custkey"], rank_col="__gr", total_col="__n"
+    )
     return (
-        cust.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("__gr"), F.col("__n"), 10)
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

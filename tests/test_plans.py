@@ -40,8 +40,37 @@ NESTED_LOOP_ALLOWED = {
 }
 
 
+def _unpartitioned_windows(root) -> list[str]:
+    """Window-family physical nodes with an EMPTY partition spec — Spark
+    executes those on a single partition (every input row moves to one
+    task), so on a row-scale input they are a scale-killer. JVM-tree
+    traversal, not plan-string parsing: a partitioned-but-unordered
+    window prints the same bracket-group count as an unpartitioned one."""
+    bad = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if cls in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                bad.append(cls)
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+        if cls == "InMemoryTableScanExec":
+            try:
+                walk(node.relation().cachedPlan())
+            except Exception:
+                pass
+
+    walk(root)
+    return bad
+
+
 @pytest.fixture(scope="module")
-def plans(spark):
+def plan_info(spark):
     import __spark_entry__ as entry
 
     out = {}
@@ -51,8 +80,14 @@ def plans(spark):
         # so the snapshot is deterministic
         spark.catalog.clearCache()
         df = fn(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        out[name] = (qe.executedPlan().toString(), _unpartitioned_windows(qe.executedPlan()))
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(plan_info):
+    return {k: v[0] for k, v in plan_info.items()}
 
 
 def test_no_unintended_cartesian_or_nested_loop(plans):
@@ -63,6 +98,41 @@ def test_no_unintended_cartesian_or_nested_loop(plans):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             bad.append(name)
     assert not bad, f"nested-loop/cartesian plans in: {bad}"
+
+
+# Queries whose unpartitioned windows run over BOUNDED-cardinality inputs
+# (aggregate/value-domain tables whose size does not grow linearly with the
+# corpus) — the single task holds domain-sized state, which is the intended
+# order-statistics shape (operators/rank.py, queries/mlprep.pipe_range_bounds).
+# Anything NOT listed here that plans an unpartitioned Window over a query
+# input fails the lint (round-9 verdict: three row-scale instances survived
+# nine rounds because no lint covered this node).
+GLOBAL_WINDOW_BOUNDED_OK = {
+    "text_bm25": "window over the <=TOPK rows kept by TakeOrderedAndProject",
+    "w_ntile_deciles": "grid_rank cum-counts over the bal_cents value-DOMAIN table",
+    "pipe_shard_balance": "grid_rank cum-counts over the n_tok value-DOMAIN table",
+    "pipe_range_bounds": "order statistics over the price value-DOMAIN table",
+    "pipe_temperature_sample": "per-source stats table (cardinality = #sources)",
+    "pipe_class_weights": "per-event-type counts (5 rows)",
+    "pipe_drift_psi": "per-event-type counts (5 rows)",
+    "pipe_pareto_front": "per-quality-score maxima (bounded ppm grid)",
+    "pipe_unimax_epochs": "per-source cap/water-fill table (cardinality = #sources)",
+    "text_vocab_coverage": "vocab count table (aggregate, Heaps-law sublinear)",
+}
+
+
+def test_no_unpartitioned_windows_over_row_scale_inputs(plan_info):
+    bad = {
+        name: nodes
+        for name, (_, nodes) in plan_info.items()
+        if nodes and name not in GLOBAL_WINDOW_BOUNDED_OK
+    }
+    assert not bad, (
+        "unpartitioned (single-partition) Window nodes outside the bounded "
+        f"allowlist: {bad} — rewrite with operators/rank.grid_rank, "
+        "orderBy().limit(), or a keyed window, or justify in "
+        "GLOBAL_WINDOW_BOUNDED_OK"
+    )
 
 
 def test_no_row_at_a_time_python(plans):
