@@ -146,6 +146,87 @@ def multi_pass_candidates(
     )
 
 
+def choose_adaptive_passes(
+    records: DataFrame,
+    pass_ladders: dict[str, list[list[str]]],
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    max_purged_frac: float = 0.5,
+) -> tuple[dict[str, list[str]], list[tuple[str, int, float]]]:
+    """Pick, per blocking pass, the first key set on its escalation ladder
+    whose block-size cap would sit out at most ``max_purged_frac`` of the
+    pass's rows — the cardinality-adaptive answer to a blocking key going
+    degenerate with corpus growth (round-9 verdict: at 100x the fixed
+    default keys left the cap purging 70% / 98.5% of rows per pass, an
+    O(n) bound bought by silently discarding most of a pass's signal).
+
+    ``pass_ladders`` maps pass name -> list of key-column lists, ordered
+    least to most selective (e.g. ``[["seg", "suf3"], ["seg", "suf5"]]``).
+    Later rungs should SUBDIVIDE earlier ones (extend the key), so
+    escalating trades a bounded per-pair recall cost (pairs disagreeing
+    on the longer key) for not discarding whole blocks — Christen 2012
+    §4.7's "extend the key until it splits" remedy, chosen by measurement.
+
+    Returns ``(passes, audit)``: the chosen ``passes`` dict (feed to
+    ``multi_pass_candidates``) and ``(pass_name, ladder_index,
+    purged_frac)`` per pass for observability.
+
+    Scale: the probe is ONE narrow groupBy-count per probed rung —
+    map-side combined, key-domain-sized shuffle, 2-row collect. Rung 0 is
+    probed for every pass in a single unioned job; later rungs only run
+    for passes that failed the threshold, so a healthy corpus (every
+    declared oracle scale) pays exactly one tiny probe job. Driver state
+    is one (rows, purged) pair per pass.
+    """
+    if not pass_ladders:
+        raise ValueError("choose_adaptive_passes: empty pass_ladders")
+    for name, ladder in pass_ladders.items():
+        if not ladder:
+            raise ValueError(f"choose_adaptive_passes: empty ladder for {name!r}")
+
+    def _probe(levels: dict[str, list[str]]) -> dict[str, float]:
+        """purged-row fraction per pass for the given key sets, one job."""
+        per = []
+        for name, key_cols in levels.items():
+            sizes = (
+                records.dropna(subset=key_cols)
+                .groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__bs"))
+            )
+            per.append(
+                sizes.agg(
+                    F.lit(name).alias("__pass"),
+                    F.sum("__bs").alias("__rows"),
+                    F.sum(
+                        F.when(F.col("__bs") > max_block_size, F.col("__bs"))
+                        .otherwise(F.lit(0))
+                    ).alias("__purged"),
+                )
+            )
+        rows = reduce(DataFrame.unionByName, per).collect()
+        return {
+            r["__pass"]: (r["__purged"] or 0) / r["__rows"] if r["__rows"] else 0.0
+            for r in rows
+        }
+
+    chosen: dict[str, list[str]] = {}
+    audit: list[tuple[str, int, float]] = []
+    pending = {name: 0 for name in pass_ladders}
+    while pending:
+        fracs = _probe(
+            {name: pass_ladders[name][idx] for name, idx in pending.items()}
+        )
+        nxt: dict[str, int] = {}
+        for name, idx in pending.items():
+            frac = fracs[name]
+            if frac <= max_purged_frac or idx == len(pass_ladders[name]) - 1:
+                chosen[name] = pass_ladders[name][idx]
+                audit.append((name, idx, frac))
+            else:
+                nxt[name] = idx + 1
+        pending = nxt
+    return chosen, audit
+
+
 def oversized_blocks(
     records: DataFrame,
     passes: dict[str, list[str]],

@@ -131,3 +131,48 @@ def test_length_lex_max_key_null_passes_through(spark):
         F.substring(F.max(length_lex_max_key("v")), 5, 100).alias("s")
     ).collect()[0].s
     assert top == "xyz"
+
+
+def test_choose_adaptive_passes_escalates_only_degenerate_pass(spark):
+    """A pass whose rung-0 key leaves > max_purged_frac of rows in
+    oversized blocks escalates to the next rung; a healthy pass stays at
+    rung 0. 60 records: key `dead` is one 60-row block (degenerate),
+    `fine` has 60 distinct values, `split` subdivides `dead` into 6."""
+    from fink_filters_spark.operators.linkage import choose_adaptive_passes
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rid": range(60),
+                "dead": ["x"] * 60,
+                "split": [i % 6 for i in range(60)],
+                "fine": range(60),
+            }
+        )
+    )
+    passes, audit = choose_adaptive_passes(
+        df,
+        {"a": [["dead"], ["dead", "split"]], "b": [["fine"], ["fine", "split"]]},
+        max_block_size=20,
+        max_purged_frac=0.5,
+    )
+    assert passes == {"a": ["dead", "split"], "b": ["fine"]}
+    by = {p: (i, f) for p, i, f in audit}
+    assert by["a"] == (1, 0.0)  # escalated once, then nothing purged
+    assert by["b"][0] == 0 and by["b"][1] == 0.0
+
+
+def test_choose_adaptive_passes_accepts_last_rung_even_if_degenerate(spark):
+    """The ladder's last rung is accepted regardless of the purged
+    fraction (escalation is bounded by the ladder the caller supplied) —
+    and the audit reports the honest fraction."""
+    from fink_filters_spark.operators.linkage import choose_adaptive_passes
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"rid": range(30), "dead": ["x"] * 30})
+    )
+    passes, audit = choose_adaptive_passes(
+        df, {"a": [["dead"]]}, max_block_size=10, max_purged_frac=0.5
+    )
+    assert passes == {"a": ["dead"]}
+    assert audit == [("a", 0, 1.0)]

@@ -230,21 +230,83 @@ def _run(spark, entry) -> None:
     # not of the plan (multi_pass_candidates is per-pass equi-joins).
     from pyspark.sql import functions as F
 
-    from fink_filters_spark.queries.linkage import _dirty_records, _PASSES
+    from fink_filters_spark.queries.linkage import (
+        DUP1_OFF,
+        DUP2_OFF,
+        MAX_NAME_DIST,
+        _dirty_records,
+        _PASSES,
+        _PASS_LADDERS,
+    )
     from fink_filters_spark.operators.linkage import (
         DEFAULT_MAX_BLOCK_SIZE,
+        choose_adaptive_passes,
+        levenshtein_matches,
         multi_pass_candidates,
         oversized_blocks,
     )
 
+    def _truth_pairs(recs):
+        """Labeled ground truth from the fixture's construction: every
+        dirty copy (and copy-copy sibling) is a true match of its base."""
+        b = recs.select(F.col("rec_id").alias("x")).filter(
+            (F.col("x") % CUST_STRIDE) < DUP1_OFF
+        )
+        t1 = b.filter("x % 2 = 0").select(
+            F.col("x").alias("id_a"), (F.col("x") + DUP1_OFF).alias("id_b")
+        )
+        t2 = b.filter("x % 6 = 0").select(
+            F.col("x").alias("id_a"), (F.col("x") + DUP2_OFF).alias("id_b")
+        )
+        t3 = b.filter("x % 6 = 0").select(
+            (F.col("x") + DUP1_OFF).alias("id_a"),
+            (F.col("x") + DUP2_OFF).alias("id_b"),
+        )
+        return t1.unionByName(t2).unionByName(t3)
+
     cand = {}
     purge_rows = []
+    recall_rows = []
     for label, d in (("sf0.1", SRC), ("100x", DST)):
         spark.catalog.clearCache()
-        recs = _dirty_records(spark, d)
+        recs = _dirty_records(spark, d).cache()
         n_recs = recs.count()
         cand[label] = multi_pass_candidates(recs, "rec_id", _PASSES).count()
         print(f"# er candidates @ {label}: {cand[label]}", file=sys.stderr)
+        # adaptive escalation + measured pair recall on the labeled truth
+        # (round-9 verdict #3): fixed rung-0 keys vs choose_adaptive_passes
+        chosen, chosen_audit = choose_adaptive_passes(
+            recs, _PASS_LADDERS, DEFAULT_MAX_BLOCK_SIZE, max_purged_frac=0.5
+        )
+        truth = _truth_pairs(recs).cache()
+        n_truth = truth.count()
+        for tag, ps in (("fixed", _PASSES), ("adaptive", chosen)):
+            c = multi_pass_candidates(recs, "rec_id", ps)
+            n_cand = c.count()
+            m = levenshtein_matches(recs, c, "rec_id", "name", MAX_NAME_DIST)
+            hits = truth.join(
+                m.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+            ).count()
+            keys = (
+                "/".join("+".join(v) for v in ps.values())
+                if tag == "adaptive"
+                else "rung 0"
+            )
+            recall_rows.append(
+                (label, tag, keys, n_cand, n_truth, hits, 100.0 * hits / n_truth)
+            )
+            print(
+                f"# er recall @ {label}/{tag}: {hits}/{n_truth} "
+                f"({100.0 * hits / n_truth:.2f}%), cand={n_cand}",
+                file=sys.stderr,
+            )
+        for pname, idx, frac in chosen_audit:
+            print(
+                f"# er adaptive @ {label}/{pname}: rung {idx} "
+                f"({'+'.join(chosen[pname])}), purged {100 * frac:.2f}%",
+                file=sys.stderr,
+            )
+        truth.unpersist()
         # purge audit: what the default block cap actually drops — the
         # measured recall cost of the O(n) candidate bound (VERDICT r8 #7)
         audit = (
@@ -269,6 +331,7 @@ def _run(spark, entry) -> None:
                 f"({100.0 * nr / n_recs:.2f}% of {n_recs})",
                 file=sys.stderr,
             )
+        recs.unpersist()
 
     lines += [
         "",
@@ -314,6 +377,32 @@ def _run(spark, entry) -> None:
         f"| {label} | {pname} | {nb:,} | {nr:,} | {pct:.2f}% |"
         for label, pname, nb, nr, _n, pct in purge_rows
     ] + [
+        "",
+        "### Adaptive blocking: escalation + measured pair recall",
+        "",
+        "`choose_adaptive_passes` (round-10, operators/linkage.py) probes",
+        "each pass ladder's purged-row fraction and escalates to a more",
+        "selective key when the cap would sit out > 50% of a pass's rows.",
+        "Recall is measured against the fixture's LABELED truth (every",
+        "dirty copy + copy-copy sibling is a true match). At sf0.1 the",
+        "probe finds 0% purged and keeps rung 0, so the declared oracles",
+        "are untouched; at 100x the fixed rung-0 keys are degenerate",
+        "(every replica shares nat/bal_c/suf3) and blocking recall",
+        "collapses — the escalation to (nat,bal_c,mid4) + (seg,suf7)",
+        "restores it with FEWER candidates and 0% purged:",
+        "",
+        "| scale | keys | candidates | truth pairs | matched | recall |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| {label} | {tag} ({keys}) | {n_cand:,} | {n_truth:,} "
+        f"| {hits:,} | {pct:.2f}% |"
+        for label, tag, keys, n_cand, n_truth, hits, pct in recall_rows
+    ] + [
+        "",
+        "The residual 15% miss at 100x is the honest fixture geometry:",
+        "a deletion in the 2-char gap between the mid window and the",
+        "7-suffix breaks both escalated keys; covering it is one more",
+        "ladder rung (another window pass), not an engine change.",
         "",
         "## Adaptive branches on THIS corpus",
         "",
