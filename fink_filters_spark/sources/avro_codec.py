@@ -12,7 +12,14 @@ implements the Avro 1.11 BINARY ENCODING from the public specification
 (null/boolean/int/long/float/double/bytes/string), records, enums,
 arrays, maps, unions, and fixed, plus the object container file framing
 (null and deflate codecs) and the Confluent wire framing (magic 0x00 +
-4-byte schema id + datum) used by schema-registry deployments.
+4-byte schema id + datum) used by schema-registry deployments, and the
+spec's LOGICAL TYPES that real Rubin/ZTF schemas annotate with —
+decimal (bytes/fixed), uuid, date, timestamp-millis/micros and their
+local- variants — converted to/from Python date/datetime/Decimal on
+decode/encode and mapped to Date/Timestamp/TimestampNTZ/DecimalType in
+``avro_to_spark_type`` (the same mapping spark-avro applies); unknown or
+invalid annotations are ignored per the spec and fall back to the
+underlying type.
 
 ``from_avro`` (spark-avro) remains the documented real-cluster path; the
 ``kafka_decode(..., value_format="avro")`` integration in
@@ -66,7 +73,7 @@ def parse_schema(schema: str | dict | list) -> dict | str | list:
     if isinstance(schema, str) and schema.lstrip()[:1] in "[{\"":
         schema = json.loads(schema)
     names: dict[str, dict] = {}
-    return _resolve(schema, names, enclosing_ns=None)
+    return _resolve(schema, names, enclosing_ns=None, memo={})
 
 
 import functools  # noqa: E402  (placed with its single user)
@@ -88,7 +95,52 @@ def _full_name(d: dict, enclosing_ns: str | None) -> str:
     return f"{ns}.{name}" if ns else name
 
 
-def _resolve(s, names: dict, enclosing_ns: str | None):
+# logical types (spec §Logical Types) that this codec CONVERTS; any other
+# annotation rides along unconverted (the spec: an unknown or invalid
+# logicalType must be ignored and the underlying type used). time-millis/
+# time-micros are deliberately passthrough ints — that is also what
+# spark-avro produces for them (Spark has no time-of-day column type here).
+_LOGICAL_BASES = {
+    "decimal": ("bytes", "fixed"),
+    "uuid": ("string",),
+    "date": ("int",),
+    "timestamp-millis": ("long",),
+    "timestamp-micros": ("long",),
+    "local-timestamp-millis": ("long",),
+    "local-timestamp-micros": ("long",),
+}
+
+
+def _logical_annotation(s: dict, base: str) -> dict | None:
+    """Validated {"logicalType": ..., [precision/scale]} attrs for a schema
+    node, or None when absent/unknown/invalid (spec: ignore and fall back
+    to the underlying type)."""
+    lt = s.get("logicalType")
+    if lt not in _LOGICAL_BASES or base not in _LOGICAL_BASES[lt]:
+        return None
+    if lt != "decimal":
+        return {"logicalType": lt}
+    try:
+        precision = int(s["precision"])
+        scale = int(s.get("scale", 0))
+    except (KeyError, TypeError, ValueError):
+        return None
+    if precision <= 0 or scale < 0 or scale > precision:
+        return None
+    if base == "fixed":
+        size = int(s["size"])
+        # max precision representable in size bytes (two's complement)
+        if precision > len(str(2 ** (8 * size - 1) - 1)):
+            return None
+    return {"logicalType": "decimal", "precision": precision, "scale": scale}
+
+
+def _resolve(s, names: dict, enclosing_ns: str | None, memo: dict | None = None):
+    # memo (by object identity): re-parsing an ALREADY-normalized tree —
+    # which may be cyclic for a recursive record — must return the node
+    # being built instead of re-walking it forever
+    if memo is None:
+        memo = {}
     if isinstance(s, str):
         if s in _PRIMITIVES:
             return s
@@ -99,17 +151,20 @@ def _resolve(s, names: dict, enclosing_ns: str | None):
             return names[s]
         raise SchemaError(f"unknown type reference: {s!r}")
     if isinstance(s, list):  # union
-        return [_resolve(b, names, enclosing_ns) for b in s]
+        return [_resolve(b, names, enclosing_ns, memo) for b in s]
     if not isinstance(s, dict):
         raise SchemaError(f"invalid schema node: {s!r}")
+    if id(s) in memo:
+        return memo[id(s)]
     t = s.get("type")
     if t in ("record", "error"):
         full = _full_name(s, enclosing_ns)
         out = {"type": "record", "name": full, "fields": []}
         names[full] = out
+        memo[id(s)] = out
         ns = full.rsplit(".", 1)[0] if "." in full else enclosing_ns
         for f in s["fields"]:
-            fld = {"name": f["name"], "type": _resolve(f["type"], names, ns)}
+            fld = {"name": f["name"], "type": _resolve(f["type"], names, ns, memo)}
             if "default" in f:  # carried for reader-side schema resolution
                 fld["default"] = f["default"]
             if "aliases" in f:
@@ -126,16 +181,22 @@ def _resolve(s, names: dict, enclosing_ns: str | None):
     if t == "fixed":
         full = _full_name(s, enclosing_ns)
         out = {"type": "fixed", "name": full, "size": int(s["size"])}
+        ann = _logical_annotation(s, "fixed")
+        if ann:
+            out.update(ann)
         names[full] = out
         return out
     if t == "array":
-        return {"type": "array", "items": _resolve(s["items"], names, enclosing_ns)}
+        return {"type": "array", "items": _resolve(s["items"], names, enclosing_ns, memo)}
     if t == "map":
-        return {"type": "map", "values": _resolve(s["values"], names, enclosing_ns)}
+        return {"type": "map", "values": _resolve(s["values"], names, enclosing_ns, memo)}
     if t in _PRIMITIVES:  # {"type": "string"} wrapper form
+        ann = _logical_annotation(s, t)
+        if ann:  # keep the annotation: {"type": "long", "logicalType": ...}
+            return {"type": t, **ann}
         return t
     if isinstance(t, (dict, list)):  # {"type": {...}} nesting
-        return _resolve(t, names, enclosing_ns)
+        return _resolve(t, names, enclosing_ns, memo)
     raise SchemaError(f"unsupported schema type: {t!r}")
 
 
@@ -164,6 +225,98 @@ def encode_datum(datum, schema) -> bytes:
     out = io.BytesIO()
     _encode(out, datum, schema)
     return out.getvalue()
+
+
+# --- logical-type value conversions (spec §Logical Types) -------------------
+
+import datetime as _dt  # noqa: E402
+import decimal as _decimal  # noqa: E402
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+_US = _dt.timedelta(microseconds=1)
+
+
+def _int_to_logical(v: int, lt: str):
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=v)
+    if lt == "timestamp-millis":
+        return _EPOCH_UTC + _dt.timedelta(milliseconds=v)
+    if lt == "timestamp-micros":
+        return _EPOCH_UTC + _dt.timedelta(microseconds=v)
+    if lt == "local-timestamp-millis":
+        return _EPOCH_NAIVE + _dt.timedelta(milliseconds=v)
+    if lt == "local-timestamp-micros":
+        return _EPOCH_NAIVE + _dt.timedelta(microseconds=v)
+    return v
+
+
+def _logical_to_int(datum, lt: str) -> int:
+    if isinstance(datum, int) and not isinstance(datum, bool):
+        return datum  # raw base value passes through unchanged
+    if lt == "date":
+        if isinstance(datum, _dt.datetime):
+            raise SchemaError("date logical type takes a date, not datetime")
+        if isinstance(datum, _dt.date):
+            return (datum - _EPOCH_DATE).days
+    elif isinstance(datum, _dt.datetime):
+        epoch = _EPOCH_NAIVE if datum.tzinfo is None else _EPOCH_UTC
+        us = (datum - epoch) // _US
+        return us // 1000 if lt.endswith("millis") else us
+    raise SchemaError(f"cannot encode {type(datum).__name__} as {lt}")
+
+
+def _unscaled_to_decimal(b: bytes, schema: dict) -> _decimal.Decimal:
+    u = int.from_bytes(b, "big", signed=True)
+    # tuple construction is context-free (exact for any digit count)
+    digits = tuple(int(c) for c in str(abs(u)))
+    return _decimal.Decimal((0 if u >= 0 else 1, digits, -schema.get("scale", 0)))
+
+
+def _decimal_to_unscaled(datum, schema: dict) -> bytes:
+    if isinstance(datum, (bytes, bytearray)):
+        return bytes(datum)  # raw base value passes through unchanged
+    scale = schema.get("scale", 0)
+    if isinstance(datum, int) and not isinstance(datum, bool):
+        u = datum * 10 ** scale
+    elif isinstance(datum, _decimal.Decimal):
+        t = datum.as_tuple()
+        if not isinstance(t.exponent, int):  # NaN / Infinity
+            raise SchemaError(f"non-finite decimal {datum!r}")
+        shift = t.exponent + scale
+        u = int("".join(map(str, t.digits)) or "0")
+        if shift >= 0:
+            u *= 10 ** shift
+        else:
+            q, r = divmod(u, 10 ** -shift)
+            if r:
+                raise SchemaError(f"decimal {datum} does not fit scale {scale}")
+            u = q
+        if t.sign:
+            u = -u
+    else:
+        raise SchemaError(f"cannot encode {type(datum).__name__} as decimal")
+    if schema["type"] == "fixed":
+        try:
+            return u.to_bytes(schema["size"], "big", signed=True)
+        except OverflowError:
+            raise SchemaError(
+                f"decimal unscaled value {u} overflows fixed({schema['size']})"
+            ) from None
+    nbytes = max(1, (u.bit_length() + 8) // 8)  # minimal two's complement
+    return u.to_bytes(nbytes, "big", signed=True)
+
+
+def _strip_logical(schema):
+    """The schema node with its logical annotation removed (decode the raw
+    base value). Annotated nodes are dicts; primitives strip to the bare
+    type name, fixed to a size-only node."""
+    if isinstance(schema, dict) and "logicalType" in schema:
+        if schema["type"] == "fixed":
+            return {"type": "fixed", "size": schema["size"]}
+        return schema["type"]
+    return schema
 
 
 def _union_index(datum, branches: list) -> int:
@@ -207,6 +360,7 @@ def _encode(out: io.BytesIO, datum, schema) -> None:
         _encode(out, datum, schema[i])
         return
     t = schema if isinstance(schema, str) else schema["type"]
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if t == "null":
         if datum is not None:
             raise SchemaError("non-None datum for null schema")
@@ -214,13 +368,13 @@ def _encode(out: io.BytesIO, datum, schema) -> None:
     if t == "boolean":
         out.write(b"\x01" if datum else b"\x00")
     elif t in ("int", "long"):
-        _write_long(out, int(datum))
+        _write_long(out, _logical_to_int(datum, lt) if lt else int(datum))
     elif t == "float":
         out.write(struct.pack("<f", float(datum)))
     elif t == "double":
         out.write(struct.pack("<d", float(datum)))
     elif t == "bytes":
-        b = bytes(datum)
+        b = _decimal_to_unscaled(datum, schema) if lt == "decimal" else bytes(datum)
         _write_long(out, len(b))
         out.write(b)
     elif t == "string":
@@ -239,7 +393,7 @@ def _encode(out: io.BytesIO, datum, schema) -> None:
         except ValueError:
             raise SchemaError(f"{datum!r} not in enum symbols") from None
     elif t == "fixed":
-        b = bytes(datum)
+        b = _decimal_to_unscaled(datum, schema) if lt == "decimal" else bytes(datum)
         if len(b) != schema["size"]:
             raise SchemaError(f"fixed size {schema['size']} != {len(b)}")
         out.write(b)
@@ -276,6 +430,7 @@ def _decode(buf: io.BytesIO, schema):
             raise SchemaError(f"union index {i} out of range")
         return _decode(buf, schema[i])
     t = schema if isinstance(schema, str) else schema["type"]
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
     if t == "null":
         return None
     if t == "boolean":
@@ -284,13 +439,15 @@ def _decode(buf: io.BytesIO, schema):
             raise SchemaError("truncated boolean")
         return b != b"\x00"
     if t in ("int", "long"):
-        return _read_long(buf)
+        v = _read_long(buf)
+        return _int_to_logical(v, lt) if lt else v
     if t == "float":
         return struct.unpack("<f", _exact(buf, 4))[0]
     if t == "double":
         return struct.unpack("<d", _exact(buf, 8))[0]
     if t == "bytes":
-        return _exact(buf, _read_long(buf))
+        b = _exact(buf, _read_long(buf))
+        return _unscaled_to_decimal(b, schema) if lt == "decimal" else b
     if t == "string":
         return _exact(buf, _read_long(buf)).decode("utf-8")
     if t == "record":
@@ -302,7 +459,8 @@ def _decode(buf: io.BytesIO, schema):
         except IndexError:
             raise SchemaError(f"enum index {i} out of range") from None
     if t == "fixed":
-        return _exact(buf, schema["size"])
+        b = _exact(buf, schema["size"])
+        return _unscaled_to_decimal(b, schema) if lt == "decimal" else b
     if t == "array":
         out = []
         while True:
@@ -495,11 +653,20 @@ def _decode_res(buf: io.BytesIO, writer, reader):
             for _ in range(n):
                 k = _exact(buf, _read_long(buf)).decode("utf-8")
                 out[k] = _decode_res(buf, writer["values"], reader["values"])
-    if wt == "fixed":
-        if writer["size"] != reader["size"]:
-            raise SchemaError("fixed size mismatch")
-        return _decode(buf, writer)
-    return _decode(buf, writer)  # identical primitive
+    if wt == "fixed" and writer["size"] != reader["size"]:
+        raise SchemaError("fixed size mismatch")
+    # identical base primitive/fixed: decode the RAW base value, then apply
+    # the READER's logical annotation (the consumer's declared semantics) —
+    # so a reader pinned to timestamp-micros gets datetimes whether or not
+    # the writer schema carried the annotation, and an unannotated reader
+    # gets the plain base value
+    v = _decode(buf, _strip_logical(writer))
+    rlt = reader.get("logicalType") if isinstance(reader, dict) else None
+    if rlt == "decimal":
+        return _unscaled_to_decimal(v, reader)
+    if rlt:
+        return _int_to_logical(v, rlt)
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +680,43 @@ _META_SCHEMA = {"type": "map", "values": "bytes"}
 _DEFAULT_SYNC = bytes(range(16))  # deterministic (no RNG in library code)
 
 
+def _schema_json(schema, seen: set) -> object:
+    """Normalized schema tree -> JSON-serializable schema with named types
+    emitted by REFERENCE after their first definition (the spec's rule for
+    schema JSON: a name may be defined once; later uses refer to it). A
+    plain ``json.dumps`` of the normalized tree re-inlines every shared
+    definition — invalid for spec-strict external readers — and recurses
+    forever on a recursive record."""
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return [_schema_json(b, seen) for b in schema]
+    t = schema["type"]
+    if t in ("record", "enum", "fixed"):
+        name = schema["name"]
+        if name in seen:
+            return name
+        seen.add(name)
+        if t == "record":
+            return {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {
+                        k: (_schema_json(f["type"], seen) if k == "type" else f[k])
+                        for k in f
+                    }
+                    for f in schema["fields"]
+                ],
+            }
+        return dict(schema)  # enum / fixed: all attributes are JSON-safe
+    if t == "array":
+        return {"type": "array", "items": _schema_json(schema["items"], seen)}
+    if t == "map":
+        return {"type": "map", "values": _schema_json(schema["values"], seen)}
+    return dict(schema)  # logically-annotated primitive
+
+
 def encode_container(
     records: list,
     schema: str | dict | list,
@@ -522,7 +726,12 @@ def encode_container(
     """One-block object container file holding ``records`` (the ZTF alert
     stream sends one record per message, but any count round-trips)."""
     parsed = parse_schema(schema)
-    schema_json = schema if isinstance(schema, str) else json.dumps(schema)
+    # JSON text is embedded verbatim; a dict/parsed schema is serialized
+    # with named types by reference (see _schema_json)
+    schema_json = (
+        schema if isinstance(schema, str)
+        else json.dumps(_schema_json(parsed, set()))
+    )
     if len(sync) != 16:
         raise SchemaError("sync marker must be 16 bytes")
     if codec not in ("null", "deflate"):
@@ -611,6 +820,11 @@ def decode_confluent(data: bytes, schema) -> tuple[int, object]:
     dict, or pre-parsed) — symmetric call patterns must round-trip."""
     if not data or data[0] != 0:
         raise SchemaError("not Confluent-framed (magic byte != 0)")
+    if len(data) < 5:
+        raise SchemaError(
+            "truncated Confluent frame (need magic + 4-byte schema id, got "
+            f"{len(data)} bytes)"
+        )
     schema_id = struct.unpack(">I", data[1:5])[0]
     if isinstance(schema, str):
         schema = _parse_schema_cached(schema)
@@ -637,6 +851,18 @@ def avro_to_spark_type(schema):
             )
         return avro_to_spark_type(non_null[0])
     t = schema if isinstance(schema, str) else schema["type"]
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt is not None:  # same mapping spark-avro applies to annotated types
+        if lt == "date":
+            return T.DateType()
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType()
+        if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+            return T.TimestampNTZType()
+        if lt == "decimal":
+            return T.DecimalType(schema["precision"], schema.get("scale", 0))
+        if lt == "uuid":
+            return T.StringType()
     prim = {
         "boolean": T.BooleanType,
         "int": T.IntegerType,

@@ -33,7 +33,15 @@ def read_varint(buf: io.BytesIO) -> int:
         b = raw[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
+            # a 64-bit value occupies at most 10 LEB128 bytes; mask so a
+            # corrupt frame with junk high bits in byte 10 decodes to the
+            # same 64-bit value write_varint would have produced, never an
+            # out-of-range Python int
+            acc &= 0xFFFFFFFFFFFFFFFF
             return (acc >> 1) ^ -(acc & 1)
         shift += 7
-        if shift > 70:
+        if shift >= 70:
+            # shift 63 is the last byte that can carry payload bits; a
+            # continuation bit on the 10th byte (shift -> 70) means an
+            # 11th byte would follow, which no 64-bit value produces
             raise ValueError("varint longer than 10 bytes (corrupt frame)")
