@@ -791,7 +791,14 @@ def _cooccurrence(
             sizes = F.broadcast(sizes)
         co = (
             joined.select(
-                (F.shiftleft(F.col("a.__id"), 32) + F.col("b.__id")).alias("__pk")
+                # explicit long cast: shiftleft on an IntegerType column
+                # masks the shift distance to 0 (32 & 31), which would
+                # silently merge unrelated pairs if a kernel ever emitted
+                # int ids — the range probe above checks values, not types
+                (
+                    F.shiftleft(F.col("a.__id").cast("long"), 32)
+                    + F.col("b.__id").cast("long")
+                ).alias("__pk")
             )
             .groupBy("__pk")
             .agg(F.count(F.lit(1)).alias("__inter"))
@@ -1717,6 +1724,7 @@ def connected_components(
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
     state_dir: str | None = None,
+    on_round=None,
 ) -> DataFrame:
     """(node, component) over an undirected pair graph; component = min node
     id in the connected set — the clustering step between near-dup pair
@@ -1942,9 +1950,96 @@ def connected_components(
     # frontier no neighbor of any node holds a smaller label (the full-join
     # fixpoint condition). On resume the frontier conservatively resets to
     # all labels.
+    def _contract(nxt: DataFrame) -> DataFrame:
+        """Hash-to-min star contraction (Kiveris et al., "Connected
+        Components in MapReduce and Beyond", SOCC 2013 — public
+        algorithm): two node-table steps that together collapse label
+        structure logarithmically, where either alone degenerates to
+        1-hop propagation.
+
+        1. ROOT UPDATE: every OLD star root learns the min NEW label
+           among its members (groupBy old label + join back on node id).
+           A member that touched a smaller neighboring star forwards
+           that root to its own root — without this, the smaller label
+           crawls through the star one graph hop per round (measured:
+           compression alone left 5023 labels still moving at round 25
+           on the 100x adaptive-ER graph).
+        2. POINTER COMPRESSION to a fixpoint (label <- min(label,
+           label(label))): root-to-root pointers from step 1 form
+           chains; each inner round halves their depth, so the whole
+           chain of stars collapses in ~log2(depth) self-joins.
+
+        Exactness: every value assigned is the label of a node in the
+        same component (members' labels are component node ids; mins of
+        them stay in the component), labels are monotone decreasing, and
+        termination still requires the NEIGHBOR pass to move nothing —
+        the empty-frontier fixpoint condition is unchanged, so converged
+        labels are exactly the component minima. Acceleration only.
+
+        Inner generations are eagerly CHECKPOINTED but never written to
+        the state_dir gen sequence, which keeps its outer-round
+        granularity for resume. The lineage cut per inner round is NOT
+        optional: each step self-joins its predecessor, so an uncut plan
+        tree DOUBLES per round — ~10 rounds in, plan stringification
+        alone OOMed the driver (measured; plain .persist() caches data
+        but keeps the logical plan)."""
+
+        def ickpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+        rmin = nxt.groupBy("__old").agg(F.min("label").alias("__rl"))
+        upd = F.least(F.col("label"), F.coalesce("__rl", "label"))
+        nxt = ickpt(
+            nxt.join(
+                rmin.withColumnRenamed("__old", "__rn"),
+                nxt.node == F.col("__rn"),
+                "left",
+            )
+            .select(
+                "node",
+                upd.alias("__new"),
+                ((upd != F.col("label")) | F.col("__chg")).alias("__nchg"),
+            )
+            .select(
+                "node",
+                F.col("__new").alias("label"),
+                F.col("__nchg").alias("__chg"),
+            )
+        )
+        for _inner in range(64):
+            mapped = nxt.select(
+                F.col("node").alias("__jn"), F.col("label").alias("__jl")
+            )
+            cand = F.least(F.col("label"), F.coalesce("__jl", "label"))
+            nxt2 = ickpt(
+                nxt.join(mapped, nxt.label == F.col("__jn"), "left")
+                .select(
+                    "node",
+                    cand.alias("__new"),
+                    (cand != F.col("label")).alias("__moved"),
+                    ((cand != F.col("label")) | F.col("__chg")).alias("__nchg"),
+                )
+                .select(
+                    "node",
+                    F.col("__new").alias("label"),
+                    "__moved",
+                    F.col("__nchg").alias("__chg"),
+                )
+            )
+            moved = nxt2.filter(F.col("__moved")).count()
+            nxt = nxt2.drop("__moved")
+            if moved == 0:
+                break
+        # one durable generation per OUTER round; superseded inner
+        # checkpoint blocks are freed by the context cleaner as their
+        # frames are garbage collected
+        return ckpt(nxt) if state_dir is not None else nxt
+
     frontier = labels
     changed = None  # max_iter <= 0: the else-branch must still format
-    for _ in range(max_iter):
+    compress = False
+    prev_changed = None
+    for round_idx in range(max_iter):
         nbr = (
             und.join(
                 frontier.select(
@@ -1959,21 +2054,50 @@ def connected_components(
         # the changed flag rides the SAME select that computes the new
         # label — convergence is then a filter-count over the checkpointed
         # generation, not a second labels-vs-labels shuffle join per round
+        new_label = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
         nxt = ckpt(
             labels.join(nbr, labels.node == nbr.nbr_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "__new"
-                ),
-                (
-                    F.least(F.col("label"), F.coalesce("nbr_label", "label"))
-                    != F.col("label")
-                ).alias("__chg"),
+                new_label.alias("__new"),
+                (new_label != F.col("label")).alias("__chg"),
+                # the PRE-round label: _contract's root-update groups by
+                # it; a spare column otherwise (dropped below)
+                F.col("label").alias("__old"),
             )
             .withColumnRenamed("__new", "label")
         )
+        # STAR CONTRACTION (see _contract): engaged STICKILY only when
+        # the changed-count trajectory says the graph is deep — a
+        # near-flat round-over-round decline (>90% carried forward: a
+        # chain shifts its whole body one hop per round) or a long tail
+        # still moving thousands of labels after 8 edge hops. The
+        # adaptive-ER 100x graph forced this (PLANS.md round-10): its
+        # match components reach ~50k nodes at diameter ~87 (replica
+        # sibling names differing in 1-2 digits chain transitively), and
+        # plain frontier propagation moved 200-600k labels/round until
+        # the 25-round budget blew. Shallow graphs — the common near-dup
+        # case, where changed drops geometrically (745k/407k/468/25/4/0
+        # measured on the 100x documents graph) — never trigger it and
+        # pay ZERO extra jobs; measured same-session at 100x, an
+        # ungated contraction cost that shallow graph 42.0s vs 37.4s
+        # (each outer round checkpointing + counting a 2.2M-row label
+        # table at least once for nothing).
+        if compress:
+            nxt = _contract(nxt)
+        else:
+            nxt = nxt.drop("__old")
         changed = nxt.filter(F.col("__chg")).count()
+        if not compress and prev_changed is not None:
+            compress = (changed > 0.9 * prev_changed and changed > 0) or (
+                round_idx >= 8 and changed > 1000
+            )
+        prev_changed = changed
+        if on_round is not None:
+            # observability hook (distributed path only): called with the
+            # 0-based round index and the number of labels that moved —
+            # what a deployment logs to watch a long propagation converge
+            on_round(gen_counter[0] - 1, changed)
         # dropping the last Python reference releases the superseded
         # generation's JVM frame; the context cleaner then frees its
         # checkpoint blocks (DataFrame.unpersist would be a no-op here —

@@ -280,6 +280,31 @@ def test_connected_components_paths_agree(spark):
     assert dist == want
 
 
+def test_connected_components_log_diameter_convergence(spark):
+    """Pointer jumping (label <- label(label)) makes round count
+    logarithmic in the component diameter: a 600-node sorted path — the
+    propagation worst case, min label at one end — must converge well
+    inside a log-scale round budget (plain 1-hop propagation would need
+    ~600 rounds). Regression pin for the round-10 fix that unblocked the
+    100x adaptive-ER graph."""
+    from fink_filters_spark.operators.dedup import connected_components
+
+    n = 600
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    rounds = []
+    out = connected_components(
+        pairs,
+        driver_threshold=0,
+        max_iter=16,  # ~2*log2(600) — raises if doubling ever regresses
+        on_round=lambda i, chg: rounds.append(chg),
+    )
+    labels = {r.node: r.component for r in out.collect()}
+    assert labels == {i: 0 for i in range(n)}
+    assert len(rounds) <= 16
+
+
 def test_connected_components_restart_recovery(spark, tmp_path):
     """The 100 TB fallback path is crash-safe BY TEST: kill the
     label-propagation loop mid-run (max_iter cap leaves committed
@@ -300,15 +325,18 @@ def test_connected_components_restart_recovery(spark, tmp_path):
     truth = {(r.node, r.component) for r in connected_components(pairs).collect()}
 
     state = str(tmp_path / "cc_state")
-    # phase 1: "crash" after 3 rounds (initial labels + 2 propagation
-    # gens). Exhausting max_iter RAISES (round 7: returning non-converged
-    # labels would silently split components for callers that treat the
-    # output as final) — the committed generations stay durable for resume.
+    # phase 1: "crash" after the first outer round (initial labels +
+    # one neighbor gen; round-10 stall-gated pointer compression can kick
+    # in from round 2, so a 1-round budget is the clean way to leave
+    # committed-but-unconverged state). Exhausting max_iter RAISES
+    # (round 7: returning labels whose convergence was never CONFIRMED
+    # would be silent for callers that treat the output as final) — the
+    # committed generations stay durable for resume.
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="not converged"):
         connected_components(
-            pairs, driver_threshold=0, max_iter=2, state_dir=state
+            pairs, driver_threshold=0, max_iter=1, state_dir=state
         ).collect()
     committed = sorted(
         int(d.split("=")[1]) for d in os.listdir(state) if d.startswith("gen=")
