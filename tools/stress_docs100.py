@@ -404,6 +404,22 @@ def _run(spark, entry) -> None:
         "7-suffix breaks both escalated keys; covering it is one more",
         "ladder rung (another window pass), not an engine change.",
         "",
+        "### Deep-graph clustering (what adaptive recall exposed)",
+        "",
+        "Restored recall made the 100x match graph the engine's first",
+        "REAL deep graph: ~50k-node components at diameter ~87 (replica",
+        "sibling names chain transitively). Frontier min-label",
+        "propagation moves labels one edge hop per round, so the",
+        "25-round budget blew and er_golden_record FAILED (the operator",
+        "raises rather than silently splitting components). The",
+        "er_golden_record row above runs on the round-10 stall-gated",
+        "hash-to-min star contraction (root update + pointer",
+        "compression, PLANS.md round-10): its ~29x slope is",
+        "candidate-law — the labeled truth demands 222x more candidate",
+        "pairs at 100x — with runtime sublinear in candidates. The",
+        "gate never fires on shallow graphs (the other dedup rows),",
+        "which therefore pay zero extra jobs for it.",
+        "",
         "## Adaptive branches on THIS corpus",
         "",
         "Two adaptive gates are deliberately INERT here, and the numbers",
