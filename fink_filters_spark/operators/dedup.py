@@ -1910,6 +1910,24 @@ def connected_components(
             return spark.read.parquet(_gen_path(n))
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
+    def ckpt_count(df: DataFrame, flag: str) -> tuple[DataFrame, int]:
+        """Checkpoint ``df`` and return (checkpointed df, count of rows
+        where ``flag`` is true) in ONE job: the count rides the
+        materialization action as an Observation instead of a second
+        scan-and-count over the fresh generation. Every loop round below
+        needs exactly this pair (new generation + how many labels moved),
+        so fusing them halves the jobs-per-round — on a real cluster
+        that's one fewer stage barrier per round, and the convergence
+        check stays exact (the observation aggregates the same rows the
+        checkpoint writes)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        seen = df.observe(obs, F.sum(F.col(flag).cast("long")).alias("n"))
+        out = ckpt(seen)
+        n = obs.get["n"]
+        return out, int(n) if n is not None else 0
+
     # cached PRE-PARTITIONED on dst: every propagation round joins on
     # und.dst, so hash-partitioning the cached blocks once lets each
     # round's sort-merge/hash join reuse the layout instead of
@@ -1984,6 +2002,8 @@ def connected_components(
         alone OOMed the driver (measured; plain .persist() caches data
         but keeps the logical plan)."""
 
+        from pyspark.sql import Observation
+
         def ickpt(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
@@ -2006,11 +2026,16 @@ def connected_components(
                 F.col("__nchg").alias("__chg"),
             )
         )
+        changed = None
         for _inner in range(64):
             mapped = nxt.select(
                 F.col("node").alias("__jn"), F.col("label").alias("__jl")
             )
             cand = F.least(F.col("label"), F.coalesce("__jl", "label"))
+            # both loop controls (did any pointer jump this inner round;
+            # how many labels moved anywhere this OUTER round) ride the
+            # materialization as one Observation — no second scan
+            obs = Observation()
             nxt2 = ickpt(
                 nxt.join(mapped, nxt.label == F.col("__jn"), "left")
                 .select(
@@ -2025,15 +2050,22 @@ def connected_components(
                     "__moved",
                     F.col("__nchg").alias("__chg"),
                 )
+                .observe(
+                    obs,
+                    F.sum(F.col("__moved").cast("long")).alias("m"),
+                    F.sum(F.col("__chg").cast("long")).alias("c"),
+                )
             )
-            moved = nxt2.filter(F.col("__moved")).count()
+            got = obs.get
+            moved = int(got["m"] or 0)
+            changed = int(got["c"] or 0)
             nxt = nxt2.drop("__moved")
             if moved == 0:
                 break
         # one durable generation per OUTER round; superseded inner
         # checkpoint blocks are freed by the context cleaner as their
         # frames are garbage collected
-        return ckpt(nxt) if state_dir is not None else nxt
+        return (ckpt(nxt) if state_dir is not None else nxt), changed
 
     frontier = labels
     changed = None  # max_iter <= 0: the else-branch must still format
@@ -2052,10 +2084,11 @@ def connected_components(
             .withColumnRenamed("src", "nbr_node")
         )
         # the changed flag rides the SAME select that computes the new
-        # label — convergence is then a filter-count over the checkpointed
-        # generation, not a second labels-vs-labels shuffle join per round
+        # label, and the convergence count rides the checkpoint's own
+        # materialization (ckpt_count) — one job per round, no second
+        # labels scan and no labels-vs-labels shuffle join
         new_label = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
-        nxt = ckpt(
+        gen_plan = (
             labels.join(nbr, labels.node == nbr.nbr_node, "left")
             .select(
                 "node",
@@ -2084,10 +2117,10 @@ def connected_components(
         # (each outer round checkpointing + counting a 2.2M-row label
         # table at least once for nothing).
         if compress:
-            nxt = _contract(nxt)
+            nxt, changed = _contract(ckpt(gen_plan))
         else:
+            nxt, changed = ckpt_count(gen_plan, "__chg")
             nxt = nxt.drop("__old")
-        changed = nxt.filter(F.col("__chg")).count()
         if not compress and prev_changed is not None:
             compress = (changed > 0.9 * prev_changed and changed > 0) or (
                 round_idx >= 8 and changed > 1000
