@@ -84,6 +84,17 @@ def _dirty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for deletions BEFORE the last k chars) — so a suffix pass and a
         # mid-window pass together cover deletions at either end
         .withColumn("mid4", F.expr("substr(name, 10, 4)"))
+        # GAPLESS companion to suf7: a window pass and a suffix pass cover
+        # every single-deletion position iff the window ENDS before the
+        # suffix STARTS (window intact for deletions after its end, suffix
+        # intact for deletions before its start). On an 18-char name suf7
+        # starts at char 12, so the window must end at char 11 — mid4
+        # (chars 10-13) overlaps it, leaving deletions at 12-13 breaking
+        # BOTH keys (the measured 15% recall miss at the 100x stress);
+        # mid2 (chars 10-11) closes the gap at the cost of 100x coarser
+        # blocks, which the escalation probe only accepts when they stay
+        # under the cap
+        .withColumn("mid2", F.expr("substr(name, 10, 2)"))
     )
 
 
@@ -106,7 +117,18 @@ _PASS_LADDERS = {
     # period, so only a name window that actually varies across records
     # splits a degenerate block (measured at the 100x stress: suf1/suf3
     # split nothing there — the key stride is ≡ 0 mod 1000)
-    "attrs": [["nat", "bal_c"], ["nat", "bal_c", "suf1"], ["nat", "bal_c", "mid4"]],
+    # rung order = escalation order (first rung whose purge fraction is
+    # acceptable wins). mid2 sits BEFORE mid4: paired with name_tail's
+    # suf7 it is single-deletion COMPLETE (window ends at char 11, suffix
+    # starts at char 12 — no position breaks both), so it is preferred
+    # whenever its 100x-coarser blocks stay under the cap; mid4 remains
+    # the bounded-but-gapped fallback for corpora where they do not
+    "attrs": [
+        ["nat", "bal_c"],
+        ["nat", "bal_c", "suf1"],
+        ["nat", "bal_c", "mid2"],
+        ["nat", "bal_c", "mid4"],
+    ],
     "name_tail": [["seg", "suf3"], ["seg", "suf5"], ["seg", "suf7"]],
 }
 
