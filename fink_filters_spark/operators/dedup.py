@@ -1910,6 +1910,13 @@ def connected_components(
             return spark.read.parquet(_gen_path(n))
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
+    def ickpt(df: DataFrame) -> DataFrame:
+        """Eager lineage-cutting checkpoint that stays OUT of the
+        state_dir gen sequence — for intermediate states whose durability
+        the resume protocol does not need (the outer-round gen is the
+        resume point)."""
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
     def ckpt_count(df: DataFrame, flag: str) -> tuple[DataFrame, int]:
         """Checkpoint ``df`` and return (checkpointed df, count of rows
         where ``flag`` is true) in ONE job: the count rides the
@@ -2003,9 +2010,6 @@ def connected_components(
         but keeps the logical plan)."""
 
         from pyspark.sql import Observation
-
-        def ickpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
         rmin = nxt.groupBy("__old").agg(F.min("label").alias("__rl"))
         upd = F.least(F.col("label"), F.coalesce("__rl", "label"))
@@ -2117,7 +2121,13 @@ def connected_components(
         # (each outer round checkpointing + counting a 2.2M-row label
         # table at least once for nothing).
         if compress:
-            nxt, changed = _contract(ckpt(gen_plan))
+            # ickpt, not ckpt: _contract self-joins its input (must be
+            # materialized, or gen_plan's edge join runs twice in one
+            # job), but the durable generation for this round is the
+            # CONTRACTED result _contract writes — a pre-contraction gen
+            # would be superseded immediately and doubles the per-round
+            # label-table write for nothing
+            nxt, changed = _contract(ickpt(gen_plan))
         else:
             nxt, changed = ckpt_count(gen_plan, "__chg")
             nxt = nxt.drop("__old")
@@ -2130,7 +2140,7 @@ def connected_components(
             # observability hook (distributed path only): called with the
             # 0-based round index and the number of labels that moved —
             # what a deployment logs to watch a long propagation converge
-            on_round(gen_counter[0] - 1, changed)
+            on_round(round_idx, changed)
         # dropping the last Python reference releases the superseded
         # generation's JVM frame; the context cleaner then frees its
         # checkpoint blocks (DataFrame.unpersist would be a no-op here —

@@ -68,7 +68,12 @@ def grid_rank(
     ww = Window.partitionBy(value_col).orderBy(*[F.col(c).asc() for c in tie_cols])
     return (
         df.withColumn("__rn", F.row_number().over(ww))
-        .join(F.broadcast(offs), F.col(value_col) == F.col("__v"))
+        # eqNullSafe: a NULL value group exists in the domain table (and
+        # sorts where the Window.orderBy frame above placed it — Spark
+        # puts NULLs first ASC / last DESC, consistently in both the
+        # offset window and this join key), so NULL-valued rows must keep
+        # their rank, not silently drop out of an inner equi-join
+        .join(F.broadcast(offs), F.col(value_col).eqNullSafe(F.col("__v")))
         .withColumn(rank_col, (F.col("__lo") + F.col("__rn")).cast("long"))
         .drop("__v", "__lo", "__rn")
     )

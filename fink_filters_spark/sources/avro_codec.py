@@ -231,6 +231,7 @@ def encode_datum(datum, schema) -> bytes:
 
 import datetime as _dt  # noqa: E402
 import decimal as _decimal  # noqa: E402
+import uuid as _uuid  # noqa: E402
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
@@ -239,16 +240,23 @@ _US = _dt.timedelta(microseconds=1)
 
 
 def _int_to_logical(v: int, lt: str):
-    if lt == "date":
-        return _EPOCH_DATE + _dt.timedelta(days=v)
-    if lt == "timestamp-millis":
-        return _EPOCH_UTC + _dt.timedelta(milliseconds=v)
-    if lt == "timestamp-micros":
-        return _EPOCH_UTC + _dt.timedelta(microseconds=v)
-    if lt == "local-timestamp-millis":
-        return _EPOCH_NAIVE + _dt.timedelta(milliseconds=v)
-    if lt == "local-timestamp-micros":
-        return _EPOCH_NAIVE + _dt.timedelta(microseconds=v)
+    # a well-formed long can still be outside Python's date range
+    # (year 1..9999); surface the module's typed error, not the bare
+    # OverflowError, so kafka_decode callers honoring the documented
+    # error contract catch it instead of losing an executor task
+    try:
+        if lt == "date":
+            return _EPOCH_DATE + _dt.timedelta(days=v)
+        if lt == "timestamp-millis":
+            return _EPOCH_UTC + _dt.timedelta(milliseconds=v)
+        if lt == "timestamp-micros":
+            return _EPOCH_UTC + _dt.timedelta(microseconds=v)
+        if lt == "local-timestamp-millis":
+            return _EPOCH_NAIVE + _dt.timedelta(milliseconds=v)
+        if lt == "local-timestamp-micros":
+            return _EPOCH_NAIVE + _dt.timedelta(microseconds=v)
+    except (OverflowError, OSError) as e:
+        raise SchemaError(f"{lt} value {v} outside representable range: {e}") from None
     return v
 
 
@@ -349,6 +357,39 @@ def _union_index(datum, branches: list) -> int:
         elif isinstance(datum, (list, tuple)) and t == "array":
             return i
         elif isinstance(datum, int) and t in ("float", "double"):
+            return i
+    # logical-type Python values match the branch carrying the annotation
+    # — ["null", annotated-long] is the standard nullable alert-field
+    # shape, so a datetime/date/Decimal datum must find its branch here
+    for i, b in enumerate(branches):
+        if not isinstance(b, dict):
+            continue
+        lt = b.get("logicalType")
+        if lt is None:
+            continue
+        t = b["type"]
+        if (
+            isinstance(datum, _dt.datetime)
+            and t == "long"
+            and lt
+            in (
+                "timestamp-millis",
+                "timestamp-micros",
+                "local-timestamp-millis",
+                "local-timestamp-micros",
+            )
+        ):
+            return i
+        if (
+            isinstance(datum, _dt.date)
+            and not isinstance(datum, _dt.datetime)
+            and t == "int"
+            and lt == "date"
+        ):
+            return i
+        if isinstance(datum, _decimal.Decimal) and lt == "decimal":
+            return i
+        if isinstance(datum, _uuid.UUID) and t == "string" and lt == "uuid":
             return i
     raise SchemaError(f"no union branch for {type(datum).__name__}")
 
@@ -591,7 +632,14 @@ def _decode_res(buf: io.BytesIO, writer, reader):
         if rt in ("float", "double"):
             return float(v)
         if rt == "long":
-            return int(v)
+            v = int(v)
+            # reader-annotation-wins (spec §Logical Types: annotations
+            # attach to the reader's view) must hold on the promotion
+            # path too — an int writer promoted to an annotated long
+            # otherwise yields raw ints while a long writer yields
+            # datetimes, and the consumer gets a mixed column
+            rlt = reader.get("logicalType") if isinstance(reader, dict) else None
+            return _int_to_logical(v, rlt) if rlt else v
         if rt == "bytes":
             return v.encode("utf-8")
         if rt == "string":

@@ -839,3 +839,72 @@ def test_kafka_decode_avro_logical_rubin_shaped_end_to_end(spark):
             (ts.replace(tzinfo=None) - dt.datetime(2026, 3, 1, 0, 0, i))
             .total_seconds()
         ) < 24 * 3600 + 1  # same instant modulo session-zone display
+
+
+def test_logical_values_encode_inside_unions():
+    """["null", annotated-type] is the standard nullable alert-field
+    shape; a datetime/date/Decimal/UUID Python value must find its union
+    branch (round-10 review: _union_index only matched primitive Python
+    types, so every nullable annotated field failed to encode)."""
+    import decimal as _d
+    import uuid as _u
+
+    sch = parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "t", "type": ["null", {
+                "type": "long", "logicalType": "timestamp-micros"}]},
+            {"name": "d", "type": ["null", {
+                "type": "int", "logicalType": "date"}]},
+            {"name": "m", "type": ["null", {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 6, "scale": 2}]},
+            {"name": "u", "type": ["null", {
+                "type": "string", "logicalType": "uuid"}]},
+        ]}))
+    datum = {
+        "t": dt.datetime(2026, 1, 1, tzinfo=_UTC),
+        "d": dt.date(2026, 1, 1),
+        "m": _d.Decimal("1234.56"),
+        "u": _u.UUID("12345678-1234-5678-1234-567812345678"),
+    }
+    out = decode_datum(encode_datum(datum, sch), sch)
+    assert out["t"] == datum["t"]
+    assert out["d"] == datum["d"]
+    assert out["m"] == datum["m"]
+    assert out["u"] == str(datum["u"])  # uuid decodes as its string form
+    # None still takes the null branch for every annotated union
+    nulls = {"t": None, "d": None, "m": None, "u": None}
+    assert decode_datum(encode_datum(nulls, sch), sch) == nulls
+
+
+def test_logical_promotion_applies_reader_annotation():
+    """Reader-annotation-wins must hold on the int->long PROMOTION path
+    too (round-10 review: promoted values skipped the logical conversion,
+    yielding a mixed raw-int/datetime column across writer versions)."""
+    from fink_filters_spark.sources.avro_codec import decode_resolved
+
+    w_int = parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "t", "type": "int"}]}))
+    r_ts = parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "t",
+             "type": {"type": "long", "logicalType": "timestamp-micros"}}]}))
+    blob = encode_datum({"t": 1_500_000}, w_int)
+    assert decode_resolved(blob, w_int, r_ts) == {
+        "t": dt.datetime(1970, 1, 1, 0, 0, 1, 500000, tzinfo=_UTC)
+    }
+
+
+def test_out_of_range_temporal_raises_schema_error():
+    """A well-formed long outside Python's datetime range must surface as
+    the module's typed SchemaError (the documented error contract), not a
+    bare OverflowError that kills a kafka_decode executor task."""
+    for s, v in (
+        ({"type": "long", "logicalType": "timestamp-micros"}, 2 ** 60),
+        ({"type": "int", "logicalType": "date"}, 2 ** 31 - 1),
+    ):
+        sch = parse_schema(json.dumps(s))
+        blob = encode_datum(v, sch)  # raw base value passes through
+        with pytest.raises(SchemaError, match="outside representable range"):
+            decode_datum(blob, sch)

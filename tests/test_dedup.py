@@ -298,11 +298,16 @@ def test_connected_components_log_diameter_convergence(spark):
         pairs,
         driver_threshold=0,
         max_iter=16,  # ~2*log2(600) — raises if doubling ever regresses
-        on_round=lambda i, chg: rounds.append(chg),
+        on_round=lambda i, chg: rounds.append((i, chg)),
     )
     labels = {r.node: r.component for r in out.collect()}
     assert labels == {i: 0 for i in range(n)}
     assert len(rounds) <= 16
+    # the hook receives the 0-based OUTER round index (round-10 review:
+    # it briefly reported a gen counter that never advanced without a
+    # state_dir), and the converged final round reports 0 labels moving
+    assert [i for i, _ in rounds] == list(range(len(rounds)))
+    assert rounds[-1][1] == 0
 
 
 def test_connected_components_restart_recovery(spark, tmp_path):

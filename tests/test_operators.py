@@ -1693,3 +1693,31 @@ def test_constellation_label_keeps_null_coordinate_rows(spark):
     rows = {r.id: r.constellation for r in out.collect()}
     assert len(rows) == 2 and rows[1] is not None and rows[2] is None
     assert "sep_deg" not in out.columns
+
+
+def test_grid_rank_keeps_null_values_and_matches_window(spark):
+    """grid_rank is the drop-in rewrite for an unpartitioned rank window,
+    so it must agree with row_number() OVER (ORDER BY value, tie) on
+    nullable values too (round-10 review: the offset re-join used = and
+    silently dropped every NULL-valued row; NULLs sort FIRST ascending,
+    like the window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fink_filters_spark.operators.rank import grid_rank
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10), (4, 5), (5, None), (6, 7)],
+        "id long, v int",
+    )
+    got = {
+        r["id"]: (r["rank"], r["n"])
+        for r in grid_rank(df, "v", ["id"], total_col="n").collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want  # NULLs kept, ranks agree
+    assert {v[1] for v in got.values()} == {6}  # total counts every row
