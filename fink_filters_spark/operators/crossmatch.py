@@ -94,12 +94,37 @@ def crossmatch(
         radius_col = radius_deg
     cell = cell_deg or max_r
 
-    cat = catalog.withColumn("__cells", neighbor_cells(cat_ra, cat_dec, cell, radius_deg=max_r))
-    cat = cat.withColumn("__cell", F.explode("__cells")).drop("__cells")
-    left = df.withColumn("__cell", grid_cell(df_ra, df_dec, cell))
+    if broadcast_catalog:
+        cat = catalog.withColumn(
+            "__cells", neighbor_cells(cat_ra, cat_dec, cell, radius_deg=max_r)
+        )
+        cat = cat.withColumn("__cell", F.explode("__cells")).drop("__cells")
+        left = df.withColumn("__cell", grid_cell(df_ra, df_dec, cell))
+        right = F.broadcast(cat)
+    else:
+        # Large x large: explode the STREAM side's neighborhood and key the
+        # catalog by its exact cell, the mirror image of the broadcast path.
+        # Pair coverage is direction-free — neighbor_cells(x) bounds the
+        # max RA offset of ANY partner within max_r of row x (worst-case
+        # |dec|+r), so "p's cells contain c's cell" iff "c's cells contain
+        # p's cell" (tests/test_operators.py proves set equality at the
+        # pole / RA wrap). Cost is what changes: the exploded fan-out
+        # (~(2k+1)x3 rows per point, k dec-adaptive) lands on the streamed
+        # probe side where it pipelines, while the UN-exploded catalog is
+        # what a runtime broadcast (AQE) or the build side of a hash join
+        # materializes. With the fan-out on the catalog side, AQE's
+        # SMJ->BHJ conversion at moderate scale built a hashed relation of
+        # every exploded copy on the driver — measured 4.39s -> 2.70s at
+        # sf0.1 (same session, identical 18,767 output rows) from this
+        # swap alone. Shuffle bytes in the true shuffled regime are
+        # identical either way (one side carries the fan-out in both).
+        left = df.withColumn(
+            "__cells", neighbor_cells(df_ra, df_dec, cell, radius_deg=max_r)
+        )
+        left = left.withColumn("__cell", F.explode("__cells")).drop("__cells")
+        right = catalog.withColumn("__cell", grid_cell(cat_ra, cat_dec, cell))
 
     sep = sky_sep(F.col(df_ra), F.col(df_dec), F.col(cat_ra), F.col(cat_dec))
-    right = F.broadcast(cat) if broadcast_catalog else cat
     pairs = (
         left.join(right, on="__cell", how="inner")
         .withColumn("sep_deg", sep)

@@ -61,6 +61,57 @@ def test_crossmatch_matches_bruteforce_including_poles(spark):
     assert len(want) > 20  # fixture sanity: polar matches exist
 
 
+def test_crossmatch_no_broadcast_matches_bruteforce_including_poles(spark):
+    """The large x large path (broadcast_catalog=False) explodes the STREAM
+    side's neighbor cells instead of the catalog's (round-10 optimization:
+    keeps the un-exploded side as the hash-join build / runtime-broadcast
+    relation). Pair coverage must be direction-free — prove it against
+    brute force on the same polar-heavy sky as the broadcast path, plus
+    the RA-wrap / dec=+90 edge fixture."""
+    rng = np.random.default_rng(11)
+    ra, dec = _random_sky(rng, 500)
+    cra, cdec = _random_sky(rng, 40)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(500, dtype=np.int64), "ra": ra, "dec": dec})
+    )
+    cat = spark.createDataFrame(
+        pd.DataFrame({"cid": np.arange(40, dtype=np.int64), "cra": cra, "cdec": cdec})
+    )
+    radius = 3.0
+    got = {
+        (r.pid, r.cid)
+        for r in crossmatch(
+            pts, cat, df_id="pid", radius_deg=radius,
+            cat_ra="cra", cat_dec="cdec", how="all", broadcast_catalog=False,
+        ).select("pid", "cid").collect()
+    }
+    want = {
+        (p, c)
+        for p in range(500)
+        for c in range(40)
+        if _sep(ra[p], dec[p], cra[c], cdec[c]) < radius
+    }
+    assert got == want
+    assert len(want) > 20
+    # domain edges: negative ra, dec exactly +90, tiny radius at the pole
+    edge_cat = spark.createDataFrame(
+        [(100, 359.9999, 0.0), (200, 10.0, 89.995), (300, 200.0, 90.0)],
+        "cid long, cat_ra double, cat_dec double",
+    )
+    edge_stream = spark.createDataFrame(
+        [(1, -0.0001, 0.0), (2, 130.0, 89.9995), (3, 20.0, 90.0)],
+        "aid long, ra double, dec double",
+    )
+    pairs = {
+        (r.aid, r.cid)
+        for r in crossmatch(
+            edge_stream, edge_cat, df_id="aid", radius_deg=0.01, cell_deg=1.0,
+            how="all", broadcast_catalog=False,
+        ).select("aid", "cid").collect()
+    }
+    assert {(1, 100), (2, 200), (3, 300)} <= pairs
+
+
 def test_crossmatch_nearest_left_anti_consistency(spark):
     rng = np.random.default_rng(12)
     ra, dec = _random_sky(rng, 300)
