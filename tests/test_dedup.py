@@ -766,6 +766,16 @@ def test_sparse_cosine_df_pruning_and_reordering_robustness(spark):
     assert pruned[(1, 2)] == 1.0
     assert (1, 3) in cos  # unpruned they DO share the stopword
 
+    # ids >= 2^31 take the UNPACKED dot aggregation (the packed int64 pair
+    # key only covers [0, 2^31)); same texts, shifted ids, same cosines
+    off = 1 << 33
+    big = spark.createDataFrame(
+        [(i + off, t) for i, t in rows], "doc_id long, text string"
+    )
+    cos_big = {(r.id_a - off, r.id_b - off): r.cosine
+               for r in sparse_cosine_pairs(big, "doc_id", "text", tau=0.0).collect()}
+    assert cos_big == cos
+
 
 def test_minhash_index_bucketed_at_rest_probe_is_shuffle_free(spark, tmp_path):
     """The incremental-dedup scale story, proven on the plan: the corpus
