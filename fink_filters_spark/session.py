@@ -30,6 +30,39 @@ DYNAMIC_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for the pandas-UDF kernels (science fits, image stats).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Allow shuffled hash join where its size conditions fit instead of
+    # always sorting both sides (guide §3.1/§9): the planner may pick SHJ
+    # outright, and AQE rewrites SMJ->SHJ at runtime when every
+    # post-shuffle partition is under the local-map threshold (64 MB here
+    # — bounds the per-partition hash build, which is the documented OOM
+    # risk of SHJ; partitions above it keep the spill-safe sort-merge).
+    # Not a local-mode knob: the same bound holds per executor core on a
+    # cluster. Same-session interleaved A/B over the 18-query heavy tail
+    # at sf0.1: 45.1s -> 38.3s (both rounds agree; biggest movers
+    # dedup_lsh_recall 5.3->3.0, er_golden_record 3.3->2.3, sim_pq_adc
+    # 4.7->3.7, dedup_survivors_quality 3.2->2.1; two sub-0.25s
+    # regressions inside noise). Join semantics — and the engine's
+    # exact-integer aggregation convention — are order-free, so results
+    # are unchanged (full oracle sweep re-run green).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
+    # AQE advisory (post-shuffle target / skew-split granularity) —
+    # SCALE-DEPENDENT, so env-parameterised (the only such knob here).
+    # The local default of 8 MB matches the bench's shuffle volumes
+    # (8-80 MB): the dominant effect is skew-split granularity on the
+    # hot-key posting/pair joins (few distinct join keys -> a handful of
+    # oversized partitions; splitting at 8 MB instead of the 64 MB
+    # default re-parallelizes them). Same-session interleaved A/B over
+    # the 18-query tail at sf0.1: 60.0s -> 45.3s, reproduced both rounds
+    # (dedup_ngram_jaccard 6.6->3.1, text_sparse_cosine 5.3->2.9,
+    # er_golden_record 4.6->2.7, q21 3.8->2.1; one -0.4s regression).
+    # A production deployment sets SPARK_GRAFT_ADVISORY_PARTITION_BYTES
+    # to 64-256 MB (guide §2.2/§9): at 100 TB an 8 MB target would
+    # fragment shuffles into millions of blocks — partition size should
+    # track per-core data volume, which is what the env knob expresses.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8388608"
+    ),
     # Catalyst's getAllValidConstraints re-canonicalizes a filter condition
     # once per project alias; a wide alert-quality mask (18 OR terms) under
     # a ~70-alias flatten projection makes streaming micro-batch
