@@ -2364,10 +2364,16 @@ def sparse_cosine_pairs(
     # jaccard/_cooccurrence pipeline). Packing (ida, idb) into ONE int64
     # halves the aggregation key width exactly as in _cooccurrence
     # (measured there 49.4s -> 17.1s at the 100x stress; here 3.75s ->
-    # 2.88s same-session at the gate slice). Probe off the cached index
-    # (tiny in-memory scan, also materializes the cache exactly once);
-    # ids outside [0, 2^31) fall back to the unpacked grouping.
-    stats = wt.agg(F.min("__id").alias("mn"), F.max("__id").alias("mx")).collect()[0]
+    # 2.88s same-session at the gate slice). The range probe reads
+    # min/max of the SOURCE id column (one pruned scan — not the cached
+    # index: an eager probe there would materialize the cache in its own
+    # job, and the main plan then reprints the cached subtree's exchanges
+    # per consuming branch, tripping the plan-budget lint on phantom
+    # counts). wt's ids are a subset of the source ids, so the bound is
+    # valid; ids outside [0, 2^31) fall back to the unpacked grouping.
+    stats = df.agg(
+        F.min(F.col(id_col)).alias("mn"), F.max(F.col(id_col)).alias("mx")
+    ).collect()[0]
     if stats["mn"] is not None and stats["mn"] >= 0 and stats["mx"] < 2**31:
         dot = (
             joined.select(
