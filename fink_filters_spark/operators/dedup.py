@@ -1126,10 +1126,27 @@ def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     ``duplicated_spans`` (the profile) and ``trim_duplicated_spans`` (the
     rewrite)."""
     spans = _positional_grams(df, id_col, text_col, n)
-    dup_grams = spans.groupBy("__g").agg(
+    # One EXPLICIT hash exchange on the gram key, consumed by both the
+    # dup-flag aggregate and the join probe side. Round-10 fix: the
+    # previous shape (groupBy over spans + join back onto spans) planned
+    # the flag side's exchange over a partial aggregate — a DIFFERENT
+    # subtree from the probe side, so nothing was shared and the Arrow
+    # gram kernel executed once per branch (4x in dedup_substring's
+    # plan, measured 39 core-seconds of which ~3/4 was repeat hashing).
+    # With the shared repartition the kernel runs ONCE; the aggregate
+    # and the join probe are both partition-local on top of the reused
+    # exchange (hash(g) satisfies their clustering), so no further
+    # gram-stream shuffle exists. Trade-off vs the old shape: the flag
+    # aggregate loses map-side partial aggregation, so a boilerplate-hot
+    # gram's rows all land in one partition; the per-row work there is a
+    # streaming (g, id) hash-aggregate (no posting arrays), which spills
+    # rather than OOMs, and the kernel saving is corpus-wide while the
+    # hot-gram tail is bounded by the df distribution.
+    ex = spans.repartition("__g")
+    dup_grams = ex.groupBy("__g").agg(
         (F.count_distinct("__id") >= 2).alias("__dup")
     )
-    return spans.join(dup_grams, "__g").select("__id", "__pos", "__dup")
+    return ex.join(dup_grams, "__g").select("__id", "__pos", "__dup")
 
 
 def duplicated_spans(
@@ -1161,9 +1178,14 @@ def duplicated_spans(
     and rejected: interpreted flatten/array_distinct measured 5x at 10x
     stress under full duplication; the codegen path stays linear.)
     """
-    flat = _span_flags(df, id_col, text_col, n)
-    # both consumers of flat contain the IDENTICAL posts exchange, so
-    # runtime exchange reuse executes the scan+hash+shuffle once
+    # The explicit hash exchange on __id is the ONE subtree both per-doc
+    # aggregations consume: runtime exchange reuse executes the upstream
+    # kernel + flag join once, and every aggregation below — the span
+    # counts, the (id, pos) distinct, the final counts-cov join — is
+    # partition-local because hash(id) satisfies their clustering.
+    # (Round-10: previously each consumer planned its own exchange over
+    # the join, re-running the whole flag pipeline per branch.)
+    flat = _span_flags(df, id_col, text_col, n).repartition("__id")
     counts = flat.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_spans"),

@@ -420,7 +420,16 @@ def _pq_subvectors(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         lambda j: F.slice(qv, j * sublen + F.lit(1), sublen),
     )
-    return df.select(
+    # scan_floor: the quantize/slice/posexplode pipeline (and everything
+    # pipelined above it — codebook distance math in pq_encode, the
+    # training aggregate's map side) otherwise runs inside the file scan's
+    # task layout; a single-row-group corpus file serializes all of it on
+    # one core (round-10 stage profile: two ~1.3s single-task stages in
+    # sim_pq_encode). No-op when the scan is already at cluster
+    # parallelism.
+    from ..tables import scan_floor
+
+    return scan_floor(df).select(
         F.col(id_col).alias(id_alias), F.posexplode(slices).alias("m", "sv")
     )
 

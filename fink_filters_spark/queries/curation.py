@@ -653,14 +653,28 @@ def pipe_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties: equal (quality, length) pairs do not dominate each other, so
     all docs sharing a surviving (q, n) pair are on the front."""
+    from ..tables import scan_floor
     from .text import quality_expr
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    scored = docs.select(
-        "doc_id",
-        quality_expr().alias("q_micro"),  # already exact integer ppm
-        F.size(toks).cast("long").alias("n_tok"),
+    # Two fixes from the round-10 stage profile (1.78s of a 2.3-core-second
+    # query in ONE task): (1) scan_floor parallelizes the quality scoring —
+    # a single-row-group file otherwise pins the regex/HOF projection to
+    # one core; (2) the hash repartition on doc_id makes the scored table
+    # ONE exchange subtree shared by both consumers (the per-quality
+    # aggregate and the front join-back), so runtime exchange reuse
+    # computes the quality projection once instead of once per branch —
+    # at corpus scale that is one full text scan saved, and the reused
+    # exchange carries only (doc_id, q_micro, n_tok).
+    scored = (
+        scan_floor(docs)
+        .select(
+            "doc_id",
+            quality_expr().alias("q_micro"),  # already exact integer ppm
+            F.size(toks).cast("long").alias("n_tok"),
+        )
+        .repartition("doc_id")
     )
     per_q = scored.groupBy("q_micro").agg(F.max("n_tok").alias("max_n"))
     w = (

@@ -51,6 +51,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scan_floor(df: DataFrame) -> DataFrame:
+    """Guarded scan-parallelism floor: repartition ``df`` to the cluster's
+    default parallelism ONLY when its scan plans fewer partitions — a
+    single-row-group file scans as one task, serializing every expensive
+    projection pipelined on it (quality scoring, vector math, hashing)
+    on one core regardless of cluster size. A production table that
+    already scans at or above the cluster's parallelism keeps its layout
+    and pays nothing. Round-robin repartition here is deterministic
+    (sortBeforeRepartition, on by default) and row-order-free consumers
+    only."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def ts_us_expr(ts_type: str):
     """The ``ts`` -> microseconds-since-epoch expression, dispatched on the
     column's dtype string — THE single definition (load_events for batch,
