@@ -44,6 +44,21 @@ def hashed_token_buckets(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _weights_from_counts(joined: DataFrame, n_buckets: int) -> DataFrame:
+    """Shared tail of the weight fit: smoothed log-ratio per bucket from a
+    ``(bucket, tc, rc)`` table carrying one row per possible bucket."""
+    tot = joined.groupBy().agg(
+        F.sum("tc").alias("T"), F.sum("rc").alias("R")
+    )
+    ratio = (
+        (F.col("tc") + 1).cast("double") / (F.col("T") + n_buckets)
+    ) / ((F.col("rc") + 1).cast("double") / (F.col("R") + n_buckets))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(F.log(ratio) * MICRO).cast("long").alias("w_micro"),
+    )
+
+
 def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,
                         text_col: str, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
     """Per-bucket integer micro-log importance weights
@@ -54,7 +69,11 @@ def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,
     including buckets unseen in both corpora (their smoothed weight
     ln((R+B)/(T+B)) is finite and well-defined) — so a persisted weight
     table scores ANY later candidate corpus without dropping tokens that
-    hash to buckets the fit never saw. Broadcast it."""
+    hash to buckets the fit never saw. Broadcast it.
+
+    When target and raw are two slices of ONE table, prefer
+    ``dsir_bucket_weights_flagged`` — it fits both histograms from a
+    single Arrow tokenize/hash pass instead of two."""
     t = (
         hashed_token_buckets(target, id_col, text_col, n_buckets)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
@@ -71,16 +90,70 @@ def dsir_bucket_weights(target: DataFrame, raw: DataFrame, id_col: str,
         F.coalesce("tc", F.lit(0)).alias("tc"),
         F.coalesce("rc", F.lit(0)).alias("rc"),
     )
-    tot = joined.groupBy().agg(
-        F.sum("tc").alias("T"), F.sum("rc").alias("R")
+    return _weights_from_counts(joined, n_buckets)
+
+
+def bucket_occurrences_flagged(df: DataFrame, id_col: str, text_col: str,
+                               flag, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """``(id, bucket, __f)`` — one row per token OCCURRENCE of the whole
+    table, tagged with the boolean ``flag`` column/expression (True =
+    target slice). ONE Arrow flat-kernel pass where the two-sided fit
+    paid one per slice; tokenization/hashing is per-row independent, so
+    the (id, bucket) multiset per slice is bit-identical to running
+    ``hashed_token_buckets`` on the filtered slice (guide §4 — fewer
+    passes over the Python boundary, same integers)."""
+    from collections.abc import Iterator
+
+    from .dedup import _flat_word_hashes, _spread
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as _pd
+
+        for pdf in batches:
+            flat = _flat_word_hashes(pdf, 1)
+            if flat is None:
+                yield _pd.DataFrame(
+                    {"id": _pd.Series([], dtype="int64"),
+                     "bucket": _pd.Series([], dtype="int64"),
+                     "__f": _pd.Series([], dtype="bool")}
+                )
+                continue
+            ids, d, wh = flat
+            flags = pdf["__f"].to_numpy()
+            yield _pd.DataFrame(
+                {"id": ids[d], "bucket": wh % n_buckets, "__f": flags[d]}
+            )
+
+    flag_col = F.col(flag) if isinstance(flag, str) else flag
+    src = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        flag_col.alias("__f"),
     )
-    ratio = (
-        (F.col("tc") + 1).cast("double") / (F.col("T") + n_buckets)
-    ) / ((F.col("rc") + 1).cast("double") / (F.col("R") + n_buckets))
-    return joined.crossJoin(F.broadcast(tot)).select(
+    return src.mapInPandas(kernel, "id long, bucket long, __f boolean")
+
+
+def dsir_bucket_weights_flagged(df: DataFrame, id_col: str, text_col: str,
+                                flag, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """``dsir_bucket_weights`` for the common case where target and raw
+    are two slices of ONE table, selected by the boolean ``flag``: both
+    bucket histograms come out of a single tokenize/hash pass and ONE
+    conditional aggregation (map-side combined), halving the kernel cost
+    of the fit. Same ``n_buckets``-row output, same integers."""
+    occ = bucket_occurrences_flagged(df, id_col, text_col, flag, n_buckets)
+    counts = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__f"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(F.col("__f"), 0).otherwise(1)).alias("rc"),
+    )
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    joined = spine.join(counts, "bucket", "left").select(
         "bucket",
-        F.round(F.log(ratio) * MICRO).cast("long").alias("w_micro"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
     )
+    return _weights_from_counts(joined, n_buckets)
 
 
 def dsir_scores(raw: DataFrame, weights: DataFrame, id_col: str,

@@ -486,13 +486,20 @@ def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 50-row heap PER PARTITION and merges heaps, never moving the scored
     corpus to one task (the round-9 verdict flagged the previous global
     rank window as single-partition; same shape as text_bm25's TOPK cut,
-    queries/text.py)."""
-    from ..operators.dsir import dsir_bucket_weights, dsir_scores
+    queries/text.py).
+
+    Round 10: the weight fit runs as ONE flagged tokenize/hash pass over
+    the whole table (``dsir_bucket_weights_flagged``) instead of one pass
+    per slice — target and raw are both slices of ``documents``, so the
+    stage profile showed three near-equal Arrow kernel stages where two
+    are fundamental (fit + score); same integers, oracle unchanged."""
+    from ..operators.dsir import dsir_bucket_weights_flagged, dsir_scores
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.filter(F.col("source") == "src0")
     raw = docs.filter(F.col("source") != "src0")
-    w = dsir_bucket_weights(target, raw, "doc_id", "text")
+    w = dsir_bucket_weights_flagged(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
     scored = dsir_scores(raw, w, "doc_id", "text").withColumnRenamed("id", "doc_id")
     return (
         scored.orderBy(F.desc("micro_sum"), F.asc("doc_id"))
@@ -555,6 +562,17 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import QUALITY_THRESHOLD_PPM, quality_expr
 
     docs = load_table(spark, sf_dir, "documents")
+    # Round 10 (guide §2.4): the train-split count is a predicate on the
+    # exact-dedup survivor table, so stages 3+4 come out of ONE
+    # conditional aggregate over it — one fewer branch re-deriving the
+    # survivor aggregation. Two rejected variants, both measured a same-
+    # session LOSS at sf0.1 (A/B vs the pre-change tree): (a) cache()ing
+    # the survivor table for the remaining consumers — the columnar
+    # serialization of the normalized text costs more than the parallel
+    # recomputes it saves (1.84 -> 2.43s); (b) scan_floor on the quality
+    # scan — unlike the pq/pareto cases, this query's branches already
+    # fan out in parallel, and the round-robin shuffle of full text
+    # costs more than the per-branch single-task scans (1.63 -> 1.86s).
     q = docs.withColumn("__ok", quality_expr() >= QUALITY_THRESHOLD_PPM)
     s2 = q.filter("__ok")
     s3 = s2.filter(F.col("lang") == "en")
@@ -584,19 +602,26 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage_idx, stage, n_docs)"
         )
     )
-    parts = [
-        df.groupBy().agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+    # stages 3+4 in ONE conditional aggregate over the cached survivors
+    # (the train split is a predicate on the survivor table, so its count
+    # needs no second branch)
+    s45 = (
+        s4.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n3"),
+            F.sum(
+                F.when(F.col("doc_id") % EVAL_MOD != 0, 1).otherwise(0)
+            ).alias("n4"),
         )
-        for i, (name, df) in enumerate(
-            [("exact_dedup", s4), ("train_split", s5), ("decontaminated", s6)],
-            start=3,
+        .selectExpr(
+            "stack(2, 3, 'exact_dedup', n3, 4, 'train_split', n4)"
+            " AS (stage_idx, stage, n_docs)"
         )
-    ]
-    out = head
-    for pdf in parts:
-        out = out.unionByName(pdf)
-    return out
+    )
+    tail = s6.groupBy().agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(5).alias("stage_idx"), F.lit("decontaminated").alias("stage"), "n_docs"
+    )
+    return head.unionByName(s45).unionByName(tail)
 
 
 def _funnel_sql() -> str:

@@ -276,9 +276,24 @@ def q_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle to count distinct docs per chunk hash (16-byte
     keys, partial-agg combined), one hash anti-join of the chunk stream
     against the dup set (output-sized; AQE broadcasts it when small), one
-    per-doc aggregation. No text ever shuffles — only hashes."""
+    per-doc aggregation. No text ever shuffles — only hashes.
+
+    Round 10 (guide §2.4, §2.5): ``scan_floor`` parallelizes the CDC
+    chunking — the single-row-group fixture otherwise pins the whole
+    rolling-hash/md5 projection to ONE task — and the explicit
+    ``repartition("chunk_md5")`` makes the chunk stream ONE exchange
+    subtree shared by the dup-count aggregate and the anti-join probe
+    (both cluster on chunk_md5), so the chunking computes once instead of
+    once per branch. The shared exchange carries only narrow chunk
+    metadata (ids, positions, 32-char hashes) — never text."""
+    from ..tables import scan_floor
+
     docs = load_table(spark, sf_dir, "documents")
-    ch = chunk_cdc(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    ch = (
+        chunk_cdc(scan_floor(docs), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .repartition("chunk_md5")
+    )
     dup = (
         ch.groupBy("chunk_md5")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -143,6 +143,43 @@ def test_dsir_prefers_target_like_documents(spark):
     assert scores[100] > scores[101]
 
 
+def test_dsir_flagged_weights_match_two_pass_fit(spark):
+    """The single-pass flagged fit (round 10: one Arrow tokenize/hash pass
+    over the union table) must produce the EXACT weight table of the
+    two-slice fit on the same data — including null-text rows, empty
+    strings (which tokenize to one ''-token, matching the native split
+    semantics), and multi-token docs."""
+    from fink_filters_spark.operators.dsir import (
+        DSIR_BUCKETS, dsir_bucket_weights, dsir_bucket_weights_flagged,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "src0", "quantum flux lattice boson"),
+        (2, "src0", ""),
+        (3, "src0", None),
+        (4, "src1", "recipe butter sugar flour oven whisk"),
+        (5, "src1", "quantum recipe"),
+        (6, "src2", None),
+        (7, "src2", "  padded   whitespace  text  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, text string")
+    target = df.filter(F.col("source") == "src0")
+    raw = df.filter(F.col("source") != "src0")
+    want = {
+        r.bucket: r.w_micro
+        for r in dsir_bucket_weights(target, raw, "id", "text").collect()
+    }
+    got = {
+        r.bucket: r.w_micro
+        for r in dsir_bucket_weights_flagged(
+            df, "id", "text", F.col("source") == "src0"
+        ).collect()
+    }
+    assert len(want) == len(got) == DSIR_BUCKETS
+    assert got == want
+
+
 def test_pareto_front_matches_bruteforce(spark):
     """Frontier equals the brute-force dominance definition, including
     equal-pair ties (mutual non-domination)."""
