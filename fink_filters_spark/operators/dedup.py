@@ -328,9 +328,14 @@ def jaccard_pairs(
     tau: float = 0.5,
     max_df_frac: float | None = MAX_DF_FRAC,
     collapse: bool | str = "auto",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau)
     via inverted-index join.
+
+    ``shingled``: optional caller-cached precomputed shingle table (see
+    ``_cooccurrence``) — lets a query that also runs the MinHash pipeline
+    reuse ONE tokenize/hash kernel pass for both.
 
     Set sizes ride along with each posting, so Jaccard falls out of the
     co-occurrence groupBy directly — one shuffle keyed by shingle, one by
@@ -389,7 +394,9 @@ def jaccard_pairs(
     # array_intersect verification is far costlier than counting. On a
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
-    grp, co, kept = _cooccurrence(df, id_col, text_col, n, max_df_frac, collapse)
+    grp, co, kept = _cooccurrence(
+        df, id_col, text_col, n, max_df_frac, collapse, shingled=shingled
+    )
     verified = (
         co.withColumn(
             "jaccard",
@@ -636,6 +643,7 @@ def _cooccurrence(
     n: int,
     max_df_frac: float | None = None,
     collapse: bool | str = "auto",
+    shingled: DataFrame | None = None,
 ):
     """Shared inverted-index core of ``jaccard_pairs`` / ``containment_pairs``:
     the representative-collapse table and the per-rep-pair co-occurrence
@@ -674,11 +682,28 @@ def _cooccurrence(
     fraction, purge list, id range) — the plan branch is frozen to the
     data at call time, not re-decided per action, and the no-collapse /
     gated branches hold a ``cache()`` (see ``jaccard_pairs``).
+
+    ``shingled`` (round 10, guide §4 — one kernel pass for co-running
+    pipelines): a precomputed ``(__id, __sh[, __k])`` frame that is
+    bit-identical to ``_hashed_shingled(df, id_col, text_col, n)``
+    output (e.g. ``minhash_signatures``' fused table, whose shingle
+    columns come from the same ``_shingle_flat`` producer) and is
+    CACHED BY THE CALLER. When given, this operator runs no shingle
+    kernel of its own — an audit query running the exact and the
+    approximate pipeline side by side pays the tokenize/hash pass once.
     """
     if collapse == "auto":
         collapse = _duplicate_fraction(df, text_col) >= COLLAPSE_DUP_FRAC
     if collapse:
-        sh = _hashed_shingled(df, id_col, text_col, n, with_key=True)
+        if shingled is not None:
+            if "__k" not in shingled.columns:
+                raise ValueError(
+                    "_cooccurrence(shingled=...) with collapse=True needs "
+                    "the __k set-identity column (with_key=True upstream)"
+                )
+            sh = shingled.select("__id", "__sh", "__k")
+        else:
+            sh = _hashed_shingled(df, id_col, text_col, n, with_key=True)
         grp = (
             sh.groupBy("__k")
             .agg(
@@ -694,7 +719,10 @@ def _cooccurrence(
         # per-document postings: the cached kernel output doubles as the
         # posting source and the size/id-range probe table below
         grp = None
-        base = _hashed_shingled(df, id_col, text_col, n).cache()
+        if shingled is not None:
+            base = shingled.select("__id", "__sh")  # caller holds the cache
+        else:
+            base = _hashed_shingled(df, id_col, text_col, n).cache()
         base = base.select("__id", "__sh", F.lit(1).alias("__gsz"))
     postings = base.select(
         "__id", F.size("__sh").alias("__n"), "__gsz",
@@ -1418,8 +1446,16 @@ def minhash_lsh_pairs(
     n: int = 3,
     tau: float = 0.5,
     collapse: bool | str = "auto",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    ``signatures``: optional caller-cached precomputed
+    ``minhash_signatures(df, id_col, text_col, n, with_key=collapse)``
+    table (round 10) — an audit query running this pipeline next to the
+    exact-pair one pays the fused tokenize/hash/minima kernel once and
+    hands each consumer the same cached frame. Pass an explicit bool
+    ``collapse`` alongside it (with_key must match).
 
     Returns (id_a < id_b, jaccard) for candidate pairs sharing >=1 LSH band
     whose true Jaccard >= tau. Semantics are the *algorithm* (candidates may
@@ -1464,11 +1500,21 @@ def minhash_lsh_pairs(
     # (vectorized (h*a+b) % P + np.minimum.reduceat — replaces 16 interpreted
     # array_min(transform(...)) folds per row); bit-identical to
     # ``minhash_signature`` over the native shingle path
-    sig = minhash_signatures(df, id_col, text_col, n, with_key=collapse)
+    if signatures is not None:
+        if collapse and "__k" not in signatures.columns:
+            raise ValueError(
+                "minhash_lsh_pairs(signatures=...) with collapse=True needs "
+                "the __k set-identity column (with_key=True upstream)"
+            )
+        sig = signatures  # caller holds the cache
+    else:
+        sig = minhash_signatures(df, id_col, text_col, n, with_key=collapse)
+        if not collapse:
+            # per-document path: sig is both the band source and the
+            # shingle lookup for verification — cache it so the kernel
+            # runs once
+            sig = sig.cache()
     if not collapse:
-        # per-document path: sig is both the band source and the shingle
-        # lookup for verification — cache it so the kernel runs once
-        sig = sig.cache()
         grp = sig.select(
             F.col("__id").alias("__rid"),
             "__sh",

@@ -230,13 +230,30 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inverted index / banded join); the audit adds one pair-keyed
     semi-join and three single-row aggregates combined by broadcast
     cross joins — output is one row regardless of corpus size.
+
+    Round 10 (guide §4 — fewer kernel passes): both pipelines consume the
+    same corpus, so the adaptive-collapse probe runs ONCE here and the
+    fused ``minhash_signatures`` table (whose ``(__id, __sh)`` columns are
+    bit-identical to the exact path's ``_hashed_shingled`` — same
+    ``_shingle_flat`` producer) is cached and handed to BOTH operators:
+    one tokenize/hash kernel pass instead of two, one duplicate-fraction
+    scan instead of two. Same-session A/B min-of-3 at sf0.1: 4.08 →
+    2.78s, output identical.
     """
+    from ..operators.dedup import (
+        COLLAPSE_DUP_FRAC, _duplicate_fraction, minhash_signatures,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+    collapse = _duplicate_fraction(docs, "text") >= COLLAPSE_DUP_FRAC
+    sig = minhash_signatures(docs, "doc_id", "text", 3, with_key=collapse).cache()
     true_p = jaccard_pairs(  # ungated: exact dual of this query's oracle
-        docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None).select(
+        docs, "doc_id", "text", n=3, tau=JACCARD_TAU, max_df_frac=None,
+        collapse=collapse, shingled=sig).select(
         "id_a", "id_b", F.lit(1).alias("__t")
     )
-    found = minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU).select(
+    found = minhash_lsh_pairs(docs, "doc_id", "text", n=3, tau=JACCARD_TAU,
+                              collapse=collapse, signatures=sig).select(
         "id_a", "id_b", F.lit(1).alias("__f")
     )
     # ONE full-outer join on the pair key + ONE aggregate: each heavy pair

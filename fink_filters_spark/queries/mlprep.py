@@ -363,15 +363,25 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering signal a perplexity pass approximates, in exact integer
     arithmetic (one float division per output row).
 
-    Scale: the corpus bigram table is bounded by vocabulary (not corpus
-    size) and partial-aggregated map-side; the doc-gram -> count join
-    shuffles on the gram hash; per-doc sums are integers (order-free)."""
+    Scale: the doc-gram -> count join shuffles on the gram hash; per-doc
+    sums are integers (order-free).
+
+    Round 10 (guide §2.4 — one exchange for two consumers): the gram
+    stream feeds both the corpus count aggregate and the join probe; an
+    explicit ``repartition("gram")`` makes it ONE exchange subtree, so
+    the Arrow bigram kernel (the query's dominant per-task cost — two
+    ~25-core-second stages in the stage profile) executes once at runtime
+    via exchange reuse instead of once per branch. Trade-off as in
+    ``_span_flags``: the count aggregate loses map-side partial
+    aggregation, but its shuffle is the SAME exchange the probe side
+    already pays, read twice. Same-session A/B min-of-3 at sf0.1:
+    2.09 → 1.78s, output identical."""
     from ..operators.dedup import _positional_grams
 
     docs = load_table(spark, sf_dir, "documents")
     grams = _positional_grams(docs, "doc_id", "text", 2).select(
         F.col("__id").alias("doc_id"), F.col("__g").alias("gram")
-    )
+    ).repartition("gram")
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         grams.join(counts, "gram")

@@ -1089,3 +1089,62 @@ def test_winnowing_kernel_matches_native_hof_path(spark):
             ).collect()
         )
         assert got == want and got, (k, w)
+
+
+def test_precomputed_signature_sharing_bit_identical(corpus):
+    """Round 10: the ``shingled=``/``signatures=`` seams (one fused kernel
+    pass shared by the exact and approximate pipelines, as
+    q_dedup_lsh_recall uses them) must be bit-identical to the default
+    per-operator kernels — in BOTH collapse branches."""
+    from fink_filters_spark.operators.dedup import (
+        jaccard_pairs, minhash_lsh_pairs, minhash_signatures,
+    )
+
+    df, _pdf = corpus
+    for collapse in (False, True):
+        sig = minhash_signatures(
+            df, "doc_id", "text", 3, with_key=collapse
+        ).cache()
+        try:
+            want_j = sorted(
+                jaccard_pairs(
+                    df, "doc_id", "text", n=3, tau=0.5, max_df_frac=None,
+                    collapse=collapse,
+                ).collect()
+            )
+            got_j = sorted(
+                jaccard_pairs(
+                    df, "doc_id", "text", n=3, tau=0.5, max_df_frac=None,
+                    collapse=collapse, shingled=sig,
+                ).collect()
+            )
+            assert got_j == want_j
+            want_m = sorted(
+                minhash_lsh_pairs(
+                    df, "doc_id", "text", n=3, tau=0.5, collapse=collapse
+                ).collect()
+            )
+            got_m = sorted(
+                minhash_lsh_pairs(
+                    df, "doc_id", "text", n=3, tau=0.5, collapse=collapse,
+                    signatures=sig,
+                ).collect()
+            )
+            assert got_m == want_m
+        finally:
+            sig.unpersist()
+
+
+def test_signature_sharing_collapse_requires_key(corpus):
+    """collapse=True with a keyless precomputed table must fail loudly,
+    not group on a missing column."""
+    from fink_filters_spark.operators.dedup import (
+        jaccard_pairs, minhash_lsh_pairs, minhash_signatures,
+    )
+
+    df, _pdf = corpus
+    sig = minhash_signatures(df, "doc_id", "text", 3, with_key=False)
+    with pytest.raises(ValueError, match="__k"):
+        jaccard_pairs(df, "doc_id", "text", collapse=True, shingled=sig)
+    with pytest.raises(ValueError, match="__k"):
+        minhash_lsh_pairs(df, "doc_id", "text", collapse=True, signatures=sig)
