@@ -746,7 +746,23 @@ def _cooccurrence(
             )
             .select("__s")
         )
-        if purged.isEmpty():
+        # Round 10 (guide §1.5 — every eager probe is a full sequential
+        # driver round-trip): the purge-emptiness decision and the
+        # pair-key range probe (further down) read the same cached
+        # collapse/kernel table, so ONE job answers both — id min/max/
+        # count on base crossed with the purged-list count — instead of
+        # two back-to-back jobs per query across the whole exact-pair
+        # family.
+        _stats = (
+            base.agg(
+                F.min("__id").alias("mn"),
+                F.max("__id").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .crossJoin(F.broadcast(purged.agg(F.count(F.lit(1)).alias("np"))))
+            .collect()[0]
+        )
+        if _stats["np"] == 0:
             # nothing exceeds the cap (every packaged corpus: max df 25 of
             # 5000 docs at sf0.1) -> the gate is the IDENTITY and the
             # ungated single-projection pipeline below is bit-identical;
@@ -776,6 +792,11 @@ def _cooccurrence(
             )
     else:
         gated = False
+        _stats = base.agg(
+            F.min("__id").alias("mn"),
+            F.max("__id").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
     postings = postings.drop("__gsz") if "__gsz" in postings.columns else postings
     kept_sizes = (
         postings.select(F.col("__id").alias("__rid"), "__n").distinct()
@@ -794,17 +815,14 @@ def _cooccurrence(
     # set sizes AFTER the aggregate (one narrow row per representative,
     # from the already-cached collapse table) measured 49.4s -> 17.1s on
     # the 126M-row stress step. Packing needs both ids in [0, 2^31); the
-    # probe below reads min/max/count off the cached collapse/kernel table
-    # (one tiny scan — same eager-probe convention as the purge gate above)
-    # and falls back to the unpacked grouping outside that range. The size
+    # range probe (min/max/count off the cached collapse/kernel table) is
+    # fused into the purge probe's single job above when the gate is on
+    # (round 10); it falls back to the unpacked grouping outside the
+    # packable range. The size
     # re-join broadcasts only while the representative table is small
     # (~8M rows ≈ 100 MB); above that it stays a shuffle join, which AQE
     # may still convert at runtime.
-    stats = base.agg(
-        F.min("__id").alias("mn"),
-        F.max("__id").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    stats = _stats
     packable = (
         stats["mn"] is not None and stats["mn"] >= 0 and stats["mx"] < 2**31
     )
