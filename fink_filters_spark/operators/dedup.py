@@ -534,6 +534,7 @@ def winnowing_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs sharing winnowed fingerprints
     (id_a < id_b, ``shared_fps`` = count of common distinct fingerprint
@@ -555,9 +556,18 @@ def winnowing_pairs(
     # the cache each side re-scans the corpus and re-runs the winnow fold
     # (same clearCache() convention as jaccard_pairs/minhash_lsh_pairs —
     # bench/stress clear between corpus passes)
-    sel = winnowing_fingerprints(df, id_col, text_col, k=k, w=w).select(
-        id_col, "fp"
-    ).distinct().cache()
+    #
+    # ``fingerprints`` (round 10, guide §4): a caller-cached precomputed
+    # ``winnowing_fingerprints(df, id_col, text_col, k, w)`` table — the
+    # span-localization operator consumes the positional table anyway, so
+    # handing it in here runs the Arrow winnow kernel ONCE for both the
+    # pair gate and the span postings instead of once per consumer.
+    src = (
+        fingerprints
+        if fingerprints is not None
+        else winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+    )
+    sel = src.select(id_col, "fp").distinct().cache()
     if max_df is not None:
         keep = (
             sel.groupBy("fp")
@@ -606,7 +616,13 @@ def winnowing_overlap_spans(
     cost the pair-stage purge removed (spans for surviving pairs would
     also report boilerplate overlaps the pair gate never counted).
     """
-    fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w).cache()
+    # Round 10 (guide §4 — one kernel pass for two consumers): the cached
+    # positional fingerprint table is handed to winnowing_pairs, so the
+    # Arrow winnow kernel (the query's two heaviest stages, 31 + 22
+    # core-seconds at sf0.1) runs once for the pair gate AND the span
+    # postings.
+    raw_fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w).cache()
+    fps = raw_fps
     if max_df is not None:
         # df is counted over DISTINCT (doc, fp) postings — identical to the
         # pair stage's gate, so a span row exists iff its fingerprint could
@@ -621,7 +637,8 @@ def winnowing_overlap_spans(
         )
         fps = fps.join(keep, "fp")
     pairs = winnowing_pairs(
-        df, id_col, text_col, k=k, w=w, min_shared=min_shared, max_df=max_df
+        df, id_col, text_col, k=k, w=w, min_shared=min_shared, max_df=max_df,
+        fingerprints=raw_fps,
     ).select("id_a", "id_b")
     a = fps.select(
         F.col(id_col).alias("id_a"), F.col("fp"), F.col("pos").alias("pos_a")

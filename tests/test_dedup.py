@@ -1148,3 +1148,36 @@ def test_signature_sharing_collapse_requires_key(corpus):
         jaccard_pairs(df, "doc_id", "text", collapse=True, shingled=sig)
     with pytest.raises(ValueError, match="__k"):
         minhash_lsh_pairs(df, "doc_id", "text", collapse=True, signatures=sig)
+
+
+def test_winnowing_pairs_precomputed_fingerprints_bit_identical(corpus):
+    """Round 10: winnowing_pairs(fingerprints=...) (the shared-kernel seam
+    winnowing_overlap_spans uses) must equal the self-computed path."""
+    from fink_filters_spark.operators.dedup import (
+        winnowing_fingerprints, winnowing_pairs,
+    )
+
+    df, _pdf = corpus
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).cache()
+    try:
+        want = sorted(
+            winnowing_pairs(df, "doc_id", "text", k=3, w=4, min_shared=2).collect()
+        )
+        got = sorted(
+            winnowing_pairs(
+                df, "doc_id", "text", k=3, w=4, min_shared=2, fingerprints=fps
+            ).collect()
+        )
+        assert got == want
+        # and with the df purge on, as the spans operator passes it
+        want_g = sorted(
+            winnowing_pairs(df, "doc_id", "text", k=3, w=4, min_shared=2,
+                            max_df=5).collect()
+        )
+        got_g = sorted(
+            winnowing_pairs(df, "doc_id", "text", k=3, w=4, min_shared=2,
+                            max_df=5, fingerprints=fps).collect()
+        )
+        assert got_g == want_g
+    finally:
+        fps.unpersist()
