@@ -395,7 +395,10 @@ def jaccard_pairs(
     # Zipf-like real corpus, revisit; for guaranteed sub-quadratic behavior
     # use minhash_lsh_pairs.
     grp, co, kept = _cooccurrence(
-        df, id_col, text_col, n, max_df_frac, collapse, shingled=shingled
+        df, id_col, text_col, n, max_df_frac, collapse, shingled=shingled,
+        # exact tau-implied size-ratio prefilter on the co-posting stream
+        # (see _cooccurrence docstring: provably drops no J >= tau pair)
+        min_size_ratio=tau,
     )
     verified = (
         co.withColumn(
@@ -661,6 +664,7 @@ def _cooccurrence(
     max_df_frac: float | None = None,
     collapse: bool | str = "auto",
     shingled: DataFrame | None = None,
+    min_size_ratio: float | None = None,
 ):
     """Shared inverted-index core of ``jaccard_pairs`` / ``containment_pairs``:
     the representative-collapse table and the per-rep-pair co-occurrence
@@ -708,6 +712,22 @@ def _cooccurrence(
     CACHED BY THE CALLER. When given, this operator runs no shingle
     kernel of its own — an audit query running the exact and the
     approximate pipeline side by side pays the tokenize/hash pass once.
+
+    ``min_size_ratio`` (round 10, guide §2.3 — cut the dominant stream
+    before it aggregates): a Jaccard caller that will keep only pairs
+    with ``J >= tau`` may pass ``tau`` here, and co-posting rows whose
+    set-size ratio ``least(na,nb)/greatest(na,nb)`` falls below it are
+    dropped INSIDE the posting self-join, before the Σ df(s)²
+    co-occurrence aggregate — 23.7% of all co-posting rows (and 24.8% of
+    aggregated pairs) on the packaged corpus, measured at sf0.1.
+    EXACTNESS: rationally ``J = inter/union <= min(na,nb)/max(na,nb)``
+    (inter <= min, union >= max), and correctly-rounded double division
+    is monotone, so ``double(min/max) >= double(J)``; every pair the
+    caller's ``double(J) >= tau`` filter would keep therefore passes this
+    prefilter — the emitted pair set is bit-identical. NOT valid for
+    containment (``inter/min`` has no size-ratio bound) — containment
+    callers leave it None. Cost: the posting shuffle carries ``__n``
+    (8 bytes/row) up to the join instead of dropping it at the scan.
     """
     if collapse == "auto":
         collapse = _duplicate_fraction(df, text_col) >= COLLAPSE_DUP_FRAC
@@ -821,9 +841,18 @@ def _cooccurrence(
         else None
     )
     a, b = postings.alias("a"), postings.alias("b")
-    joined = a.join(
-        b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id"))
+    join_cond = (F.col("a.__s") == F.col("b.__s")) & (
+        F.col("a.__id") < F.col("b.__id")
     )
+    if min_size_ratio is not None:
+        # exact prefilter (docstring): min/max size ratio upper-bounds J,
+        # and double division is monotone, so no >= tau pair can be lost
+        join_cond = join_cond & (
+            F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+            / F.greatest(F.col("a.__n"), F.col("b.__n")).cast("double")
+            >= F.lit(float(min_size_ratio))
+        )
+    joined = a.join(b, join_cond)
     # The co-occurrence aggregation shuffles one row per CO-POSTING
     # (Σ df(s)² rows — 126M at the 100x stress corpus), so its key width
     # is the single biggest cost in the whole pair pipeline. Grouping by

@@ -213,6 +213,7 @@ def _band_signatures_arrow(
     vec_alias: str,
     nsq_alias: str,
     aug_m2_col: str | None = None,
+    vectors: bool = True,
 ) -> DataFrame:
     """Arrow fast path for quantize + norm + P-bit signatures: one NumPy
     int64 matmul per batch replaces P interpreted ``aggregate`` folds per
@@ -241,7 +242,19 @@ def _band_signatures_arrow(
     lands exactly on k+0.5, reachable once sqrt magnitudes exceed ~2^25).
     The OUTPUT vector stays un-augmented: a query's augmented coordinate
     is 0, so candidate scoring is the plain original-dimension dot
-    product."""
+    product.
+
+    ``vectors=False`` (round 10, guide §2.3 — shuffle fewer bytes): emit
+    only ``(id, band, sig)``. The banded table otherwise carries every
+    vector dim*8 bytes across the Arrow boundary and then once PER BAND
+    through the candidate join and the (q, c) dedup shuffle — n_bands-fold
+    duplication of the widest column in the pipeline. Narrow callers
+    re-attach vectors AFTER the id-level dedup from one ``_quantized``
+    codegen pass (bit-identical to the kernel's quantization — the
+    HALF_UP parity note above is exactly that statement), so each vector
+    crosses one join instead of n_bands shuffles. Validation (NULL/NaN/
+    ragged) is unchanged — the signature matmul needs the full matrix
+    either way."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -274,10 +287,12 @@ def _band_signatures_arrow(
 
         for pdf in batches:
             if len(pdf) == 0:
-                yield _pd.DataFrame(
-                    {"__i": pdf["__id"], "__q": [],
-                     "__n": _pd.Series([], dtype="float64"), "__s": []}
-                )
+                empty = {"__i": pdf["__id"]}
+                if vectors:
+                    empty["__q"] = []
+                    empty["__n"] = _pd.Series([], dtype="float64")
+                empty["__s"] = []
+                yield _pd.DataFrame(empty)
                 continue
             if pdf["__v"].isna().any():
                 raise ValueError(
@@ -317,14 +332,12 @@ def _band_signatures_arrow(
                 )
             bits = (sig_in @ pmat.T >= 0).astype(_np.int64)
             sigs = (bits.reshape(len(q), n_bands, band_bits) @ weights).astype(_np.int32)
-            yield _pd.DataFrame(
-                {
-                    "__i": pdf["__id"].to_numpy(),
-                    "__q": list(q),
-                    "__n": nsq.astype("float64"),
-                    "__s": list(sigs),
-                }
-            )
+            out_cols = {"__i": pdf["__id"].to_numpy()}
+            if vectors:
+                out_cols["__q"] = list(q)
+                out_cols["__n"] = nsq.astype("float64")
+            out_cols["__s"] = list(sigs)
+            yield _pd.DataFrame(out_cols)
 
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
     if aug_m2_col is not None:
@@ -333,6 +346,12 @@ def _band_signatures_arrow(
     # id passes through untouched — declare ITS type, not a hardcoded long
     # (string/UUID ids work on the non-Arrow path and must work here too)
     id_type = df.schema[id_col].dataType.simpleString()
+    if not vectors:
+        out = src.mapInPandas(kernel, f"__i {id_type}, __s array<int>")
+        return out.select(
+            F.col("__i").alias(id_alias),
+            F.posexplode("__s").alias("band", "sig"),
+        )
     out = src.mapInPandas(
         kernel, f"__i {id_type}, __q array<long>, __n double, __s array<int>"
     )
@@ -366,10 +385,28 @@ def lsh_search(
     fewer, more precise candidates; more bands → higher recall."""
     assert len(planes) % band_bits == 0, "n_planes must be a multiple of band_bits"
     if arrow:
-        q = _band_signatures_arrow(queries, q_id, q_vec, planes, band_bits,
-                                   "__qid", "__qv", "__qn")
-        c = _band_signatures_arrow(corpus, c_id, c_vec, planes, band_bits,
-                                   "__cid", "__cv", "__cn")
+        # Narrow band probe (round 10, guide §2.3): only ids ride the band
+        # join and the (q, c) dedup shuffle — the wide form carried both
+        # dim-long vectors once per colliding band (n_bands-fold duplication
+        # of the widest column) through both shuffles. Vectors re-attach
+        # AFTER the id-level dedup from one _quantized codegen pass per
+        # side, bit-identical to the kernel's quantization (HALF_UP parity,
+        # _band_signatures_arrow docstring), so the emitted cosines are
+        # unchanged — the arrow/non-arrow equivalence test pins it.
+        qsig = _band_signatures_arrow(queries, q_id, q_vec, planes, band_bits,
+                                      "__qid", "__qv", "__qn", vectors=False)
+        csig = _band_signatures_arrow(corpus, c_id, c_vec, planes, band_bits,
+                                      "__cid", "__cv", "__cn", vectors=False)
+        cand = (
+            csig.join(qsig, ["band", "sig"])
+            .filter(F.col("__qid") != F.col("__cid"))
+            .select("__qid", "__cid")
+            .dropDuplicates(["__qid", "__cid"])
+            .join(_quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn"),
+                  "__cid")
+            .join(_quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn"),
+                  "__qid")
+        )
     else:
         q = _band_signatures(
             _quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn"), "__qv", planes, band_bits
@@ -377,12 +414,12 @@ def lsh_search(
         c = _band_signatures(
             _quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn"), "__cv", planes, band_bits
         )
-    cand = (
-        c.join(q, ["band", "sig"])
-        .filter(F.col("__qid") != F.col("__cid"))
-        .select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn")
-        .dropDuplicates(["__qid", "__cid"])
-    )
+        cand = (
+            c.join(q, ["band", "sig"])
+            .filter(F.col("__qid") != F.col("__cid"))
+            .select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn")
+            .dropDuplicates(["__qid", "__cid"])
+        )
     pairs = cand.select(
         F.col("__qid").alias("q_id"),
         F.col("__cid").alias("neighbor_id"),
@@ -759,17 +796,25 @@ def mips_lsh_search(
         F.max(norm_sq_q(quantize_vec("__cv0")).cast("long")).alias("__m2s")
     )
     c_aug = c.crossJoin(F.broadcast(m2))
+    # Narrow band probe (round 10, guide §2.3 — same rewrite as lsh_search):
+    # only ids through the band join + dedup (the MIPS bands are 10-wide
+    # here, so the wide form shuffled every 65-dim vector up to 10x);
+    # un-augmented vectors re-attach post-dedup via _quantized (scoring
+    # never needs the augmented coordinate — a query's is 0).
     sc = _band_signatures_arrow(c_aug, "__cid0", "__cv0", planes, band_bits,
-                                "__cid", "__cv", "__cn", aug_m2_col="__m2s")
+                                "__cid", "__cv", "__cn", aug_m2_col="__m2s",
+                                vectors=False)
     sq = _band_signatures_arrow(
         queries, q_id, q_vec, [p[:dim] for p in planes], band_bits,
-        "__qid", "__qv", "__qn",
+        "__qid", "__qv", "__qn", vectors=False,
     )
     cand = (
         sc.join(sq, ["band", "sig"])
         .filter(F.col("__qid") != F.col("__cid"))
-        .select("__qid", "__qv", "__cid", "__cv")
+        .select("__qid", "__cid")
         .dropDuplicates(["__qid", "__cid"])
+        .join(_quantized(corpus, c_id, c_vec, "__cid", "__cv", "__cn"), "__cid")
+        .join(_quantized(queries, q_id, q_vec, "__qid", "__qv", "__qn"), "__qid")
     )
     pairs = cand.select(
         F.col("__qid").alias("q_id"),

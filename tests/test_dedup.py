@@ -61,6 +61,44 @@ def test_jaccard_pairs_finds_planted_dups(corpus):
     assert {(0, 80), (1, 81), (2, 82)} <= got  # the planted pairs
 
 
+def test_jaccard_size_ratio_prefilter_is_exact(spark):
+    """Round 10: jaccard_pairs passes tau down as the co-posting size-ratio
+    prefilter (min(na,nb)/max(na,nb) >= tau is implied by J >= tau). On a
+    corpus with a WIDE doc-length spread — including pairs sitting exactly
+    AT the ratio boundary (sizes 3 vs 6 at tau=0.5, J can reach 0.5 only
+    via full containment... it can't: J = inter/(9-inter) <= 3/6 = 0.5 with
+    equality iff inter=3) — the emitted pair set must equal the brute-force
+    Jaccard >= tau set, i.e. the prefilter drops no qualifying pair."""
+    from fink_filters_spark.operators.dedup import jaccard_pairs
+
+    # doc 0: 4 words -> 2 3-shingles; doc 1 contains doc 0's text plus a
+    # long tail (high containment, low jaccard, extreme size ratio);
+    # docs 2/3: boundary pair — sizes 3 and 6 with all 3 shared, so
+    # J = 3/6 = 0.5 exactly AND min/max = 0.5 exactly (kept at tau=0.5);
+    # docs 4/5: near-identical long docs (kept); doc 6: unrelated.
+    texts = {
+        0: "alpha beta gamma delta",
+        1: "alpha beta gamma delta " + " ".join(f"w{i}" for i in range(40)),
+        2: "p q r s t",                    # 3 shingles
+        3: "p q r s t u v w",              # 6 shingles, first 3 shared
+        4: "one two three four five six seven eight nine ten",
+        5: "one two three four five six seven eight nine eleven",
+        6: "zz yy xx ww vv uu",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", 3, 0.5,
+                               max_df_frac=None).collect()
+    }
+    truth = {p: j for p, j in _py_gated_pairs(texts, 3, None,
+             lambda i, na, nb: i / (na + nb - i)).items() if j >= 0.5}
+    assert set(got) == set(truth)
+    assert (2, 3) in got and abs(got[(2, 3)] - 0.5) < 1e-9  # boundary pair kept
+
+
 def test_minhash_lsh_high_recall_on_near_dups(corpus):
     from fink_filters_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
 
