@@ -2400,6 +2400,137 @@ def embedding_pairs(
     return joined.mapInPandas(kernel, out_schema)
 
 
+#: Dense-gate bounds for ``sparse_cosine_pairs`` (see its probe): the
+#: vocabulary must fit a per-document array column, and the whole dense
+#: matrix must spread across block tasks without oversized rows
+#: (2^26 cells x 8 B = 512 MB total; <= 33 MB per block at 16 blocks).
+_DENSE_MAX_VOCAB = 1024
+_DENSE_MAX_CELLS = 1 << 26
+
+
+def _dense_int_cosine_pairs(
+    wt: DataFrame, vocab: list[int], tau: float, n_blocks: int = 16
+) -> DataFrame:
+    """All-pairs cosine over a SMALL-VOCABULARY exact-integer TF-IDF index
+    (``wt``: __id, __w, __wgt) as a distributed block matmul — the dense
+    dual of the inverted-index posting join, same shape as
+    ``embedding_pairs``: documents become dense int64 weight vectors over
+    the sorted ``vocab`` slots, blocks of ~N/B docs pack into single rows,
+    and each of the B(B+1)/2 unordered block pairs computes one exact
+    int64 NumPy matmul instead of shuffling Σ df(t)² co-posting rows.
+
+    Exactness/parity with the posting branch (and the SQL oracle): the
+    dot product is the same int64 sum in a different order; norms are the
+    same Σ wgt² int64; the cosine is the same double expression
+    (cast-to-double dot / sqrt(double na) / sqrt(double nb) — correctly
+    rounded IEEE ops in the same order), the ``>= tau`` comparison is on
+    identical doubles, and rounding is left to the CALLER's ``F.round``
+    so both branches share the one rounding expression. Zero-norm
+    documents produce NaN cosines, excluded by the mask exactly as the
+    posting branch's ``WHEN na > 0 AND nb > 0`` guard excludes them.
+    Both matmul sides are tiled, so peak task memory is tile_a x tile_b
+    doubles regardless of block size."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    slot_args = []
+    for i, w in enumerate(vocab):
+        slot_args += [F.lit(w), F.lit(i)]
+    slot = F.create_map(*slot_args)
+    nv = len(vocab)
+    vecs = (
+        wt.select(
+            "__id", slot[F.col("__w")].alias("__slot"), "__wgt"
+        )
+        .groupBy("__id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__slot", "__wgt"))
+            ).alias("__m")
+        )
+        .select(
+            "__id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nv - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("__q"),
+        )
+    )
+    blocks = (
+        vecs.withColumn("__b", F.pmod(F.col("__id"), F.lit(n_blocks)))
+        .groupBy("__b")
+        .agg(F.collect_list(F.struct("__id", "__q")).alias("__rows"))
+    )
+    a = blocks.select(F.col("__b").alias("__ba"), F.col("__rows").alias("__ra"))
+    b = blocks.select(F.col("__b").alias("__bb"), F.col("__rows").alias("__rb"))
+    joined = a.join(b, F.col("__ba") <= F.col("__bb")).repartition(
+        max(wt.sparkSession.sparkContext.defaultParallelism, n_blocks)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def _unpack(cell):
+        import numpy as _np
+
+        ids = _np.array([r["__id"] for r in cell], dtype=_np.int64)
+        mat = _np.stack([_np.asarray(r["__q"], dtype=_np.int64) for r in cell])
+        # sqrt over the int64 norm cast to double — identical to the SQL
+        # expression sqrt(CAST(sum(wgt*wgt) AS DOUBLE))
+        return ids, mat, _np.sqrt((mat * mat).sum(axis=1).astype(_np.float64))
+
+    def kernel(batches: Iterator, ta: int = 1024, tb: int = 4096) -> Iterator:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            for ba, bb, ra, rb in zip(
+                pdf["__ba"], pdf["__bb"], pdf["__ra"], pdf["__rb"]
+            ):
+                if len(ra) == 0 or len(rb) == 0:
+                    continue
+                a_ids, a_mat, a_sq = _unpack(ra)
+                b_ids, b_mat, b_sq = _unpack(rb)
+                for lo in range(0, len(a_ids), ta):
+                    hi = lo + ta
+                    for blo in range(0, len(b_ids), tb):
+                        bhi = blo + tb
+                        with _np.errstate(divide="ignore", invalid="ignore"):
+                            cos = (
+                                (a_mat[lo:hi] @ b_mat[blo:bhi].T).astype(
+                                    _np.float64
+                                )
+                                / a_sq[lo:hi, None]
+                                / b_sq[None, blo:bhi]
+                            )
+                        # NaN (zero-norm side) compares False — the same
+                        # pairs the posting branch's na/nb > 0 guard drops
+                        mask = cos >= tau
+                        if ba == bb:
+                            mask &= a_ids[lo:hi, None] < b_ids[None, blo:bhi]
+                        ii, jj = _np.nonzero(mask)
+                        if len(ii) == 0:
+                            continue
+                        ida, idb = a_ids[lo:hi][ii], b_ids[blo:bhi][jj]
+                        yield _pd.DataFrame(
+                            {
+                                "id_a": _np.minimum(ida, idb),
+                                "id_b": _np.maximum(ida, idb),
+                                "cosine": cos[ii, jj],
+                            }
+                        )
+
+    return joined.mapInPandas(kernel, out_schema)
+
+
 def sparse_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -2486,6 +2617,36 @@ def sparse_cosine_pairs(
         ),
     )
     wt = wt.cache()
+    # Round 11 DENSE GATE (guide §1.2/§8 — change the algorithm, and decide
+    # with small rows): when the surviving vocabulary is small, the TF-IDF
+    # matrix is effectively DENSE and the inverted-index self-join is the
+    # wrong algorithm — it materializes and shuffles one row per co-posting
+    # (Σ df(t)² — 8.9M rows ≈ 71 MB shuffled on the packaged gate corpus,
+    # 4.6-5.5 s of the query's wall at 32 cores, profiled round 11) to
+    # compute what is one small exact int64 matmul. The probe (one narrow
+    # aggregate over the cached index) takes the dense path when the
+    # vocabulary fits a per-row array (<= {_DENSE_MAX_VOCAB}) and the
+    # matrix fits comfortably across block tasks (<= 2^26 cells); real
+    # corpora (Heaps-law vocabularies) keep the posting path, where
+    # ``max_df_frac`` remains the scale lever. Exactness: same int64 dot
+    # products in a different order, same double cosine expression, same
+    # tau comparison — see ``_dense_int_cosine_pairs``.
+    # tau > 0 is part of the gate: at tau <= 0 the posting join's output
+    # includes zero-dot pairs that share only a zero-weight (idf = 0) term
+    # — information a dense weight vector cannot represent (the zero slot
+    # is indistinguishable from term absence), and an all-pairs result at
+    # tau <= 0 is output-quadratic anyway. For tau > 0 every emitted pair
+    # has dot > 0, where both algorithms agree exactly (unit-pinned).
+    probe = wt.agg(
+        F.count_distinct("__w").alias("nw"), F.count_distinct("__id").alias("nd")
+    ).collect()[0]
+    nw, nd = probe["nw"] or 0, probe["nd"] or 0
+    if tau > 0 and 0 < nw <= _DENSE_MAX_VOCAB and nw * nd <= _DENSE_MAX_CELLS:
+        vocab = sorted(r["__w"] for r in wt.select("__w").distinct().collect())
+        dense = _dense_int_cosine_pairs(wt, vocab, tau)
+        return dense.select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
     nrm = wt.groupBy("__id").agg(F.sum(F.col("__wgt") * F.col("__wgt")).alias("__nn"))
     a, b = wt.alias("a"), wt.alias("b")
     joined = a.join(

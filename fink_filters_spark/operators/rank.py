@@ -51,7 +51,20 @@ def grid_rank(
     table, no extra corpus pass.
     """
     order = [F.col(value_col).desc()] if descending else [F.col(value_col).asc()]
-    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c"))
+    ww = Window.partitionBy(value_col).orderBy(*[F.col(c).asc() for c in tie_cols])
+    wdf = df.withColumn("__rn", F.row_number().over(ww))
+    # Per-value counts DERIVED FROM THE WINDOW OUTPUT (round 11, guide
+    # §2.4): max row_number within a value partition IS that value's row
+    # count, so the domain table is an aggregate over the same
+    # scan->Exchange(value)->Sort->Window subtree the rank itself uses —
+    # byte-identical, so runtime ReusedExchange materializes the corpus
+    # shuffle ONCE. The previous shape aggregated counts straight off the
+    # source (a second corpus scan + its own aggregate exchange), which
+    # re-ran the caller's upstream projection — for pipe_shard_balance
+    # that meant tokenizing every document twice. Referencing __rn (not
+    # count(*)) in the aggregate is what keeps the Window node in this
+    # branch, preserving subtree identity under column pruning.
+    counts = wdf.groupBy(value_col).agg(F.max("__rn").alias("__c"))
     # Bounded-domain global windows: `counts` has one row per DISTINCT
     # value, so these unpartitioned frames never exceed the domain size.
     cw = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
@@ -65,9 +78,8 @@ def grid_rank(
         )
         offs_cols.append(F.sum("__c").over(tw).alias(total_col))
     offs = counts.select(*offs_cols)
-    ww = Window.partitionBy(value_col).orderBy(*[F.col(c).asc() for c in tie_cols])
     return (
-        df.withColumn("__rn", F.row_number().over(ww))
+        wdf
         # eqNullSafe: a NULL value group exists in the domain table (and
         # sorts where the Window.orderBy frame above placed it — Spark
         # puts NULLs first ASC / last DESC, consistently in both the

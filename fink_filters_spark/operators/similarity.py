@@ -382,7 +382,18 @@ def lsh_search(
     plain equi join on ``(band, sig)`` — shuffle-partitioned by bucket, no
     all-pairs stage, and at rest the corpus can be stored bucketed by
     ``(band, sig)`` so probes prune partitions. More planes per band →
-    fewer, more precise candidates; more bands → higher recall."""
+    fewer, more precise candidates; more bands → higher recall.
+
+    Input contract (round-10 narrow-probe shape, flagged in the round-10
+    advisory): ids must be UNIQUE per side and the id→vector mapping
+    DETERMINISTIC across plan branches. The arrow path evaluates each side
+    twice (signature kernel + ``_quantized`` re-attach), so a duplicate id
+    would multiply candidate rows at distinct ranks (the old wide path kept
+    one row per (q, c)), and an id derived from ``rand()`` /
+    ``monotonically_increasing_id`` over an uncached source could differ
+    between the two branches, silently dropping or mis-scoring candidates.
+    Cache (or checkpoint) nondeterministic inputs before calling; an
+    expensive uncached source also pays its scan twice here."""
     assert len(planes) % band_bits == 0, "n_planes must be a multiple of band_bits"
     if arrow:
         # Narrow band probe (round 10, guide §2.3): only ids ride the band
@@ -788,7 +799,13 @@ def mips_lsh_search(
     interpreted per-row folds), the candidate probe a plain equi join on
     (band, sig). Candidate scoring uses the un-augmented vectors: the
     query's augmented coordinate is 0, so the augmented dot product IS
-    the original dot product."""
+    the original dot product.
+
+    Input contract: same as ``lsh_search`` (round-10 advisory) — unique
+    ids per side and a deterministic id→vector mapping across plan
+    branches; the narrow probe re-attaches vectors in a second branch, so
+    duplicate ids inflate top-k and nondeterministic uncached sources can
+    mis-score candidates. Cache nondeterministic inputs first."""
     assert len(planes) % band_bits == 0, "n_planes must be a multiple of band_bits"
     dim = len(planes[0]) - 1
     c = corpus.select(F.col(c_id).alias("__cid0"), F.col(c_vec).alias("__cv0"))

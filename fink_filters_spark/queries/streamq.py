@@ -93,6 +93,14 @@ def _run_to_memory(
     join's no-data batch alone cost ~7s (one full commit cycle across
     partitions x 4 join state stores) with byte-identical results.
 
+    Round 11 extends the same reasoning to every UNWATERMARKED query:
+    a complete-mode aggregation re-emits its full state each batch
+    regardless, and an unwatermarked ``dropDuplicates`` emits new keys
+    during the data batch and can never evict — in both cases the no-data
+    batch advances no watermark and changes no output; it only re-commits
+    every state store once more. Only ``stream_hourly_append`` (the one
+    query whose OUTPUT depends on the final watermark position) keeps it.
+
     The session confs are snapshotted and restored — no conf leak."""
     spark = out.sparkSession
     keys = {
@@ -140,7 +148,9 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v",
         )
     )
-    _run_to_memory(out, "stream_hourly_stats_sink", "complete")
+    _run_to_memory(
+        out, "stream_hourly_stats_sink", "complete", no_data_batch=False
+    )
     return spark.table("stream_hourly_stats_sink")
 
 
@@ -163,7 +173,9 @@ def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.select((F.col("user_id") % 100).alias("user_bucket")).dropDuplicates(
         ["user_bucket"]
     )
-    _run_to_memory(out, "stream_distinct_keys_sink", "append")
+    _run_to_memory(
+        out, "stream_distinct_keys_sink", "append", no_data_batch=False
+    )
     return spark.table("stream_distinct_keys_sink")
 
 
@@ -197,7 +209,9 @@ def stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v",
         )
     )
-    _run_to_memory(out, "stream_sliding_stats_sink", "complete")
+    _run_to_memory(
+        out, "stream_sliding_stats_sink", "complete", no_data_batch=False
+    )
     return spark.table("stream_sliding_stats_sink")
 
 
@@ -304,7 +318,9 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(out, "stream_session_stats_sink", "complete")
+    _run_to_memory(
+        out, "stream_session_stats_sink", "complete", no_data_batch=False
+    )
     return spark.table("stream_session_stats_sink")
 
 
@@ -382,7 +398,9 @@ def stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = chunk_cdc(stream, "doc_id", "text").select("chunk_md5").dropDuplicates(
         ["chunk_md5"]
     )
-    _run_to_memory(out, "stream_chunk_dedup_sink", "append")
+    _run_to_memory(
+        out, "stream_chunk_dedup_sink", "append", no_data_batch=False
+    )
     return spark.table("stream_chunk_dedup_sink")
 
 

@@ -776,6 +776,49 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert jac[(1, 3)] == 1.0
 
 
+def test_sparse_cosine_dense_gate_matches_posting_path(spark):
+    """Round-11 dense gate: small-vocabulary corpora take the block-matmul
+    path; its pair set and cosines must be bit-identical to the inverted-
+    index posting join (forced by shrinking the vocab bound to 0). Also
+    pins the tau <= 0 carve-out: there the posting join emits zero-dot
+    pairs that share only an idf-0 term — unrepresentable in a dense
+    weight vector — so the gate must keep the posting path."""
+    import fink_filters_spark.operators.dedup as d
+
+    rows = [
+        (1, "red green blue cyan common"),
+        (2, "cyan blue green red common"),
+        (3, "zeta eta theta iota common"),
+        (4, "red green blue iota common"),
+        (5, ""),  # empty doc: single hash-0 token, zero idf everywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(tau):
+        return sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in d.sparse_cosine_pairs(df, "doc_id", "text", tau=tau).collect()
+        )
+
+    spark.catalog.clearCache()
+    dense = run(0.1)  # vocab 10 << _DENSE_MAX_VOCAB -> dense path
+    old = d._DENSE_MAX_VOCAB
+    try:
+        d._DENSE_MAX_VOCAB = 0  # force the posting join
+        spark.catalog.clearCache()
+        posting = run(0.1)
+    finally:
+        d._DENSE_MAX_VOCAB = old
+    assert dense == posting and dense  # identical, non-empty
+
+    # tau = 0: pair (1, 3) shares ONLY the ubiquitous zero-weight term
+    # ('common', df = N -> idf 0) -> dot 0, cosine 0.0 >= 0.0. Only the
+    # posting join can see it; the gate must route around the dense path.
+    spark.catalog.clearCache()
+    at_zero = run(0.0)
+    assert any((a, b) == (1, 3) for a, b, _ in at_zero)
+
+
 def test_sparse_cosine_df_pruning_and_reordering_robustness(spark):
     """max_df_frac drops ubiquitous terms from the vectors (changing
     cosines exactly as recomputing without those terms would), and word
