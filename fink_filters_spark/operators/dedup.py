@@ -1218,27 +1218,27 @@ def _span_flags(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     ``duplicated_spans`` (the profile) and ``trim_duplicated_spans`` (the
     rewrite)."""
     spans = _positional_grams(df, id_col, text_col, n)
-    # One EXPLICIT hash exchange on the gram key, consumed by both the
-    # dup-flag aggregate and the join probe side. Round-10 fix: the
-    # previous shape (groupBy over spans + join back onto spans) planned
-    # the flag side's exchange over a partial aggregate — a DIFFERENT
-    # subtree from the probe side, so nothing was shared and the Arrow
-    # gram kernel executed once per branch (4x in dedup_substring's
-    # plan, measured 39 core-seconds of which ~3/4 was repeat hashing).
-    # With the shared repartition the kernel runs ONCE; the aggregate
-    # and the join probe are both partition-local on top of the reused
-    # exchange (hash(g) satisfies their clustering), so no further
-    # gram-stream shuffle exists. Trade-off vs the old shape: the flag
-    # aggregate loses map-side partial aggregation, so a boilerplate-hot
-    # gram's rows all land in one partition; the per-row work there is a
-    # streaming (g, id) hash-aggregate (no posting arrays), which spills
-    # rather than OOMs, and the kernel saving is corpus-wide while the
-    # hot-gram tail is bounded by the df distribution.
-    ex = spans.repartition("__g")
-    dup_grams = ex.groupBy("__g").agg(
+    # Round 11 (VERDICT r10 #8 — settle the round-10 shared-exchange trade
+    # with STAGE metrics, not wall): round 10 replaced this shape with one
+    # explicit repartition("__g") shared by both consumers, on the argument
+    # that the Arrow gram kernel re-ran per branch and its core-seconds
+    # dominated. Re-measured on the final tree (tools/r11_substr_ab.py,
+    # same session, interleaved, Spark-UI executorRunTime sums): the
+    # partial-aggregate shape below wins BOTH metrics on BOTH consumers —
+    # dedup_substring 56.2 vs 60.1 core-s (wall 3.28 vs 3.57 s),
+    # dedup_substring_rewrite 68.2 vs 82.0 core-s (wall 3.98 vs 4.38 s),
+    # outputs identical. The round-10 premise expired inside round 10
+    # itself: the kernel's vectorized factorize fold made it ~3x cheaper,
+    # so the duplicated kernel pass now costs less than what the shared
+    # exchange gives up — map-side partial aggregation on the flag side
+    # (the full positional gram stream crossed the wire unreduced). The
+    # flag aggregate's exchange carries partial (g, distinct-ids) rows —
+    # gram-distinct-sized; a boilerplate-hot gram is absorbed by the
+    # partial aggregation rather than landing on one partition. Reverted.
+    dup_grams = spans.groupBy("__g").agg(
         (F.count_distinct("__id") >= 2).alias("__dup")
     )
-    return ex.join(dup_grams, "__g").select("__id", "__pos", "__dup")
+    return spans.join(dup_grams, "__g").select("__id", "__pos", "__dup")
 
 
 def duplicated_spans(

@@ -48,20 +48,24 @@ DYNAMIC_CONF = {
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     # AQE advisory (post-shuffle target / skew-split granularity) —
     # SCALE-DEPENDENT, so env-parameterised (the only such knob here).
-    # The local default of 8 MB matches the bench's shuffle volumes
-    # (8-80 MB): the dominant effect is skew-split granularity on the
-    # hot-key posting/pair joins (few distinct join keys -> a handful of
-    # oversized partitions; splitting at 8 MB instead of the 64 MB
-    # default re-parallelizes them). Same-session interleaved A/B over
-    # the 18-query tail at sf0.1: 60.0s -> 45.3s, reproduced both rounds
-    # (dedup_ngram_jaccard 6.6->3.1, text_sparse_cosine 5.3->2.9,
-    # er_golden_record 4.6->2.7, q21 3.8->2.1; one -0.4s regression).
-    # A production deployment sets SPARK_GRAFT_ADVISORY_PARTITION_BYTES
-    # to 64-256 MB (guide §2.2/§9): at 100 TB an 8 MB target would
-    # fragment shuffles into millions of blocks — partition size should
-    # track per-core data volume, which is what the env knob expresses.
+    # Round-11 re-pin (VERDICT r10 item #2): the round-10 8 MB local
+    # default was re-measured on the FINAL tree in ONE session,
+    # interleaved, at 32 threads — 64 MB won on BOTH the 17-query
+    # PERF-regressed cluster (40.5s -> 34.8s; 16 of 17 queries, e.g.
+    # dedup_components 5.66->3.47, dedup_containment 5.26->4.23,
+    # text_sparse_cosine 6.24->5.41; only ts_hist_array -0.4s) AND the
+    # very heavy-tail set that had justified 8 MB (25.9s -> 21.0s, every
+    # query: dedup_apply 2.90->2.09, q21 2.35->1.37, sim_pq_adc
+    # 3.69->2.97; a 16 MB middle arm landed between). The round-10
+    # reading did not reproduce on the final tree — later r10 commits
+    # (SHJ conversion, packed pair keys, shared exchanges) changed the
+    # plans it was measured on. 64 MB is also Spark's own default, so
+    # the local setting is now a no-op placeholder for the env knob:
+    # a production deployment sets SPARK_GRAFT_ADVISORY_PARTITION_BYTES
+    # to 64-256 MB per cluster (guide §2.2/§9) — partition size should
+    # track per-core data volume, which is what the knob expresses.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
-        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8388608"
+        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "67108864"
     ),
     # Catalyst's getAllValidConstraints re-canonicalizes a filter condition
     # once per project alias; a wide alert-quality mask (18 OR terms) under
